@@ -1,0 +1,305 @@
+"""End-to-end index build pipeline (the batch analogue of ``POST /_bulk``).
+
+Reference trace re-derived (SURVEY.md §3.1): REST bulk -> route to shards ->
+parse/analyze -> IndexWriter buffer -> segment flush -> background merge.
+Our Ray-Data-first shape:
+
+1. **Fragment plan** (driver): enumerate input parquet fragments; each becomes
+   one segment work item. Doc-id bases are NOT pre-counted — segments use
+   local ids and bases are assigned afterwards from per-segment counts in
+   seg_id order, so the build is a single pass over the data.
+2. **Segment build** (actor pool): ``from_items(fragments) ->
+   map_batches(SegmentBuilder, concurrency=N, batch_size=1)``. Stateless w.r.t.
+   Ray (each fragment independent), stateful per actor (analyzer built once).
+   Atomic write + existence check = per-partition checkpoint/resume (the batch
+   analogue of translog recovery, Translog.java:1168-1213 / Checkpoint.java:64-88).
+3. **Global stats** (small shuffle): groupby(term).sum(df, ttf) over segment
+   term dictionaries only (vocab-sized, NOT postings-sized) — the equivalent of
+   the DFS phase (DfsPhase.java:55-107) making scores partition-count-invariant.
+4. **Merge** (the groupby-term shuffle): co-locate each term's per-segment
+   posting chunks into hash(term)-addressed bucket files. Postings keep
+   segment-local doc ids + seg_id, so merge is pure data movement (no
+   re-encode); **hot terms** (global df >= hot_df_threshold, the Zipfian head)
+   are SALTED across buckets by (term, seg_id, chunk) so no single bucket
+   inherits a multi-TB posting list (the analogue of routing_partition_size,
+   OperationRouting.java:461).
+
+At 100 TB the only all-to-all moves are (3) vocab-sized stats and (4) the
+compressed postings (~¼ of input bytes); raw text is never shuffled.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .segment import SegmentBuilder, SEGMENT_SCHEMA
+
+DEFAULT_NUM_BUCKETS = 32
+DEFAULT_HOT_DF = 1_000_000  # global df above which a term's chunks are salted
+
+
+@dataclass
+class SegmentInfo:
+    seg_id: int
+    path: str
+    doc_count: int
+    sum_dl: int
+    doc_base: int
+    vocab: int = 0
+
+
+@dataclass
+class IndexManifest:
+    index_dir: str
+    segments: List[SegmentInfo]
+    total_docs: int
+    sum_dl: int
+    analyzer: str = "default"
+    text_col: str = "text"
+    num_buckets: int = DEFAULT_NUM_BUCKETS
+    hot_terms: List[str] = field(default_factory=list)
+    merged: bool = False
+
+    @property
+    def avgdl(self) -> float:
+        return self.sum_dl / self.total_docs if self.total_docs else 0.0
+
+    def doc_base(self, seg_id: int) -> int:
+        return self._bases[seg_id]
+
+    def __post_init__(self):
+        self._bases = {s.seg_id: s.doc_base for s in self.segments}
+
+    def save(self) -> None:
+        p = os.path.join(self.index_dir, "manifest.json")
+        with open(p + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "segments": [vars(s) for s in self.segments],
+                    "total_docs": self.total_docs,
+                    "sum_dl": self.sum_dl,
+                    "analyzer": self.analyzer,
+                    "text_col": self.text_col,
+                    "num_buckets": self.num_buckets,
+                    "hot_terms": self.hot_terms,
+                    "merged": self.merged,
+                },
+                f,
+            )
+        os.replace(p + ".tmp", p)
+
+
+def load_manifest(index_dir: str) -> IndexManifest:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        d = json.load(f)
+    return IndexManifest(
+        index_dir=index_dir,
+        segments=[SegmentInfo(**s) for s in d["segments"]],
+        total_docs=d["total_docs"],
+        sum_dl=d["sum_dl"],
+        analyzer=d["analyzer"],
+        text_col=d["text_col"],
+        num_buckets=d["num_buckets"],
+        hot_terms=d["hot_terms"],
+        merged=d["merged"],
+    )
+
+
+def _stable_hash(terms: Sequence[str]) -> np.ndarray:
+    """Process-stable uint64 hash of strings (pandas siphash, fixed key)."""
+    return pd.util.hash_array(np.asarray(terms, dtype=object))
+
+
+def list_input_files(input_path) -> List[str]:
+    if isinstance(input_path, (list, tuple)):
+        return sorted(str(p) for p in input_path)
+    if os.path.isdir(input_path):
+        return sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    return [input_path]
+
+
+def build_index(
+    input_path,
+    index_dir: str,
+    analyzer: str = "default",
+    text_col: str = "text",
+    sort_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    columns: Optional[List[str]] = None,
+    concurrency: Optional[int] = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    hot_df_threshold: int = DEFAULT_HOT_DF,
+    merge: bool = True,
+) -> IndexManifest:
+    """Build (or resume) an index over parquet transcript fragments.
+
+    One segment per input file; file order (sorted paths) defines global doc
+    order, matching a corpus laid out sorted by (conv_id, turn_idx) across
+    files — the stable-ordering invariant. Within a file, rows are sorted by
+    ``sort_cols`` by the builder regardless.
+    """
+    files = list_input_files(input_path)
+    if not files:
+        raise ValueError(f"no parquet files under {input_path!r}")
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+
+    items = [{"path": p, "seg_id": i} for i, p in enumerate(files)]
+    frag_ds = ray.data.from_items(items)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    conc = min(concurrency or n_cpus, len(items))
+    seg_rows = (
+        frag_ds.map_batches(
+            SegmentBuilder,
+            fn_constructor_kwargs=dict(
+                index_dir=index_dir,
+                analyzer=analyzer,
+                text_col=text_col,
+                sort_cols=sort_cols,
+                columns=columns,
+            ),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=conc,
+            num_cpus=1,
+        )
+        .take_all()  # one row per segment — small
+    )
+    seg_rows.sort(key=lambda r: r["seg_id"])
+    base = 0
+    segments = []
+    for r in seg_rows:
+        segments.append(
+            SegmentInfo(
+                seg_id=int(r["seg_id"]),
+                path=r["path"],
+                doc_count=int(r["doc_count"]),
+                sum_dl=int(r["sum_dl"]),
+                doc_base=base,
+                vocab=int(r["vocab"]),
+            )
+        )
+        base += int(r["doc_count"])
+
+    manifest = IndexManifest(
+        index_dir=index_dir,
+        segments=segments,
+        total_docs=base,
+        sum_dl=sum(s.sum_dl for s in segments),
+        analyzer=analyzer if isinstance(analyzer, str) else getattr(analyzer, "name", "custom"),
+        text_col=text_col,
+        num_buckets=num_buckets,
+    )
+
+    hot_terms = _build_term_stats(manifest, hot_df_threshold)
+    manifest.hot_terms = hot_terms
+    if merge:
+        _merge_segments(manifest)
+        manifest.merged = True
+    manifest.save()
+    return manifest
+
+
+def _segment_postings_ds(manifest: IndexManifest, columns: Optional[List[str]] = None):
+    """Dataset over all segments' postings rows, with a seg_id column."""
+    seg_items = [
+        {"seg_id": s.seg_id,
+         "file": os.path.join(manifest.index_dir, "segments", f"seg-{s.seg_id:05d}", "postings.parquet")}
+        for s in manifest.segments
+    ]
+
+    def read_one(batch: pa.Table) -> pa.Table:
+        tables = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["file"], columns=columns)
+            t = t.append_column("seg_id", pa.array(np.full(t.num_rows, row["seg_id"], dtype=np.int32)))
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    return ray.data.from_items(seg_items).map_batches(
+        read_one, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def _build_term_stats(manifest: IndexManifest, hot_df_threshold: int) -> List[str]:
+    """groupby(term).sum(df, ttf) over segment term dicts -> term_stats
+    parquet (sorted by term for row-group pruning); returns the hot-term list."""
+    from ray.data.aggregate import Sum
+
+    out_dir = os.path.join(manifest.index_dir, "term_stats")
+    ds = _segment_postings_ds(manifest, columns=["term", "df", "ttf"])
+    stats = (
+        ds.groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort("term")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    stats.write_parquet(out_dir, mode="overwrite")
+
+    # hot terms: small driver-side filter over the (vocab-sized) stats table
+    hot = []
+    dset = pq.ParquetDataset(out_dir)
+    t = dset.read(columns=["term", "df"])
+    mask = pc.greater_equal(t.column("df"), pa.scalar(hot_df_threshold, type=pa.int64()))
+    hot = t.filter(mask).column("term").to_pylist()
+    return hot
+
+
+def _make_bucket_writer(merged_dir: str):
+    """map_groups writer: one term-hash bucket -> one sorted parquet file."""
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        b = int(group.column("bucket")[0].as_py())
+        group = group.drop_columns(["bucket"]).sort_by(
+            [("term", "ascending"), ("seg_id", "ascending"), ("chunk", "ascending")]
+        )
+        path = os.path.join(merged_dir, f"bucket-{b:05d}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(group, tmp, compression="zstd", row_group_size=2048)
+        os.replace(tmp, path)
+        return pa.table({"bucket": pa.array([b], type=pa.int32()),
+                         "rows": pa.array([group.num_rows], type=pa.int64())})
+
+    return write_bucket
+
+
+def _merge_segments(manifest: IndexManifest) -> None:
+    """The groupby(term) merge shuffle with hot-term salting (SURVEY §7.2-5)."""
+    os.makedirs(os.path.join(manifest.index_dir, "merged"), exist_ok=True)
+    B = manifest.num_buckets
+    hot = set(manifest.hot_terms)
+    hot_ref = ray.put(hot)
+
+    def assign_bucket(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        h = _stable_hash(terms)
+        bucket = (h % np.uint64(B)).astype(np.int64)
+        hotset = ray.get(hot_ref)
+        if hotset:
+            seg = batch.column("seg_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            chunk = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.uint64)
+            salted = ((h ^ (seg * np.uint64(0x9E3779B97F4A7C15))
+                       ^ (chunk * np.uint64(0xC2B2AE3D27D4EB4F))) % np.uint64(B)).astype(np.int64)
+            is_hot = np.fromiter((t in hotset for t in terms), dtype=bool, count=len(terms))
+            bucket = np.where(is_hot, salted, bucket)
+        return batch.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    ds = _segment_postings_ds(manifest)
+    (
+        ds.map_batches(assign_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_make_bucket_writer(os.path.join(manifest.index_dir, "merged")),
+                    batch_format="pyarrow")
+        .materialize()
+    )

@@ -1,0 +1,138 @@
+"""Posting-list codec: delta-gapped variable-byte blocks + block-max metadata.
+
+Re-derives WHAT Lucene's postings format stores (delta-gapped doc ids + term
+freqs in fixed-size blocks, with skip entries and per-block impact/"block-max"
+metadata — the reference delegates to ``Lucene99PostingsFormat`` via
+/root/reference/server/src/main/java/org/opensearch/index/codec/CodecService.java:54-86)
+with our own columnar encoding:
+
+per (term, chunk) row of a segment's postings table:
+  ``docs_enc``    binary  — varbyte(delta gaps of segment-local doc ids)
+  ``tfs_enc``     binary  — varbyte(term freqs)
+  ``skip_docs``   list<int32> — last doc id of each 128-doc block (skip list)
+  ``skip_off``    list<int32> — byte offset of each block start in docs_enc
+  ``skip_tf_off`` list<int32> — byte offset of each block start in tfs_enc
+  ``block_max_tf``list<int32> — max tf per block            (block-max WAND)
+  ``block_min_norm`` list<int32> — min norm byte per block  (block-max WAND)
+
+The varbyte codec is numpy-vectorized in both directions (no per-value Python
+loop): encode computes per-value byte counts then scatters 7-bit groups;
+decode finds terminator bytes (high bit 0) and gathers per-slot.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per skip/impact block (Lucene's postings block size)
+MAX_DOCS_PER_CHUNK = 131072  # cap one Arrow row's posting payload (~<1 MB)
+
+
+def _vb_sizes(v: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (uint64 in, int64 out)."""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for b in range(1, 5):
+        nbytes += (v >= np.uint64(1 << (7 * b))).astype(np.int64)
+    return nbytes
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Variable-byte (LEB128-style, continuation high bit) encode, vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for b in range(1, 5):
+        nbytes += (v >= np.uint64(1 << (7 * b))).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for b in range(5):
+        mask = nbytes > b
+        if not mask.any():
+            break
+        idx = starts[mask] + b
+        byte = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nbytes[mask] > (b + 1)).astype(np.uint8)) << 7
+        out[idx] = byte | cont
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes, offset: int = 0, count: int = -1) -> np.ndarray:
+    """Decode varbyte stream -> uint64 array (optionally first `count` values
+    starting at byte `offset`)."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if offset:
+        a = a[offset:]
+    if a.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (a & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    if count >= 0:
+        ends = ends[:count]
+    starts = np.empty(ends.size, dtype=np.int64)
+    if ends.size:
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    lengths = ends - starts + 1
+    for b in range(int(lengths.max()) if lengths.size else 0):
+        mask = lengths > b
+        byte = a[starts[mask] + b].astype(np.uint64)
+        vals[mask] |= (byte & np.uint64(0x7F)) << np.uint64(7 * b)
+    return vals
+
+
+def encode_postings(
+    docids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
+) -> dict:
+    """Encode one term's (ascending, segment-local) docids + tfs into the
+    block layout. ``norms`` is the SEGMENT's per-doc norm-byte array, indexed
+    by local docid (used only to compute per-block min norm).
+
+    Returns the dict of column values for one postings row.
+    """
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = docids.size
+    gaps = np.empty(n, dtype=np.uint64)
+    if n:
+        gaps[0] = docids[0]
+        np.subtract(docids[1:], docids[:-1], out=gaps[1:], casting="unsafe")
+
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_lo = np.arange(n_blocks, dtype=np.int64) * BLOCK_SIZE
+    block_hi = np.minimum(block_lo + BLOCK_SIZE, n)
+
+    # Encode gaps/tfs in ONE vectorized pass; block byte offsets come from the
+    # per-value byte counts (prefix sums at block boundaries).
+    tfs_u = tfs.astype(np.uint64)
+    docs_enc = vb_encode(gaps)
+    tfs_enc = vb_encode(tfs_u)
+    doc_prefix = np.concatenate(([0], np.cumsum(_vb_sizes(gaps))))
+    tf_prefix = np.concatenate(([0], np.cumsum(_vb_sizes(tfs_u))))
+
+    term_norms = norms[docids] if norms is not None else None
+    return {
+        "df": np.int32(n),
+        "ttf": np.int64(tfs.sum()) if n else np.int64(0),
+        "docs_enc": docs_enc,
+        "tfs_enc": tfs_enc,
+        "skip_docs": docids[block_hi - 1].astype(np.int32) if n else np.empty(0, np.int32),
+        "skip_off": doc_prefix[block_lo].astype(np.int32),
+        "skip_tf_off": tf_prefix[block_lo].astype(np.int32),
+        "block_max_tf": (np.maximum.reduceat(tfs, block_lo).astype(np.int32)
+                         if n else np.empty(0, np.int32)),
+        "block_min_norm": (np.minimum.reduceat(term_norms, block_lo).astype(np.int32)
+                           if term_norms is not None and n else np.zeros(n_blocks, np.int32)),
+    }
+
+
+def decode_postings(docs_enc: bytes, tfs_enc: bytes, df: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Full decode of one chunk -> (local docids int64, tfs int64)."""
+    gaps = vb_decode(docs_enc, count=df)
+    docids = np.cumsum(gaps.astype(np.int64))
+    tfs = vb_decode(tfs_enc, count=df).astype(np.int64)
+    return docids, tfs

@@ -1,0 +1,300 @@
+"""Segment construction: one input partition -> one immutable mini-index.
+
+Mirrors what Lucene's IndexWriter produces per flush (ref
+/root/reference/server/src/main/java/org/opensearch/index/engine/InternalEngine.java:1107-1186
+``indexIntoLucene -> addDocs``): an immutable segment holding
+
+- ``postings.parquet``  — one row per (term, chunk): the codec columns from
+  :mod:`opensearch_ray.index.postings`, terms sorted lexicographically (so
+  parquet row-group stats prune term lookups).
+- ``docs.parquet``      — the doc store (= ``_source`` + norms, ref
+  SourceFieldMapper.java:72-92): original columns + ``docid`` (segment-local),
+  ``dl`` (exact token count) + ``norm`` (lossy byte).
+- ``meta.json``         — doc_count, sum_dl (exact), vocab size, input lineage.
+
+Doc ids are SEGMENT-LOCAL (0..doc_count-1) in the stable (conv_id, turn_idx)
+order of the partition; global ids = manifest base + local (computed after all
+segments are built, so the build needs NO counting pre-pass).
+
+The inverted index is built fully vectorized: Arrow dictionary-encode of the
+flat token stream + one lexsort of (term_id, doc) pairs + run-length collapse
+-> per-term ascending (docid, tf) arrays, then one varbyte pass for the whole
+segment (see postings.encode_postings's single-pass layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analysis import get_analyzer
+from ..analysis.analyzer import analyze_batch
+from .norms import encode_norms
+from .postings import (
+    BLOCK_SIZE,
+    MAX_DOCS_PER_CHUNK,
+    _vb_sizes,
+    vb_encode,
+)
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("chunk", pa.int32()),
+        ("df", pa.int32()),
+        ("ttf", pa.int64()),
+        ("docs_enc", pa.binary()),
+        ("tfs_enc", pa.binary()),
+        ("skip_docs", pa.list_(pa.int32())),
+        ("skip_off", pa.list_(pa.int32())),
+        ("skip_tf_off", pa.list_(pa.int32())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_norm", pa.list_(pa.int32())),
+    ]
+)
+
+
+def _terms_docs_tfs(
+    tokens: pa.ListArray, n_docs: int
+) -> Tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Flat token list column -> (term_dictionary_sorted, term_ids, docids,
+    tfs, dl) where (term_ids, docids) are sorted by (term, doc) and collapsed
+    to unique pairs with tf counts."""
+    tokens = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    dl = np.diff(offsets)
+    flat = tokens.flatten()
+    if len(flat) == 0:
+        return pa.array([], type=pa.string()), np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), dl
+
+    dict_arr = pc.dictionary_encode(flat)
+    raw_terms = dict_arr.dictionary
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # lexicographically sort the dictionary, remap codes
+    sort_idx = pc.sort_indices(raw_terms).to_numpy(zero_copy_only=False).astype(np.int64)
+    terms_sorted = raw_terms.take(pa.array(sort_idx))
+    remap = np.empty(len(sort_idx), dtype=np.int64)
+    remap[sort_idx] = np.arange(len(sort_idx))
+    term_ids_tok = remap[codes]
+
+    doc_of_token = np.repeat(np.arange(n_docs, dtype=np.int64), dl)
+    # unique (term, doc) pairs with counts == tf; key sort order = (term, doc)
+    key = term_ids_tok * np.int64(n_docs) + doc_of_token
+    ukey, tfs = np.unique(key, return_counts=True)
+    term_ids = ukey // n_docs
+    docids = ukey % n_docs
+    return terms_sorted, term_ids, docids, tfs.astype(np.int64), dl
+
+
+def build_segment_table(
+    table: pa.Table,
+    tokens_col: str = "tokens",
+    text_col: str = "text",
+    analyzer="default",
+    sort_cols: Optional[List[str]] = ("conv_id", "turn_idx"),
+) -> Tuple[pa.Table, pa.Table, dict]:
+    """Build one segment from a (partition's) Arrow table.
+
+    If ``tokens_col`` is absent the table is analyzed here (``text_col`` +
+    ``analyzer``). Rows are sorted by ``sort_cols`` first (stable doc order —
+    the north-rule invariant). Returns (postings, docstore, meta).
+    """
+    if sort_cols:
+        present = [c for c in sort_cols if c in table.column_names]
+        if present:
+            table = table.sort_by([(c, "ascending") for c in present])
+    if tokens_col not in table.column_names:
+        table = analyze_batch(table, text_column=text_col, analyzer=analyzer,
+                              tokens_column=tokens_col)
+
+    n_docs = table.num_rows
+    tokens = table.column(tokens_col)
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    terms_sorted, term_ids, docids, tfs, dl = _terms_docs_tfs(tokens, max(n_docs, 1))
+    norms = encode_norms(dl)
+
+    # --- per-term boundaries over the (term, doc)-sorted pair arrays
+    n_pairs = term_ids.size
+    if n_pairs:
+        starts = np.flatnonzero(np.concatenate(([True], term_ids[1:] != term_ids[:-1])))
+        ends = np.concatenate((starts[1:], [n_pairs]))
+    else:
+        starts = ends = np.empty(0, dtype=np.int64)
+
+    # --- single-pass varbyte encode for the whole segment
+    gaps = docids.copy()
+    gaps[starts] = docids[starts]  # absolute at term start
+    if n_pairs:
+        mask = np.ones(n_pairs, dtype=bool)
+        mask[starts] = False
+        gaps[mask] = docids[mask] - docids[np.flatnonzero(mask) - 1]
+    gaps_u = gaps.astype(np.uint64)
+    tfs_u = tfs.astype(np.uint64)
+    all_docs_enc = vb_encode(gaps_u)
+    all_tfs_enc = vb_encode(tfs_u)
+    doc_prefix = np.concatenate(([0], np.cumsum(_vb_sizes(gaps_u))))
+    tf_prefix = np.concatenate(([0], np.cumsum(_vb_sizes(tfs_u))))
+    pair_norms = norms[docids] if n_pairs else np.empty(0, np.uint8)
+
+    rows_term, rows_chunk = [], []
+    rows_df, rows_ttf = [], []
+    rows_docs_enc, rows_tfs_enc = [], []
+    rows_skip_docs, rows_skip_off, rows_skip_tf_off = [], [], []
+    rows_bmax_tf, rows_bmin_norm = [], []
+
+    term_strs = terms_sorted.to_pylist()
+    for ti in range(starts.size):
+        s, e = int(starts[ti]), int(ends[ti])
+        term = term_strs[int(term_ids[s])]
+        for ci, cs in enumerate(range(s, e, MAX_DOCS_PER_CHUNK)):
+            ce = min(cs + MAX_DOCS_PER_CHUNK, e)
+            n = ce - cs
+            block_lo = np.arange(cs, ce, BLOCK_SIZE, dtype=np.int64)
+            block_hi = np.minimum(block_lo + BLOCK_SIZE, ce)
+            rows_term.append(term)
+            rows_chunk.append(ci)
+            rows_df.append(n)
+            rows_ttf.append(int(tfs[cs:ce].sum()))
+            if cs == s:
+                rows_docs_enc.append(all_docs_enc[doc_prefix[cs]:doc_prefix[ce]])
+            else:
+                # chunk boundary: first gap must be absolute for the chunk
+                head = vb_encode(docids[cs:cs + 1].astype(np.uint64))
+                rows_docs_enc.append(head + all_docs_enc[doc_prefix[cs + 1]:doc_prefix[ce]])
+            rows_tfs_enc.append(all_tfs_enc[tf_prefix[cs]:tf_prefix[ce]])
+            base_doc_off = doc_prefix[cs]
+            base_tf_off = tf_prefix[cs]
+            rows_skip_docs.append(docids[block_hi - 1].astype(np.int32))
+            # NOTE: for non-first chunks the first block's offset arithmetic
+            # still works because offsets are relative to chunk start and the
+            # re-encoded absolute head has the same layout cost only if gap
+            # widths match; to stay exact we recompute offsets for split
+            # chunks below.
+            if cs == s:
+                rows_skip_off.append((doc_prefix[block_lo] - base_doc_off).astype(np.int32))
+            else:
+                cgaps = docids[cs:ce].copy()
+                cgaps[1:] = docids[cs + 1:ce] - docids[cs:ce - 1]
+                cpre = np.concatenate(([0], np.cumsum(_vb_sizes(cgaps.astype(np.uint64)))))
+                rows_skip_off.append(cpre[block_lo - cs].astype(np.int32))
+            rows_skip_tf_off.append((tf_prefix[block_lo] - base_tf_off).astype(np.int32))
+            rows_bmax_tf.append(np.maximum.reduceat(tfs, block_lo).astype(np.int32)
+                                if n else np.empty(0, np.int32))
+            rows_bmin_norm.append(np.minimum.reduceat(pair_norms, block_lo).astype(np.int32)
+                                  if n else np.empty(0, np.int32))
+
+    postings = pa.table(
+        {
+            "term": pa.array(rows_term, type=pa.string()),
+            "chunk": pa.array(rows_chunk, type=pa.int32()),
+            "df": pa.array(rows_df, type=pa.int32()),
+            "ttf": pa.array(rows_ttf, type=pa.int64()),
+            "docs_enc": pa.array(rows_docs_enc, type=pa.binary()),
+            "tfs_enc": pa.array(rows_tfs_enc, type=pa.binary()),
+            "skip_docs": pa.array(rows_skip_docs, type=pa.list_(pa.int32())),
+            "skip_off": pa.array(rows_skip_off, type=pa.list_(pa.int32())),
+            "skip_tf_off": pa.array(rows_skip_tf_off, type=pa.list_(pa.int32())),
+            "block_max_tf": pa.array(rows_bmax_tf, type=pa.list_(pa.int32())),
+            "block_min_norm": pa.array(rows_bmin_norm, type=pa.list_(pa.int32())),
+        },
+        schema=SEGMENT_SCHEMA,
+    )
+
+    docstore = table.drop_columns([tokens_col])
+    docstore = docstore.append_column("docid", pa.array(np.arange(n_docs, dtype=np.int64)))
+    docstore = docstore.append_column("dl", pa.array(dl.astype(np.int32)))
+    docstore = docstore.append_column("norm", pa.array(norms, type=pa.uint8()))
+
+    meta = {
+        "doc_count": int(n_docs),
+        "sum_dl": int(dl.sum()) if n_docs else 0,
+        "vocab": int(starts.size),
+        "postings_rows": postings.num_rows,
+    }
+    return postings, docstore, meta
+
+
+def write_segment(
+    seg_dir: str,
+    postings: pa.Table,
+    docstore: pa.Table,
+    meta: dict,
+) -> dict:
+    """Atomic segment write: tmp dir -> rename (idempotent / resume-safe,
+    the batch analogue of the reference's translog checkpoint durability —
+    Translog.java:825-839 ensureSynced)."""
+    tmp = seg_dir + ".tmp"
+    if os.path.exists(seg_dir):
+        return json.load(open(os.path.join(seg_dir, "meta.json")))
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(postings, os.path.join(tmp, "postings.parquet"),
+                   compression="zstd", row_group_size=4096)
+    pq.write_table(docstore, os.path.join(tmp, "docs.parquet"),
+                   compression="zstd", row_group_size=65536)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    try:
+        os.rename(tmp, seg_dir)
+    except OSError:
+        # another worker won the race; its segment is identical (deterministic)
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return meta
+
+
+class SegmentBuilder:
+    """Actor-pool stage: one input work item (parquet fragment) -> one segment.
+
+    Used as ``ds.map_batches(SegmentBuilder, fn_constructor_kwargs=...,
+    concurrency=N, batch_size=1)`` over a Dataset of fragment descriptors
+    (path, seg_id, row ranges). The analyzer is constructed ONCE per actor.
+    Skips fragments whose segment dir already exists (resume).
+    """
+
+    def __init__(self, index_dir: str, analyzer="default",
+                 text_col: str = "text", sort_cols=("conv_id", "turn_idx"),
+                 columns: Optional[List[str]] = None):
+        self.index_dir = index_dir
+        self.analyzer = get_analyzer(analyzer)
+        self.text_col = text_col
+        self.sort_cols = tuple(sort_cols) if sort_cols else None
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            seg_id = int(row["seg_id"])
+            seg_dir = os.path.join(self.index_dir, "segments", f"seg-{seg_id:05d}")
+            if os.path.exists(os.path.join(seg_dir, "meta.json")):
+                meta = json.load(open(os.path.join(seg_dir, "meta.json")))
+                meta["resumed"] = True
+            else:
+                tbl = pq.read_table(row["path"], columns=self.columns)
+                postings, docstore, meta = build_segment_table(
+                    tbl, text_col=self.text_col, analyzer=self.analyzer,
+                    sort_cols=self.sort_cols,
+                )
+                meta["resumed"] = False
+                meta = {**meta, "seg_id": seg_id, "path": row["path"]}
+                write_segment(seg_dir, postings, docstore, meta)
+            meta.setdefault("seg_id", seg_id)
+            meta.setdefault("path", row["path"])
+            out.append(meta)
+        return pa.table(
+            {
+                "seg_id": pa.array([m["seg_id"] for m in out], type=pa.int32()),
+                "path": pa.array([m["path"] for m in out], type=pa.string()),
+                "doc_count": pa.array([m["doc_count"] for m in out], type=pa.int64()),
+                "sum_dl": pa.array([m["sum_dl"] for m in out], type=pa.int64()),
+                "vocab": pa.array([m["vocab"] for m in out], type=pa.int64()),
+                "resumed": pa.array([m.get("resumed", False) for m in out], type=pa.bool_()),
+            }
+        )

@@ -1,0 +1,8 @@
+"""Query engine: BM25 scoring, term/match/bool queries, top-k merge."""
+
+from .bm25 import BM25Params, bm25_idf, make_norm_cache
+from .searcher import Searcher, SearchHit
+from .oracle import BruteForceOracle
+
+__all__ = ["BM25Params", "bm25_idf", "make_norm_cache", "Searcher", "SearchHit",
+           "BruteForceOracle"]

@@ -1,0 +1,374 @@
+"""Top-k BM25 query execution over a built index.
+
+Mirrors the reference query path (SURVEY.md §3.2): analyze query text with the
+index analyzer -> global term stats (DFS-style, DfsPhase.java:55-107) -> per-
+partition posting lookup + scoring with dynamic pruning -> k-way merge with
+(score desc, docid asc) tie-break (TopDocs.merge semantics,
+SearchPhaseController.java:175-241).
+
+Pruning: a vectorized **MaxScore** (Turtle & Flood 1995) with **block-max**
+refinements per (term, chunk): once the top-k heap holds k hits with threshold
+θ, terms whose upper bound makes them non-essential are decoded only for the
+blocks that overlap surviving candidate docs (skip_docs binary search), and a
+doc is dropped only when partial_score + Σ non-essential ubs < θ — exact
+strict-inequality pruning, so results are identical to exhaustive scoring
+(ties included). This is the Lucene WAND/impacts counterpart
+(TopDocsCollectorContext.java:350-371) in vectorized form.
+
+Scores are float32 with the oracle's exact op order -> bit-identical ranking.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analysis import get_analyzer
+from ..index.build import IndexManifest, load_manifest, _stable_hash
+from ..index.postings import BLOCK_SIZE, vb_decode
+from .bm25 import BM25Params, bm25_idf, make_norm_cache, max_block_score, score_postings, term_weight
+
+
+@dataclass
+class SearchHit:
+    docid: int
+    score: float
+
+
+class Searcher:
+    """Single-process searcher over an index directory (driver-side or inside
+    a query-executor actor). Caches norms + term stats per segment."""
+
+    def __init__(self, index_dir: str, params: BM25Params = BM25Params()):
+        self.manifest: IndexManifest = load_manifest(index_dir)
+        self.params = params
+        self.analyzer = get_analyzer(self.manifest.analyzer)
+        self.N = self.manifest.total_docs
+        self.avgdl = self.manifest.avgdl
+        self.norm_cache = make_norm_cache(self.avgdl, params) if self.N else None
+        segs = sorted(self.manifest.segments, key=lambda s: s.seg_id)
+        self._seg_ids = np.array([s.seg_id for s in segs], dtype=np.int64)
+        self._bases = np.array([s.doc_base for s in segs], dtype=np.int64)
+        self._counts = np.array([s.doc_count for s in segs], dtype=np.int64)
+        self._norms: Dict[int, np.ndarray] = {}
+        self._hot = set(self.manifest.hot_terms)
+        self._stats_dir = os.path.join(index_dir, "term_stats")
+        self._stats_cache: Dict[str, Tuple[int, int]] = {}
+
+    # ------------------------------------------------------------- plumbing
+
+    def _seg_dir(self, seg_id: int) -> str:
+        return os.path.join(self.manifest.index_dir, "segments", f"seg-{seg_id:05d}")
+
+    def norms(self, seg_id: int) -> np.ndarray:
+        arr = self._norms.get(seg_id)
+        if arr is None:
+            t = pq.read_table(os.path.join(self._seg_dir(seg_id), "docs.parquet"),
+                              columns=["norm"])
+            arr = t.column("norm").to_numpy(zero_copy_only=False).astype(np.uint8)
+            self._norms[seg_id] = arr
+        return arr
+
+    def doc_base(self, seg_id: int) -> int:
+        return int(self._bases[np.searchsorted(self._seg_ids, seg_id)])
+
+    def term_stats(self, terms: Sequence[str]) -> Dict[str, Tuple[int, int]]:
+        """term -> (global df, global ttf); absent terms -> (0, 0)."""
+        missing = [t for t in set(terms) if t not in self._stats_cache]
+        if missing:
+            tbl = pq.read_table(
+                self._stats_dir,
+                filters=[("term", "in", missing)],
+                columns=["term", "df", "ttf"],
+            )
+            found = dict(zip(tbl.column("term").to_pylist(),
+                             zip(tbl.column("df").to_pylist(), tbl.column("ttf").to_pylist())))
+            for t in missing:
+                self._stats_cache[t] = tuple(found.get(t, (0, 0)))
+        return {t: self._stats_cache[t] for t in set(terms)}
+
+    def postings(self, terms: Sequence[str]) -> Dict[str, pa.Table]:
+        """term -> postings rows (columns of SEGMENT_SCHEMA + seg_id)."""
+        terms = [t for t in dict.fromkeys(terms)]
+        out: Dict[str, List[pa.Table]] = {t: [] for t in terms}
+        if self.manifest.merged:
+            B = self.manifest.num_buckets
+            per_bucket: Dict[int, List[str]] = {}
+            for t in terms:
+                if t in self._hot:
+                    for b in range(B):  # salted: term rows spread over buckets
+                        per_bucket.setdefault(b, []).append(t)
+                else:
+                    # int() BEFORE %: np.uint64 % python-int promotes to
+                    # float64 and corrupts the bucket id
+                    b = int(_stable_hash([t])[0]) % B
+                    per_bucket.setdefault(b, []).append(t)
+            for b, ts in per_bucket.items():
+                path = os.path.join(self.manifest.index_dir, "merged",
+                                    f"bucket-{b:05d}.parquet")
+                if not os.path.exists(path):
+                    continue
+                tbl = pq.read_table(path, filters=[("term", "in", ts)])
+                for t in set(ts):
+                    sub = tbl.filter(pc.equal(tbl.column("term"), t))
+                    if sub.num_rows:
+                        out[t].append(sub)
+        else:
+            for s in self.manifest.segments:
+                path = os.path.join(self._seg_dir(s.seg_id), "postings.parquet")
+                tbl = pq.read_table(path, filters=[("term", "in", terms)])
+                if tbl.num_rows:
+                    tbl = tbl.append_column(
+                        "seg_id", pa.array(np.full(tbl.num_rows, s.seg_id, dtype=np.int32)))
+                    for t in terms:
+                        sub = tbl.filter(pc.equal(tbl.column("term"), t))
+                        if sub.num_rows:
+                            out[t].append(sub)
+        return {
+            t: (pa.concat_tables(v).sort_by([("seg_id", "ascending"), ("chunk", "ascending")])
+                if v else pa.table({}))
+            for t, v in out.items()
+        }
+
+    # ------------------------------------------------------------- decoding
+
+    @staticmethod
+    def _decode_chunk_rows(row: dict) -> Tuple[np.ndarray, np.ndarray]:
+        gaps = vb_decode(row["docs_enc"], count=row["df"])
+        docids = np.cumsum(gaps.astype(np.int64))
+        tfs = vb_decode(row["tfs_enc"], count=row["df"]).astype(np.int64)
+        return docids, tfs
+
+    @staticmethod
+    def _decode_blocks(row: dict, block_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode only the given blocks of a chunk (block-max skipping)."""
+        df = row["df"]
+        skip_docs = row["skip_docs"]
+        skip_off = row["skip_off"]
+        skip_tf_off = row["skip_tf_off"]
+        n_blocks = len(skip_docs)
+        d_out, t_out = [], []
+        for bi in block_ids:
+            bi = int(bi)
+            n = BLOCK_SIZE if bi < n_blocks - 1 else df - bi * BLOCK_SIZE
+            base_prev = skip_docs[bi - 1] if bi > 0 else 0
+            gaps = vb_decode(row["docs_enc"], offset=int(skip_off[bi]), count=n)
+            d_out.append(base_prev + np.cumsum(gaps.astype(np.int64)))
+            t_out.append(vb_decode(row["tfs_enc"], offset=int(skip_tf_off[bi]), count=n).astype(np.int64))
+        if not d_out:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(d_out), np.concatenate(t_out)
+
+    # -------------------------------------------------------------- search
+
+    def search(self, query_text: str, k: int = 10, operator: str = "or",
+               ) -> List[SearchHit]:
+        """Match-query semantics: analyze text, OR (default, ref
+        MatchQueryBuilder.java:88) or AND over terms, BM25-scored top-k."""
+        if k <= 0:
+            return []
+        terms = self.analyzer.tokens(query_text)
+        if not terms or not self.N:
+            return []  # zero_terms_query=NONE default (MatchQuery.java:176)
+        mult = Counter(terms)  # duplicate query terms => boosted clause
+        uniq = list(mult.keys())
+        stats = self.term_stats(uniq)
+        live = [t for t in uniq if stats[t][0] > 0]
+        if not live:
+            return []
+        if operator == "and" and len(live) < len(uniq):
+            return []
+        post = self.postings(live)
+        weight = {t: term_weight(bm25_idf(stats[t][0], self.N), mult[t], self.params)
+                  for t in live}
+
+        # group chunk rows per segment: seg_id -> list[(term, row_dict)]
+        per_seg: Dict[int, List[Tuple[str, dict]]] = {}
+        for t in live:
+            tbl = post[t]
+            if tbl.num_rows == 0:
+                continue
+            for row in tbl.to_pylist():
+                per_seg.setdefault(int(row["seg_id"]), []).append((t, row))
+
+        n_req = len(live)
+        topk_scores = np.empty(0, np.float32)
+        topk_docs = np.empty(0, np.int64)
+        theta: Optional[float] = None  # current kth-best float32 score
+
+        for seg_id in sorted(per_seg):
+            base = self.doc_base(seg_id)
+            norms = self.norms(seg_id)
+            entries = per_seg[seg_id]
+            n_ent = len(entries)
+
+            # MaxScore split: ubs ascending; the maximal prefix whose ub sum
+            # stays strictly below θ is non-essential (docs found ONLY there
+            # can never reach θ).
+            if theta is not None and n_ent > 1:
+                ubs = np.array(
+                    [
+                        float(max_block_score(
+                            np.asarray(row["block_max_tf"], dtype=np.int64),
+                            np.asarray(row["block_min_norm"], dtype=np.int64),
+                            weight[t], self.norm_cache).max())
+                        if row["df"] else 0.0
+                        for t, row in entries
+                    ],
+                    dtype=np.float64,
+                )
+                order_asc = np.argsort(ubs, kind="stable")
+                cum = np.cumsum(ubs[order_asc])
+                n_ness = int(np.searchsorted(cum, theta * (1.0 - 1e-6), side="left"))
+                ness_set = set(order_asc[:n_ness].tolist())
+                ness_ub_sum = float(cum[n_ness - 1]) if n_ness else 0.0
+            else:
+                ness_set, ness_ub_sum = set(), 0.0
+
+            # --- essential entries: full decode, scatter-add (entry order is
+            # live-term order, matching the oracle's accumulation order)
+            all_docs: List[np.ndarray] = []
+            all_scores: List[np.ndarray] = []
+            for ei in range(n_ent):
+                if ei in ness_set:
+                    continue
+                t, row = entries[ei]
+                docids, tfs = self._decode_chunk_rows(row)
+                sc = score_postings(tfs, norms[docids], weight[t], self.norm_cache)
+                all_docs.append(docids)
+                all_scores.append(sc)
+            if not all_docs:
+                continue  # whole segment non-essential => provably < θ
+            docs_cat = np.concatenate(all_docs)
+            udocs, inv = np.unique(docs_cat, return_inverse=True)
+            # accumulate float32 contributions in float64 (Lucene's
+            # DisjunctionSumScorer sums in double, casts to float)
+            scores = np.zeros(len(udocs), np.float64)
+            np.add.at(scores, inv, np.concatenate(all_scores).astype(np.float64))
+            counts = np.zeros(len(udocs), np.int64)
+            np.add.at(counts, inv, np.ones(len(docs_cat), np.int64))
+
+            # --- candidate filter before touching non-essential entries
+            if theta is not None and ness_set:
+                # tiny relative epsilon guards float32-vs-float64 rounding at
+                # the threshold (scores are non-negative)
+                keep = scores + ness_ub_sum >= theta * (1.0 - 1e-6)
+                udocs, scores, counts = udocs[keep], scores[keep], counts[keep]
+
+            # --- non-essential entries: decode only blocks holding candidates
+            for ei in sorted(ness_set):
+                if udocs.size == 0:
+                    break
+                t, row = entries[ei]
+                skip_docs = np.asarray(row["skip_docs"], dtype=np.int64)
+                if skip_docs.size == 0:
+                    continue
+                bids = np.unique(np.searchsorted(skip_docs, udocs))
+                bids = bids[bids < len(skip_docs)]
+                docids, tfs = self._decode_blocks(row, bids)
+                if len(docids) == 0:
+                    continue
+                pos = np.clip(np.searchsorted(docids, udocs), 0, len(docids) - 1)
+                match = docids[pos] == udocs
+                if match.any():
+                    sc = score_postings(tfs[pos[match]], norms[udocs[match]],
+                                        weight[t], self.norm_cache)
+                    scores[match] += sc.astype(np.float64)
+                    counts[match] += 1
+
+            if operator == "and":
+                m = counts == n_req
+                udocs, scores = udocs[m], scores[m]
+            if udocs.size == 0:
+                continue
+
+            gdocs = udocs + base
+            seg_scores = scores.astype(np.float32)
+            topk_docs = np.concatenate((topk_docs, gdocs))
+            topk_scores = np.concatenate((topk_scores, seg_scores))
+            if topk_docs.size > k:
+                ordm = np.lexsort((topk_docs, -topk_scores.astype(np.float64)))[:k]
+                topk_docs, topk_scores = topk_docs[ordm], topk_scores[ordm]
+            if topk_docs.size >= k:
+                theta = float(topk_scores.min())
+
+        ordm = np.lexsort((topk_docs, -topk_scores.astype(np.float64)))[:k]
+        return [SearchHit(int(topk_docs[i]), float(topk_scores[i])) for i in ordm]
+
+    # ------------------------------------------------------------ doc sets
+
+    def term_docs(self, term: str) -> np.ndarray:
+        """All global docids containing `term` (ascending) — the primitive for
+        bool filter algebra (BoolQueryBuilder semantics)."""
+        post = self.postings([term]).get(term)
+        if post is None or post.num_rows == 0:
+            return np.empty(0, np.int64)
+        parts = []
+        for row in post.to_pylist():
+            docids, _ = self._decode_chunk_rows(row)
+            parts.append(docids + self.doc_base(int(row["seg_id"])))
+        return np.sort(np.concatenate(parts))
+
+    def bool_docs(self, must: Sequence[str] = (), should: Sequence[str] = (),
+                  must_not: Sequence[str] = (), minimum_should_match: int = 0,
+                  ) -> np.ndarray:
+        """Sorted-docid set algebra over posting lists (intersect / union /
+        difference) — ref server/index/query/BoolQueryBuilder.java."""
+        sets = [self.term_docs(t) for t in must]
+        cur: Optional[np.ndarray] = None
+        for s in sets:
+            cur = s if cur is None else np.intersect1d(cur, s, assume_unique=True)
+        if should:
+            sh = [self.term_docs(t) for t in should]
+            if minimum_should_match > 1:
+                cat = np.concatenate(sh) if sh else np.empty(0, np.int64)
+                ud, cnt = np.unique(cat, return_counts=True)
+                union = ud[cnt >= minimum_should_match]
+            else:
+                union = np.unique(np.concatenate(sh)) if sh else np.empty(0, np.int64)
+            if cur is None:
+                cur = union
+            elif minimum_should_match >= 1:
+                cur = np.intersect1d(cur, union, assume_unique=True)
+        if cur is None:
+            cur = np.arange(self.N, dtype=np.int64)  # match_all
+        for t in must_not:
+            cur = np.setdiff1d(cur, self.term_docs(t), assume_unique=True)
+        return cur
+
+    # --------------------------------------------------------------- fetch
+
+    def fetch(self, global_docids: Sequence[int], columns: Optional[List[str]] = None
+              ) -> pa.Table:
+        """Fetch-phase join: top-k global docids -> stored fields from the
+        doc-store parquet of only the owning segments (FetchPhase.java)."""
+        g = np.asarray(sorted(set(int(d) for d in global_docids)), dtype=np.int64)
+        if g.size == 0:
+            # empty but with schema
+            seg0 = self._seg_dir(int(self._seg_ids[0]))
+            t = pq.read_table(os.path.join(seg0, "docs.parquet"), columns=columns)
+            empty = t.slice(0, 0)
+            return empty.append_column("_docid", pa.array([], type=pa.int64()))
+        seg_idx = np.searchsorted(self._bases, g, side="right") - 1
+        out = []
+        for si in np.unique(seg_idx):
+            seg_id = int(self._seg_ids[si])
+            base = int(self._bases[si])
+            local = (g[seg_idx == si] - base).tolist()
+            t = pq.read_table(
+                os.path.join(self._seg_dir(seg_id), "docs.parquet"),
+                filters=[("docid", "in", local)], columns=None,
+            )
+            gd = pc.add(t.column("docid"), pa.scalar(base, type=pa.int64()))
+            t = t.append_column("_docid", gd.cast(pa.int64()))
+            if columns:
+                t = t.select(columns + ["_docid"])
+            out.append(t)
+        return pa.concat_tables(out)

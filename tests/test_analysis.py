@@ -1,0 +1,102 @@
+"""Analyzer conformance goldens — mirrors the reference's `_analyze` YAML
+suite (rest-api-spec/test/indices.analyze/10_analyze.yml style)."""
+
+import pyarrow as pa
+import pytest
+
+from opensearch_ray.analysis import analyze, analyze_batch, ENGLISH_STOP_WORDS
+from opensearch_ray.analysis.analyzer import ANALYZERS, transcript_analyzer
+from opensearch_ray.analysis.token_filters import (
+    make_shingle_filter, make_edge_ngram_filter, porter_stem, unique_filter,
+    asciifolding_filter, make_elision_filter, word_delimiter_filter,
+)
+from opensearch_ray.analysis.tokenizers import (
+    standard_tokenizer, whitespace_tokenizer, letter_tokenizer,
+    make_pattern_tokenizer, make_path_hierarchy_tokenizer,
+    make_edge_ngram_tokenizer, uax_url_email_tokenizer,
+)
+
+
+GOLDENS = [
+    # (analyzer, input, expected tokens)
+    ("transcript", "The Quick Brown-Foxes jumped!", ["quick", "brown", "foxes", "jumped"]),
+    ("transcript", "", []),
+    ("transcript", "the and of to", []),
+    ("standard", "The Quick Brown-Foxes jumped!", ["the", "quick", "brown", "foxes", "jumped"]),
+    ("standard", "can't O'Brien", ["can't", "o'brien"]),
+    ("standard", "3.14 1,000 v2_beta", ["3.14", "1,000", "v2_beta"]),
+    ("standard", "漢字搜索", ["漢", "字", "搜", "索"]),
+    ("simple", "Foo3Bar baz", ["foo", "bar", "baz"]),
+    ("whitespace", "Foo Bar-baz  qux", ["Foo", "Bar-baz", "qux"]),
+    ("keyword", "New York", ["New York"]),
+    ("fingerprint", "b a c a B", ["a b c"]),
+]
+
+
+@pytest.mark.parametrize("an,text,expected", GOLDENS)
+def test_analyzer_goldens(an, text, expected):
+    assert analyze(text, an) == expected
+
+
+def test_positions_keep_stopword_gaps():
+    toks, poss = transcript_analyzer.analyze("the quick brown the fox")
+    assert toks == ["quick", "brown", "fox"]
+    assert poss == [1, 2, 4]  # gaps where stopwords were removed
+
+
+def test_max_token_length_split():
+    long = "x" * 300
+    toks = standard_tokenizer(long)
+    assert toks == ["x" * 255, "x" * 45]
+
+
+def test_tokenizers():
+    assert letter_tokenizer("abc123def") == ["abc", "def"]
+    assert whitespace_tokenizer(" a  b ") == ["a", "b"]
+    assert make_pattern_tokenizer(",")("a,b,,c") == ["a", "b", "c"]
+    assert make_path_hierarchy_tokenizer()("/a/b/c") == ["/a", "/a/b", "/a/b/c"]
+    assert make_edge_ngram_tokenizer(1, 3)("quick") == ["q", "qu", "qui"]
+    assert "https://example.com/x?y=1" in uax_url_email_tokenizer(
+        "see https://example.com/x?y=1 or mail a.b@example.co"
+    )
+    assert "a.b@example.co" in uax_url_email_tokenizer("mail a.b@example.co now")
+
+
+def test_token_filters():
+    t, p = make_shingle_filter(2, 2)(["a", "b", "c"], [0, 1, 2])
+    assert t == ["a", "a b", "b", "b c", "c"]
+    t, p = make_edge_ngram_filter(1, 2)(["ab"], [0])
+    assert t == ["a", "ab"]
+    assert porter_stem("running") == "run"
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("relational") == "relat"
+    t, _ = unique_filter(["a", "b", "a"], [0, 1, 2])
+    assert t == ["a", "b"]
+    t, _ = asciifolding_filter(["café", "naïve"], [0, 1])
+    assert t == ["cafe", "naive"]
+    t, _ = make_elision_filter()(["l'avion"], [0])
+    assert t == ["avion"]
+    t, _ = word_delimiter_filter(["PowerShot500", "wi-fi"], [0, 1])
+    assert t == ["Power", "Shot", "500", "wi", "fi"]
+
+
+def test_stopword_set_is_lucene_classic_33():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert {"the", "and", "of", "with", "will"} <= set(ENGLISH_STOP_WORDS)
+    assert "from" not in ENGLISH_STOP_WORDS  # famously absent from Lucene's list
+
+
+def test_analyze_batch_matches_scalar():
+    texts = ["The Quick fox", "", "can't stop won't stop", "漢字 test THE"]
+    tbl = pa.table({"text": texts})
+    out = analyze_batch(tbl, analyzer="transcript")
+    got = out.column("tokens").to_pylist()
+    want = [analyze(t, "transcript") for t in texts]
+    assert got == want
+    # positions path
+    out2 = analyze_batch(tbl, analyzer="transcript", positions_column="pos")
+    for i, t in enumerate(texts):
+        toks, poss = transcript_analyzer.analyze(t)
+        assert out2.column("tokens").to_pylist()[i] == toks
+        assert out2.column("pos").to_pylist()[i] == poss

@@ -1,0 +1,167 @@
+"""End-to-end: build over the synthetic transcript corpus, verify rank-identity
+vs the brute-force oracle, stable-ordering + fetch invariants, and resume."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opensearch_ray.index.build import build_index, load_manifest
+from opensearch_ray.search import BruteForceOracle, Searcher
+from opensearch_ray.sources import reference_queries, synthesize_transcripts
+
+
+@pytest.fixture(scope="module")
+def oracle(transcript_corpus):
+    corpus_dir, files = transcript_corpus
+    tables = [pq.read_table(f) for f in sorted(files)]
+    full = pa.concat_tables(tables)
+    return BruteForceOracle(full, text_col="text", analyzer="transcript"), full
+
+
+def test_corpus_is_deterministic_and_stably_ordered(transcript_corpus):
+    corpus_dir, files = transcript_corpus
+    full = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+    again = synthesize_transcripts(2000, seed=42)
+    assert full.equals(again)
+    keys = list(zip(full.column("conv_id").to_pylist(),
+                    full.column("turn_idx").to_pylist()))
+    assert keys == sorted(keys)
+    assert len(set(keys)) == len(keys)  # unique (conv_id, turn_idx)
+
+
+def test_manifest_counts(built_index, oracle):
+    o, full = oracle
+    assert built_index.total_docs == full.num_rows
+    assert built_index.sum_dl == o.sum_dl
+    assert len(built_index.segments) == 4
+    bases = [s.doc_base for s in built_index.segments]
+    assert bases == sorted(bases) and bases[0] == 0
+
+
+def test_global_term_stats_match_oracle(built_index, oracle):
+    o, _ = oracle
+    s = Searcher(built_index.index_dir)
+    some_terms = list(o.df.keys())[:50] + ["nosuchtermxyz"]
+    stats = s.term_stats(some_terms)
+    for t in some_terms:
+        assert stats[t][0] == o.df.get(t, 0), t
+
+
+def test_rank_identity_vs_oracle(built_index, oracle):
+    """The north-rule gate: exact (docid, float32 score) sequences for the
+    whole reference query set, OR and AND."""
+    o, _ = oracle
+    s = Searcher(built_index.index_dir)
+    for q in reference_queries():
+        for op in ("or", "and"):
+            hits = s.search(q["query_text"], k=q["k"], operator=op)
+            want = o.search(q["query_text"], k=q["k"], operator=op)
+            got = [(h.docid, h.score) for h in hits]
+            assert got == want, (q["query_id"], op, got[:3], want[:3])
+
+
+def test_pruning_equals_exhaustive_large_k(built_index, oracle):
+    """k large enough that pruning never engages -> same results as k=10
+    prefix (pruning exactness check from the other side)."""
+    o, _ = oracle
+    s = Searcher(built_index.index_dir)
+    for qt in ["bace cedi difo", "haki kilo lomu neba"]:
+        big = [(h.docid, h.score) for h in s.search(qt, k=500)]
+        want = o.search(qt, k=500)
+        assert big == want
+
+
+def test_fetch_text_equality(built_index, oracle):
+    """North-rule invariant: per-turn text equality between input and fetch
+    output under the stable (conv_id, turn_idx) -> docid mapping."""
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    hits = s.search("bace cedi", k=10)
+    assert hits
+    ids = [h.docid for h in hits]
+    fetched = s.fetch(ids)
+    by_id = {r["_docid"]: r for r in fetched.to_pylist()}
+    for d in ids:
+        assert by_id[d]["text"] == full.column("text")[d].as_py()
+        assert by_id[d]["conv_id"] == full.column("conv_id")[d].as_py()
+        assert by_id[d]["turn_idx"] == full.column("turn_idx")[d].as_py()
+
+
+def test_bool_docs_algebra(built_index, oracle):
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    texts = full.column("text").to_pylist()
+    an = s.analyzer
+
+    def docs_with(term):
+        return {i for i, t in enumerate(texts) if term in an.tokens(t or "")}
+
+    a, b = "bace", "cedi"
+    got_and = set(s.bool_docs(must=[a, b]).tolist())
+    assert got_and == (docs_with(a) & docs_with(b))
+    got_or = set(s.bool_docs(should=[a, b]).tolist())
+    assert got_or == (docs_with(a) | docs_with(b))
+    got_not = set(s.bool_docs(must=[a], must_not=[b]).tolist())
+    assert got_not == (docs_with(a) - docs_with(b))
+
+
+def test_unmerged_equals_merged(transcript_corpus, tmp_path, oracle):
+    """Segment merge (groupby-term shuffle) must not change any result —
+    the associativity property index(A∪B) == merge(index(A), index(B))."""
+    o, _ = oracle
+    corpus_dir, _ = transcript_corpus
+    m = build_index(corpus_dir, str(tmp_path / "idx_unmerged"),
+                    analyzer="transcript", merge=False)
+    s = Searcher(m.index_dir)
+    for q in reference_queries()[:8]:
+        got = [(h.docid, h.score) for h in s.search(q["query_text"], k=q["k"])]
+        want = o.search(q["query_text"], k=q["k"])
+        assert got == want, q["query_id"]
+
+
+def test_single_file_index_same_scores(transcript_corpus, tmp_path, oracle):
+    """Partition-count invariance: 1 segment vs 4 segments -> identical
+    (docid, score) lists (global DFS stats make scores partition-invariant)."""
+    o, full = oracle
+    d = tmp_path / "one"
+    d.mkdir()
+    pq.write_table(pa.concat_tables([pq.read_table(f) for f in sorted(glob.glob(
+        os.path.join(transcript_corpus[0], "*.parquet")))]), str(d / "all.parquet"))
+    m = build_index(str(d), str(tmp_path / "idx_one"), analyzer="transcript")
+    s = Searcher(m.index_dir)
+    for q in reference_queries()[:8]:
+        got = [(h.docid, h.score) for h in s.search(q["query_text"], k=q["k"])]
+        want = o.search(q["query_text"], k=q["k"])
+        assert got == want, q["query_id"]
+
+
+def test_resume_skips_completed_segments(transcript_corpus, tmp_path):
+    """Kill-and-rerun: second build reuses finished segments (checkpoint
+    manifest semantics) and produces an identical manifest."""
+    corpus_dir, _ = transcript_corpus
+    idx = str(tmp_path / "idx_resume")
+    m1 = build_index(corpus_dir, idx, analyzer="transcript", merge=False)
+    # simulate a crashed run: remove manifest + one segment, keep the rest
+    os.remove(os.path.join(idx, "manifest.json"))
+    import shutil
+    shutil.rmtree(os.path.join(idx, "segments", "seg-00002"))
+    m2 = build_index(corpus_dir, idx, analyzer="transcript", merge=False)
+    assert [vars(s) for s in m1.segments] == [vars(s) for s in m2.segments]
+    assert m1.total_docs == m2.total_docs
+
+
+def test_hot_terms_are_salted(built_index):
+    """With the low test threshold some Zipfian-head terms must be hot, and
+    their chunks must be spread across >1 bucket file when df allows."""
+    assert built_index.hot_terms  # threshold 400 over 2000 docs -> non-empty
+    s = Searcher(built_index.index_dir)
+    hot = built_index.hot_terms[0]
+    post = s.postings([hot])[hot]
+    assert post.num_rows >= 1
+    # salted lookup still finds every segment's chunk rows
+    segs = set(post.column("seg_id").to_pylist())
+    assert len(segs) == 4
