@@ -1,44 +1,778 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native OpenSearch-capability engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``      — flagship pipeline: build an inverted index over a
+                   deterministic transcript corpus, run the reference query
+                   set, return (query, rank, docid, score, text) rows.
+``queries()``    — one callable per implemented operator (SURVEY.md §2 +
+                   training-data extras); each takes ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry
+                   (column names match exactly). Entries without SQL get the
+                   driver's rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the DRIVER before importing this module — nothing here
+calls ray.init/shutdown.
+
+BM25-vs-SQL precision note: the engine's Lucene-identical scoring is float32
+(verified bit-exact against the in-repo brute-force oracle in tests/); SQL
+runs in float64, so the BM25 oracle entries run the engine in its float64
+mode and round scores to 4 decimals on both sides. Everything structural
+(tokenization, stopwords, norm quantization via the SmallFloat table, df/ttf,
+doc sets, ranking) is identical between the two.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+# --------------------------------------------------------------------- utils
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _stop_sql() -> str:
+    from opensearch_ray.analysis import ENGLISH_STOP_WORDS
+    return "(" + ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
+
+
+def _norm_values_sql() -> str:
+    """VALUES list of the 256 SmallFloat-decoded lengths (norm quantization)."""
+    from opensearch_ray.index.norms import NORM_LENGTH_TABLE
+    return ",".join(f"({int(v)})" for v in np.unique(NORM_LENGTH_TABLE))
+
+
+def _doc_index(sf_dir: str) -> str:
+    """Build (once, cached in /tmp) the inverted index over `documents`."""
+    from opensearch_ray.index.build import build_index
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/osray_docidx_{key}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), idx,
+            analyzer="transcript", text_col="text", sort_cols=("doc_id",),
+            num_buckets=8,
+        )
+    return idx
+
+
+def _searcher(sf_dir: str, float64: bool = True):
+    from opensearch_ray.search import Searcher
+    return Searcher(_doc_index(sf_dir),
+                    dtype=np.float64 if float64 else np.float32)
+
+
+def _explode_tokens(sf_dir: str) -> ray.data.Dataset:
+    """documents -> (doc_id, token) rows via the transcript analyzer."""
+    from opensearch_ray.analysis.analyzer import analyze_batch
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = analyze_batch(t, analyzer="transcript")
+        toks = t.column("tokens").combine_chunks() if isinstance(
+            t.column("tokens"), pa.ChunkedArray) else t.column("tokens")
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        n_per = np.diff(offs)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, n_per)),
+            "token": toks.flatten(),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+_BM25_Q = "hash join stream"          # the fixed oracle query
+_BM25_SQL_TEMPLATE = """
+WITH norm_vals(v) AS (VALUES {NORMS}),
+tok AS (
+  SELECT d.doc_id, t.tok AS token
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dlq AS (
+  SELECT dl.doc_id,
+         (SELECT max(v) FROM norm_vals WHERE v <= dl.dl) AS dl_q
+  FROM dl
+),
+qterms(term, boost) AS (VALUES {QTERMS}),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(qt.boost * ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (1.2 + 1.0) * tf.tf
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dl_q / c.avgdl))) AS score
+  FROM qterms qt
+  JOIN df  ON df.token = qt.term
+  JOIN tf  ON tf.token = qt.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+)
+"""
+
+
+def _bm25_sql(body: str, query_terms=None) -> str:
+    terms = query_terms or _BM25_Q.split()
+    from collections import Counter
+    mult = Counter(terms)
+    qvals = ",".join(f"('{t}', {float(m)})" for t, m in mult.items())
+    return (_BM25_SQL_TEMPLATE
+            .replace("{NORMS}", _norm_values_sql())
+            .replace("{STOP}", _stop_sql())
+            .replace("{QTERMS}", qvals) + body)
+
+
+def _fmt(vals, dec: int):
+    """Fixed-decimal string formatting — hash-stable float comparison vs the
+    SQL oracle's printf (identical correctly-rounded decimal strings)."""
+    return [f"{float(v):.{dec}f}" for v in vals]
+
+
+# ------------------------------------------------------------ query callables
+
+def _q_analyze_tokens(sf_dir):
+    return _explode_tokens(sf_dir)
+
+
+def _q_doc_lengths(sf_dir):
+    from opensearch_ray.analysis.analyzer import analyze_batch
+
+    def dl(t: pa.Table) -> pa.Table:
+        t = analyze_batch(t, analyzer="transcript")
+        toks = t.column("tokens").combine_chunks() if isinstance(
+            t.column("tokens"), pa.ChunkedArray) else t.column("tokens")
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "dl": pa.array(np.diff(offs).astype(np.int64))})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        dl, batch_format="pyarrow")
+
+
+def _q_term_stats(sf_dir):
+    import pyarrow.parquet as pq
+    idx = _doc_index(sf_dir)
+    t = pq.read_table(os.path.join(idx, "term_stats"))
+    return t.select(["term", "df", "ttf"]).rename_columns(["token", "df", "ttf"])
+
+
+def _q_bm25_match_docs(sf_dir):
+    s = _searcher(sf_dir)
+    hits = s.search(_BM25_Q, k=10**9)
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "score": _fmt([h.score for h in hits], 4),
+    })
+
+
+def _q_bm25_topk(sf_dir):
+    s = _searcher(sf_dir)
+    hits = s.search(_BM25_Q, k=10)
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+        "score": _fmt([h.score for h in hits], 4),
+    })
+
+
+def _q_bm25_and(sf_dir):
+    s = _searcher(sf_dir)
+    hits = s.search("hash join", k=10**9, operator="and")
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "score": _fmt([h.score for h in hits], 4),
+    })
+
+
+def _q_term_query(sf_dir):
+    s = _searcher(sf_dir)
+    return pd.DataFrame({"doc_id": s.term_docs("window").astype(np.int64)})
+
+
+def _q_bool_query(sf_dir):
+    s = _searcher(sf_dir)
+    docs = s.bool_docs(must=["hash", "join"], must_not=["merge"])
+    return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+
+def _q_phrase_query(sf_dir):
+    s = _searcher(sf_dir)
+    docs = s.match_phrase("batch batch")
+    return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+
+def _q_agg_terms(sf_dir):
+    from opensearch_ray.aggs import terms_agg
+    out = terms_agg(_read(sf_dir, "lineitem", ["l_returnflag"]),
+                    "l_returnflag", size=10)
+    return out[["l_returnflag", "doc_count"]]
+
+
+def _q_agg_multi_terms(sf_dir):
+    from opensearch_ray.aggs import multi_terms_agg
+    return multi_terms_agg(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]),
+        ["l_returnflag", "l_linestatus"], size=10)
+
+
+def _q_agg_stats(sf_dir):
+    from opensearch_ray.aggs import stats_agg
+    out = stats_agg(_read(sf_dir, "lineitem", ["l_quantity"]), "l_quantity")
+    out["sum"] = _fmt(out["sum"], 2)
+    out["avg"] = _fmt(out["avg"], 6)
+    return out
+
+
+def _q_agg_extended_stats(sf_dir):
+    from opensearch_ray.aggs import extended_stats_agg
+    out = extended_stats_agg(_read(sf_dir, "lineitem", ["l_discount"]), "l_discount")
+    for c in ["sum", "sum_of_squares", "avg", "variance", "std_deviation"]:
+        out[c] = _fmt(out[c], 6)
+    return out[["count", "min", "max", "sum", "avg", "variance", "std_deviation", "sum_of_squares"]]
+
+
+def _q_agg_value_count(sf_dir):
+    from opensearch_ray.aggs import value_count_agg
+    n = value_count_agg(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey")
+    return pd.DataFrame({"value_count": [n]})
+
+
+def _q_agg_weighted_avg(sf_dir):
+    from opensearch_ray.aggs import weighted_avg_agg
+    v = weighted_avg_agg(_read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"]),
+                         "l_extendedprice", "l_quantity")
+    return pd.DataFrame({"weighted_avg": _fmt([v], 4)})
+
+
+def _q_agg_cardinality(sf_dir):
+    from opensearch_ray.aggs import cardinality_exact
+    n = cardinality_exact(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey")
+    return pd.DataFrame({"cardinality": [n]})
+
+
+def _q_agg_date_histogram(sf_dir):
+    from opensearch_ray.aggs import date_histogram_agg
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]),
+                             "o_orderdate", "month", sum_col="o_totalprice")
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    out["total_price"] = _fmt(out["sum_o_totalprice"], 2)
+    return out[["month", "doc_count", "total_price"]]
+
+
+def _q_agg_histogram(sf_dir):
+    from opensearch_ray.aggs import histogram_agg
+    out = histogram_agg(_read(sf_dir, "events", ["value"]), "value", 50.0)
+    return out[["key", "doc_count"]]
+
+
+def _q_agg_range(sf_dir):
+    from opensearch_ray.aggs import range_agg
+    return range_agg(_read(sf_dir, "lineitem", ["l_quantity"]),
+                     "l_quantity", [(None, 10.0), (10.0, 25.0), (25.0, None)])
+
+
+def _q_agg_composite(sf_dir):
+    from opensearch_ray.aggs import composite_agg
+    return composite_agg(_read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"]),
+                         ["o_orderstatus", "o_orderpriority"], size=100)
+
+
+def _q_agg_top_hits(sf_dir):
+    from opensearch_ray.aggs import top_hits_agg
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True], kind="mergesort").head(1)
+
+    out = ds.groupby("l_returnflag").map_groups(best, batch_format="pandas").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_agg_matrix_stats(sf_dir):
+    from opensearch_ray.aggs import matrix_stats_agg
+    out = matrix_stats_agg(_read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]),
+                           ["l_quantity", "l_extendedprice"])
+    row = out[(out.col_a == "l_quantity") & (out.col_b == "l_extendedprice")]
+    return pd.DataFrame({
+        "covariance": _fmt([row["covariance"].iloc[0]], 4),
+        "correlation": _fmt([row["correlation"].iloc[0]], 6),
+    })
+
+
+def _q_agg_cumulative_sum(sf_dir):
+    from opensearch_ray.aggs import date_histogram_agg, cumulative_sum
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    out = cumulative_sum(out, "doc_count", out="cum_count")
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    return out[["month", "doc_count", "cum_count"]]
+
+
+def _q_agg_derivative(sf_dir):
+    from opensearch_ray.aggs import date_histogram_agg, derivative
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    out = derivative(out, "doc_count", out="deriv")
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    out = out.dropna(subset=["deriv"])
+    out["deriv"] = out["deriv"].astype(np.int64)
+    return out[["month", "deriv"]]
+
+
+def _q_sort_page2(sf_dir):
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    rows = ds.sort(["ts", "event_id"]).limit(40).take_all()[20:40]
+    return pd.DataFrame(rows)[["event_id", "value"]]
+
+
+def _q_collapse(sf_dir):
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"],
+                             ascending=[False, True], kind="mergesort").head(1)
+
+    out = ds.groupby("user_id").map_groups(best, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_function_score(sf_dir):
+    """function_score field_value_factor: score = value, top 10."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    rows = ds.sort(["value", "event_id"], descending=[True, False]).limit(10).take_all()
+    out = pd.DataFrame(rows)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["event_id", "value", "rank"]]
+
+
+def _q_ingest_pipeline(sf_dir):
+    """set/json/rename/convert/date processors over events."""
+    from opensearch_ray.ingest import IngestPipeline, make_processor
+    pipe = IngestPipeline([
+        make_processor("json", field="props", target_field="props_obj"),
+        make_processor("script", fn=lambda df: df.assign(
+            k=df["props_obj"].map(lambda d: d.get("k")))),
+        make_processor("convert", field="k", type_="long"),
+        make_processor("uppercase", field="event_type"),
+        make_processor("set", field="pipeline", value="demo"),
+        make_processor("remove", field=["props", "props_obj"]),
+    ])
+    out = pipe.apply(_read(sf_dir, "events",
+                           ["event_id", "event_type", "props"])).to_pandas()
+    return out[["event_id", "event_type", "k", "pipeline"]]
+
+
+def _q_ingest_grok(sf_dir):
+    """grok/dissect-style extraction from a synthesized log line per event."""
+    from opensearch_ray.ingest import IngestPipeline, make_processor
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_log(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        v = t.column("value").to_pylist()
+        eid = t.column("event_id").to_pylist()
+        lines = [f"evt={e} type={ty} value={val}" for e, ty, val in zip(eid, et, v)]
+        return pa.table({"event_id": t.column("event_id"),
+                         "line": pa.array(lines, pa.string())})
+
+    pipe = IngestPipeline([
+        make_processor("kv", field="line", field_split=" ", value_split="="),
+        make_processor("convert", field="evt", type_="long"),
+        make_processor("convert", field="value", type_="double"),
+    ])
+    out = pipe.apply(ds.map_batches(to_log, batch_format="pyarrow")).to_pandas()
+    return out[["event_id", "evt", "type", "value"]]
+
+
+def _q_dedup_exact(sf_dir):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from opensearch_ray.dedup import content_hashes
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("text", as_index=False)
+               .agg(doc_id=("doc_id", "min"), dup_count=("doc_id", "count")))
+        return out[["doc_id", "dup_count"]]
+
+    hashed = content_hashes(ds, "text")
+    return (hashed.groupby("_content_hash")
+            .map_groups(agg, batch_format="pandas").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _q_token_count(sf_dir):
+    from opensearch_ray.textstats import token_counts
+    out = token_counts(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out[["doc_id", "whitespace_tokens"]]
+
+
+def _q_quality(sf_dir):
+    from opensearch_ray.textstats import quality_scores
+    out = quality_scores(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out[["doc_id", "n_tokens", "stopword_ratio"]]
+
+
+def _q_fingerprint(sf_dir):
+    from opensearch_ray.textstats import fingerprints
+    out = fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out[["doc_id", "fingerprint"]]
+
+
+def _q_ann_brute(sf_dir):
+    import pyarrow.parquet as pq
+    from opensearch_ray.similarity import brute_force_topk
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      filters=[("vec_id", "=", 0)]).column("embedding").to_pylist()[0]
+    out = brute_force_topk(_read(sf_dir, "embeddings"), np.asarray(q, np.float64),
+                           k=10, dtype=np.float64)
+    out["score"] = _fmt(out["score"], 5)
+    return out[["vec_id", "score", "rank"]]
+
+
+# ------------------------------------------------------- rows-only callables
+
+def _q_langid(sf_dir):
+    from opensearch_ray.textstats import langid_heuristic
+    out = langid_heuristic(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+    return out.to_pandas()[["doc_id", "lang", "predicted_lang"]]
+
+
+def _q_minhash_pairs(sf_dir):
+    from opensearch_ray.dedup import minhash_dedup_pairs
+    return minhash_dedup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir):
+    from opensearch_ray.dedup import simhash_dedup_pairs
+    return simhash_dedup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               max_hamming=3)
+
+
+def _q_embed_dedup(sf_dir):
+    from opensearch_ray.dedup import embedding_dedup_pairs
+    return embedding_dedup_pairs(_read(sf_dir, "embeddings"), threshold=0.9)
+
+
+def _q_ann_lsh(sf_dir):
+    import pyarrow.parquet as pq
+    from opensearch_ray.similarity import lsh_topk
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      filters=[("vec_id", "=", 0)]).column("embedding").to_pylist()[0]
+    return lsh_topk(_read(sf_dir, "embeddings"), np.asarray(q, np.float32), k=10)
+
+
+def _q_cardinality_hll(sf_dir):
+    from opensearch_ray.aggs import cardinality_hll
+    n = cardinality_hll(_read(sf_dir, "events", ["user_id"]), "user_id")
+    return pd.DataFrame({"cardinality_hll": [n]})
+
+
+def _q_percentiles_tdigest(sf_dir):
+    from opensearch_ray.aggs import percentiles_tdigest
+    return percentiles_tdigest(_read(sf_dir, "lineitem", ["l_extendedprice"]),
+                               "l_extendedprice")
+
+
+def _q_multimodal(sf_dir):
+    from opensearch_ray.multimodal import ImageDecodeStage, attach_fake_payloads
+    tbl = attach_fake_payloads(200, seed=42)
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(ImageDecodeStage, batch_size=32, batch_format="pyarrow",
+                         concurrency=2).to_pandas()
+    out["feat0"] = out["features"].map(lambda f: round(float(f[0]), 5))
+    return out[["media_id", "feat0", "resized_w"]]
+
+
+def _q_transcript_flagship(sf_dir):
+    from opensearch_ray.pipelines import flagship_pipeline
+    return flagship_pipeline(work_dir="/tmp/osray_flagship_q", n_turns=2000,
+                             n_files=4)
+
+
+# ----------------------------------------------------------------- contract
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: transcript corpus -> inverted index -> reference query set."""
+    from opensearch_ray.pipelines import flagship_pipeline
+    return flagship_pipeline(work_dir="/tmp/osray_flagship", n_turns=2000,
+                             n_files=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # index / search core
+        "analyze_tokens": _q_analyze_tokens,
+        "doc_lengths": _q_doc_lengths,
+        "term_stats": _q_term_stats,
+        "bm25_match_docs": _q_bm25_match_docs,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_and": _q_bm25_and,
+        "term_query": _q_term_query,
+        "bool_query": _q_bool_query,
+        "phrase_query": _q_phrase_query,
+        # aggregations
+        "agg_terms": _q_agg_terms,
+        "agg_multi_terms": _q_agg_multi_terms,
+        "agg_stats": _q_agg_stats,
+        "agg_extended_stats": _q_agg_extended_stats,
+        "agg_value_count": _q_agg_value_count,
+        "agg_weighted_avg": _q_agg_weighted_avg,
+        "agg_cardinality": _q_agg_cardinality,
+        "agg_date_histogram": _q_agg_date_histogram,
+        "agg_histogram": _q_agg_histogram,
+        "agg_range": _q_agg_range,
+        "agg_composite": _q_agg_composite,
+        "agg_top_hits": _q_agg_top_hits,
+        "agg_matrix_stats": _q_agg_matrix_stats,
+        "agg_cumulative_sum": _q_agg_cumulative_sum,
+        "agg_derivative": _q_agg_derivative,
+        # sort / top-k / collapse
+        "sort_page2": _q_sort_page2,
+        "collapse": _q_collapse,
+        "function_score": _q_function_score,
+        # ingest processors
+        "ingest_pipeline": _q_ingest_pipeline,
+        "ingest_kv": _q_ingest_grok,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "quality_scores": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "ann_cosine_topk": _q_ann_brute,
+        # rows-only (non-SQL-expressible)
+        "langid": _q_langid,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_dedup": _q_embed_dedup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "cardinality_hll": _q_cardinality_hll,
+        "percentiles_tdigest": _q_percentiles_tdigest,
+        "multimodal_features": _q_multimodal,
+        "transcript_flagship": _q_transcript_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    STOP = _stop_sql()
+    return {
+        "analyze_tokens": f"""
+            SELECT d.doc_id, t.tok AS token
+            FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+        """,
+        "doc_lengths": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x <> '' AND x NOT IN {STOP})) AS dl
+            FROM documents
+        """,
+        "term_stats": f"""
+            SELECT t.tok AS token, count(DISTINCT d.doc_id) AS df, count(*) AS ttf
+            FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+            GROUP BY t.tok
+        """,
+        "bm25_match_docs": _bm25_sql(
+            "SELECT doc_id, printf('%.4f', score) AS score FROM scored"),
+        "bm25_topk": _bm25_sql(
+            """SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                      printf('%.4f', score) AS score
+               FROM scored ORDER BY score DESC, doc_id LIMIT 10"""),
+        "bm25_and": _bm25_sql(
+            """SELECT doc_id, printf('%.4f', score) AS score FROM scored
+               WHERE doc_id IN (
+                 SELECT doc_id FROM tf WHERE token = 'hash'
+                 INTERSECT SELECT doc_id FROM tf WHERE token = 'join')""",
+            query_terms=["hash", "join"]),
+        "term_query": """
+            SELECT DISTINCT doc_id FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok = 'window'
+        """,
+        "bool_query": """
+            WITH has AS (
+              SELECT doc_id, tok FROM documents d,
+                     unnest(string_split(d.text, ' ')) AS t(tok))
+            SELECT doc_id FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM has WHERE tok = 'hash')
+              AND doc_id IN (SELECT doc_id FROM has WHERE tok = 'join')
+              AND doc_id NOT IN (SELECT doc_id FROM has WHERE tok = 'merge')
+        """,
+        "phrase_query": """
+            SELECT doc_id FROM documents
+            WHERE (' ' || text || ' ') LIKE '% batch batch %'
+        """,
+        "agg_terms": """
+            SELECT l_returnflag, count(*) AS doc_count
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY doc_count DESC, l_returnflag LIMIT 10
+        """,
+        "agg_multi_terms": """
+            SELECT l_returnflag, l_linestatus, count(*) AS doc_count
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY doc_count DESC, l_returnflag, l_linestatus LIMIT 10
+        """,
+        "agg_stats": """
+            SELECT count(*) AS count, min(l_quantity) AS min, max(l_quantity) AS max,
+                   printf('%.2f', sum(l_quantity)) AS sum,
+                   printf('%.6f', avg(l_quantity)) AS avg
+            FROM lineitem
+        """,
+        "agg_extended_stats": """
+            SELECT count(*) AS count, min(l_discount) AS min, max(l_discount) AS max,
+                   printf('%.6f', sum(l_discount)) AS sum,
+                   printf('%.6f', avg(l_discount)) AS avg,
+                   printf('%.6f', var_pop(l_discount)) AS variance,
+                   printf('%.6f', stddev_pop(l_discount)) AS std_deviation,
+                   printf('%.6f', sum(l_discount * l_discount)) AS sum_of_squares
+            FROM lineitem
+        """,
+        "agg_value_count": "SELECT count(o_custkey) AS value_count FROM orders",
+        "agg_weighted_avg": """
+            SELECT printf('%.4f', sum(l_extendedprice * l_quantity) / sum(l_quantity))
+                   AS weighted_avg
+            FROM lineitem
+        """,
+        "agg_cardinality": "SELECT count(DISTINCT l_partkey) AS cardinality FROM lineitem",
+        "agg_date_histogram": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*) AS doc_count,
+                   printf('%.2f', sum(o_totalprice)) AS total_price
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "agg_histogram": """
+            SELECT floor(value / 50.0) * 50.0 AS key, count(*) AS doc_count
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "agg_range": """
+            SELECT key, count(*) AS doc_count FROM (
+              SELECT CASE WHEN l_quantity < 10.0 THEN '*-10.0'
+                          WHEN l_quantity < 25.0 THEN '10.0-25.0'
+                          ELSE '25.0-*' END AS key
+              FROM lineitem) GROUP BY key
+        """,
+        "agg_composite": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS doc_count
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100
+        """,
+        "agg_top_hits": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+              FROM lineitem) WHERE rn = 1 ORDER BY l_returnflag
+        """,
+        "agg_matrix_stats": """
+            SELECT printf('%.4f', covar_pop(l_quantity, l_extendedprice)) AS covariance,
+                   printf('%.6f', corr(l_quantity, l_extendedprice)) AS correlation
+            FROM lineitem
+        """,
+        "agg_cumulative_sum": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1)
+            SELECT month, doc_count,
+                   sum(doc_count) OVER (ORDER BY month) AS cum_count
+            FROM m ORDER BY month
+        """,
+        "agg_derivative": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1)
+            SELECT month, doc_count - lag(doc_count) OVER (ORDER BY month) AS deriv
+            FROM m QUALIFY lag(doc_count) OVER (ORDER BY month) IS NOT NULL
+            ORDER BY month
+        """,
+        "sort_page2": """
+            SELECT event_id, value FROM events
+            ORDER BY ts, event_id LIMIT 20 OFFSET 20
+        """,
+        "collapse": """
+            SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn = 1 ORDER BY user_id
+        """,
+        "function_score": """
+            SELECT event_id, value,
+                   CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rank
+            FROM events ORDER BY value DESC, event_id LIMIT 10
+        """,
+        "ingest_pipeline": """
+            SELECT event_id, upper(event_type) AS event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   'demo' AS pipeline
+            FROM events
+        """,
+        "ingest_kv": """
+            SELECT event_id, event_id AS evt, event_type AS type, value
+            FROM events
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS whitespace_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x IN {STOP})) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS stopword_ratio
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(
+                     list_filter(string_split(text, ' '), x -> x <> ''))), ' ')
+                   AS fingerprint
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT vec_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) AS sim
+              FROM embeddings)
+            SELECT vec_id, printf('%.5f', sim) AS score,
+                   CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
+                     AS rank
+            FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,27 @@
+"""Aggregations (ref: server/search/aggregations — the reference's largest
+subsystem, 95k LoC; registered in SearchModule.java:383-816).
+
+All aggs follow the reference's partial+final shape (per-shard collect ->
+coordinator reduce, InternalAggregations.java:134-162): we pre-aggregate
+inside ``map_batches`` (one partial row per key per batch) and finish with a
+small ``groupby().aggregate()`` — never a raw-row shuffle. Sketches
+(HyperLogLog, t-digest) are mergeable partials, exactly like the reference's
+CardinalityAggregator / TDigestPercentilesAggregator.
+"""
+
+from .metrics import (
+    stats_agg, extended_stats_agg, value_count_agg, weighted_avg_agg,
+    cardinality_exact, cardinality_hll, percentiles_tdigest,
+    matrix_stats_agg, top_hits_agg, scripted_metric_agg,
+)
+from .bucket import (
+    terms_agg, multi_terms_agg, rare_terms_agg, histogram_agg,
+    date_histogram_agg, range_agg, filters_agg, missing_agg,
+    composite_agg, significant_terms_agg,
+)
+from .pipeline import (
+    cumulative_sum, derivative, moving_fn, serial_diff,
+    bucket_script, bucket_selector, bucket_sort, stats_bucket,
+)
+
+__all__ = [n for n in dir() if not n.startswith("_")]

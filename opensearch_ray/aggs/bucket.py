@@ -1,0 +1,220 @@
+"""Bucket aggregations (ref: server/search/aggregations/bucket/).
+
+Every agg pre-aggregates per batch (one partial row per key per batch) before
+the small groupby — the combiner pattern the reference uses per shard — so the
+shuffle moves key-cardinality rows, not data rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def _partial_counts(ds: Dataset, keys: List[str],
+                    sum_cols: Optional[Dict[str, str]] = None) -> Dataset:
+    """map-side combine: per-batch groupby -> (keys, doc_count, sums...)."""
+    sum_cols = sum_cols or {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = [([], "count_all")] + [(src, "sum") for src in sum_cols.values()]
+        res = t.group_by(keys).aggregate(aggs)
+        ren = {"count_all": "doc_count"}
+        for src in sum_cols.values():
+            ren[f"{src}_sum"] = f"sum_{src}"
+        return res.rename_columns([ren.get(c, c) for c in res.column_names])
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def terms_agg(ds: Dataset, field: str, size: int = 10,
+              sum_col: Optional[str] = None) -> pd.DataFrame:
+    """terms: top-N keys by doc_count (desc), key asc tie-break — the
+    reference's order (InternalTerms reduce + BucketOrder.count(false))."""
+    parts = _partial_counts(ds, [field], {"s": sum_col} if sum_col else None)
+    aggs = [Sum("doc_count", alias_name="doc_count")]
+    if sum_col:
+        aggs.append(Sum(f"sum_{sum_col}", alias_name=f"sum_{sum_col}"))
+    merged = parts.groupby(field).aggregate(*aggs).to_pandas()
+    merged = merged.sort_values(["doc_count", field],
+                                ascending=[False, True], kind="mergesort")
+    return merged.head(size).reset_index(drop=True)
+
+
+def multi_terms_agg(ds: Dataset, fields: List[str], size: int = 10) -> pd.DataFrame:
+    parts = _partial_counts(ds, fields)
+    merged = (parts.groupby(fields)
+              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas())
+    merged = merged.sort_values(["doc_count"] + fields,
+                                ascending=[False] + [True] * len(fields),
+                                kind="mergesort")
+    return merged.head(size).reset_index(drop=True)
+
+
+def rare_terms_agg(ds: Dataset, field: str, max_doc_count: int = 1) -> pd.DataFrame:
+    """rare_terms: keys with doc_count <= threshold, key asc."""
+    parts = _partial_counts(ds, [field])
+    merged = (parts.groupby(field)
+              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas())
+    out = merged[merged["doc_count"] <= max_doc_count].sort_values(field)
+    return out.reset_index(drop=True)
+
+
+def histogram_agg(ds: Dataset, field: str, interval: float,
+                  sum_col: Optional[str] = None) -> pd.DataFrame:
+    """histogram: bucket key = floor(value/interval)*interval."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy(zero_copy_only=False).astype(np.float64)
+        key = np.floor(v / interval) * interval
+        return t.append_column("_bucket", pa.array(key))
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    parts = _partial_counts(keyed_ds, ["_bucket"], {"s": sum_col} if sum_col else None)
+    aggs = [Sum("doc_count", alias_name="doc_count")]
+    if sum_col:
+        aggs.append(Sum(f"sum_{sum_col}", alias_name=f"sum_{sum_col}"))
+    out = parts.groupby("_bucket").aggregate(*aggs).to_pandas()
+    return (out.rename(columns={"_bucket": "key"})
+            .sort_values("key").reset_index(drop=True))
+
+
+_CAL = {"year": "Y", "month": "M", "week": "W", "day": "D", "hour": "h", "minute": "m"}
+
+
+def date_histogram_agg(ds: Dataset, field: str, calendar_interval: str = "month",
+                       sum_col: Optional[str] = None) -> pd.DataFrame:
+    """date_histogram with calendar rounding (Rounding.java semantics via
+    numpy datetime64 truncation)."""
+    unit = _CAL[calendar_interval]
+
+    def keyed(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy(zero_copy_only=False)
+        key = v.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+        return t.append_column("_bucket", pa.array(key))
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    parts = _partial_counts(keyed_ds, ["_bucket"], {"s": sum_col} if sum_col else None)
+    aggs = [Sum("doc_count", alias_name="doc_count")]
+    if sum_col:
+        aggs.append(Sum(f"sum_{sum_col}", alias_name=f"sum_{sum_col}"))
+    out = parts.groupby("_bucket").aggregate(*aggs).to_pandas()
+    return (out.rename(columns={"_bucket": "key"})
+            .sort_values("key").reset_index(drop=True))
+
+
+def range_agg(ds: Dataset, field: str,
+              ranges: Sequence[Tuple[Optional[float], Optional[float]]]) -> pd.DataFrame:
+    """range: [from, to) buckets, reported in given order (RangeAggregator)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = []
+        for lo, hi in ranges:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v < hi
+            counts.append(int(m.sum()))
+        return pa.table({"idx": pa.array(range(len(ranges)), pa.int64()),
+                         "doc_count": pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = (parts.groupby("idx")
+              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas()
+              .sort_values("idx"))
+    merged["key"] = [
+        f"{'*' if lo is None else lo}-{'*' if hi is None else hi}" for lo, hi in ranges
+    ]
+    return merged[["key", "doc_count"]].reset_index(drop=True)
+
+
+def filters_agg(ds: Dataset, filters: Dict[str, Callable[[pa.Table], pa.Array]]
+                ) -> pd.DataFrame:
+    """filters: named-predicate doc counts (FiltersAggregator). Each filter is
+    a vectorized Arrow predicate ``table -> bool array``."""
+    names = list(filters)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "name": pa.array(names, pa.string()),
+            "doc_count": pa.array(
+                [int(pc.sum(pc.cast(filters[n](t), pa.int64())).as_py() or 0)
+                 for n in names], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = (parts.groupby("name")
+              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas())
+    return merged.set_index("name").loc[names].reset_index()
+
+
+def missing_agg(ds: Dataset, field: str) -> int:
+    """missing: docs with null/empty field."""
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(field)
+        n = col.null_count
+        if pa.types.is_string(col.type):
+            n += int(pc.sum(pc.cast(pc.equal(col, ""), pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+    return int(ds.map_batches(partial, batch_format="pyarrow").to_pandas()["n"].sum())
+
+
+def composite_agg(ds: Dataset, sources: List[str], size: int = 10,
+                  after: Optional[Tuple] = None) -> pd.DataFrame:
+    """composite: paginated multi-source buckets in key order with after-key
+    cursor (bucket/composite/CompositeAggregator.java)."""
+    parts = _partial_counts(ds, sources)
+    merged = (parts.groupby(sources)
+              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas())
+    merged = merged.sort_values(sources, kind="mergesort").reset_index(drop=True)
+    if after is not None:
+        keys = [tuple(r) for r in merged[sources].itertuples(index=False)]
+        merged = merged[[kk > tuple(after) for kk in keys]]
+    return merged.head(size).reset_index(drop=True)
+
+
+def significant_terms_agg(ds: Dataset, field: str,
+                          foreground: Callable[[pa.Table], pa.Array],
+                          size: int = 10) -> pd.DataFrame:
+    """significant_terms: keys over-represented in the foreground set vs the
+    whole index, scored with the reference's default JLH heuristic
+    (significant/heuristics/JLHScore.java)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.cast(foreground(t), pa.bool_())
+        fg = t.filter(m).group_by([field]).aggregate([([], "count_all")])
+        fg = fg.rename_columns([field, "fg"])
+        bg = t.group_by([field]).aggregate([([], "count_all")])
+        bg = bg.rename_columns([field, "bg"])
+        joined = bg.join(fg, keys=[field], join_type="left outer")
+        return pa.table({
+            field: joined.column(field),
+            "fg": pc.fill_null(joined.column("fg"), 0),
+            "bg": joined.column("bg"),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    p = (parts.groupby(field).aggregate(
+        Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg"),
+    ).to_pandas())
+    p["fg"] = p["fg"].fillna(0)
+    N_fg, N_bg = p["fg"].sum(), p["bg"].sum()
+    eps = 1e-9
+    fg_rate = (p["fg"]) / max(N_fg, 1)
+    bg_rate = (p["bg"]) / max(N_bg, 1)
+    p["score"] = np.where(
+        fg_rate > bg_rate,
+        (fg_rate - bg_rate) * (fg_rate / np.maximum(bg_rate, eps)),  # JLH
+        0.0,
+    )
+    p = p[p["score"] > 0].sort_values(["score", field], ascending=[False, True])
+    return p[[field, "fg", "bg", "score"]].head(size).reset_index(drop=True)

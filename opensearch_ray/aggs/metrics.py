@@ -1,0 +1,268 @@
+"""Metric aggregations (ref: server/search/aggregations/metrics/).
+
+Each mirrors the reference's collect/reduce split: vectorized per-batch
+partials inside ``map_batches`` + a tiny final merge. Results come back as
+small pandas DataFrames (they are coordinator-side reductions in the
+reference too).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+
+def stats_agg(ds: Dataset, col: str) -> pd.DataFrame:
+    """count/min/max/sum/avg — the `stats` agg (StatsAggregator)."""
+    out = ds.aggregate(
+        Count(alias_name="count"), Min(col, alias_name="min"),
+        Max(col, alias_name="max"), Sum(col, alias_name="sum"),
+        Mean(col, alias_name="avg"),
+    )
+    return pd.DataFrame([out])
+
+
+def extended_stats_agg(ds: Dataset, col: str) -> pd.DataFrame:
+    """extended_stats: + sum_of_squares, variance (population), std_deviation
+    (ExtendedStatsAggregator uses population variance)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "s": pa.array([float(x.sum())]),
+            "s2": pa.array([float((x * x).sum())]),
+            "mn": pa.array([float(x.min()) if len(x) else math.inf]),
+            "mx": pa.array([float(x.max()) if len(x) else -math.inf]),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, s, s2 = p["n"].sum(), p["s"].sum(), p["s2"].sum()
+    avg = s / n
+    var = s2 / n - avg * avg
+    return pd.DataFrame([{
+        "count": int(n), "min": p["mn"].min(), "max": p["mx"].max(),
+        "sum": s, "avg": avg, "sum_of_squares": s2,
+        "variance": var, "std_deviation": math.sqrt(max(var, 0.0)),
+    }])
+
+
+def value_count_agg(ds: Dataset, col: str) -> int:
+    """value_count: number of non-null values."""
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([len(t) - t.column(col).null_count], pa.int64())})
+    return int(ds.map_batches(partial, batch_format="pyarrow").to_pandas()["n"].sum())
+
+
+def weighted_avg_agg(ds: Dataset, value_col: str, weight_col: str) -> float:
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"vw": pa.array([float((v * w).sum())]),
+                         "w": pa.array([float(w.sum())])})
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return float(p["vw"].sum() / p["w"].sum())
+
+
+def cardinality_exact(ds: Dataset, col: str) -> int:
+    """Exact distinct count (shuffle of unique values only: per-batch dedup
+    first, so the shuffle moves ≤ one value per distinct key per block)."""
+    def local_unique(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t.column(col))})
+    return ds.map_batches(local_unique, batch_format="pyarrow").unique(col).__len__()
+
+
+# ----------------------------------------------------------- HyperLogLog++
+
+_HLL_P = 14  # 2^14 registers, ~0.8% error — reference default precision
+             # (CardinalityAggregator precision_threshold -> HLL++)
+
+
+def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
+    """Register array for one batch (mergeable by elementwise max)."""
+    m = 1 << p
+    h = pd.util.hash_array(values if values.dtype == object
+                           else values.astype(object))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel keeps rho bounded
+    # rho = leading zeros of remaining bits + 1, via bit_length
+    lz = np.zeros(len(h), dtype=np.int64)
+    v = rest
+    # leading zeros of 64-bit: 64 - bit_length
+    bl = np.frompyfunc(int.bit_length, 1, 1)(v.astype(object)).astype(np.int64)
+    lz = 64 - bl
+    rho = lz + 1
+    regs = np.zeros(m, dtype=np.int8)
+    np.maximum.at(regs, idx, rho.astype(np.int8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # linear counting, small range
+    return est
+
+
+def cardinality_hll(ds: Dataset, col: str, p: int = _HLL_P) -> int:
+    """Approximate distinct via HyperLogLog: one register-array partial per
+    batch, merged by elementwise max — the reference's cardinality agg shape
+    (CardinalityAggregator.java, HLL++)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t.column(col).to_pylist(), dtype=object)
+        regs = _hll_partial(vals, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(1 << p, dtype=np.int8)
+    for b in parts["regs"]:
+        merged = np.maximum(merged, np.frombuffer(b, dtype=np.int8))
+    return int(round(_hll_estimate(merged)))
+
+
+# --------------------------------------------------------------- t-digest
+
+class _TDigest:
+    """Small mergeable t-digest (Dunning) — the reference's percentiles
+    sketch (TDigestPercentilesAggregator). Centroids kept sorted; compress
+    with the k1 scale function."""
+
+    def __init__(self, compression: float = 100.0):
+        self.compression = compression
+        self.means = np.empty(0, np.float64)
+        self.weights = np.empty(0, np.float64)
+
+    def add(self, xs: np.ndarray):
+        xs = np.asarray(xs, dtype=np.float64)
+        self.means = np.concatenate((self.means, xs))
+        self.weights = np.concatenate((self.weights, np.ones(len(xs))))
+        if len(self.means) > 20 * self.compression:
+            self.compress()
+
+    def merge(self, other: "_TDigest"):
+        self.means = np.concatenate((self.means, other.means))
+        self.weights = np.concatenate((self.weights, other.weights))
+        self.compress()
+
+    def compress(self):
+        if len(self.means) == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        m, w = self.means[order], self.weights[order]
+        total = w.sum()
+        # greedy merge into centroids bounded by the k1 scale function
+        out_m, out_w = [], []
+        cur_m, cur_w, seen = m[0], w[0], 0.0
+        for i in range(1, len(m)):
+            q = (seen + cur_w / 2) / total
+            limit = 4 * total * q * (1 - q) / self.compression
+            if cur_w + w[i] <= max(limit, 1.0):
+                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m); out_w.append(cur_w); seen += cur_w
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m); out_w.append(cur_w)
+        self.means = np.array(out_m); self.weights = np.array(out_w)
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return math.nan
+        self.compress()
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def to_bytes(self) -> bytes:
+        return np.concatenate((self.means, self.weights)).tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, compression: float = 100.0) -> "_TDigest":
+        a = np.frombuffer(b, dtype=np.float64)
+        d = cls(compression)
+        d.means, d.weights = a[: len(a) // 2].copy(), a[len(a) // 2:].copy()
+        return d
+
+
+def percentiles_tdigest(ds: Dataset, col: str,
+                        qs: Sequence[float] = (1, 5, 25, 50, 75, 95, 99),
+                        compression: float = 100.0) -> pd.DataFrame:
+    """percentiles agg: one t-digest per batch, merged on the driver."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = _TDigest(compression)
+        d.add(t.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        d.compress()
+        return pa.table({"td": pa.array([d.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc = _TDigest(compression)
+    for b in parts["td"]:
+        acc.merge(_TDigest.from_bytes(b, compression))
+    return pd.DataFrame([{f"p{q}": acc.quantile(q / 100.0) for q in qs}])
+
+
+def matrix_stats_agg(ds: Dataset, cols: List[str]) -> pd.DataFrame:
+    """matrix_stats (modules/aggs-matrix-stats): pairwise covariance /
+    correlation from one pass of moment partials."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.stack([t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                      for c in cols])
+        out = {"n": pa.array([X.shape[1]], pa.int64())}
+        for i, c in enumerate(cols):
+            out[f"s_{c}"] = pa.array([float(X[i].sum())])
+            for j, c2 in enumerate(cols):
+                if j >= i:
+                    out[f"sp_{c}_{c2}"] = pa.array([float((X[i] * X[j]).sum())])
+        return pa.table(out)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = p["n"]
+    rows = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if j < i:
+                continue
+            spk = f"sp_{a}_{b}" if f"sp_{a}_{b}" in p else f"sp_{b}_{a}"
+            cov = p[spk] / n - (p[f"s_{a}"] / n) * (p[f"s_{b}"] / n)
+            var_a = p[f"sp_{a}_{a}"] / n - (p[f"s_{a}"] / n) ** 2
+            var_b = p[f"sp_{b}_{b}"] / n - (p[f"s_{b}"] / n) ** 2
+            corr = cov / math.sqrt(var_a * var_b) if var_a > 0 and var_b > 0 else math.nan
+            rows.append({"col_a": a, "col_b": b, "covariance": cov, "correlation": corr})
+    return pd.DataFrame(rows)
+
+
+def top_hits_agg(ds: Dataset, group_col: str, sort_col: str, k: int = 1,
+                 descending: bool = True) -> Dataset:
+    """top_hits: best k docs per bucket (per-group sort + head)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_col, ascending=not descending).head(k)
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def scripted_metric_agg(ds: Dataset, map_fn: Callable[[pa.Table], object],
+                        combine_fn: Callable[[List[object]], object]):
+    """scripted_metric: UDF map per batch + combine on the driver (the
+    Painless map/combine/reduce surface as Python callables)."""
+    def partial(t: pa.Table) -> pa.Table:
+        import pickle
+        return pa.table({"state": pa.array([pickle.dumps(map_fn(t))], pa.binary())})
+    import pickle
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return combine_fn([pickle.loads(b) for b in parts["state"]])

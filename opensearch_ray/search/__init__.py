@@ -3,6 +3,7 @@
 from .bm25 import BM25Params, bm25_idf, make_norm_cache
 from .searcher import Searcher, SearchHit
 from .oracle import BruteForceOracle
+from .cluster import SearchCluster
 
 __all__ = ["BM25Params", "bm25_idf", "make_norm_cache", "Searcher", "SearchHit",
-           "BruteForceOracle"]
+           "BruteForceOracle", "SearchCluster"]

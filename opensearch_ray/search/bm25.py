@@ -34,35 +34,37 @@ class BM25Params:
     b: float = 0.75
 
 
-def bm25_idf(df: int, n_docs: int) -> np.float32:
+def bm25_idf(df: int, n_docs: int, dtype=np.float32):
     """ln(1 + (N - df + 0.5)/(df + 0.5)), computed in double then narrowed —
-    Lucene's BM25Similarity.idf returns float."""
-    return np.float32(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+    Lucene's BM25Similarity.idf returns float. ``dtype=float64`` keeps full
+    precision (the SQL-oracle-compatible mode)."""
+    return dtype(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
-def make_norm_cache(avgdl: float, params: BM25Params = BM25Params()) -> np.ndarray:
-    """256-entry float32 cache: k1*(1-b+b*LENGTH_TABLE[j]/avgdl)."""
+def make_norm_cache(avgdl: float, params: BM25Params = BM25Params(),
+                    dtype=np.float32) -> np.ndarray:
+    """256-entry cache: k1*(1-b+b*LENGTH_TABLE[j]/avgdl)."""
     tbl = NORM_LENGTH_TABLE.astype(np.float64)
     cache = params.k1 * ((1.0 - params.b) + params.b * tbl / float(avgdl))
-    return cache.astype(np.float32)
+    return cache.astype(dtype)
 
 
-def term_weight(idf: np.float32, boost: float = 1.0,
-                params: BM25Params = BM25Params()) -> np.float32:
-    """boost * idf * (k1+1), left-associated float32 — Lucene's weight; the
-    oracle uses the identical expression so scores are bit-identical."""
-    return np.float32(np.float32(boost) * idf * np.float32(params.k1 + 1.0))
+def term_weight(idf, boost: float = 1.0,
+                params: BM25Params = BM25Params(), dtype=np.float32):
+    """boost * idf * (k1+1), left-associated — Lucene's weight; the oracle
+    uses the identical float32 expression so scores are bit-identical."""
+    return dtype(dtype(boost) * idf * dtype(params.k1 + 1.0))
 
 
 def score_postings(
     tfs: np.ndarray,
     norm_bytes: np.ndarray,
-    weight: np.float32,
+    weight,
     norm_cache: np.ndarray,
 ) -> np.ndarray:
-    """Vectorized per-posting BM25 contribution: weight * tf/(tf+cache[norm])
-    (float32 throughout)."""
-    tf = tfs.astype(np.float32)
+    """Vectorized per-posting BM25 contribution: weight * tf/(tf+cache[norm]),
+    in the cache's dtype (float32 = Lucene mode, float64 = SQL-oracle mode)."""
+    tf = tfs.astype(norm_cache.dtype)
     c = norm_cache[norm_bytes]
     return weight * (tf / (tf + c))
 

@@ -46,13 +46,16 @@ class Searcher:
     """Single-process searcher over an index directory (driver-side or inside
     a query-executor actor). Caches norms + term stats per segment."""
 
-    def __init__(self, index_dir: str, params: BM25Params = BM25Params()):
+    def __init__(self, index_dir: str, params: BM25Params = BM25Params(),
+                 dtype=np.float32):
         self.manifest: IndexManifest = load_manifest(index_dir)
         self.params = params
+        self.dtype = dtype  # float32 = Lucene-identical; float64 = SQL-oracle
         self.analyzer = get_analyzer(self.manifest.analyzer)
         self.N = self.manifest.total_docs
         self.avgdl = self.manifest.avgdl
-        self.norm_cache = make_norm_cache(self.avgdl, params) if self.N else None
+        self.norm_cache = (make_norm_cache(self.avgdl, params, dtype)
+                           if self.N else None)
         segs = sorted(self.manifest.segments, key=lambda s: s.seg_id)
         self._seg_ids = np.array([s.seg_id for s in segs], dtype=np.int64)
         self._bases = np.array([s.doc_base for s in segs], dtype=np.int64)
@@ -186,7 +189,8 @@ class Searcher:
         if operator == "and" and len(live) < len(uniq):
             return []
         post = self.postings(live)
-        weight = {t: term_weight(bm25_idf(stats[t][0], self.N), mult[t], self.params)
+        weight = {t: term_weight(bm25_idf(stats[t][0], self.N, self.dtype),
+                          mult[t], self.params, self.dtype)
                   for t in live}
 
         # group chunk rows per segment: seg_id -> list[(term, row_dict)]
@@ -290,7 +294,7 @@ class Searcher:
                 continue
 
             gdocs = udocs + base
-            seg_scores = scores.astype(np.float32)
+            seg_scores = scores.astype(self.dtype)
             topk_docs = np.concatenate((topk_docs, gdocs))
             topk_scores = np.concatenate((topk_scores, seg_scores))
             if topk_docs.size > k:
@@ -342,6 +346,40 @@ class Searcher:
         for t in must_not:
             cur = np.setdiff1d(cur, self.term_docs(t), assume_unique=True)
         return cur
+
+    def match_phrase(self, phrase_text: str, slop: int = 0) -> np.ndarray:
+        """match_phrase without stored positions: candidate docs from the AND
+        of the phrase terms (index lookup), then position verification by
+        re-analyzing the candidates' stored text (fetch phase). Query-token
+        positions keep stopword gaps, mirroring Lucene's PhraseQuery over a
+        stop-filtered stream. slop=0 only (exact phrase).
+
+        At 100 TB the candidate set after the conjunctive filter is small
+        relative to the corpus, so the re-analyze verify touches few docs;
+        storing positions in the index is the documented alternative
+        (trades ~3x index size — TextFieldMapper defaults store positions,
+        TextFieldMapper.java:128-136)."""
+        q_toks, q_pos = self.analyzer.analyze(phrase_text)
+        if not q_toks:
+            return np.empty(0, np.int64)
+        cand = self.bool_docs(must=list(dict.fromkeys(q_toks)))
+        if cand.size == 0:
+            return cand
+        fetched = self.fetch(cand.tolist(), columns=[self.manifest.text_col])
+        out = []
+        q_pos0 = [p - q_pos[0] for p in q_pos]
+        for r in fetched.to_pylist():
+            toks, poss = self.analyzer.analyze(r[self.manifest.text_col] or "")
+            pos_of: Dict[str, list] = {}
+            for t, p in zip(toks, poss):
+                pos_of.setdefault(t, []).append(p)
+            starts = pos_of.get(q_toks[0], [])
+            first_pos_sets = [set(pos_of.get(t, ())) for t in q_toks]
+            for s0 in starts:
+                if all((s0 + dp) in ps for dp, ps in zip(q_pos0, first_pos_sets)):
+                    out.append(r["_docid"])
+                    break
+        return np.array(sorted(out), dtype=np.int64)
 
     # --------------------------------------------------------------- fetch
 

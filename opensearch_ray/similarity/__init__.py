@@ -1,0 +1,5 @@
+"""Similarity search over embedding columns (ANN)."""
+
+from .ann import brute_force_topk, lsh_topk
+
+__all__ = ["brute_force_topk", "lsh_topk"]

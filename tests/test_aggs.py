@@ -1,0 +1,168 @@
+"""Aggregations vs in-memory pandas/duckdb ground truth at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from opensearch_ray.aggs import (
+    bucket_script, bucket_selector, bucket_sort, cardinality_exact,
+    cardinality_hll, composite_agg, cumulative_sum, date_histogram_agg,
+    derivative, extended_stats_agg, filters_agg, histogram_agg, missing_agg,
+    moving_fn, multi_terms_agg, percentiles_tdigest, range_agg, rare_terms_agg,
+    significant_terms_agg, stats_agg, stats_bucket, terms_agg, top_hits_agg,
+    value_count_agg, weighted_avg_agg, matrix_stats_agg, scripted_metric_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def li(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def li_pdf(sf_dir):
+    return pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def ev(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def ev_pdf(sf_dir):
+    return pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+
+
+def test_terms_agg(li, li_pdf):
+    out = terms_agg(li, "l_returnflag", size=10)
+    want = (li_pdf.groupby("l_returnflag").size().reset_index(name="doc_count")
+            .sort_values(["doc_count", "l_returnflag"], ascending=[False, True]))
+    assert out["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+    assert out["doc_count"].tolist() == want["doc_count"].tolist()
+
+
+def test_multi_and_rare_terms(li, li_pdf):
+    out = multi_terms_agg(li, ["l_returnflag", "l_linestatus"])
+    want = li_pdf.groupby(["l_returnflag", "l_linestatus"]).size()
+    for _, r in out.iterrows():
+        assert want[(r["l_returnflag"], r["l_linestatus"])] == r["doc_count"]
+    rare = rare_terms_agg(li, "l_returnflag", max_doc_count=10**9)
+    assert set(rare["l_returnflag"]) == set(li_pdf["l_returnflag"].unique())
+
+
+def test_stats_and_extended(li, li_pdf):
+    out = stats_agg(li, "l_quantity").iloc[0]
+    assert out["count"] == len(li_pdf)
+    assert out["min"] == li_pdf["l_quantity"].min()
+    assert out["max"] == li_pdf["l_quantity"].max()
+    assert abs(out["sum"] - li_pdf["l_quantity"].sum()) < 1e-6
+    ext = extended_stats_agg(li, "l_discount").iloc[0]
+    assert abs(ext["variance"] - li_pdf["l_discount"].var(ddof=0)) < 1e-9
+    assert abs(ext["std_deviation"] - li_pdf["l_discount"].std(ddof=0)) < 1e-9
+
+
+def test_value_count_weighted_avg(li, li_pdf):
+    assert value_count_agg(li, "l_partkey") == li_pdf["l_partkey"].notna().sum()
+    wa = weighted_avg_agg(li, "l_extendedprice", "l_quantity")
+    want = (li_pdf["l_extendedprice"] * li_pdf["l_quantity"]).sum() / li_pdf["l_quantity"].sum()
+    assert abs(wa - want) < 1e-9
+
+
+def test_cardinality_exact_and_hll(li, li_pdf, ev, ev_pdf):
+    exact = cardinality_exact(li, "l_partkey")
+    assert exact == li_pdf["l_partkey"].nunique()
+    est = cardinality_hll(ev, "user_id")
+    true = ev_pdf["user_id"].nunique()
+    assert abs(est - true) <= max(2, 0.05 * true)  # HLL p=14 ~0.8% error
+
+
+def test_percentiles_tdigest(li, li_pdf):
+    out = percentiles_tdigest(li, "l_extendedprice", qs=(50, 95)).iloc[0]
+    want50 = np.percentile(li_pdf["l_extendedprice"], 50)
+    want95 = np.percentile(li_pdf["l_extendedprice"], 95)
+    spread = li_pdf["l_extendedprice"].max() - li_pdf["l_extendedprice"].min()
+    assert abs(out["p50"] - want50) < 0.02 * spread
+    assert abs(out["p95"] - want95) < 0.02 * spread
+
+
+def test_histograms(ev, ev_pdf):
+    out = histogram_agg(ev, "value", 50.0)
+    want = ev_pdf.groupby(np.floor(ev_pdf["value"] / 50.0) * 50.0).size()
+    assert dict(zip(out["key"], out["doc_count"])) == want.to_dict()
+    dh = date_histogram_agg(ev, "ts", "day")
+    want_d = ev_pdf.groupby(ev_pdf["ts"].values.astype("datetime64[D]")).size()
+    assert len(dh) == len(want_d)
+    assert dh["doc_count"].sum() == len(ev_pdf)
+
+
+def test_range_filters_missing(li, li_pdf, ev):
+    out = range_agg(li, "l_quantity", [(None, 10.0), (10.0, 25.0), (25.0, None)])
+    q = li_pdf["l_quantity"]
+    assert out["doc_count"].tolist() == [
+        int((q < 10).sum()), int(((q >= 10) & (q < 25)).sum()), int((q >= 25).sum())]
+    f = filters_agg(ev, {
+        "errors": lambda t: pc.equal(t.column("event_type"), "error"),
+        "big": lambda t: pc.greater(t.column("value"), 100.0),
+    })
+    assert f.loc[f["name"] == "errors", "doc_count"].iloc[0] > 0
+    assert missing_agg(ev, "event_type") == 0
+
+
+def test_composite_paging(li, li_pdf):
+    p1 = composite_agg(li, ["l_returnflag", "l_linestatus"], size=2)
+    assert len(p1) == 2
+    after = tuple(p1.iloc[-1][["l_returnflag", "l_linestatus"]])
+    p2 = composite_agg(li, ["l_returnflag", "l_linestatus"], size=2, after=after)
+    keys1 = [tuple(r) for r in p1[["l_returnflag", "l_linestatus"]].itertuples(index=False)]
+    keys2 = [tuple(r) for r in p2[["l_returnflag", "l_linestatus"]].itertuples(index=False)]
+    assert all(k2 > keys1[-1] for k2 in keys2)
+
+
+def test_top_hits(ev, ev_pdf):
+    out = top_hits_agg(ev, "user_id", "value", k=1).to_pandas()
+    want = ev_pdf.loc[ev_pdf.groupby("user_id")["value"].idxmax()]
+    got = out.sort_values("user_id").set_index("user_id")["value"]
+    exp = want.sort_values("user_id").set_index("user_id")["value"]
+    assert (got == exp).all()
+
+
+def test_matrix_stats(li, li_pdf):
+    out = matrix_stats_agg(li, ["l_quantity", "l_extendedprice"])
+    row = out[(out.col_a == "l_quantity") & (out.col_b == "l_extendedprice")].iloc[0]
+    want_cov = np.cov(li_pdf["l_quantity"], li_pdf["l_extendedprice"], ddof=0)[0, 1]
+    want_corr = np.corrcoef(li_pdf["l_quantity"], li_pdf["l_extendedprice"])[0, 1]
+    assert abs(row["covariance"] - want_cov) < abs(want_cov) * 1e-9 + 1e-9
+    assert abs(row["correlation"] - want_corr) < 1e-9
+
+
+def test_scripted_metric(li, li_pdf):
+    total = scripted_metric_agg(
+        li, lambda t: float(pc.sum(t.column("l_quantity")).as_py()),
+        lambda states: sum(states))
+    assert abs(total - li_pdf["l_quantity"].sum()) < 1e-6
+
+
+def test_significant_terms(ev):
+    out = significant_terms_agg(
+        ev, "event_type",
+        foreground=lambda t: pc.greater(t.column("value"), 150.0), size=5)
+    assert set(out.columns) == {"event_type", "fg", "bg", "score"}
+
+
+def test_pipeline_aggs():
+    b = pd.DataFrame({"key": list("abcd"), "m": [1.0, 3.0, 2.0, 6.0]})
+    assert cumulative_sum(b, "m")["cumulative_sum"].tolist() == [1, 4, 6, 12]
+    d = derivative(b, "m")["derivative"].tolist()
+    assert d[1:] == [2.0, -1.0, 4.0] and pd.isna(d[0])
+    mv = moving_fn(b, "m", window=2)["moving_fn"].tolist()
+    assert mv == [1.0, 2.0, 2.5, 4.0]
+    assert bucket_script(b, lambda x: x["m"] * 2)["bucket_script"].tolist() == [2, 6, 4, 12]
+    assert bucket_selector(b, lambda x: x["m"] > 2)["key"].tolist() == ["b", "d"]
+    assert bucket_sort(b, ["m"], ascending=False, size=2)["key"].tolist() == ["d", "b"]
+    sb = stats_bucket(b, "m")
+    assert sb == {"count": 4, "min": 1.0, "max": 6.0, "sum": 12.0, "avg": 3.0}

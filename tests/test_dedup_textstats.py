@@ -1,0 +1,125 @@
+"""Dedup (exact / minhash / simhash / ngram / embedding), text stats, ANN."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from opensearch_ray.dedup import (
+    dedup_exact, embedding_dedup_pairs, minhash_dedup_pairs, ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from opensearch_ray.similarity import brute_force_topk, lsh_topk
+from opensearch_ray.textstats import (
+    fingerprints, langid_heuristic, quality_scores, token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_ds():
+    """Planted corpus: 0/1 identical, 2 near-dup of 0, 3-5 distinct."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),                                     # exact dup of 0
+        (2, base.replace("today", "tomorrow")),        # near dup of 0/1
+        (3, "completely different text about ray data pipelines and arrow"),
+        (4, "another unrelated document mentioning parquet files and shuffles"),
+        (5, "short one"),
+    ]
+    return rd.from_items([{"doc_id": i, "text": t} for i, t in rows])
+
+
+def test_dedup_exact(near_dup_ds):
+    kept = dedup_exact(near_dup_ds).to_pandas().sort_values("doc_id")
+    assert kept["doc_id"].tolist() == [0, 2, 3, 4, 5]  # doc 1 dropped
+
+
+def test_minhash_pairs(near_dup_ds):
+    pairs = minhash_dedup_pairs(near_dup_ds, threshold=0.5)
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any({3, 4} <= {a, b} for a, b in got)
+    exact = pairs[(pairs.a == 0) & (pairs.b == 1)]["est_jaccard"].iloc[0]
+    assert exact == 1.0
+
+
+def test_ngram_jaccard_verify(near_dup_ds):
+    cand = pd.DataFrame({"a": [0, 0, 3], "b": [1, 2, 4]})
+    out = ngram_jaccard_pairs(near_dup_ds, cand, n=3)
+    j = dict(zip(map(tuple, out[["a", "b"]].values), out["jaccard"]))
+    assert j[(0, 1)] == 1.0
+    assert 0.3 < j[(0, 2)] < 1.0
+    assert j[(3, 4)] == 0.0
+
+
+def test_simhash_pairs(near_dup_ds):
+    pairs = simhash_dedup_pairs(near_dup_ds, max_hamming=10)
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert (0, 1) in got  # identical docs -> distance 0
+    d01 = pairs[(pairs.a == 0) & (pairs.b == 1)]["hamming"].iloc[0]
+    assert d01 == 0
+
+
+def test_embedding_dedup_pairs():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64).astype(np.float32)
+    vecs = [base, base + rng.standard_normal(64).astype(np.float32) * 0.01,
+            rng.standard_normal(64).astype(np.float32),
+            rng.standard_normal(64).astype(np.float32)]
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)])
+    pairs = embedding_dedup_pairs(ds, threshold=0.95, dim=64)
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert (0, 1) in got
+    assert all({a, b} <= {0, 1} for a, b in got)
+
+
+def test_ann_brute_force_matches_numpy(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    V = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    q = V[7]
+    out = brute_force_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                           q, k=5)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = Vn @ qn
+    order = np.lexsort((ids, -sims))[:5]
+    assert out["vec_id"].tolist() == ids[order].tolist()
+
+
+def test_ann_lsh_recall(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(t.column("embedding")[3].as_py(), dtype=np.float32)
+    exact = brute_force_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
+    approx = lsh_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10,
+                      multiprobe_bits=3)
+    # self-match must be found; recall is approximate by design
+    assert 3 in approx["vec_id"].tolist()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.3
+
+
+def test_token_counts_and_quality(near_dup_ds):
+    out = token_counts(near_dup_ds).to_pandas().set_index("doc_id")
+    assert out.loc[5, "whitespace_tokens"] == 2
+    q = quality_scores(near_dup_ds).to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 13
+    assert 0 <= q.loc[0, "quality"] <= 1
+    assert q.loc[0, "stopword_ratio"] > 0
+
+
+def test_langid(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = langid_heuristic(ds).to_pandas()
+    assert set(out["predicted_lang"]) <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_fingerprints(near_dup_ds):
+    out = fingerprints(near_dup_ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[3, "fingerprint"]
+    assert out.loc[5, "fingerprint"] == "one short"

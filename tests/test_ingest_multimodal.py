@@ -1,0 +1,152 @@
+"""Ingest processors, pipelines, reindex, multimodal stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opensearch_ray.ingest import IngestPipeline, make_processor
+from opensearch_ray.multimodal import (
+    AudioFeatureStage, FrameSampleStage, ImageDecodeStage, attach_fake_payloads,
+)
+from opensearch_ray.pipelines import reindex
+
+
+def _df():
+    return pd.DataFrame({
+        "msg": ["  Hello World  ", "FOO bar", "x y"],
+        "num": ["1", "2", "3"],
+        "payload": ['{"a": 1}', '{"a": 2}', '{}'],
+        "kvline": ["k1=a k2=b", "k1=c", ""],
+        "size": ["1kb", "2mb", "3b"],
+        "csvline": ["a,b", "c,d", "e,f"],
+        "tags": [["b", "a"], ["z"], []],
+        "when": ["2024-01-02", "2024-02-03", "2024-03-04"],
+        "url": ["a%20b", "x%2Fy", "plain"],
+        "html": ["<b>bold</b> text", "no tags", "&amp; amp"],
+    })
+
+
+def test_simple_processors():
+    df = _df()
+    df = make_processor("trim", field="msg")(df)
+    df = make_processor("lowercase", field="msg")(df)
+    assert df["msg"].tolist() == ["hello world", "foo bar", "x y"]
+    df = make_processor("convert", field="num", type_="long")(df)
+    assert df["num"].tolist() == [1, 2, 3]
+    df = make_processor("gsub", field="msg", pattern="o", replacement="0")(df)
+    assert df["msg"][0] == "hell0 w0rld"
+    df = make_processor("set", field="env", value="prod")(df)
+    df = make_processor("copy", src="env", dst="env2")(df)
+    df = make_processor("rename", src="env2", dst="env3")(df)
+    assert (df["env3"] == "prod").all()
+    df = make_processor("remove", field="env3")(df)
+    assert "env3" not in df.columns
+
+
+def test_extract_processors():
+    df = _df()
+    df = make_processor("json", field="payload", target_field="obj")(df)
+    assert df["obj"][0] == {"a": 1}
+    df = make_processor("kv", field="kvline")(df)
+    assert df["k1"].tolist() == ["a", "c", None]
+    df = make_processor("csv", field="csvline", target_fields=["c1", "c2"])(df)
+    assert df["c2"].tolist() == ["b", "d", "f"]
+    df = make_processor("bytes", field="size", target_field="nbytes")(df)
+    assert df["nbytes"].tolist() == [1024, 2 * 1024**2, 3]
+    df = make_processor("date", field="when", formats=["%Y-%m-%d"])(df)
+    assert df["@timestamp"][0] == pd.Timestamp("2024-01-02")
+    df = make_processor("urldecode", field="url")(df)
+    assert df["url"].tolist() == ["a b", "x/y", "plain"]
+    df = make_processor("html_strip", field="html")(df)
+    assert df["html"][0].strip() == "bold  text".strip()
+    df = make_processor("sort", field="tags")(df)
+    assert df["tags"][0] == ["a", "b"]
+    df = make_processor("append", field="tags", value="new")(df)
+    assert df["tags"][1] == ["z", "new"]
+
+
+def test_dissect_and_grok():
+    df = pd.DataFrame({"line": ["2024-01-02 ERROR something bad",
+                                "2024-01-03 INFO all good"]})
+    d = make_processor("dissect", field="line",
+                       pattern="%{date} %{level} %{rest}")(df.copy())
+    assert d["level"].tolist() == ["ERROR", "INFO"]
+    g = make_processor(
+        "grok", field="line",
+        pattern=r"%{NOTSPACE:gdate} %{WORD:glevel} %{GREEDYDATA:gmsg}")(df.copy())
+    assert g["glevel"].tolist() == ["ERROR", "INFO"]
+    assert g["gmsg"].tolist() == ["something bad", "all good"]
+
+
+def test_drop_fail_foreach():
+    df = pd.DataFrame({"v": [1, 2, 3], "xs": [[1, 2], [3], []]})
+    out = make_processor("drop", condition=lambda d: d["v"] > 2)(df.copy())
+    assert out["v"].tolist() == [1, 2]
+    out = make_processor("foreach", field="xs", fn=lambda x: x * 10)(df.copy())
+    assert out["xs"].tolist() == [[10, 20], [30], []]
+    with pytest.raises(ValueError):
+        make_processor("fail", condition=lambda d: d["v"] > 2, message="boom")(df.copy())
+
+
+def test_pipeline_on_dataset():
+    ds = rd.from_items([{"a": " X ", "n": "1"}, {"a": "y", "n": "2"}])
+    pipe = IngestPipeline([
+        make_processor("trim", field="a"),
+        make_processor("lowercase", field="a"),
+        make_processor("convert", field="n", type_="long"),
+    ])
+    out = pipe.apply(ds).to_pandas().sort_values("n")
+    assert out["a"].tolist() == ["x", "y"]
+    assert out["n"].tolist() == [1, 2]
+
+
+def test_reindex(sf_dir, tmp_path):
+    import pyarrow.compute as pc
+
+    def script(t: pa.Table) -> pa.Table:
+        return t.append_column("value2", pc.multiply(t.column("value"), 2.0))
+
+    def query(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("event_type"), "error"))
+
+    n = reindex(f"{sf_dir}/events.parquet", str(tmp_path / "out"),
+                script=script, query=query,
+                columns=["event_id", "event_type", "value"])
+    import pyarrow.parquet as pq
+    orig = pq.read_table(f"{sf_dir}/events.parquet")
+    want = orig.filter(pc.equal(orig.column("event_type"), "error")).num_rows
+    assert n == want
+    out = rd.read_parquet(str(tmp_path / "out")).take(1)[0]
+    assert out["value2"] == pytest.approx(out["value"] * 2)
+
+
+def test_multimodal_stages():
+    tbl = attach_fake_payloads(50, seed=1)
+    ds = rd.from_arrow(tbl)
+    img = ds.map_batches(ImageDecodeStage, batch_size=16,
+                         batch_format="pyarrow", concurrency=2).to_pandas()
+    assert len(img) == 50
+    assert len(img["features"][0]) == 32
+    # deterministic features
+    img2 = rd.from_arrow(tbl).map_batches(
+        ImageDecodeStage, batch_size=16, batch_format="pyarrow",
+        concurrency=2).to_pandas()
+    a = img.sort_values("media_id")["features"].map(tuple).tolist()
+    b = img2.sort_values("media_id")["features"].map(tuple).tolist()
+    assert a == b
+    au = ds.map_batches(AudioFeatureStage, batch_size=16,
+                        batch_format="pyarrow", concurrency=2).to_pandas()
+    assert len(au) == 50
+    fr = ds.map_batches(FrameSampleStage, batch_size=16,
+                        batch_format="pyarrow", concurrency=2).to_pandas()
+    assert len(fr) == 200  # 4 frames per media
+    assert (fr["frame_ts_ms"] >= 0).all()
+
+
+def test_multimodal_strict_raises():
+    tbl = attach_fake_payloads(4, seed=2)
+    stage = ImageDecodeStage(strict=True)
+    with pytest.raises(NotImplementedError):
+        stage(tbl)
