@@ -53,7 +53,10 @@ def _split_long(tokens: List[str], max_len: int) -> List[str]:
 
 def standard_tokenizer(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> List[str]:
     """UAX#29-approximate word-break tokenizer (the default analyzer's core)."""
-    return _split_long(_STANDARD_RE.findall(text), max_token_length)
+    toks = _STANDARD_RE.findall(text)
+    if len(text) <= max_token_length:
+        return toks  # no token can exceed the whole string's length
+    return _split_long(toks, max_token_length)
 
 
 def whitespace_tokenizer(text: str) -> List[str]:

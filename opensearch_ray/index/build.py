@@ -8,11 +8,12 @@ Our Ray-Data-first shape:
    one segment work item. Doc-id bases are NOT pre-counted — segments use
    local ids and bases are assigned afterwards from per-segment counts in
    seg_id order, so the build is a single pass over the data.
-2. **Segment build** (actor pool): ``from_items(fragments) ->
-   map_batches(SegmentBuilder, concurrency=N, batch_size=1)``. Stateless w.r.t.
-   Ray (each fragment independent), stateful per actor (analyzer built once).
-   Atomic write + existence check = per-partition checkpoint/resume (the batch
-   analogue of translog recovery, Translog.java:1168-1213 / Checkpoint.java:64-88).
+2. **Segment build** (task pool): ``from_items(fragments) ->
+   map_batches(build_fragment, batch_size=1)`` — stateless Ray tasks on warm
+   workers (an actor pool would pay a fresh process + import per actor for a
+   single wave of work). Atomic write + existence check = per-partition
+   checkpoint/resume (the batch analogue of translog recovery,
+   Translog.java:1168-1213 / Checkpoint.java:64-88).
 3. **Global stats** (small shuffle): groupby(term).sum(df, ttf) over segment
    term dictionaries only (vocab-sized, NOT postings-sized) — the equivalent of
    the DFS phase (DfsPhase.java:55-107) making scores partition-count-invariant.
@@ -72,6 +73,9 @@ class IndexManifest:
     num_buckets: int = DEFAULT_NUM_BUCKETS
     hot_terms: List[str] = field(default_factory=list)
     merged: bool = False
+    #: hot term -> sorted bucket ids its salted chunks landed in (query-time
+    #: lookup avoids probing every bucket for the Zipfian head)
+    hot_buckets: dict = field(default_factory=dict)
 
     @property
     def avgdl(self) -> float:
@@ -96,6 +100,7 @@ class IndexManifest:
                     "num_buckets": self.num_buckets,
                     "hot_terms": self.hot_terms,
                     "merged": self.merged,
+                    "hot_buckets": self.hot_buckets,
                 },
                 f,
             )
@@ -115,6 +120,7 @@ def load_manifest(index_dir: str) -> IndexManifest:
         num_buckets=d["num_buckets"],
         hot_terms=d["hot_terms"],
         merged=d["merged"],
+        hot_buckets=d.get("hot_buckets", {}),
     )
 
 
@@ -142,6 +148,7 @@ def build_index(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     hot_df_threshold: int = DEFAULT_HOT_DF,
     merge: bool = True,
+    materialize_postings: bool = True,
 ) -> IndexManifest:
     """Build (or resume) an index over parquet transcript fragments.
 
@@ -156,26 +163,37 @@ def build_index(
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
 
     items = [{"path": p, "seg_id": i} for i, p in enumerate(files)]
+    # Fragment descriptors are a few BYTES each, but the real work behind one
+    # is reading+indexing a whole file. Ray Data bundles blocks smaller than
+    # target_min_block_size into one task, which would serialize the build —
+    # drop the floor so every fragment is its own task.
+    ctx = ray.data.DataContext.get_current()
+    prev_min = ctx.target_min_block_size
+    ctx.target_min_block_size = 1
     frag_ds = ray.data.from_items(items)
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    conc = min(concurrency or n_cpus, len(items))
+    # Plain-function stage => stateless Ray TASKS on the prestarted worker
+    # pool. An actor pool here costs one fresh process + import per actor
+    # (~seconds each), which dominates wall time when fragments are built in
+    # a single wave; tasks reuse warm workers. The analyzer is module-level
+    # state, already one-time per worker process.
+    builder = SegmentBuilder(
+        index_dir=index_dir, analyzer=analyzer, text_col=text_col,
+        sort_cols=sort_cols, columns=columns,
+    )
+
+    def build_fragment(batch: pa.Table) -> pa.Table:
+        return builder(batch)
+
     seg_rows = (
         frag_ds.map_batches(
-            SegmentBuilder,
-            fn_constructor_kwargs=dict(
-                index_dir=index_dir,
-                analyzer=analyzer,
-                text_col=text_col,
-                sort_cols=sort_cols,
-                columns=columns,
-            ),
+            build_fragment,
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=conc,
             num_cpus=1,
         )
         .take_all()  # one row per segment — small
     )
+    ctx.target_min_block_size = prev_min
     seg_rows.sort(key=lambda r: r["seg_id"])
     base = 0
     segments = []
@@ -202,10 +220,18 @@ def build_index(
         num_buckets=num_buckets,
     )
 
-    hot_terms = _build_term_stats(manifest, hot_df_threshold)
-    manifest.hot_terms = hot_terms
+    # One read of the (compressed, vocab+postings-sized) segment postings
+    # feeds BOTH the stats groupby and the merge shuffle. materialize() pins
+    # it in the object store (spills to disk under pressure); at extreme
+    # scale pass materialize_postings=False to re-read from storage instead.
+    # When stats take the coordinator-side path (small vocab), merge is the
+    # postings' only consumer and pinning would be pure overhead.
+    postings_ds = _segment_postings_ds(manifest)
+    if materialize_postings and sum(s.vocab for s in segments) > 2_000_000:
+        postings_ds = postings_ds.materialize()
+    manifest.hot_terms = _build_term_stats(manifest, hot_df_threshold, postings_ds)
     if merge:
-        _merge_segments(manifest)
+        manifest.hot_buckets = _merge_segments(manifest, postings_ds)
         manifest.merged = True
     manifest.save()
     return manifest
@@ -232,32 +258,59 @@ def _segment_postings_ds(manifest: IndexManifest, columns: Optional[List[str]] =
     )
 
 
-def _build_term_stats(manifest: IndexManifest, hot_df_threshold: int) -> List[str]:
+def _build_term_stats(manifest: IndexManifest, hot_df_threshold: int,
+                      postings_ds=None) -> List[str]:
     """groupby(term).sum(df, ttf) over segment term dicts -> term_stats
-    parquet (sorted by term for row-group pruning); returns the hot-term list."""
+    parquet (Ray's sort-based groupby emits key-sorted output, so rows are
+    term-sorted for row-group pruning); returns the hot-term list."""
     from ray.data.aggregate import Sum
 
     out_dir = os.path.join(manifest.index_dir, "term_stats")
-    ds = _segment_postings_ds(manifest, columns=["term", "df", "ttf"])
-    stats = (
-        ds.groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
-        .sort("term")
-    )
     os.makedirs(out_dir, exist_ok=True)
-    stats.write_parquet(out_dir, mode="overwrite")
+    total_rows = sum(s.vocab for s in manifest.segments)
+    if total_rows <= 2_000_000:
+        # coordinator-side reduce: the per-segment term dicts fit comfortably
+        # in driver memory (the reference's batched coordinator reduce,
+        # QueryPhaseResultConsumer.java:118-132); a distributed shuffle here
+        # would be pure fixed overhead
+        from concurrent.futures import ThreadPoolExecutor
+
+        def read_one(s):
+            return pq.read_table(
+                os.path.join(manifest.index_dir, "segments",
+                             f"seg-{s.seg_id:05d}", "postings.parquet"),
+                columns=["term", "df", "ttf"])
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            tables = list(ex.map(read_one, manifest.segments))
+        merged = (pa.concat_tables(tables)
+                  .group_by(["term"])
+                  .aggregate([("df", "sum"), ("ttf", "sum")])
+                  .rename_columns(["term", "df", "ttf"])
+                  .sort_by("term"))
+        for f in os.listdir(out_dir):
+            os.remove(os.path.join(out_dir, f))
+        pq.write_table(merged, os.path.join(out_dir, "term_stats.parquet"),
+                       row_group_size=65536)
+    else:
+        ds = (postings_ds.select_columns(["term", "df", "ttf"])
+              if postings_ds is not None
+              else _segment_postings_ds(manifest, columns=["term", "df", "ttf"]))
+        stats = ds.groupby("term").aggregate(
+            Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        stats.write_parquet(out_dir, mode="overwrite")
 
     # hot terms: small driver-side filter over the (vocab-sized) stats table
-    hot = []
     dset = pq.ParquetDataset(out_dir)
     t = dset.read(columns=["term", "df"])
     mask = pc.greater_equal(t.column("df"), pa.scalar(hot_df_threshold, type=pa.int64()))
-    hot = t.filter(mask).column("term").to_pylist()
-    return hot
+    return t.filter(mask).column("term").to_pylist()
 
 
-def _make_bucket_writer(merged_dir: str):
-    """map_groups writer: one term-hash bucket -> one sorted parquet file."""
+def _make_bucket_writer(merged_dir: str, hot_terms: set):
+    """map_groups writer: one term-hash bucket -> one sorted parquet file.
+    Returns (bucket, rows, hot terms present) so the driver can record the
+    hot-term -> bucket map without a second scan."""
 
     def write_bucket(group: pa.Table) -> pa.Table:
         b = int(group.column("bucket")[0].as_py())
@@ -268,14 +321,19 @@ def _make_bucket_writer(merged_dir: str):
         tmp = path + f".tmp-{os.getpid()}"
         pq.write_table(group, tmp, compression="zstd", row_group_size=2048)
         os.replace(tmp, path)
+        present = sorted(hot_terms
+                         & set(pc.unique(group.column("term")).to_pylist()))
         return pa.table({"bucket": pa.array([b], type=pa.int32()),
-                         "rows": pa.array([group.num_rows], type=pa.int64())})
+                         "rows": pa.array([group.num_rows], type=pa.int64()),
+                         "hot_present": pa.array([present],
+                                                 type=pa.list_(pa.string()))})
 
     return write_bucket
 
 
-def _merge_segments(manifest: IndexManifest) -> None:
-    """The groupby(term) merge shuffle with hot-term salting (SURVEY §7.2-5)."""
+def _merge_segments(manifest: IndexManifest, postings_ds=None) -> dict:
+    """The groupby(term) merge shuffle with hot-term salting (SURVEY §7.2-5).
+    Returns the hot-term -> bucket-ids map."""
     os.makedirs(os.path.join(manifest.index_dir, "merged"), exist_ok=True)
     B = manifest.num_buckets
     hot = set(manifest.hot_terms)
@@ -295,11 +353,17 @@ def _merge_segments(manifest: IndexManifest) -> None:
             bucket = np.where(is_hot, salted, bucket)
         return batch.append_column("bucket", pa.array(bucket.astype(np.int32)))
 
-    ds = _segment_postings_ds(manifest)
-    (
+    ds = postings_ds if postings_ds is not None else _segment_postings_ds(manifest)
+    rows = (
         ds.map_batches(assign_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_make_bucket_writer(os.path.join(manifest.index_dir, "merged")),
+        .map_groups(_make_bucket_writer(os.path.join(manifest.index_dir, "merged"),
+                                        hot),
                     batch_format="pyarrow")
-        .materialize()
+        .take_all()
     )
+    hot_buckets: dict = {}
+    for r in rows:
+        for t in r["hot_present"]:
+            hot_buckets.setdefault(t, []).append(int(r["bucket"]))
+    return {t: sorted(bs) for t, bs in hot_buckets.items()}

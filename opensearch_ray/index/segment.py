@@ -34,7 +34,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..analysis import get_analyzer
-from ..analysis.analyzer import analyze_batch
 from .norms import encode_norms
 from .postings import (
     BLOCK_SIZE,
@@ -93,6 +92,126 @@ def _terms_docs_tfs(
     return terms_sorted, term_ids, docids, tfs.astype(np.int64), dl
 
 
+_FAST_TEXT_RE = r"^[a-z0-9_ ]*$"  # rows where space-split == standard tokenizer
+
+
+def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer
+                     ) -> Tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Analyze + dictionary-encode fused, with an Arrow-C fast path.
+
+    Rows whose lowercased text is plain ``[a-z0-9_ ]`` tokenize identically
+    under space-split and the standard tokenizer, so they run entirely in
+    Arrow kernels (utf8_lower -> split_pattern -> stopword is_in filter ->
+    dictionary_encode). Only rows with punctuation / unicode / >255-char
+    tokens take the per-row Python analyzer. The two paths never need their
+    token STREAMS merged: downstream only consumes (term_id, doc) PAIRS,
+    which are unioned before one np.unique. This keeps per-task allocation
+    churn in C buffers, not PyObjects — the difference between ~12x slowdown
+    and near-linear behavior with 32 concurrent builder tasks on fault-bound
+    VMs. Returns (terms_sorted, term_ids, docids, tfs, dl).
+    """
+    an = get_analyzer(analyzer)
+    col = table.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_docs = table.num_rows
+    nd = max(n_docs, 1)
+    dl = np.zeros(n_docs, dtype=np.int64)
+    sw = an._stop_fast
+
+    pair_term_parts: List[np.ndarray] = []
+    pair_doc_parts: List[np.ndarray] = []
+    vocab: dict = {}
+    terms_list: List[str] = []
+
+    slow_rows: np.ndarray
+    if an._lower_fast and n_docs:
+        low = pc.utf8_lower(col)
+        fast_mask = pc.match_substring_regex(low, _FAST_TEXT_RE)
+        fm = pc.fill_null(fast_mask, False).to_numpy(zero_copy_only=False)
+        fast_idx = np.flatnonzero(fm)
+        if fast_idx.size:
+            fast_texts = low.take(pa.array(fast_idx))
+            tok_list = pc.split_pattern(fast_texts, " ")
+            flat = tok_list.flatten()
+            offs = tok_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = pc.invert(pc.equal(flat, ""))
+            if sw:
+                keep = pc.and_(keep, pc.invert(
+                    pc.is_in(flat, value_set=pa.array(sorted(sw)))))
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            csum = np.concatenate(([0], np.cumsum(keep_np.astype(np.int64))))
+            dl_fast = csum[offs[1:]] - csum[offs[:-1]]
+            # >255-char tokens can only arise from 256+ char word runs; they
+            # must go through the splitting slow path
+            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            too_long = (lens > 255) & keep_np
+            if too_long.any():
+                bad_local = np.unique(
+                    np.searchsorted(offs[1:], np.flatnonzero(too_long), side="right"))
+                bad_mask_local = np.zeros(fast_idx.size, dtype=bool)
+                bad_mask_local[bad_local] = True
+                # drop bad rows from the fast path
+                tok_keep_row = ~bad_mask_local[
+                    np.searchsorted(offs[1:], np.arange(len(flat)), side="right")]
+                keep_np = keep_np & tok_keep_row
+                keep = pa.array(keep_np)
+                csum = np.concatenate(([0], np.cumsum(keep_np.astype(np.int64))))
+                dl_fast = csum[offs[1:]] - csum[offs[:-1]]
+                fm[fast_idx[bad_mask_local]] = False
+            flat_kept = flat.filter(keep)
+            if len(flat_kept):
+                denc = pc.dictionary_encode(flat_kept)
+                codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                terms_list = denc.dictionary.to_pylist()
+                vocab = {t: i for i, t in enumerate(terms_list)}
+                pair_term_parts.append(codes)
+                pair_doc_parts.append(np.repeat(fast_idx, dl_fast))
+            dl[fast_idx] = dl_fast
+        slow_rows = np.flatnonzero(~fm)
+    else:
+        slow_rows = np.arange(n_docs, dtype=np.int64)
+
+    if slow_rows.size:
+        from array import array
+        ids = array("i")
+        doc_rep = array("q")
+        for ri in slow_rows:
+            s = col[int(ri)].as_py()
+            if not s:
+                continue
+            toks = an.tokens(s)
+            dl[ri] = len(toks)
+            for t in toks:
+                ti = vocab.get(t)
+                if ti is None:
+                    ti = len(vocab)
+                    vocab[t] = ti
+                    terms_list.append(t)
+                ids.append(ti)
+            doc_rep.extend([int(ri)] * len(toks))
+        if len(ids):
+            pair_term_parts.append(np.frombuffer(ids, dtype=np.int32).astype(np.int64))
+            pair_doc_parts.append(np.frombuffer(doc_rep, dtype=np.int64))
+
+    if not vocab:
+        return (pa.array([], type=pa.string()), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64), dl)
+
+    # sort the vocab lexicographically, remap ids
+    order = sorted(range(len(terms_list)), key=terms_list.__getitem__)
+    remap = np.empty(len(terms_list), dtype=np.int64)
+    remap[np.asarray(order)] = np.arange(len(order))
+    terms_sorted = [terms_list[i] for i in order]
+
+    term_ids_tok = remap[np.concatenate(pair_term_parts)]
+    doc_of_token = np.concatenate(pair_doc_parts)
+    key = term_ids_tok * np.int64(nd) + doc_of_token
+    ukey, tfs = np.unique(key, return_counts=True)
+    return (pa.array(terms_sorted, type=pa.string()), ukey // nd, ukey % nd,
+            tfs.astype(np.int64), dl)
+
+
 def build_segment_table(
     table: pa.Table,
     tokens_col: str = "tokens",
@@ -103,22 +222,26 @@ def build_segment_table(
     """Build one segment from a (partition's) Arrow table.
 
     If ``tokens_col`` is absent the table is analyzed here (``text_col`` +
-    ``analyzer``). Rows are sorted by ``sort_cols`` first (stable doc order —
-    the north-rule invariant). Returns (postings, docstore, meta).
+    ``analyzer``, fused with dictionary encoding — see _tokenize_to_ids).
+    Rows are sorted by ``sort_cols`` first (stable doc order — the north-rule
+    invariant). Returns (postings, docstore, meta).
     """
     if sort_cols:
         present = [c for c in sort_cols if c in table.column_names]
         if present:
             table = table.sort_by([(c, "ascending") for c in present])
-    if tokens_col not in table.column_names:
-        table = analyze_batch(table, text_column=text_col, analyzer=analyzer,
-                              tokens_column=tokens_col)
 
     n_docs = table.num_rows
-    tokens = table.column(tokens_col)
-    if isinstance(tokens, pa.ChunkedArray):
-        tokens = tokens.combine_chunks()
-    terms_sorted, term_ids, docids, tfs, dl = _terms_docs_tfs(tokens, max(n_docs, 1))
+    if tokens_col in table.column_names:
+        tokens = table.column(tokens_col)
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        terms_sorted, term_ids, docids, tfs, dl = _terms_docs_tfs(tokens, max(n_docs, 1))
+        drop_tokens = True
+    else:
+        terms_sorted, term_ids, docids, tfs, dl = _tokenize_to_ids(
+            table, text_col, analyzer)
+        drop_tokens = False
     norms = encode_norms(dl)
 
     # --- per-term boundaries over the (term, doc)-sorted pair arrays
@@ -186,10 +309,14 @@ def build_segment_table(
                 cpre = np.concatenate(([0], np.cumsum(_vb_sizes(cgaps.astype(np.uint64)))))
                 rows_skip_off.append(cpre[block_lo - cs].astype(np.int32))
             rows_skip_tf_off.append((tf_prefix[block_lo] - base_tf_off).astype(np.int32))
-            rows_bmax_tf.append(np.maximum.reduceat(tfs, block_lo).astype(np.int32)
-                                if n else np.empty(0, np.int32))
-            rows_bmin_norm.append(np.minimum.reduceat(pair_norms, block_lo).astype(np.int32)
-                                  if n else np.empty(0, np.int32))
+            # reduceat over the CHUNK SLICE: the final reduceat segment runs to
+            # the end of the array passed in, so it must end at ce, not n_pairs
+            rows_bmax_tf.append(
+                np.maximum.reduceat(tfs[cs:ce], block_lo - cs).astype(np.int32)
+                if n else np.empty(0, np.int32))
+            rows_bmin_norm.append(
+                np.minimum.reduceat(pair_norms[cs:ce], block_lo - cs).astype(np.int32)
+                if n else np.empty(0, np.int32))
 
     postings = pa.table(
         {
@@ -208,7 +335,7 @@ def build_segment_table(
         schema=SEGMENT_SCHEMA,
     )
 
-    docstore = table.drop_columns([tokens_col])
+    docstore = table.drop_columns([tokens_col]) if drop_tokens else table
     docstore = docstore.append_column("docid", pa.array(np.arange(n_docs, dtype=np.int64)))
     docstore = docstore.append_column("dl", pa.array(dl.astype(np.int32)))
     docstore = docstore.append_column("norm", pa.array(norms, type=pa.uint8()))
@@ -269,6 +396,18 @@ class SegmentBuilder:
         self.columns = columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # One fragment == one CPU slot: cap Arrow's per-process thread pools
+        # so 32 concurrent builder tasks don't each spawn 32 compute/IO
+        # threads (1024-thread thrash kills strong scaling).
+        if pa.cpu_count() > 2:
+            pa.set_cpu_count(2)
+            pa.set_io_thread_count(2)
+        # Batch tasks allocate millions of short-lived objects; cyclic GC
+        # passes over them are pure overhead and serialize badly across 32
+        # concurrent workers. Collect once at the end instead.
+        import gc
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
         out = []
         for row in batch.to_pylist():
             seg_id = int(row["seg_id"])
@@ -288,6 +427,9 @@ class SegmentBuilder:
             meta.setdefault("seg_id", seg_id)
             meta.setdefault("path", row["path"])
             out.append(meta)
+        if gc_was_enabled:
+            gc.enable()
+            gc.collect()
         return pa.table(
             {
                 "seg_id": pa.array([m["seg_id"] for m in out], type=pa.int32()),

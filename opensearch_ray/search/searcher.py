@@ -15,7 +15,8 @@ strict-inequality pruning, so results are identical to exhaustive scoring
 (ties included). This is the Lucene WAND/impacts counterpart
 (TopDocsCollectorContext.java:350-371) in vectorized form.
 
-Scores are float32 with the oracle's exact op order -> bit-identical ranking.
+Scores are float32 with the oracle's exact op order -> bit-identical ranking
+(dtype=np.float64 switches to full-double mode for SQL-oracle comparison).
 """
 
 from __future__ import annotations
@@ -62,8 +63,11 @@ class Searcher:
         self._counts = np.array([s.doc_count for s in segs], dtype=np.int64)
         self._norms: Dict[int, np.ndarray] = {}
         self._hot = set(self.manifest.hot_terms)
+        self._hot_buckets = dict(self.manifest.hot_buckets or {})
         self._stats_dir = os.path.join(index_dir, "term_stats")
         self._stats_cache: Dict[str, Tuple[int, int]] = {}
+        self._post_cache: Dict[str, pa.Table] = {}  # term -> postings rows
+        self._post_cache_max = 512
 
     # ------------------------------------------------------------- plumbing
 
@@ -98,15 +102,23 @@ class Searcher:
         return {t: self._stats_cache[t] for t in set(terms)}
 
     def postings(self, terms: Sequence[str]) -> Dict[str, pa.Table]:
-        """term -> postings rows (columns of SEGMENT_SCHEMA + seg_id)."""
-        terms = [t for t in dict.fromkeys(terms)]
+        """term -> postings rows (columns of SEGMENT_SCHEMA + seg_id).
+        Rows are cached per term (the page-cache analogue of Lucene's hot
+        postings staying resident)."""
+        requested = [t for t in dict.fromkeys(terms)]
+        cached = {t: self._post_cache[t] for t in requested if t in self._post_cache}
+        terms = [t for t in requested if t not in cached]
         out: Dict[str, List[pa.Table]] = {t: [] for t in terms}
+        if not terms:
+            return cached
         if self.manifest.merged:
             B = self.manifest.num_buckets
             per_bucket: Dict[int, List[str]] = {}
             for t in terms:
                 if t in self._hot:
-                    for b in range(B):  # salted: term rows spread over buckets
+                    # salted chunks: exact bucket list from the manifest,
+                    # falling back to probing every bucket
+                    for b in self._hot_buckets.get(t, range(B)):
                         per_bucket.setdefault(b, []).append(t)
                 else:
                     # int() BEFORE %: np.uint64 % python-int promotes to
@@ -134,11 +146,15 @@ class Searcher:
                         sub = tbl.filter(pc.equal(tbl.column("term"), t))
                         if sub.num_rows:
                             out[t].append(sub)
-        return {
+        fresh = {
             t: (pa.concat_tables(v).sort_by([("seg_id", "ascending"), ("chunk", "ascending")])
                 if v else pa.table({}))
             for t, v in out.items()
         }
+        if len(self._post_cache) + len(fresh) > self._post_cache_max:
+            self._post_cache.clear()
+        self._post_cache.update(fresh)
+        return {**cached, **fresh}
 
     # ------------------------------------------------------------- decoding
 
