@@ -512,6 +512,165 @@ def _q_transcript_flagship(sf_dir):
                              n_files=4)
 
 
+
+# ------------------------------------------------ joins / windows / features
+
+def _q_asof_join(sf_dir):
+    import pyarrow.parquet as pq
+    from opensearch_ray.joins import asof_join
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    left = ev[ev["event_type"] == "purchase"][["user_id", "ts", "event_id"]]
+    right = ev[ev["event_type"] == "signup"][["user_id", "ts", "value"]]
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    key_col="user_id", ts_col="ts").to_pandas()
+    out = out[["event_id", "value"]].sort_values("event_id").reset_index(drop=True)
+    return out
+
+
+def _q_hash_join(sf_dir):
+    import pyarrow.parquet as pq
+    from opensearch_ray.joins import hash_join
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_custkey", "c_mktsegment"])
+
+    joined = hash_join(orders, cust.map_batches(ren, batch_format="pyarrow"),
+                       key_col="o_custkey").to_pandas()
+    g = (joined.groupby("c_mktsegment")
+         .agg(order_count=("o_totalprice", "size"),
+              total=("o_totalprice", "sum")).reset_index())
+    g["total"] = _fmt(g["total"], 2)
+    return g.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def _q_window_tumbling(sf_dir):
+    from opensearch_ray.streaming import tumbling_window
+    out = tumbling_window(_read(sf_dir, "events"), "event_type", "ts", "value", "1h")
+    out["window_start"] = pd.to_datetime(out["window_start"]).dt.strftime("%Y-%m-%d %H")
+    out["value_sum"] = _fmt(out["value_sum"], 2)
+    return out[["event_type", "window_start", "doc_count", "value_sum"]]
+
+
+def _q_window_session(sf_dir):
+    from opensearch_ray.streaming import session_window
+    out = session_window(_read(sf_dir, "events"), "user_id", "ts", "value",
+                         gap="30min")
+    out["session_start"] = pd.to_datetime(out["session_start"]).dt.strftime(
+        "%Y-%m-%d %H:%M:%S")
+    return out[["user_id", "session_start", "doc_count"]]
+
+
+def _q_collapse_bm25_by_lang(sf_dir):
+    s = _searcher(sf_dir)
+    from opensearch_ray.search.features import collapse_search
+    out = collapse_search(s, _BM25_Q, "lang", k=10, candidate_window=10**6)
+    out["score"] = _fmt(out["score"], 4)
+    out = out.rename(columns={"_docid": "doc_id"})
+    return out[["lang", "doc_id", "score"]]
+
+
+def _q_term_suggester(sf_dir):
+    s = _searcher(sf_dir)
+    from opensearch_ray.search.features import term_suggest
+    out = term_suggest(s, "hsah", max_edits=2, size=5)
+    return out[["suggestion", "distance", "df", "rank"]]
+
+
+def _q_function_score_decay(sf_dir):
+    from opensearch_ray.search.features import decay_gauss, function_score_topk
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def score(t: pa.Table):
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return decay_gauss(v, origin=100.0, scale=50.0)
+
+    out = function_score_topk(ds, score, id_col="event_id", k=10)
+    out["score"] = _fmt(out["score"], 6)
+    return out[["event_id", "score", "rank"]]
+
+
+def _q_terms_lookup(sf_dir):
+    import pyarrow.compute as pc
+    from opensearch_ray.search.features import terms_lookup_filter
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    parts = _read(sf_dir, "part", ["p_partkey", "p_size"])
+    out = terms_lookup_filter(
+        li, "l_partkey", parts, "p_partkey",
+        lambda t: pc.greater(t.column("p_size"), 40))
+    return out.to_pandas().sort_values(
+        ["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def _q_search_after(sf_dir):
+    s = _searcher(sf_dir)
+    from opensearch_ray.search.features import search_after_page
+    p1 = s.search(_BM25_Q, k=10)
+    p2 = search_after_page(s, _BM25_Q, page_size=10,
+                           after=(p1[-1].score, p1[-1].docid))
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in p2],
+        "rank": np.arange(11, 11 + len(p2), dtype=np.int64),
+        "score": _fmt([h.score for h in p2], 4),
+    })
+
+
+def _q_agg_moving_avg(sf_dir):
+    from opensearch_ray.aggs import date_histogram_agg, moving_fn
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    out = moving_fn(out, "doc_count", window=3, out="mov_avg")
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    out["mov_avg"] = _fmt(out["mov_avg"], 4)
+    return out[["month", "doc_count", "mov_avg"]]
+
+
+def _q_agg_serial_diff(sf_dir):
+    from opensearch_ray.aggs import date_histogram_agg, serial_diff
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    out = serial_diff(out, "doc_count", lag=2, out="sdiff")
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    out = out.dropna(subset=["sdiff"])
+    out["sdiff"] = out["sdiff"].astype(np.int64)
+    return out[["month", "sdiff"]]
+
+
+def _q_agg_rare_terms(sf_dir):
+    import pyarrow.parquet as pq
+    idx = _doc_index(sf_dir)
+    t = pq.read_table(os.path.join(idx, "term_stats")).to_pandas()
+    out = t[t["df"] <= 2][["term", "df"]].rename(columns={"term": "token"})
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def _q_agg_filters(sf_dir):
+    import pyarrow.compute as pc
+    from opensearch_ray.aggs import filters_agg
+    return filters_agg(_read(sf_dir, "events", ["event_type", "value"]), {
+        "errors": lambda t: pc.equal(t.column("event_type"), "error"),
+        "big": lambda t: pc.greater(t.column("value"), 150.0),
+    })
+
+
+def _q_agg_bucket_selector(sf_dir):
+    from opensearch_ray.aggs import bucket_selector, date_histogram_agg
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    thresh = float(out["doc_count"].mean())
+    out = bucket_selector(out, lambda b: b["doc_count"] > thresh)
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    return out[["month", "doc_count"]]
+
+
+def _q_highlight(sf_dir):
+    s = _searcher(sf_dir)
+    from opensearch_ray.search.features import highlight
+    return highlight(s, "hash", k=10).rename(columns={"_docid": "doc_id"})
+
 # ----------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -562,6 +721,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_brute,
+        # joins / windows / search features
+        "asof_join": _q_asof_join,
+        "hash_join": _q_hash_join,
+        "window_tumbling": _q_window_tumbling,
+        "window_session": _q_window_session,
+        "collapse_bm25_by_lang": _q_collapse_bm25_by_lang,
+        "term_suggester": _q_term_suggester,
+        "function_score_decay": _q_function_score_decay,
+        "terms_lookup": _q_terms_lookup,
+        "search_after": _q_search_after,
+        "agg_moving_avg": _q_agg_moving_avg,
+        "agg_serial_diff": _q_agg_serial_diff,
+        "agg_rare_terms": _q_agg_rare_terms,
+        "agg_filters": _q_agg_filters,
+        "agg_bucket_selector": _q_agg_bucket_selector,
+        "highlight": _q_highlight,
         # rows-only (non-SQL-expressible)
         "langid": _q_langid,
         "minhash_pairs": _q_minhash_pairs,
@@ -761,6 +936,135 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(string_split(text, ' '), x -> x <> ''))), ' ')
                    AS fingerprint
             FROM documents
+        """,
+
+        "asof_join": """
+            WITH l AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'signup')
+            SELECT l.event_id, r.value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
+        "hash_join": """
+            SELECT c.c_mktsegment, count(*) AS order_count,
+                   printf('%.2f', sum(o.o_totalprice)) AS total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "window_tumbling": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
+                   count(*) AS doc_count,
+                   printf('%.2f', sum(value)) AS value_sum
+            FROM events GROUP BY 1, date_trunc('hour', ts) ORDER BY 1, 2
+        """,
+        "window_session": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS doc_count
+            FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+        """,
+        "collapse_bm25_by_lang": _bm25_sql("""
+            SELECT lang, doc_id, score FROM (
+              SELECT d.lang, sc.doc_id, printf('%.4f', sc.score) AS score,
+                     row_number() OVER (PARTITION BY d.lang
+                       ORDER BY sc.score DESC, sc.doc_id) AS rn
+              FROM scored sc JOIN documents d USING (doc_id)
+            ) WHERE rn = 1 ORDER BY lang LIMIT 10"""),
+        "term_suggester": f"""
+            WITH vocab AS (
+              SELECT t.tok AS token, count(DISTINCT d.doc_id) AS df
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+              GROUP BY t.tok)
+            SELECT token AS suggestion,
+                   CAST(levenshtein(token, 'hsah') AS BIGINT) AS distance, df,
+                   CAST(row_number() OVER (
+                     ORDER BY levenshtein(token, 'hsah'), df DESC, token)
+                     AS BIGINT) AS rank
+            FROM vocab
+            WHERE token <> 'hsah' AND levenshtein(token, 'hsah') <= 2
+            ORDER BY distance, df DESC, suggestion LIMIT 5
+        """,
+        "function_score_decay": """
+            WITH sc AS (
+              SELECT event_id,
+                     exp(-(pow(greatest(0.0, abs(value - 100.0)), 2))
+                         / (2.0 * (-(50.0*50.0) / (2.0 * ln(0.5))))) AS score
+              FROM events)
+            SELECT event_id, printf('%.6f', score) AS score,
+                   CAST(row_number() OVER (ORDER BY score DESC, event_id)
+                        AS BIGINT) AS rank
+            FROM sc ORDER BY sc.score DESC, event_id LIMIT 10
+        """,
+        "terms_lookup": """
+            SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "search_after": _bm25_sql("""
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) + 10
+                        AS BIGINT) AS rank,
+                   printf('%.4f', score) AS score
+            FROM (SELECT * FROM scored ORDER BY score DESC, doc_id
+                  LIMIT 10 OFFSET 10)"""),
+        "agg_moving_avg": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1)
+            SELECT month, doc_count,
+                   printf('%.4f', avg(doc_count) OVER (ORDER BY month
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mov_avg
+            FROM m ORDER BY month
+        """,
+        "agg_serial_diff": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1)
+            SELECT month, doc_count - lag(doc_count, 2) OVER (ORDER BY month)
+                   AS sdiff
+            FROM m QUALIFY lag(doc_count, 2) OVER (ORDER BY month) IS NOT NULL
+            ORDER BY month
+        """,
+        "agg_rare_terms": f"""
+            SELECT t.tok AS token, count(DISTINCT d.doc_id) AS df
+            FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+            GROUP BY t.tok HAVING count(DISTINCT d.doc_id) <= 2
+            ORDER BY token
+        """,
+        "agg_filters": """
+            SELECT 'errors' AS name, count(*) AS doc_count FROM events
+            WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'big' AS name, count(*) AS doc_count FROM events
+            WHERE value > 150.0
+        """,
+        "agg_bucket_selector": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1)
+            SELECT month, doc_count FROM m
+            WHERE doc_count > (SELECT avg(doc_count) FROM m)
+            ORDER BY month
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -1,0 +1,244 @@
+"""Search-phase features beyond core top-k.
+
+Reference mapping:
+- rescore        — search/rescore/QueryRescorer.java (second query over the
+                   top-``window_size`` hits)
+- collapse       — search/collapse/CollapseBuilder.java (best hit per field)
+- highlight      — search/fetch/subphase/highlight (``plain`` highlighter:
+                   first matching fragment with the match marked)
+- term suggester — search/suggest/term (edit-distance candidates from the
+                   term dictionary, ordered by frequency)
+- search_after   — search/searchafter/SearchAfterBuilder.java (cursor
+                   pagination over a total sort order)
+- function_score — index/query/functionscore (field_value_factor, gauss/exp/
+                   linear decay, weight)
+- terms lookup   — index/query/TermsQueryBuilder.java (fetch a term list,
+                   broadcast semi-join filter)
+
+All driver-side features operate on a Searcher (they post-process small
+top-k/fetch results); set-returning ones compose with the bool/doc-set
+primitives.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .searcher import Searcher, SearchHit
+
+
+def rescore(searcher: Searcher, query_text: str, window_size: int, k: int,
+            rescore_fn: Callable[[pa.Table], np.ndarray],
+            query_weight: float = 1.0, rescore_query_weight: float = 1.0,
+            ) -> List[SearchHit]:
+    """Re-rank the top-``window_size`` BM25 hits with a secondary score
+    computed from their fetched rows: final = qw*bm25 + rqw*secondary."""
+    hits = searcher.search(query_text, k=window_size)
+    if not hits:
+        return []
+    ids = [h.docid for h in hits]
+    fetched = searcher.fetch(ids)
+    sec = rescore_fn(fetched)
+    sec_by_id = dict(zip(fetched.column("_docid").to_pylist(), sec))
+    rescored = [
+        (h.docid, query_weight * h.score + rescore_query_weight * float(sec_by_id[h.docid]))
+        for h in hits
+    ]
+    rescored.sort(key=lambda t: (-t[1], t[0]))
+    return [SearchHit(d, s) for d, s in rescored[:k]]
+
+
+def collapse_search(searcher: Searcher, query_text: str, collapse_field: str,
+                    k: int = 10, candidate_window: int = 1000) -> pd.DataFrame:
+    """Top-k hits keeping only the best-scoring doc per ``collapse_field``
+    value (tie: lowest docid)."""
+    hits = searcher.search(query_text, k=candidate_window)
+    if not hits:
+        return pd.DataFrame({collapse_field: [], "_docid": [], "score": []})
+    fetched = searcher.fetch([h.docid for h in hits]).to_pandas()
+    score = {h.docid: h.score for h in hits}
+    fetched["score"] = fetched["_docid"].map(score)
+    fetched = fetched.sort_values(["score", "_docid"], ascending=[False, True],
+                                  kind="mergesort")
+    best = fetched.drop_duplicates(subset=[collapse_field], keep="first")
+    return best.head(k)[[collapse_field, "_docid", "score"]].reset_index(drop=True)
+
+
+def highlight(searcher: Searcher, query_text: str, k: int = 10,
+              fragment_size: int = 60, pre_tag: str = "<em>",
+              post_tag: str = "</em>") -> pd.DataFrame:
+    """Plain-highlighter: for each top-k hit, the fragment around the FIRST
+    query-term occurrence with the match wrapped in tags."""
+    terms = searcher.analyzer.tokens(query_text)
+    hits = searcher.search(query_text, k=k)
+    if not hits:
+        return pd.DataFrame({"_docid": [], "snippet": []})
+    fetched = searcher.fetch([h.docid for h in hits])
+    text_col = searcher.manifest.text_col
+    out_ids, out_snips = [], []
+    for r in fetched.to_pylist():
+        text = r[text_col] or ""
+        low = text.lower()
+        first_pos, first_term = None, None
+        for t in terms:
+            p = low.find(t)
+            # token-boundary check: previous/next char must not be a word char
+            while p >= 0:
+                pre_ok = p == 0 or not (low[p - 1].isalnum() or low[p - 1] == "_")
+                post = p + len(t)
+                post_ok = post >= len(low) or not (low[post].isalnum() or low[post] == "_")
+                if pre_ok and post_ok:
+                    break
+                p = low.find(t, p + 1)
+            if p >= 0 and (first_pos is None or p < first_pos):
+                first_pos, first_term = p, t
+        if first_pos is None:
+            out_ids.append(r["_docid"])
+            out_snips.append(text[:fragment_size])
+            continue
+        end = first_pos + len(first_term)
+        lo = max(0, first_pos - (fragment_size - len(first_term)) // 2)
+        hi = min(len(text), lo + fragment_size)
+        snippet = (text[lo:first_pos] + pre_tag + text[first_pos:end]
+                   + post_tag + text[end:hi])
+        out_ids.append(r["_docid"])
+        out_snips.append(snippet)
+    order = {h.docid: i for i, h in enumerate(hits)}
+    df = pd.DataFrame({"_docid": out_ids, "snippet": out_snips})
+    return df.sort_values("_docid", key=lambda s: s.map(order)).reset_index(drop=True)
+
+
+def _levenshtein(a: str, b: str, maxd: int = 2) -> int:
+    """Bounded edit distance (classic DP with early exit)."""
+    if abs(len(a) - len(b)) > maxd:
+        return maxd + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > maxd:
+            return maxd + 1
+        prev = cur
+    return prev[-1]
+
+
+def term_suggest(searcher: Searcher, text: str, max_edits: int = 2,
+                 size: int = 5) -> pd.DataFrame:
+    """Term suggester: vocabulary terms within ``max_edits`` of each input
+    token, ordered by (distance asc, df desc, term asc) — ref
+    search/suggest/term/TermSuggester semantics (suggest_mode=always)."""
+    import pyarrow.parquet as pq
+    import os
+
+    vocab_tbl = pq.read_table(os.path.join(searcher.manifest.index_dir, "term_stats"),
+                              columns=["term", "df"])
+    vocab = vocab_tbl.column("term").to_pylist()
+    dfs = vocab_tbl.column("df").to_pylist()
+    rows = []
+    for tok in searcher.analyzer.tokens(text):
+        cands = []
+        for term, df in zip(vocab, dfs):
+            if term == tok:
+                continue
+            d = _levenshtein(tok, term, max_edits)
+            if d <= max_edits:
+                cands.append((d, -df, term))
+        cands.sort()
+        for rank, (d, negdf, term) in enumerate(cands[:size], 1):
+            rows.append({"input": tok, "suggestion": term, "distance": d,
+                         "df": -negdf, "rank": rank})
+    return pd.DataFrame(rows, columns=["input", "suggestion", "distance", "df", "rank"])
+
+
+def search_after_page(searcher: Searcher, query_text: str, page_size: int,
+                      after: Optional[Tuple[float, int]] = None) -> List[SearchHit]:
+    """Cursor pagination over (score desc, docid asc): return the next page
+    strictly after the (score, docid) cursor."""
+    # fetch enough to pass the cursor; exact-but-simple: oversample
+    over = page_size
+    while True:
+        hits = searcher.search(query_text, k=over + page_size)
+        if after is None:
+            return hits[:page_size]
+        key = (-after[0], after[1])
+        out = [h for h in hits if (-h.score, h.docid) > key]
+        if out or len(hits) < over + page_size:
+            return out[:page_size]
+        over *= 4
+
+
+# ------------------------------------------------------------ function_score
+
+def decay_gauss(value: np.ndarray, origin: float, scale: float,
+                offset: float = 0.0, decay: float = 0.5) -> np.ndarray:
+    """gauss decay (ref functionscore/GaussDecayFunction): exp(-d²/2σ²) with
+    σ² = -scale²/(2 ln decay), d = max(0, |v-origin|-offset)."""
+    sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+    d = np.maximum(0.0, np.abs(value - origin) - offset)
+    return np.exp(-(d ** 2) / (2.0 * sigma2))
+
+
+def decay_exp(value: np.ndarray, origin: float, scale: float,
+              offset: float = 0.0, decay: float = 0.5) -> np.ndarray:
+    lam = math.log(decay) / scale
+    d = np.maximum(0.0, np.abs(value - origin) - offset)
+    return np.exp(lam * d)
+
+
+def decay_linear(value: np.ndarray, origin: float, scale: float,
+                 offset: float = 0.0, decay: float = 0.5) -> np.ndarray:
+    s = scale / (1.0 - decay)
+    d = np.maximum(0.0, np.abs(value - origin) - offset)
+    return np.maximum(0.0, (s - d) / s)
+
+
+def function_score_topk(ds, value_fn: Callable[[pa.Table], np.ndarray],
+                        id_col: str, k: int = 10) -> pd.DataFrame:
+    """field_value_factor-style scoring over a Dataset: per-batch vectorized
+    score + per-batch top-k partials, merged on the driver."""
+    def partial(t: pa.Table) -> pa.Table:
+        sc = np.asarray(value_fn(t), dtype=np.float64)
+        kk = min(k, len(sc))
+        if kk == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        top = np.argpartition(-sc, kk - 1)[:kk]
+        return pa.table({id_col: t.column(id_col).take(pa.array(top)),
+                         "score": pa.array(sc[top])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["score", id_col], ascending=[False, True],
+                              kind="mergesort").head(k)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return parts.reset_index(drop=True)
+
+
+# ------------------------------------------------------------- terms lookup
+
+def terms_lookup_filter(ds, filter_col: str, lookup_ds, lookup_col: str,
+                        lookup_pred: Callable[[pa.Table], pa.Array]):
+    """terms-lookup semi-join: fetch the (small) term list from the lookup
+    side, broadcast it, filter the main Dataset — no shuffle
+    (TermsQueryBuilder + the guide's broadcast-semi-join pattern)."""
+    import pyarrow.compute as pc
+    import ray
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.cast(lookup_pred(t), pa.bool_())).select([lookup_col])
+
+    keys = lookup_ds.map_batches(pick, batch_format="pyarrow").to_pandas()[lookup_col]
+    key_ref = ray.put(pa.array(sorted(set(keys))))
+
+    def filt(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        return t.filter(pc.is_in(t.column(filter_col), value_set=ks))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

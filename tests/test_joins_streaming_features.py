@@ -1,0 +1,180 @@
+"""as-of/range/hash joins, windowed aggregates, search-phase features."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from opensearch_ray.joins import asof_join, hash_join, range_join
+from opensearch_ray.streaming import session_window, sliding_window, tumbling_window
+from opensearch_ray.search import Searcher
+from opensearch_ray.search.features import (
+    collapse_search, decay_exp, decay_gauss, decay_linear, function_score_topk,
+    highlight, rescore, search_after_page, term_suggest, terms_lookup_filter,
+    _levenshtein,
+)
+
+
+# ------------------------------------------------------------------- joins
+
+def test_asof_join_matches_merge_asof(sf_dir):
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    left = ev[ev["event_type"] == "purchase"][["user_id", "ts", "event_id"]]
+    right = ev[ev["event_type"] == "signup"][["user_id", "ts", "value"]]
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key_col="user_id", ts_col="ts").to_pandas()
+    want = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                         on="ts", by="user_id", direction="backward",
+                         suffixes=("", "_asof"))
+    got_s = got.sort_values("event_id").reset_index(drop=True)
+    want_s = want.sort_values("event_id").reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    pd.testing.assert_series_equal(got_s["value"], want_s["value"],
+                                   check_names=False)
+
+
+def test_hash_join_matches_pandas(sf_dir):
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    got = hash_join(rd.from_pandas(orders), rd.from_pandas(cust),
+                    key_col="o_custkey").to_pandas()
+    want = orders.merge(cust, on="o_custkey")
+    assert len(got) == len(want)
+    assert got["o_totalprice"].sum() == pytest.approx(want["o_totalprice"].sum())
+
+
+def test_range_join():
+    left = pd.DataFrame({"k": ["a", "a", "b"], "ts": [5, 15, 5], "lid": [1, 2, 3]})
+    right = pd.DataFrame({"k": ["a", "a", "b"], "lo": [0, 10, 10],
+                          "hi": [10, 20, 20], "rid": [10, 20, 30]})
+    got = range_join(rd.from_pandas(left), rd.from_pandas(right), key_col="k",
+                     left_ts="ts", right_lo="lo", right_hi="hi").to_pandas()
+    pairs = set(zip(got["lid"], got["rid"]))
+    assert pairs == {(1, 10), (2, 20)}
+
+
+# --------------------------------------------------------------- streaming
+
+def test_tumbling_window(sf_dir):
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    got = tumbling_window(rd.from_pandas(ev), "event_type", "ts", "value", "1h")
+    ev2 = ev.copy()
+    ev2["w"] = ev2["ts"].dt.floor("1h")
+    want = (ev2.groupby(["event_type", "w"])
+            .agg(doc_count=("value", "size"), value_sum=("value", "sum")))
+    assert len(got) == len(want)
+    merged = got.merge(want.reset_index(), left_on=["event_type", "window_start"],
+                       right_on=["event_type", "w"], suffixes=("", "_w"))
+    assert (merged["doc_count"] == merged["doc_count_w"]).all()
+    assert np.allclose(merged["value_sum"], merged["value_sum_w"])
+
+
+def test_sliding_window_counts(sf_dir):
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas().head(200)
+    got = sliding_window(rd.from_pandas(ev), "event_type", "ts", "value",
+                         size="2h", slide="1h")
+    # every event must appear in exactly size/slide = 2 windows
+    assert got["doc_count"].sum() == 2 * len(ev)
+
+
+def test_session_window():
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                         "2024-01-01 01:30", "2024-01-01 01:40",
+                         "2024-01-01 05:00"])
+    df = pd.DataFrame({"u": [1] * 5, "ts": ts, "v": [1.0] * 5})
+    got = session_window(rd.from_pandas(df), "u", "ts", "v", gap="30min")
+    assert got["doc_count"].tolist() == [2, 2, 1]
+
+
+# ----------------------------------------------------------- search extras
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    return Searcher(built_index.index_dir)
+
+
+def test_rescore(searcher):
+    base = searcher.search("bace cedi", k=5)
+
+    def by_turn(fetched: pa.Table) -> np.ndarray:
+        return fetched.column("turn_idx").to_numpy(zero_copy_only=False).astype(float)
+
+    out = rescore(searcher, "bace cedi", window_size=50, k=5, rescore_fn=by_turn,
+                  query_weight=1.0, rescore_query_weight=0.001)
+    assert len(out) == 5
+    assert out[0].score >= out[-1].score
+    # with zero rescore weight the base ranking is preserved
+    same = rescore(searcher, "bace cedi", window_size=50, k=5, rescore_fn=by_turn,
+                   rescore_query_weight=0.0)
+    assert [h.docid for h in same] == [h.docid for h in base]
+
+
+def test_collapse_search(searcher):
+    out = collapse_search(searcher, "bace cedi", "conv_id", k=5)
+    assert len(out) <= 5
+    assert out["conv_id"].is_unique
+    assert (out["score"].values[:-1] >= out["score"].values[1:]).all()
+
+
+def test_highlight(searcher):
+    out = highlight(searcher, "bace", k=5)
+    assert len(out) == 5
+    assert all("<em>" in s for s in out["snippet"])
+    tagged = out["snippet"].iloc[0]
+    inner = tagged.split("<em>")[1].split("</em>")[0].lower()
+    assert "bace" == inner
+
+
+def test_term_suggest(searcher):
+    out = term_suggest(searcher, "bacce", max_edits=2, size=5)
+    assert "bace" in out["suggestion"].tolist()
+    d = dict(zip(out["suggestion"], out["distance"]))
+    assert d["bace"] == 1
+    assert _levenshtein("kitten", "sitting", 3) == 3
+    assert _levenshtein("abc", "abc", 2) == 0
+    assert _levenshtein("abc", "xyzzy", 2) == 3  # clamped to maxd+1
+
+
+def test_search_after_pages_are_disjoint_and_ordered(searcher):
+    p1 = searcher.search("bace", k=5)
+    p2 = search_after_page(searcher, "bace", page_size=5,
+                           after=(p1[-1].score, p1[-1].docid))
+    all10 = searcher.search("bace", k=10)
+    assert [h.docid for h in p1] + [h.docid for h in p2] == [h.docid for h in all10]
+
+
+def test_decay_functions():
+    v = np.array([0.0, 5.0, 10.0, 20.0])
+    g = decay_gauss(v, origin=0.0, scale=10.0)
+    assert g[0] == 1.0 and abs(g[2] - 0.5) < 1e-9 and g[3] < g[2]
+    e = decay_exp(v, origin=0.0, scale=10.0)
+    assert e[0] == 1.0 and abs(e[2] - 0.5) < 1e-9
+    l = decay_linear(v, origin=0.0, scale=10.0)
+    assert l[0] == 1.0 and abs(l[2] - 0.5) < 1e-9 and l[3] == 0.0
+
+
+def test_function_score_topk(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = function_score_topk(
+        ds, lambda t: t.column("value").to_numpy(zero_copy_only=False),
+        id_col="event_id", k=5)
+    pdf = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    want = pdf.sort_values(["value", "event_id"], ascending=[False, True]).head(5)
+    assert out["event_id"].tolist() == want["event_id"].tolist()
+
+
+def test_terms_lookup_filter(sf_dir):
+    import pyarrow.compute as pc
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet")
+    got = terms_lookup_filter(
+        li, "l_partkey", parts, "p_partkey",
+        lambda t: pc.greater(t.column("p_size"), 40)).count()
+    li_pdf = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+    p_pdf = pq.read_table(f"{sf_dir}/part.parquet").to_pandas()
+    keys = set(p_pdf[p_pdf["p_size"] > 40]["p_partkey"])
+    assert got == li_pdf["l_partkey"].isin(keys).sum()
