@@ -666,6 +666,17 @@ def _q_agg_bucket_selector(sf_dir):
     return out[["month", "doc_count"]]
 
 
+def _q_bm25_filtered(sf_dir):
+    """BM25 with a keyword filter clause (lang='en') — filter context does
+    not affect scores (BoolQueryBuilder.filter semantics)."""
+    s = _searcher(sf_dir)
+    hits = s.search(_BM25_Q, k=10**9, filters={"lang": "en"})
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "score": _fmt([h.score for h in hits], 4),
+    })
+
+
 def _q_highlight(sf_dir):
     s = _searcher(sf_dir)
     from opensearch_ray.search.features import highlight
@@ -727,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "window_session": _q_window_session,
         "collapse_bm25_by_lang": _q_collapse_bm25_by_lang,
+        "bm25_filtered": _q_bm25_filtered,
         "term_suggester": _q_term_suggester,
         "function_score_decay": _q_function_score_decay,
         "terms_lookup": _q_terms_lookup,
@@ -978,6 +990,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS doc_count
             FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
         """,
+        "bm25_filtered": _bm25_sql("""
+            SELECT sc.doc_id, printf('%.4f', sc.score) AS score
+            FROM scored sc JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en'"""),
         "collapse_bm25_by_lang": _bm25_sql("""
             SELECT lang, doc_id, score FROM (
               SELECT d.lang, sc.doc_id, printf('%.4f', sc.score) AS score,

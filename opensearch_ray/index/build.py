@@ -220,14 +220,22 @@ def build_index(
         num_buckets=num_buckets,
     )
 
-    # One read of the (compressed, vocab+postings-sized) segment postings
-    # feeds BOTH the stats groupby and the merge shuffle. materialize() pins
-    # it in the object store (spills to disk under pressure); at extreme
-    # scale pass materialize_postings=False to re-read from storage instead.
-    # When stats take the coordinator-side path (small vocab), merge is the
-    # postings' only consumer and pinning would be pure overhead.
+    return _finalize_index(manifest, hot_df_threshold, merge, materialize_postings)
+
+
+def _finalize_index(manifest: IndexManifest, hot_df_threshold: int,
+                    merge: bool, materialize_postings: bool) -> IndexManifest:
+    """Shared tail of every build mode: term stats (+hot detection), the
+    groupby-term merge shuffle, manifest persistence.
+
+    One read of the (compressed, vocab+postings-sized) segment postings feeds
+    BOTH the stats groupby and the merge shuffle. materialize() pins it in the
+    object store (spills under pressure); at extreme scale pass
+    materialize_postings=False to re-read from storage instead. When stats
+    take the coordinator-side path (small vocab), merge is the postings' only
+    consumer and pinning would be pure overhead."""
     postings_ds = _segment_postings_ds(manifest)
-    if materialize_postings and sum(s.vocab for s in segments) > 2_000_000:
+    if materialize_postings and sum(s.vocab for s in manifest.segments) > 2_000_000:
         postings_ds = postings_ds.materialize()
     manifest.hot_terms = _build_term_stats(manifest, hot_df_threshold, postings_ds)
     if merge:
@@ -235,6 +243,73 @@ def build_index(
         manifest.merged = True
     manifest.save()
     return manifest
+
+
+def build_index_from_dataset(
+    ds,
+    index_dir: str,
+    partition_key: str = "conv_id",
+    num_partitions: Optional[int] = None,
+    analyzer: str = "default",
+    text_col: str = "text",
+    sort_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    hot_df_threshold: int = DEFAULT_HOT_DF,
+    merge: bool = True,
+) -> IndexManifest:
+    """General build mode for inputs NOT laid out as sorted files: route rows
+    to P hash partitions on ``partition_key`` (the shard-routing analogue,
+    OperationRouting.generateShardId = murmur3(_id) mod shards,
+    OperationRouting.java:449-476), then one segment per partition via
+    groupby(partition).map_groups. Doc order = (partition, *sort_cols) —
+    data-derived and deterministic, never execution-order-derived."""
+    from .segment import build_segment_table, write_segment
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = num_partitions or max(8, n_cpus)
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+
+    def route(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(partition_key).to_pylist(), dtype=object)
+        part = (pd.util.hash_array(k) % np.uint64(P)).astype(np.int32)
+        return t.append_column("_partition", pa.array(part))
+
+    def build_partition(g: pa.Table) -> pa.Table:
+        seg_id = int(g.column("_partition")[0].as_py())
+        g = g.drop_columns(["_partition"])
+        seg_dir = os.path.join(index_dir, "segments", f"seg-{seg_id:05d}")
+        if os.path.exists(os.path.join(seg_dir, "meta.json")):
+            meta = json.load(open(os.path.join(seg_dir, "meta.json")))
+        else:
+            postings, docstore, meta = build_segment_table(
+                g, text_col=text_col, analyzer=analyzer, sort_cols=sort_cols)
+            write_segment(seg_dir, postings, docstore, meta)
+        return pa.table({
+            "seg_id": pa.array([seg_id], pa.int32()),
+            "doc_count": pa.array([meta["doc_count"]], pa.int64()),
+            "sum_dl": pa.array([meta["sum_dl"]], pa.int64()),
+            "vocab": pa.array([meta["vocab"]], pa.int64()),
+        })
+
+    rows = (ds.map_batches(route, batch_format="pyarrow")
+            .groupby("_partition")
+            .map_groups(build_partition, batch_format="pyarrow")
+            .take_all())
+    rows.sort(key=lambda r: r["seg_id"])
+    base = 0
+    segments = []
+    for r in rows:
+        segments.append(SegmentInfo(
+            seg_id=int(r["seg_id"]), path=f"partition:{r['seg_id']}",
+            doc_count=int(r["doc_count"]), sum_dl=int(r["sum_dl"]),
+            doc_base=base, vocab=int(r["vocab"])))
+        base += int(r["doc_count"])
+    manifest = IndexManifest(
+        index_dir=index_dir, segments=segments, total_docs=base,
+        sum_dl=sum(x.sum_dl for x in segments),
+        analyzer=analyzer if isinstance(analyzer, str) else getattr(analyzer, "name", "custom"),
+        text_col=text_col, num_buckets=num_buckets)
+    return _finalize_index(manifest, hot_df_threshold, merge, True)
 
 
 def _segment_postings_ds(manifest: IndexManifest, columns: Optional[List[str]] = None):

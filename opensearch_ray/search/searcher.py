@@ -68,6 +68,7 @@ class Searcher:
         self._stats_cache: Dict[str, Tuple[int, int]] = {}
         self._post_cache: Dict[str, pa.Table] = {}  # term -> postings rows
         self._post_cache_max = 512
+        self._docvalues: Dict[Tuple[int, str], np.ndarray] = {}
 
     # ------------------------------------------------------------- plumbing
 
@@ -85,6 +86,19 @@ class Searcher:
 
     def doc_base(self, seg_id: int) -> int:
         return int(self._bases[np.searchsorted(self._seg_ids, seg_id)])
+
+    def doc_values(self, seg_id: int, col: str) -> np.ndarray:
+        """Per-segment column values aligned by local docid — the doc-values
+        analogue (KeywordFieldMapper doc_values=true) used by filters,
+        collapse and sorts; cached per (segment, column)."""
+        key = (seg_id, col)
+        arr = self._docvalues.get(key)
+        if arr is None:
+            t = pq.read_table(os.path.join(self._seg_dir(seg_id), "docs.parquet"),
+                              columns=[col])
+            arr = np.asarray(t.column(col).to_pylist(), dtype=object)
+            self._docvalues[key] = arr
+        return arr
 
     def term_stats(self, terms: Sequence[str]) -> Dict[str, Tuple[int, int]]:
         """term -> (global df, global ttf); absent terms -> (0, 0)."""
@@ -188,9 +202,14 @@ class Searcher:
     # -------------------------------------------------------------- search
 
     def search(self, query_text: str, k: int = 10, operator: str = "or",
-               ) -> List[SearchHit]:
+               filters: Optional[Dict[str, object]] = None) -> List[SearchHit]:
         """Match-query semantics: analyze text, OR (default, ref
-        MatchQueryBuilder.java:88) or AND over terms, BM25-scored top-k."""
+        MatchQueryBuilder.java:88) or AND over terms, BM25-scored top-k.
+
+        ``filters``: {column: value-or-list} keyword filters applied as a
+        non-scoring bool.filter clause over segment doc values (the
+        keyword-field + filter-context semantics, BoolQueryBuilder filter);
+        filtered docs are dropped BEFORE the top-k heap, scores unchanged."""
         if k <= 0:
             return []
         terms = self.analyzer.tokens(query_text)
@@ -228,6 +247,13 @@ class Searcher:
             norms = self.norms(seg_id)
             entries = per_seg[seg_id]
             n_ent = len(entries)
+            seg_filter_mask: Optional[np.ndarray] = None
+            if filters:
+                for col, val in filters.items():
+                    vals = self.doc_values(seg_id, col)
+                    m = (np.isin(vals, list(val)) if isinstance(val, (list, tuple, set))
+                         else vals == val)
+                    seg_filter_mask = m if seg_filter_mask is None else (seg_filter_mask & m)
 
             # MaxScore split: ubs ascending; the maximal prefix whose ub sum
             # stays strictly below θ is non-essential (docs found ONLY there
@@ -306,6 +332,9 @@ class Searcher:
             if operator == "and":
                 m = counts == n_req
                 udocs, scores = udocs[m], scores[m]
+            if seg_filter_mask is not None and udocs.size:
+                fm_ = seg_filter_mask[udocs]
+                udocs, scores = udocs[fm_], scores[fm_]
             if udocs.size == 0:
                 continue
 
