@@ -76,6 +76,9 @@ class IndexManifest:
     #: hot term -> sorted bucket ids its salted chunks landed in (query-time
     #: lookup avoids probing every bucket for the Zipfian head)
     hot_buckets: dict = field(default_factory=dict)
+    #: token positions stored (DOCS_AND_FREQS_AND_POSITIONS parity) — enables
+    #: index-native phrase queries at ~+30-50% postings size
+    has_positions: bool = False
 
     @property
     def avgdl(self) -> float:
@@ -101,6 +104,7 @@ class IndexManifest:
                     "hot_terms": self.hot_terms,
                     "merged": self.merged,
                     "hot_buckets": self.hot_buckets,
+                    "has_positions": self.has_positions,
                 },
                 f,
             )
@@ -121,6 +125,7 @@ def load_manifest(index_dir: str) -> IndexManifest:
         hot_terms=d["hot_terms"],
         merged=d["merged"],
         hot_buckets=d.get("hot_buckets", {}),
+        has_positions=d.get("has_positions", False),
     )
 
 
@@ -149,6 +154,7 @@ def build_index(
     hot_df_threshold: int = DEFAULT_HOT_DF,
     merge: bool = True,
     materialize_postings: bool = True,
+    index_positions: bool = False,
 ) -> IndexManifest:
     """Build (or resume) an index over parquet transcript fragments.
 
@@ -178,7 +184,7 @@ def build_index(
     # state, already one-time per worker process.
     builder = SegmentBuilder(
         index_dir=index_dir, analyzer=analyzer, text_col=text_col,
-        sort_cols=sort_cols, columns=columns,
+        sort_cols=sort_cols, columns=columns, index_positions=index_positions,
     )
 
     def build_fragment(batch: pa.Table) -> pa.Table:
@@ -218,6 +224,7 @@ def build_index(
         analyzer=analyzer if isinstance(analyzer, str) else getattr(analyzer, "name", "custom"),
         text_col=text_col,
         num_buckets=num_buckets,
+        has_positions=index_positions,
     )
 
     return _finalize_index(manifest, hot_df_threshold, merge, materialize_postings)

@@ -55,6 +55,10 @@ SEGMENT_SCHEMA = pa.schema(
         ("skip_tf_off", pa.list_(pa.int32())),
         ("block_max_tf", pa.list_(pa.int32())),
         ("block_min_norm", pa.list_(pa.int32())),
+        # delta-gapped varbyte token positions per posting (empty unless the
+        # index stores positions — DOCS_AND_FREQS_AND_POSITIONS parity,
+        # TextFieldMapper.java:128-136)
+        ("pos_enc", pa.binary()),
     ]
 )
 
@@ -95,8 +99,8 @@ def _terms_docs_tfs(
 _FAST_TEXT_RE = r"^[a-z0-9_ ]*$"  # rows where space-split == standard tokenizer
 
 
-def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer
-                     ) -> Tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer,
+                     want_positions: bool = False):
     """Analyze + dictionary-encode fused, with an Arrow-C fast path.
 
     Rows whose lowercased text is plain ``[a-z0-9_ ]`` tokenize identically
@@ -108,7 +112,9 @@ def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer
     which are unioned before one np.unique. This keeps per-task allocation
     churn in C buffers, not PyObjects — the difference between ~12x slowdown
     and near-linear behavior with 32 concurrent builder tasks on fault-bound
-    VMs. Returns (terms_sorted, term_ids, docids, tfs, dl).
+    VMs. Returns (terms_sorted, term_ids, docids, tfs, dl, pos_flat) where
+    pos_flat (None unless want_positions) holds each posting's ascending
+    token positions (stop-gap-preserving), concatenated in posting order.
     """
     an = get_analyzer(analyzer)
     col = table.column(text_col)
@@ -121,6 +127,7 @@ def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer
 
     pair_term_parts: List[np.ndarray] = []
     pair_doc_parts: List[np.ndarray] = []
+    pair_pos_parts: List[np.ndarray] = []
     vocab: dict = {}
     terms_list: List[str] = []
 
@@ -167,6 +174,16 @@ def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer
                 vocab = {t: i for i, t in enumerate(terms_list)}
                 pair_term_parts.append(codes)
                 pair_doc_parts.append(np.repeat(fast_idx, dl_fast))
+                if want_positions:
+                    # position = rank among NON-empty tokens in the row
+                    # (pre-stop-filter -> stopword gaps preserved)
+                    ne = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+                    cne = np.cumsum(ne.astype(np.int64))
+                    pre = np.concatenate(([0], cne))
+                    row_of = np.searchsorted(offs[1:], np.arange(len(ne)),
+                                             side="right")
+                    pos_all = cne - 1 - pre[offs[row_of]]
+                    pair_pos_parts.append(pos_all[keep_np])
             dl[fast_idx] = dl_fast
         slow_rows = np.flatnonzero(~fm)
     else:
@@ -176,11 +193,12 @@ def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer
         from array import array
         ids = array("i")
         doc_rep = array("q")
+        poss = array("i")
         for ri in slow_rows:
             s = col[int(ri)].as_py()
             if not s:
                 continue
-            toks = an.tokens(s)
+            toks, tpos = an.analyze(s)
             dl[ri] = len(toks)
             for t in toks:
                 ti = vocab.get(t)
@@ -190,13 +208,18 @@ def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer
                     terms_list.append(t)
                 ids.append(ti)
             doc_rep.extend([int(ri)] * len(toks))
+            if want_positions:
+                poss.extend(tpos)
         if len(ids):
             pair_term_parts.append(np.frombuffer(ids, dtype=np.int32).astype(np.int64))
             pair_doc_parts.append(np.frombuffer(doc_rep, dtype=np.int64))
+            if want_positions:
+                pair_pos_parts.append(np.frombuffer(poss, dtype=np.int32).astype(np.int64))
 
     if not vocab:
         return (pa.array([], type=pa.string()), np.empty(0, np.int64),
-                np.empty(0, np.int64), np.empty(0, np.int64), dl)
+                np.empty(0, np.int64), np.empty(0, np.int64), dl,
+                np.empty(0, np.int64) if want_positions else None)
 
     # sort the vocab lexicographically, remap ids
     order = sorted(range(len(terms_list)), key=terms_list.__getitem__)
@@ -206,10 +229,22 @@ def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer
 
     term_ids_tok = remap[np.concatenate(pair_term_parts)]
     doc_of_token = np.concatenate(pair_doc_parts)
-    key = term_ids_tok * np.int64(nd) + doc_of_token
-    ukey, tfs = np.unique(key, return_counts=True)
-    return (pa.array(terms_sorted, type=pa.string()), ukey // nd, ukey % nd,
-            tfs.astype(np.int64), dl)
+    if not want_positions:
+        key = term_ids_tok * np.int64(nd) + doc_of_token
+        ukey, tfs = np.unique(key, return_counts=True)
+        return (pa.array(terms_sorted, type=pa.string()), ukey // nd, ukey % nd,
+                tfs.astype(np.int64), dl, None)
+    pos_tok = np.concatenate(pair_pos_parts)
+    order_tok = np.lexsort((pos_tok, doc_of_token, term_ids_tok))
+    t_s = term_ids_tok[order_tok]
+    d_s = doc_of_token[order_tok]
+    p_s = pos_tok[order_tok]
+    n_tok = t_s.size
+    is_start = np.concatenate(([True], (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])))
+    starts_tok = np.flatnonzero(is_start)
+    tfs = np.diff(np.concatenate((starts_tok, [n_tok])))
+    return (pa.array(terms_sorted, type=pa.string()), t_s[starts_tok],
+            d_s[starts_tok], tfs.astype(np.int64), dl, p_s)
 
 
 def build_segment_table(
@@ -218,6 +253,7 @@ def build_segment_table(
     text_col: str = "text",
     analyzer="default",
     sort_cols: Optional[List[str]] = ("conv_id", "turn_idx"),
+    index_positions: bool = False,
 ) -> Tuple[pa.Table, pa.Table, dict]:
     """Build one segment from a (partition's) Arrow table.
 
@@ -233,14 +269,17 @@ def build_segment_table(
 
     n_docs = table.num_rows
     if tokens_col in table.column_names:
+        if index_positions:
+            raise ValueError("index_positions requires raw text input")
         tokens = table.column(tokens_col)
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
         terms_sorted, term_ids, docids, tfs, dl = _terms_docs_tfs(tokens, max(n_docs, 1))
+        pos_flat = None
         drop_tokens = True
     else:
-        terms_sorted, term_ids, docids, tfs, dl = _tokenize_to_ids(
-            table, text_col, analyzer)
+        terms_sorted, term_ids, docids, tfs, dl, pos_flat = _tokenize_to_ids(
+            table, text_col, analyzer, want_positions=index_positions)
         drop_tokens = False
     norms = encode_norms(dl)
 
@@ -267,9 +306,25 @@ def build_segment_table(
     tf_prefix = np.concatenate(([0], np.cumsum(_vb_sizes(tfs_u))))
     pair_norms = norms[docids] if n_pairs else np.empty(0, np.uint8)
 
+    if pos_flat is not None and n_pairs:
+        # per-posting delta-gapped positions: first absolute, then diffs
+        tok_prefix = np.concatenate(([0], np.cumsum(tfs)))
+        pstarts = tok_prefix[:-1]
+        pgaps = pos_flat.astype(np.int64).copy()
+        pmask = np.ones(pgaps.size, dtype=bool)
+        pmask[pstarts] = False
+        pgaps[pmask] = pos_flat[pmask] - pos_flat[np.flatnonzero(pmask) - 1]
+        pgaps_u = pgaps.astype(np.uint64)
+        all_pos_enc = vb_encode(pgaps_u)
+        pos_byte_prefix = np.concatenate(([0], np.cumsum(_vb_sizes(pgaps_u))))
+    else:
+        tok_prefix = None
+        all_pos_enc = b""
+        pos_byte_prefix = None
+
     rows_term, rows_chunk = [], []
     rows_df, rows_ttf = [], []
-    rows_docs_enc, rows_tfs_enc = [], []
+    rows_docs_enc, rows_tfs_enc, rows_pos_enc = [], [], []
     rows_skip_docs, rows_skip_off, rows_skip_tf_off = [], [], []
     rows_bmax_tf, rows_bmin_norm = [], []
 
@@ -293,6 +348,12 @@ def build_segment_table(
                 head = vb_encode(docids[cs:cs + 1].astype(np.uint64))
                 rows_docs_enc.append(head + all_docs_enc[doc_prefix[cs + 1]:doc_prefix[ce]])
             rows_tfs_enc.append(all_tfs_enc[tf_prefix[cs]:tf_prefix[ce]])
+            if tok_prefix is not None:
+                rows_pos_enc.append(
+                    all_pos_enc[pos_byte_prefix[tok_prefix[cs]]:
+                                pos_byte_prefix[tok_prefix[ce]]])
+            else:
+                rows_pos_enc.append(b"")
             base_doc_off = doc_prefix[cs]
             base_tf_off = tf_prefix[cs]
             rows_skip_docs.append(docids[block_hi - 1].astype(np.int32))
@@ -331,6 +392,7 @@ def build_segment_table(
             "skip_tf_off": pa.array(rows_skip_tf_off, type=pa.list_(pa.int32())),
             "block_max_tf": pa.array(rows_bmax_tf, type=pa.list_(pa.int32())),
             "block_min_norm": pa.array(rows_bmin_norm, type=pa.list_(pa.int32())),
+            "pos_enc": pa.array(rows_pos_enc, type=pa.binary()),
         },
         schema=SEGMENT_SCHEMA,
     )
@@ -345,6 +407,7 @@ def build_segment_table(
         "sum_dl": int(dl.sum()) if n_docs else 0,
         "vocab": int(starts.size),
         "postings_rows": postings.num_rows,
+        "has_positions": bool(pos_flat is not None),
     }
     return postings, docstore, meta
 
@@ -388,12 +451,14 @@ class SegmentBuilder:
 
     def __init__(self, index_dir: str, analyzer="default",
                  text_col: str = "text", sort_cols=("conv_id", "turn_idx"),
-                 columns: Optional[List[str]] = None):
+                 columns: Optional[List[str]] = None,
+                 index_positions: bool = False):
         self.index_dir = index_dir
         self.analyzer = get_analyzer(analyzer)
         self.text_col = text_col
         self.sort_cols = tuple(sort_cols) if sort_cols else None
         self.columns = columns
+        self.index_positions = index_positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # One fragment == one CPU slot: cap Arrow's per-process thread pools
@@ -419,7 +484,7 @@ class SegmentBuilder:
                 tbl = pq.read_table(row["path"], columns=self.columns)
                 postings, docstore, meta = build_segment_table(
                     tbl, text_col=self.text_col, analyzer=self.analyzer,
-                    sort_cols=self.sort_cols,
+                    sort_cols=self.sort_cols, index_positions=self.index_positions,
                 )
                 meta["resumed"] = False
                 meta = {**meta, "seg_id": seg_id, "path": row["path"]}

@@ -351,6 +351,65 @@ class Searcher:
         ordm = np.lexsort((topk_docs, -topk_scores.astype(np.float64)))[:k]
         return [SearchHit(int(topk_docs[i]), float(topk_scores[i])) for i in ordm]
 
+    def count(self, query_text: str, operator: str = "or") -> int:
+        """Hit count without scoring (the `_count` API / track_total_hits)."""
+        terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))
+        if not terms:
+            return 0
+        if operator == "and":
+            return int(self.bool_docs(must=terms).size)
+        return int(self.bool_docs(should=terms).size)
+
+    def explain(self, query_text: str, docid: int) -> dict:
+        """Scoring breakdown for one doc (the `_explain` API,
+        search/fetch/subphase/ExplainPhase): per-term tf, df, idf, quantized
+        dl and contribution, plus the summed score."""
+        terms = self.analyzer.tokens(query_text)
+        if not terms:
+            return {"docid": docid, "matched": False, "score": 0.0, "terms": []}
+        from collections import Counter as _C
+        from ..index.norms import NORM_LENGTH_TABLE
+        mult = _C(terms)
+        stats = self.term_stats(list(mult))
+        si = int(np.searchsorted(self._bases, docid, side="right") - 1)
+        seg_id = int(self._seg_ids[si])
+        local = docid - int(self._bases[si])
+        norms = self.norms(seg_id)
+        nb = int(norms[local])
+        detail = []
+        total = 0.0
+        post = self.postings([t for t in mult if stats[t][0] > 0])
+        for t, m in mult.items():
+            df = stats[t][0]
+            if df == 0:
+                continue
+            tf = 0
+            tbl = post.get(t)
+            if tbl is not None and tbl.num_rows:
+                for row in tbl.to_pylist():
+                    if int(row["seg_id"]) != seg_id:
+                        continue
+                    docids, tfs = self._decode_chunk_rows(row)
+                    pos = np.searchsorted(docids, local)
+                    if pos < len(docids) and docids[pos] == local:
+                        tf = int(tfs[pos])
+                        break
+            if tf == 0:
+                continue
+            idf = bm25_idf(df, self.N, self.dtype)
+            w = term_weight(idf, m, self.params, self.dtype)
+            contrib = float(score_postings(np.array([tf]), np.array([nb]),
+                                           w, self.norm_cache)[0])
+            detail.append({
+                "term": t, "boost": m, "tf": tf, "df": df,
+                "idf": float(idf), "dl_quantized": int(NORM_LENGTH_TABLE[nb]),
+                "contribution": contrib,
+            })
+            total += contrib
+        return {"docid": int(docid), "matched": bool(detail),
+                "score": float(self.dtype(total)), "avgdl": self.avgdl,
+                "k1": self.params.k1, "b": self.params.b, "terms": detail}
+
     # ------------------------------------------------------------ doc sets
 
     def term_docs(self, term: str) -> np.ndarray:
@@ -392,24 +451,37 @@ class Searcher:
             cur = np.setdiff1d(cur, self.term_docs(t), assume_unique=True)
         return cur
 
-    def match_phrase(self, phrase_text: str, slop: int = 0) -> np.ndarray:
-        """match_phrase without stored positions: candidate docs from the AND
-        of the phrase terms (index lookup), then position verification by
-        re-analyzing the candidates' stored text (fetch phase). Query-token
-        positions keep stopword gaps, mirroring Lucene's PhraseQuery over a
-        stop-filtered stream. slop=0 only (exact phrase).
+    @staticmethod
+    def _decode_positions(row: dict) -> Dict[int, np.ndarray]:
+        """pos_enc chunk -> {local docid: ascending positions} (index-native
+        phrase support; positions are delta-gapped per posting)."""
+        docids, tfs = Searcher._decode_chunk_rows(row)
+        gaps = vb_decode(row["pos_enc"]).astype(np.int64)
+        cum = np.cumsum(gaps)
+        tok_prefix = np.concatenate(([0], np.cumsum(tfs)))
+        starts = tok_prefix[:-1]
+        # reset the running sum at each posting start (first gap is absolute)
+        base = np.repeat(cum[starts] - gaps[starts], tfs)
+        pos = cum - base
+        return {int(d): pos[tok_prefix[i]:tok_prefix[i + 1]]
+                for i, d in enumerate(docids)}
 
-        At 100 TB the candidate set after the conjunctive filter is small
-        relative to the corpus, so the re-analyze verify touches few docs;
-        storing positions in the index is the documented alternative
-        (trades ~3x index size — TextFieldMapper defaults store positions,
-        TextFieldMapper.java:128-136)."""
+    def match_phrase(self, phrase_text: str, slop: int = 0) -> np.ndarray:
+        """match_phrase: candidate docs from the AND of the phrase terms, then
+        position verification — from STORED positions when the index has them
+        (manifest.has_positions; DOCS_AND_FREQS_AND_POSITIONS parity,
+        TextFieldMapper.java:128-136), else by re-analyzing the candidates'
+        stored text (fetch phase). Query-token positions keep stopword gaps,
+        mirroring Lucene's PhraseQuery over a stop-filtered stream.
+        slop=0 only (exact phrase)."""
         q_toks, q_pos = self.analyzer.analyze(phrase_text)
         if not q_toks:
             return np.empty(0, np.int64)
         cand = self.bool_docs(must=list(dict.fromkeys(q_toks)))
         if cand.size == 0:
             return cand
+        if self.manifest.has_positions:
+            return self._match_phrase_indexed(q_toks, q_pos, cand)
         fetched = self.fetch(cand.tolist(), columns=[self.manifest.text_col])
         out = []
         q_pos0 = [p - q_pos[0] for p in q_pos]
@@ -424,6 +496,47 @@ class Searcher:
                 if all((s0 + dp) in ps for dp, ps in zip(q_pos0, first_pos_sets)):
                     out.append(r["_docid"])
                     break
+        return np.array(sorted(out), dtype=np.int64)
+
+    def _match_phrase_indexed(self, q_toks, q_pos, cand: np.ndarray) -> np.ndarray:
+        """Verify phrase alignment from stored positions (no doc fetch)."""
+        uniq = list(dict.fromkeys(q_toks))
+        post = self.postings(uniq)
+        q_delta = [p - q_pos[0] for p in q_pos]
+        # per (term, seg): lazily decoded position maps for candidate docs
+        out: List[int] = []
+        seg_idx = np.searchsorted(self._bases, cand, side="right") - 1
+        for si in np.unique(seg_idx):
+            seg_id = int(self._seg_ids[si])
+            base = int(self._bases[si])
+            locals_ = cand[seg_idx == si] - base
+            pos_of_term: Dict[str, Dict[int, np.ndarray]] = {}
+            for t in uniq:
+                maps: Dict[int, np.ndarray] = {}
+                tbl = post.get(t)
+                if tbl is None or tbl.num_rows == 0:
+                    continue
+                for row in tbl.to_pylist():
+                    if int(row["seg_id"]) != seg_id:
+                        continue
+                    maps.update(self._decode_positions(row))
+                pos_of_term[t] = maps
+            for ld in locals_:
+                ld = int(ld)
+                first = pos_of_term.get(q_toks[0], {}).get(ld)
+                if first is None:
+                    continue
+                ok = False
+                sets = [pos_of_term.get(t, {}).get(ld) for t in q_toks]
+                if any(x is None for x in sets):
+                    continue
+                set_lookups = [set(x.tolist()) for x in sets]
+                for s0 in first:
+                    if all((s0 + dp) in ps for dp, ps in zip(q_delta, set_lookups)):
+                        ok = True
+                        break
+                if ok:
+                    out.append(ld + base)
         return np.array(sorted(out), dtype=np.int64)
 
     # --------------------------------------------------------------- fetch

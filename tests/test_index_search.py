@@ -165,3 +165,66 @@ def test_hot_terms_are_salted(built_index):
     # salted lookup still finds every segment's chunk rows
     segs = set(post.column("seg_id").to_pylist())
     assert len(segs) == 4
+
+
+def test_positions_index_phrase(transcript_corpus, tmp_path, oracle):
+    """index_positions=True: pos_enc round-trips and index-native phrase
+    results equal the text-verify fallback exactly."""
+    from opensearch_ray.index.build import build_index
+
+    corpus_dir, _ = transcript_corpus
+    m = build_index(corpus_dir, str(tmp_path / "idx_pos"), analyzer="transcript",
+                    index_positions=True, num_buckets=4, hot_df_threshold=400)
+    assert m.has_positions
+    s_pos = Searcher(m.index_dir)
+    o, full = oracle
+    texts = full.column("text").to_pylist()
+    an = s_pos.analyzer
+    for phrase in ["bace cedi", "the bace", "cedi the difo", "nosuch phrase"]:
+        got = s_pos.search  # silence lint
+        got_docs = s_pos.match_phrase(phrase).tolist()
+        # brute-force expectation from analyzed positions
+        q_toks, q_pos = an.analyze(phrase)
+        want = []
+        for i, t in enumerate(texts):
+            toks, poss = an.analyze(t or "")
+            pos_of = {}
+            for tk, p in zip(toks, poss):
+                pos_of.setdefault(tk, set()).add(p)
+            if not q_toks or any(tk not in pos_of for tk in q_toks):
+                continue
+            deltas = [p - q_pos[0] for p in q_pos]
+            if any(all((s0 + d) in pos_of[tk] for d, tk in zip(deltas, q_toks))
+                   for s0 in pos_of[q_toks[0]]):
+                want.append(i)
+        assert got_docs == want, phrase
+    # positions round-trip on one common term
+    from opensearch_ray.search.searcher import Searcher as S
+    post = s_pos.postings(["bace"])["bace"]
+    row = post.to_pylist()[0]
+    assert len(row["pos_enc"]) > 0
+    maps = S._decode_positions(row)
+    some_local, some_pos = next(iter(maps.items()))
+    assert (np.diff(some_pos) > 0).all() if len(some_pos) > 1 else True
+
+
+def test_count_and_explain(built_index, oracle):
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    texts = full.column("text").to_pylist()
+    an = s.analyzer
+    with_bace = sum(1 for t in texts if "bace" in an.tokens(t or ""))
+    assert s.count("bace") == with_bace
+    both = sum(1 for t in texts
+               if {"bace", "cedi"} <= set(an.tokens(t or "")))
+    assert s.count("bace cedi", operator="and") == both
+    # explain reproduces the search score exactly
+    hits = s.search("bace cedi", k=3)
+    for h in hits:
+        ex = s.explain("bace cedi", h.docid)
+        assert ex["matched"]
+        assert ex["score"] == pytest.approx(h.score, rel=1e-6)
+        assert {d["term"] for d in ex["terms"]} <= {"bace", "cedi"}
+        for d in ex["terms"]:
+            assert d["tf"] >= 1 and d["df"] > 0 and d["contribution"] > 0
+    assert s.explain("nosuchterm", 0)["matched"] is False
