@@ -506,6 +506,18 @@ def _q_multimodal(sf_dir):
     return out[["media_id", "feat0", "resized_w"]]
 
 
+def _q_training_data_pipeline(sf_dir):
+    import shutil
+    from opensearch_ray.pipelines import prepare_training_data
+    out = f"/tmp/osray_training_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(out, ignore_errors=True)
+    summary = prepare_training_data(
+        os.path.join(sf_dir, "documents.parquet"), out,
+        min_quality=0.05, near_dup_threshold=0.8, n_shards=4)
+    kept = ray.data.read_parquet(out).count() if summary["kept_rows"] else 0
+    return pd.DataFrame([{**summary, "reread_rows": kept}])
+
+
 def _q_transcript_flagship(sf_dir):
     from opensearch_ray.pipelines import flagship_pipeline
     return flagship_pipeline(work_dir="/tmp/osray_flagship_q", n_turns=2000,
@@ -759,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_tdigest": _q_percentiles_tdigest,
         "multimodal_features": _q_multimodal,
         "transcript_flagship": _q_transcript_flagship,
+        "training_data_pipeline": _q_training_data_pipeline,
     }
 
 

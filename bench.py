@@ -87,9 +87,17 @@ def run_bench() -> dict:
 
     # --- headline 2: BM25 reference query set, p50 latency
     s = Searcher(idx)
-    lat = []
     qs = reference_queries()
-    for _ in range(3):  # repeated runs for a stable p50
+    for q in qs:  # untimed warm round (loads norms + postings caches, the
+        s.search(q["query_text"], k=q["k"])  # steady state a serving node is in)
+    lat = []
+    cold = []
+    s_cold = Searcher(idx)
+    for q in qs:  # one cold round from a fresh searcher, reported separately
+        tq = time.perf_counter()
+        s_cold.search(q["query_text"], k=q["k"])
+        cold.append(time.perf_counter() - tq)
+    for _ in range(3):  # warm rounds for the p50/p95
         for q in qs:
             tq = time.perf_counter()
             s.search(q["query_text"], k=q["k"])
@@ -98,6 +106,7 @@ def run_bench() -> dict:
     timings["query_p95_ms"] = round(
         statistics.quantiles(lat, n=20)[18] * 1000, 2)
     timings["queries_per_sec"] = round(len(lat) / sum(lat), 1)
+    timings["query_cold_p50_ms"] = round(statistics.median(cold) * 1000, 2)
 
     # --- secondary pipelines over the sf tables
     import ray.data as rd

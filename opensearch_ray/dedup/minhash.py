@@ -61,24 +61,24 @@ def minhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
     """-> Dataset[(id_col, sig: list<uint64 as int64>)]."""
     a, b = _perm_params(num_hashes, seed)
 
-    class Signer:
-        def __init__(self):
-            self.a, self.b = a, b
+    # plain-function stage: the "state" is two small numpy arrays shipped in
+    # the closure — an actor pool here would reserve CPUs it doesn't need
+    # (with a pool size == cluster CPUs the downstream stages starve and the
+    # pipeline stalls; observed under a 4-cpu session)
+    def sign(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        sigs = np.stack([
+            _sig_for_hashes(_shingle_hashes(s or "", shingle_k), a, b)
+            for s in texts
+        ]) if texts else np.empty((0, num_hashes), dtype=np.uint64)
+        flat = pa.array(sigs.astype(np.int64).ravel())
+        offs = pa.array(np.arange(len(texts) + 1, dtype=np.int32) * num_hashes)
+        return pa.table({
+            id_col: t.column(id_col),
+            "sig": pa.ListArray.from_arrays(offs, flat),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t.column(text_col).to_pylist()
-            sigs = np.stack([
-                _sig_for_hashes(_shingle_hashes(s or "", shingle_k), self.a, self.b)
-                for s in texts
-            ]) if texts else np.empty((0, num_hashes), dtype=np.uint64)
-            flat = pa.array(sigs.astype(np.int64).ravel())
-            offs = pa.array(np.arange(len(texts) + 1, dtype=np.int32) * num_hashes)
-            return pa.table({
-                id_col: t.column(id_col),
-                "sig": pa.ListArray.from_arrays(offs, flat),
-            })
-
-    return ds.map_batches(Signer, batch_format="pyarrow", concurrency=4)
+    return ds.map_batches(sign, batch_format="pyarrow")
 
 
 def lsh_candidate_pairs(sig_ds: Dataset, id_col: str = "doc_id",

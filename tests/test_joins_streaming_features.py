@@ -178,3 +178,21 @@ def test_terms_lookup_filter(sf_dir):
     p_pdf = pq.read_table(f"{sf_dir}/part.parquet").to_pandas()
     keys = set(p_pdf[p_pdf["p_size"] > 40]["p_partkey"])
     assert got == li_pdf["l_partkey"].isin(keys).sum()
+
+
+def test_training_data_pipeline(tmp_path, sf_dir):
+    from opensearch_ray.pipelines import prepare_training_data
+    out = str(tmp_path / "prep")
+    s1 = prepare_training_data(f"{sf_dir}/documents.parquet", out,
+                               min_quality=0.0, near_dup_threshold=0.8,
+                               n_shards=4)
+    assert s1["input_rows"] == 500
+    assert 0 < s1["kept_rows"] <= 500
+    assert s1["shards_written"] >= 1 and not s1["resumed"]
+    reread = rd.read_parquet(out).to_pandas()
+    assert len(reread) == s1["kept_rows"]
+    assert reread["doc_id"].is_unique
+    assert {"quality", "predicted_lang", "whitespace_tokens"} <= set(reread.columns)
+    # resume: second call short-circuits via the manifest
+    s2 = prepare_training_data(f"{sf_dir}/documents.parquet", out)
+    assert s2["resumed"] and s2["kept_rows"] == s1["kept_rows"]
