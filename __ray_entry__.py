@@ -57,7 +57,10 @@ def _doc_index(sf_dir: str) -> str:
     """Build (once, cached in /tmp) the inverted index over `documents`."""
     from opensearch_ray.index.build import build_index
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache key includes the index format version so stale /tmp indexes from
+    # older code revisions are never mixed with newer readers
+    from opensearch_ray import __version__
+    key = hashlib.md5(f"{sf_dir}:{__version__}:v2".encode()).hexdigest()[:10]
     idx = f"/tmp/osray_docidx_{key}"
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         build_index(
