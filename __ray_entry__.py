@@ -681,6 +681,21 @@ def _q_agg_bucket_selector(sf_dir):
     return out[["month", "doc_count"]]
 
 
+def _q_prefix_query(sf_dir):
+    s = _searcher(sf_dir)
+    return pd.DataFrame({"doc_id": s.prefix_docs("ha").astype(np.int64)})
+
+
+def _q_wildcard_query(sf_dir):
+    s = _searcher(sf_dir)
+    return pd.DataFrame({"doc_id": s.wildcard_docs("s*am").astype(np.int64)})
+
+
+def _q_fuzzy_query(sf_dir):
+    s = _searcher(sf_dir)
+    return pd.DataFrame({"doc_id": s.fuzzy_docs("hashe", max_edits=1).astype(np.int64)})
+
+
 def _q_bm25_filtered(sf_dir):
     """BM25 with a keyword filter clause (lang='en') — filter context does
     not affect scores (BoolQueryBuilder.filter semantics)."""
@@ -754,6 +769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_session": _q_window_session,
         "collapse_bm25_by_lang": _q_collapse_bm25_by_lang,
         "bm25_filtered": _q_bm25_filtered,
+        "prefix_query": _q_prefix_query,
+        "wildcard_query": _q_wildcard_query,
+        "fuzzy_query": _q_fuzzy_query,
         "term_suggester": _q_term_suggester,
         "function_score_decay": _q_function_score_decay,
         "terms_lookup": _q_terms_lookup,
@@ -811,6 +829,22 @@ def oracle_sql() -> dict[str, str]:
                  SELECT doc_id FROM tf WHERE token = 'hash'
                  INTERSECT SELECT doc_id FROM tf WHERE token = 'join')""",
             query_terms=["hash", "join"]),
+        "prefix_query": f"""
+            SELECT DISTINCT doc_id FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok LIKE 'ha%' AND t.tok NOT IN {STOP} AND t.tok <> ''
+        """,
+        "wildcard_query": f"""
+            SELECT DISTINCT doc_id FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok LIKE 's%am' AND t.tok NOT IN {STOP} AND t.tok <> ''
+        """,
+        "fuzzy_query": f"""
+            SELECT DISTINCT doc_id FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE levenshtein(t.tok, 'hashe') <= 1
+              AND t.tok NOT IN {STOP} AND t.tok <> ''
+        """,
         "term_query": """
             SELECT DISTINCT doc_id FROM documents d,
                    unnest(string_split(d.text, ' ')) AS t(tok)

@@ -351,6 +351,47 @@ class Searcher:
         ordm = np.lexsort((topk_docs, -topk_scores.astype(np.float64)))[:k]
         return [SearchHit(int(topk_docs[i]), float(topk_scores[i])) for i in ordm]
 
+    def _vocab(self) -> "pa.Table":
+        """The global term dictionary (term, df) — the terms-dict scan that
+        backs prefix/wildcard/fuzzy multi-term queries (Lucene rewrites them
+        over the terms enum; MultiTermQuery semantics)."""
+        if not hasattr(self, "_vocab_tbl"):
+            self._vocab_tbl = pq.read_table(self._stats_dir,
+                                            columns=["term", "df"])
+        return self._vocab_tbl
+
+    def expand_prefix(self, prefix: str) -> List[str]:
+        v = self._vocab()
+        m = pc.starts_with(v.column("term"), prefix)
+        return sorted(v.filter(m).column("term").to_pylist())
+
+    def expand_wildcard(self, pattern: str) -> List[str]:
+        """``?`` = one char, ``*`` = any run (WildcardQuery)."""
+        import re as _re
+        rx = _re.compile("^" + _re.escape(pattern)
+                         .replace(r"\*", ".*").replace(r"\?", ".") + "$")
+        v = self._vocab().column("term").to_pylist()
+        return sorted(t for t in v if rx.match(t))
+
+    def expand_fuzzy(self, term: str, max_edits: int = 2) -> List[str]:
+        from .features import _levenshtein
+        v = self._vocab().column("term").to_pylist()
+        return sorted(t for t in v
+                      if _levenshtein(term, t, max_edits) <= max_edits)
+
+    def prefix_docs(self, prefix: str) -> np.ndarray:
+        """Docs containing ANY term with the prefix (constant-score rewrite)."""
+        terms = self.expand_prefix(prefix)
+        return self.bool_docs(should=terms) if terms else np.empty(0, np.int64)
+
+    def wildcard_docs(self, pattern: str) -> np.ndarray:
+        terms = self.expand_wildcard(pattern)
+        return self.bool_docs(should=terms) if terms else np.empty(0, np.int64)
+
+    def fuzzy_docs(self, term: str, max_edits: int = 2) -> np.ndarray:
+        terms = self.expand_fuzzy(term, max_edits)
+        return self.bool_docs(should=terms) if terms else np.empty(0, np.int64)
+
     def count(self, query_text: str, operator: str = "or") -> int:
         """Hit count without scoring (the `_count` API / track_total_hits)."""
         terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))

@@ -228,3 +228,23 @@ def test_count_and_explain(built_index, oracle):
         for d in ex["terms"]:
             assert d["tf"] >= 1 and d["df"] > 0 and d["contribution"] > 0
     assert s.explain("nosuchterm", 0)["matched"] is False
+
+
+def test_multiterm_queries(built_index, oracle):
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    texts = full.column("text").to_pylist()
+    an = s.analyzer
+
+    def docs_matching(pred):
+        return {i for i, t in enumerate(texts)
+                if any(pred(tok) for tok in an.tokens(t or ""))}
+
+    got = set(s.prefix_docs("bace").tolist())
+    assert got == docs_matching(lambda t: t.startswith("bace"))
+    got_w = set(s.wildcard_docs("ba?e").tolist())
+    assert got_w == docs_matching(lambda t: len(t) == 4 and t[0:2] == "ba" and t[3] == "e")
+    from opensearch_ray.search.features import _levenshtein
+    got_f = set(s.fuzzy_docs("bace", max_edits=1).tolist())
+    assert got_f == docs_matching(lambda t: _levenshtein("bace", t, 1) <= 1)
+    assert s.prefix_docs("zzzzzz").size == 0
