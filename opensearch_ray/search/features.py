@@ -221,6 +221,41 @@ def function_score_topk(ds, value_fn: Callable[[pa.Table], np.ndarray],
     return parts.reset_index(drop=True)
 
 
+def more_like_this(searcher: Searcher, docid: int, k: int = 10,
+                  max_query_terms: int = 25, min_term_freq: int = 1,
+                  min_doc_freq: int = 2) -> List[SearchHit]:
+    """more_like_this: select the doc's most distinctive terms by tf-idf
+    (ref index/query/MoreLikeThisQueryBuilder defaults: max_query_terms=25,
+    min_term_freq/min_doc_freq thresholds), OR-query them, exclude the
+    source doc itself."""
+    import numpy as np
+
+    from .bm25 import bm25_idf
+
+    row = searcher.fetch([docid]).to_pylist()
+    if not row:
+        return []
+    text = row[0][searcher.manifest.text_col] or ""
+    toks = searcher.analyzer.tokens(text)
+    if not toks:
+        return []
+    from collections import Counter
+    tf = Counter(toks)
+    stats = searcher.term_stats(list(tf))
+    scored_terms = []
+    for t, f in tf.items():
+        df = stats[t][0]
+        if f < min_term_freq or df < min_doc_freq:
+            continue
+        scored_terms.append((float(f) * float(bm25_idf(df, searcher.N)), t))
+    scored_terms.sort(key=lambda x: (-x[0], x[1]))
+    query_terms = [t for _, t in scored_terms[:max_query_terms]]
+    if not query_terms:
+        return []
+    hits = searcher.search(" ".join(query_terms), k=k + 1)
+    return [h for h in hits if h.docid != docid][:k]
+
+
 # ------------------------------------------------------------- terms lookup
 
 def terms_lookup_filter(ds, filter_col: str, lookup_ds, lookup_col: str,

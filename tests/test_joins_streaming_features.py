@@ -196,3 +196,46 @@ def test_training_data_pipeline(tmp_path, sf_dir):
     # resume: second call short-circuits via the manifest
     s2 = prepare_training_data(f"{sf_dir}/documents.parquet", out)
     assert s2["resumed"] and s2["kept_rows"] == s1["kept_rows"]
+
+
+def test_more_like_this(searcher):
+    from opensearch_ray.search.features import more_like_this
+    seed_hits = searcher.search("bace cedi", k=1)
+    src = seed_hits[0].docid
+    out = more_like_this(searcher, src, k=5)
+    assert 1 <= len(out) <= 5
+    assert src not in [h.docid for h in out]
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
+
+
+def test_cli(tmp_path, transcript_corpus):
+    import json as _json
+    import subprocess, sys, os
+    corpus_dir, _ = transcript_corpus
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    idx = str(tmp_path / "cli_idx")
+    r = subprocess.run([sys.executable, "-m", "opensearch_ray", "build",
+                        corpus_dir, idx, "--buckets", "4"],
+                       capture_output=True, text=True, cwd=repo, env=env,
+                       timeout=240)
+    assert r.returncode == 0, r.stderr[-800:]
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["total_docs"] == 2000
+    r = subprocess.run([sys.executable, "-m", "opensearch_ray", "search",
+                        idx, "bace cedi", "-k", "3", "--fetch"],
+                       capture_output=True, text=True, cwd=repo, env=env,
+                       timeout=120)
+    assert r.returncode == 0, r.stderr[-800:]
+    hits = _json.loads(r.stdout)
+    assert len(hits) == 3 and hits[0]["score"] >= hits[-1]["score"]
+    r = subprocess.run([sys.executable, "-m", "opensearch_ray", "analyze",
+                        "The Quick Fox", "--analyzer", "transcript"],
+                       capture_output=True, text=True, cwd=repo, env=env,
+                       timeout=60)
+    assert _json.loads(r.stdout)["tokens"] == ["quick", "fox"]
+    r = subprocess.run([sys.executable, "-m", "opensearch_ray", "stats", idx],
+                       capture_output=True, text=True, cwd=repo, env=env,
+                       timeout=60)
+    st = _json.loads(r.stdout)
+    assert st["total_docs"] == 2000 and st["bytes"]["segments"] > 0
