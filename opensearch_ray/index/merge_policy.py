@@ -1,0 +1,184 @@
+"""Segment consolidation (force-merge): N segments -> fewer, larger segments.
+
+The reference background-merges segments per tier (TieredMergePolicyProvider
+defaults: ≤10 merges at once, 10 segments/tier, 5 GB ceiling —
+TieredMergePolicyProvider.java:138-144,207-228) and exposes `_forcemerge`.
+Our batch analogue: group adjacent segments (doc-id ranges stay contiguous,
+so global ids are UNCHANGED — a pure re-layout), re-base each group's local
+doc ids, and merge posting lists by ordered concatenation (disjoint ascending
+doc ranges ⇒ no interleave needed, the cheap-merge property SURVEY §7.2-5
+relies on). Runs as one Ray task per output segment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .build import IndexManifest, SegmentInfo, _finalize_index
+from .postings import MAX_DOCS_PER_CHUNK, encode_postings, decode_postings
+from .segment import SEGMENT_SCHEMA
+
+
+def _merge_group(index_dir: str, seg_ids: List[int], bases: List[int],
+                 new_seg_id: int, has_positions: bool) -> dict:
+    """Merge one group of segments into seg-{new_seg_id} (temp dir + rename).
+    Doc ids inside the new segment are offset by each source's base minus the
+    group's first base, preserving global order."""
+    group_base = bases[0]
+    seg_dirs = [os.path.join(index_dir, "segments", f"seg-{sid:05d}")
+                for sid in seg_ids]
+
+    # --- doc store: concat with re-based local docids
+    doc_tables = []
+    total_docs = 0
+    sum_dl = 0
+    for sd, b in zip(seg_dirs, bases):
+        t = pq.read_table(os.path.join(sd, "docs.parquet"))
+        off = b - group_base
+        if off:
+            t = t.set_column(t.schema.get_field_index("docid"), "docid",
+                             pc.add(t.column("docid"), pa.scalar(off, pa.int64())))
+        meta = json.load(open(os.path.join(sd, "meta.json")))
+        total_docs += meta["doc_count"]
+        sum_dl += meta["sum_dl"]
+        doc_tables.append(t)
+    docstore = pa.concat_tables(doc_tables)
+    norms = docstore.column("norm").to_numpy(zero_copy_only=False).astype(np.uint8)
+
+    # --- postings: per-term ordered concat of decoded lists, re-encode
+    post_tables = []
+    for sd, b in zip(seg_dirs, bases):
+        t = pq.read_table(os.path.join(sd, "postings.parquet"))
+        t = t.append_column("_off", pa.array(
+            np.full(t.num_rows, b - group_base, dtype=np.int64)))
+        post_tables.append(t)
+    allp = pa.concat_tables(post_tables).sort_by(
+        [("term", "ascending"), ("_off", "ascending"), ("chunk", "ascending")])
+
+    rows = {name: [] for name in SEGMENT_SCHEMA.names}
+    rows["_chunks"] = []
+    cur_term = None
+    cur_docs: List[np.ndarray] = []
+    cur_tfs: List[np.ndarray] = []
+    vocab = 0
+
+    def flush():
+        nonlocal vocab
+        if cur_term is None:
+            return
+        docids = np.concatenate(cur_docs)
+        tfs = np.concatenate(cur_tfs)
+        vocab += 1
+        for ci, cs in enumerate(range(0, len(docids), MAX_DOCS_PER_CHUNK)):
+            ce = min(cs + MAX_DOCS_PER_CHUNK, len(docids))
+            enc = encode_postings(docids[cs:ce], tfs[cs:ce], norms)
+            rows["term"].append(cur_term)
+            rows["chunk"].append(ci)
+            rows["df"].append(int(enc["df"]))
+            rows["ttf"].append(int(enc["ttf"]))
+            rows["docs_enc"].append(enc["docs_enc"])
+            rows["tfs_enc"].append(enc["tfs_enc"])
+            rows["skip_docs"].append(enc["skip_docs"])
+            rows["skip_off"].append(enc["skip_off"])
+            rows["skip_tf_off"].append(enc["skip_tf_off"])
+            rows["block_max_tf"].append(enc["block_max_tf"])
+            rows["block_min_norm"].append(enc["block_min_norm"])
+            rows["pos_enc"].append(b"")  # positions dropped on force-merge
+                                          # (documented: rebuild w/ positions
+                                          # if phrase-native needed post-merge)
+
+    for row in allp.to_pylist():
+        if row["term"] != cur_term:
+            flush()
+            cur_term = row["term"]
+            cur_docs, cur_tfs = [], []
+        d, t = decode_postings(row["docs_enc"], row["tfs_enc"], row["df"])
+        cur_docs.append(d + row["_off"])
+        cur_tfs.append(t)
+    flush()
+    rows.pop("_chunks")
+
+    postings = pa.table({n: pa.array(rows[n], type=SEGMENT_SCHEMA.field(n).type)
+                         for n in SEGMENT_SCHEMA.names}, schema=SEGMENT_SCHEMA)
+
+    out_dir = os.path.join(index_dir, "segments", f"seg-{new_seg_id:05d}")
+    tmp = out_dir + f".tmp-merge-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(postings, os.path.join(tmp, "postings.parquet"),
+                   compression="zstd", row_group_size=4096)
+    pq.write_table(docstore, os.path.join(tmp, "docs.parquet"),
+                   compression="zstd", row_group_size=65536)
+    meta = {"doc_count": total_docs, "sum_dl": sum_dl, "vocab": vocab,
+            "postings_rows": postings.num_rows, "has_positions": False,
+            "merged_from": seg_ids}
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"tmp": tmp, "out_dir": out_dir, "seg_id": new_seg_id,
+            "doc_count": total_docs, "sum_dl": sum_dl, "vocab": vocab,
+            "doc_base": group_base, "sources": seg_dirs}
+
+
+def force_merge(manifest: IndexManifest, max_segments: int = 1,
+                hot_df_threshold: int = 1_000_000) -> IndexManifest:
+    """`_forcemerge` analogue: consolidate to <= max_segments segments (one
+    Ray task per output group), then rebuild stats + the bucket merge.
+    Global doc ids are unchanged, so query results are identical."""
+    segs = sorted(manifest.segments, key=lambda s: s.seg_id)
+    if len(segs) <= max_segments:
+        return manifest
+    groups: List[List[SegmentInfo]] = [[] for _ in range(max_segments)]
+    per = (len(segs) + max_segments - 1) // max_segments
+    for i, s in enumerate(segs):
+        groups[i // per].append(s)
+    groups = [g for g in groups if g]
+
+    merge_task = ray.remote(num_cpus=1)(_merge_group)
+    futures = [
+        merge_task.remote(manifest.index_dir, [s.seg_id for s in g],
+                          [s.doc_base for s in g], gi,
+                          manifest.has_positions)
+        for gi, g in enumerate(groups)
+    ]
+    results = ray.get(futures)
+
+    # atomically swap: remove sources, rename temp dirs to their new ids
+    for r in results:
+        for sd in r["sources"]:
+            shutil.rmtree(sd, ignore_errors=True)
+    for r in sorted(results, key=lambda r: r["seg_id"]):
+        if os.path.exists(r["out_dir"]):
+            shutil.rmtree(r["out_dir"])
+        os.rename(r["tmp"], r["out_dir"])
+
+    new_segments = [
+        SegmentInfo(seg_id=r["seg_id"], path=f"merge:{r['seg_id']}",
+                    doc_count=r["doc_count"], sum_dl=r["sum_dl"],
+                    doc_base=r["doc_base"], vocab=r["vocab"])
+        for r in sorted(results, key=lambda r: r["seg_id"])
+    ]
+    # leftover old segment dirs with ids >= len(groups) must go
+    seg_root = os.path.join(manifest.index_dir, "segments")
+    keep = {f"seg-{r['seg_id']:05d}" for r in results}
+    for d in os.listdir(seg_root):
+        if d.startswith("seg-") and d not in keep:
+            shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
+    shutil.rmtree(os.path.join(manifest.index_dir, "merged"), ignore_errors=True)
+
+    new_manifest = IndexManifest(
+        index_dir=manifest.index_dir, segments=new_segments,
+        total_docs=manifest.total_docs, sum_dl=manifest.sum_dl,
+        analyzer=manifest.analyzer, text_col=manifest.text_col,
+        num_buckets=manifest.num_buckets, has_positions=False)
+    return _finalize_index(new_manifest, hot_df_threshold, merge=True,
+                           materialize_postings=True)

@@ -139,12 +139,28 @@ class Searcher:
                     # float64 and corrupts the bucket id
                     b = int(_stable_hash([t])[0]) % B
                     per_bucket.setdefault(b, []).append(t)
-            for b, ts in per_bucket.items():
+            # cold lookups touch several bucket files (hot terms span many);
+            # read them concurrently — parquet reads release the GIL
+            from concurrent.futures import ThreadPoolExecutor
+
+            def read_bucket(item):
+                b, ts = item
                 path = os.path.join(self.manifest.index_dir, "merged",
                                     f"bucket-{b:05d}.parquet")
                 if not os.path.exists(path):
+                    return None
+                return pq.read_table(path, filters=[("term", "in", ts)]), ts
+
+            items = list(per_bucket.items())
+            if len(items) > 1:
+                with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+                    results = list(ex.map(read_bucket, items))
+            else:
+                results = [read_bucket(i) for i in items]
+            for res in results:
+                if res is None:
                     continue
-                tbl = pq.read_table(path, filters=[("term", "in", ts)])
+                tbl, ts = res
                 for t in set(ts):
                     sub = tbl.filter(pc.equal(tbl.column("term"), t))
                     if sub.num_rows:

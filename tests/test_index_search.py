@@ -248,3 +248,38 @@ def test_multiterm_queries(built_index, oracle):
     got_f = set(s.fuzzy_docs("bace", max_edits=1).tolist())
     assert got_f == docs_matching(lambda t: _levenshtein("bace", t, 1) <= 1)
     assert s.prefix_docs("zzzzzz").size == 0
+
+
+def test_force_merge_preserves_results(transcript_corpus, tmp_path, oracle):
+    """force_merge (TieredMergePolicy/_forcemerge analogue) must not change
+    any (docid, score): global ids are preserved by construction."""
+    from opensearch_ray.index.build import build_index
+    from opensearch_ray.index.merge_policy import force_merge
+
+    o, _ = oracle
+    corpus_dir, _ = transcript_corpus
+    idx = str(tmp_path / "idx_fm")
+    m = build_index(corpus_dir, idx, analyzer="transcript", num_buckets=4,
+                    hot_df_threshold=400)
+    assert len(m.segments) == 4
+    before = {}
+    s0 = Searcher(idx)
+    for q in reference_queries()[:6]:
+        before[q["query_id"]] = [(h.docid, h.score)
+                                 for h in s0.search(q["query_text"], k=q["k"])]
+    m2 = force_merge(m, max_segments=2, hot_df_threshold=400)
+    assert len(m2.segments) == 2
+    assert m2.total_docs == m.total_docs
+    s1 = Searcher(idx)
+    for q in reference_queries()[:6]:
+        got = [(h.docid, h.score) for h in s1.search(q["query_text"], k=q["k"])]
+        assert got == before[q["query_id"]], q["query_id"]
+        want = o.search(q["query_text"], k=q["k"])
+        assert got == want, q["query_id"]
+    # down to a single segment
+    m3 = force_merge(m2, max_segments=1, hot_df_threshold=400)
+    assert len(m3.segments) == 1
+    s2 = Searcher(idx)
+    for q in reference_queries()[:6]:
+        got = [(h.docid, h.score) for h in s2.search(q["query_text"], k=q["k"])]
+        assert got == before[q["query_id"]], q["query_id"]
