@@ -681,6 +681,13 @@ def _q_agg_bucket_selector(sf_dir):
     return out[["month", "doc_count"]]
 
 
+def _q_query_terms_agg(sf_dir):
+    """query + aggregations in one request: terms agg on lang over docs
+    matching the query (the core search+aggs shape)."""
+    s = _searcher(sf_dir)
+    return s.terms_agg_on_hits(_BM25_Q, "lang", size=10)
+
+
 def _q_prefix_query(sf_dir):
     s = _searcher(sf_dir)
     return pd.DataFrame({"doc_id": s.prefix_docs("ha").astype(np.int64)})
@@ -770,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_bm25_by_lang": _q_collapse_bm25_by_lang,
         "bm25_filtered": _q_bm25_filtered,
         "prefix_query": _q_prefix_query,
+        "query_terms_agg": _q_query_terms_agg,
         "wildcard_query": _q_wildcard_query,
         "fuzzy_query": _q_fuzzy_query,
         "term_suggester": _q_term_suggester,
@@ -829,6 +837,18 @@ def oracle_sql() -> dict[str, str]:
                  SELECT doc_id FROM tf WHERE token = 'hash'
                  INTERSECT SELECT doc_id FROM tf WHERE token = 'join')""",
             query_terms=["hash", "join"]),
+        "query_terms_agg": f"""
+            WITH tok AS (
+              SELECT d.doc_id, t.tok AS token FROM documents d,
+                     unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}),
+            hits AS (
+              SELECT DISTINCT doc_id FROM tok
+              WHERE token IN ('hash', 'join', 'stream'))
+            SELECT d.lang, count(*) AS doc_count
+            FROM documents d JOIN hits USING (doc_id)
+            GROUP BY d.lang ORDER BY doc_count DESC, d.lang LIMIT 10
+        """,
         "prefix_query": f"""
             SELECT DISTINCT doc_id FROM documents d,
                    unnest(string_split(d.text, ' ')) AS t(tok)

@@ -408,6 +408,33 @@ class Searcher:
         terms = self.expand_fuzzy(term, max_edits)
         return self.bool_docs(should=terms) if terms else np.empty(0, np.int64)
 
+    def terms_agg_on_hits(self, query_text: str, field: str, size: int = 10,
+                          operator: str = "or"):
+        """The query+aggregations request shape (a terms agg computed over the
+        docs matching the query, SearchSourceBuilder.aggregation): bucket the
+        matching docs' keyword doc values, order (count desc, key asc)."""
+        import pandas as pd
+
+        terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))
+        if not terms:
+            return pd.DataFrame({field: [], "doc_count": []})
+        docs = (self.bool_docs(must=terms) if operator == "and"
+                else self.bool_docs(should=terms))
+        if docs.size == 0:
+            return pd.DataFrame({field: [], "doc_count": []})
+        seg_idx = np.searchsorted(self._bases, docs, side="right") - 1
+        vals = []
+        for si in np.unique(seg_idx):
+            seg_id = int(self._seg_ids[si])
+            local = docs[seg_idx == si] - int(self._bases[si])
+            vals.append(self.doc_values(seg_id, field)[local])
+        v = np.concatenate(vals)
+        uniq, counts = np.unique(v, return_counts=True)
+        out = pd.DataFrame({field: uniq, "doc_count": counts.astype(np.int64)})
+        return (out.sort_values(["doc_count", field], ascending=[False, True],
+                                kind="mergesort").head(size)
+                .reset_index(drop=True))
+
     def count(self, query_text: str, operator: str = "or") -> int:
         """Hit count without scoring (the `_count` API / track_total_hits)."""
         terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))

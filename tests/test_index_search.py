@@ -283,3 +283,18 @@ def test_force_merge_preserves_results(transcript_corpus, tmp_path, oracle):
     for q in reference_queries()[:6]:
         got = [(h.docid, h.score) for h in s2.search(q["query_text"], k=q["k"])]
         assert got == before[q["query_id"]], q["query_id"]
+
+
+def test_terms_agg_on_hits(built_index, oracle):
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    out = s.terms_agg_on_hits("bace cedi", "role", size=10)
+    texts = full.column("text").to_pylist()
+    roles = full.column("role").to_pylist()
+    an = s.analyzer
+    import collections
+    want = collections.Counter(
+        roles[i] for i, t in enumerate(texts)
+        if {"bace", "cedi"} & set(an.tokens(t or "")))
+    got = dict(zip(out["role"], out["doc_count"]))
+    assert got == dict(want)
