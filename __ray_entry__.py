@@ -681,6 +681,15 @@ def _q_agg_bucket_selector(sf_dir):
     return out[["month", "doc_count"]]
 
 
+def _q_agg_adjacency(sf_dir):
+    import pyarrow.compute as pc
+    from opensearch_ray.aggs import adjacency_matrix_agg
+    return adjacency_matrix_agg(_read(sf_dir, "events", ["event_type", "value"]), {
+        "err": lambda t: pc.equal(t.column("event_type"), "error"),
+        "big": lambda t: pc.greater(t.column("value"), 150.0),
+    })
+
+
 def _q_query_terms_agg(sf_dir):
     """query + aggregations in one request: terms agg on lang over docs
     matching the query (the core search+aggs shape)."""
@@ -778,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": _q_bm25_filtered,
         "prefix_query": _q_prefix_query,
         "query_terms_agg": _q_query_terms_agg,
+        "agg_adjacency_matrix": _q_agg_adjacency,
         "wildcard_query": _q_wildcard_query,
         "fuzzy_query": _q_fuzzy_query,
         "term_suggester": _q_term_suggester,
@@ -837,6 +847,17 @@ def oracle_sql() -> dict[str, str]:
                  SELECT doc_id FROM tf WHERE token = 'hash'
                  INTERSECT SELECT doc_id FROM tf WHERE token = 'join')""",
             query_terms=["hash", "join"]),
+        "agg_adjacency_matrix": """
+            SELECT key, doc_count FROM (
+              SELECT 'big' AS key, count(*) AS doc_count FROM events
+              WHERE value > 150.0
+              UNION ALL
+              SELECT 'big&err', count(*) FROM events
+              WHERE value > 150.0 AND event_type = 'error'
+              UNION ALL
+              SELECT 'err', count(*) FROM events WHERE event_type = 'error'
+            ) WHERE doc_count > 0 ORDER BY key
+        """,
         "query_terms_agg": f"""
             WITH tok AS (
               SELECT d.doc_id, t.tok AS token FROM documents d,

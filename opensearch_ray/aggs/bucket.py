@@ -182,6 +182,53 @@ def composite_agg(ds: Dataset, sources: List[str], size: int = 10,
     return merged.head(size).reset_index(drop=True)
 
 
+def auto_date_histogram_agg(ds: Dataset, field: str, target_buckets: int = 10,
+                            sum_col: Optional[str] = None) -> pd.DataFrame:
+    """auto_date_histogram: pick the coarsest calendar interval that yields
+    <= target_buckets buckets (AutoDateHistogramAggregator's rounding ladder,
+    coarse->fine)."""
+    ladder = ["year", "month", "week", "day", "hour", "minute"]
+    chosen = ladder[0]
+    out = None
+    for unit in ladder:
+        cand = date_histogram_agg(ds, field, unit, sum_col=sum_col)
+        if len(cand) > target_buckets:
+            break
+        chosen, out = unit, cand
+    if out is None:
+        out = date_histogram_agg(ds, field, ladder[0], sum_col=sum_col)
+    out = out.copy()
+    out["interval"] = chosen
+    return out
+
+
+def adjacency_matrix_agg(ds: Dataset,
+                         filters: Dict[str, Callable[[pa.Table], pa.Array]]
+                         ) -> pd.DataFrame:
+    """adjacency_matrix: doc counts for each named filter and each pairwise
+    intersection (key "a&b"), in key order (AdjacencyMatrixAggregator)."""
+    names = sorted(filters)
+
+    def partial(t: pa.Table) -> pa.Table:
+        masks = {n: np.asarray(pc.cast(filters[n](t), pa.bool_()).to_pylist(),
+                               dtype=bool) for n in names}
+        keys, counts = [], []
+        for i, a in enumerate(names):
+            keys.append(a)
+            counts.append(int(masks[a].sum()))
+            for b in names[i + 1:]:
+                keys.append(f"{a}&{b}")
+                counts.append(int((masks[a] & masks[b]).sum()))
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "doc_count": pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = (parts.groupby("key")
+              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas())
+    merged = merged[merged["doc_count"] > 0]
+    return merged.sort_values("key").reset_index(drop=True)
+
+
 def significant_terms_agg(ds: Dataset, field: str,
                           foreground: Callable[[pa.Table], pa.Array],
                           size: int = 10) -> pd.DataFrame:

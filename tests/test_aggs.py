@@ -166,3 +166,24 @@ def test_pipeline_aggs():
     assert bucket_sort(b, ["m"], ascending=False, size=2)["key"].tolist() == ["d", "b"]
     sb = stats_bucket(b, "m")
     assert sb == {"count": 4, "min": 1.0, "max": 6.0, "sum": 12.0, "avg": 3.0}
+
+
+def test_auto_date_histogram(ev, ev_pdf):
+    from opensearch_ray.aggs import auto_date_histogram_agg
+    out = auto_date_histogram_agg(ev, "ts", target_buckets=10)
+    assert len(out) <= 10
+    assert out["doc_count"].sum() == len(ev_pdf)
+    assert out["interval"].iloc[0] in {"year", "month", "week", "day", "hour", "minute"}
+
+
+def test_adjacency_matrix(ev, ev_pdf):
+    from opensearch_ray.aggs import adjacency_matrix_agg
+    out = adjacency_matrix_agg(ev, {
+        "err": lambda t: pc.equal(t.column("event_type"), "error"),
+        "big": lambda t: pc.greater(t.column("value"), 100.0),
+    })
+    d = dict(zip(out["key"], out["doc_count"]))
+    assert d["err"] == (ev_pdf["event_type"] == "error").sum()
+    assert d["big"] == (ev_pdf["value"] > 100).sum()
+    assert d["big&err"] == ((ev_pdf["event_type"] == "error")
+                            & (ev_pdf["value"] > 100)).sum()

@@ -298,3 +298,24 @@ def test_terms_agg_on_hits(built_index, oracle):
         if {"bace", "cedi"} & set(an.tokens(t or "")))
     got = dict(zip(out["role"], out["doc_count"]))
     assert got == dict(want)
+
+
+def test_search_pipeline_and_registry(built_index):
+    from opensearch_ray.search.pipeline import (
+        SearchPipeline, filter_query, oversample, truncate_hits, min_score)
+    from opensearch_ray import registry
+
+    s = Searcher(built_index.index_dir)
+    pipe = SearchPipeline(
+        request_processors=[filter_query({"role": "user"}), oversample(3.0)],
+        response_processors=[min_score(0.0), truncate_hits(5)],
+    )
+    hits = pipe.search(s, "bace cedi", k=5)
+    want = s.search("bace cedi", k=15, filters={"role": "user"})[:5]
+    assert [(h.docid, h.score) for h in hits] == [(h.docid, h.score) for h in want]
+    # registry round trips
+    assert "match" in registry.QUERY_TYPES and "terms" in registry.AGGREGATIONS
+    registry.register_query_type("noop", lambda s, **kw: [])
+    assert registry.QUERY_TYPES["noop"](s) == []
+    docs = registry.QUERY_TYPES["prefix"](s, prefix="bace")
+    assert docs.size > 0
