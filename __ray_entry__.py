@@ -487,6 +487,21 @@ def _q_ann_lsh(sf_dir):
     return lsh_topk(_read(sf_dir, "embeddings"), np.asarray(q, np.float32), k=10)
 
 
+def _q_ann_ivf(sf_dir):
+    import pyarrow.parquet as pq
+    import shutil
+    from opensearch_ray.similarity import IvfIndex
+    d = f"/tmp/osray_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not os.path.exists(os.path.join(d, "ivf_meta.json")):
+        shutil.rmtree(d, ignore_errors=True)
+        IvfIndex.build(_read(sf_dir, "embeddings"), d, n_cells=8)
+    idx = IvfIndex(d)
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      filters=[("vec_id", "=", 0)]).column("embedding").to_pylist()[0]
+    out = idx.search(np.asarray(q, np.float32), k=10, nprobe=3)
+    return out[["vec_id", "rank"]]
+
+
 def _q_cardinality_hll(sf_dir):
     from opensearch_ray.aggs import cardinality_hll
     n = cardinality_hll(_read(sf_dir, "events", ["user_id"]), "user_id")
@@ -806,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_dedup": _q_embed_dedup,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "cardinality_hll": _q_cardinality_hll,
         "percentiles_tdigest": _q_percentiles_tdigest,
         "multimodal_features": _q_multimodal,
