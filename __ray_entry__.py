@@ -712,6 +712,11 @@ def _q_query_terms_agg(sf_dir):
     return s.terms_agg_on_hits(_BM25_Q, "lang", size=10)
 
 
+def _q_completion(sf_dir):
+    s = _searcher(sf_dir)
+    return s.complete("s", size=8)
+
+
 def _q_prefix_query(sf_dir):
     s = _searcher(sf_dir)
     return pd.DataFrame({"doc_id": s.prefix_docs("ha").astype(np.int64)})
@@ -801,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_bm25_by_lang": _q_collapse_bm25_by_lang,
         "bm25_filtered": _q_bm25_filtered,
         "prefix_query": _q_prefix_query,
+        "completion_suggest": _q_completion,
         "query_terms_agg": _q_query_terms_agg,
         "agg_adjacency_matrix": _q_agg_adjacency,
         "wildcard_query": _q_wildcard_query,
@@ -885,6 +891,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, count(*) AS doc_count
             FROM documents d JOIN hits USING (doc_id)
             GROUP BY d.lang ORDER BY doc_count DESC, d.lang LIMIT 10
+        """,
+        "completion_suggest": f"""
+            SELECT token AS term, df,
+                   CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT)
+                     AS rank
+            FROM (
+              SELECT t.tok AS token, count(DISTINCT d.doc_id) AS df
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok LIKE 's%' AND t.tok <> '' AND t.tok NOT IN {STOP}
+              GROUP BY t.tok)
+            ORDER BY df DESC, token LIMIT 8
         """,
         "prefix_query": f"""
             SELECT DISTINCT doc_id FROM documents d,

@@ -395,6 +395,19 @@ class Searcher:
         return sorted(t for t in v
                       if _levenshtein(term, t, max_edits) <= max_edits)
 
+    def complete(self, prefix: str, size: int = 5):
+        """Completion suggester: terms with the prefix ordered by document
+        frequency (the popularity-weighted completion shape,
+        search/suggest/completion — FST replaced by the terms-dict scan)."""
+        import pandas as pd
+        v = self._vocab()
+        m = pc.starts_with(v.column("term"), prefix)
+        sub = v.filter(m).to_pandas()
+        sub = sub.sort_values(["df", "term"], ascending=[False, True],
+                              kind="mergesort").head(size)
+        sub["rank"] = np.arange(1, len(sub) + 1, dtype=np.int64)
+        return sub.reset_index(drop=True)
+
     def prefix_docs(self, prefix: str) -> np.ndarray:
         """Docs containing ANY term with the prefix (constant-score rewrite)."""
         terms = self.expand_prefix(prefix)

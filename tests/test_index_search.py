@@ -319,3 +319,12 @@ def test_search_pipeline_and_registry(built_index):
     assert registry.QUERY_TYPES["noop"](s) == []
     docs = registry.QUERY_TYPES["prefix"](s, prefix="bace")
     assert docs.size > 0
+
+
+def test_completion_suggester(built_index):
+    s = Searcher(built_index.index_dir)
+    out = s.complete("ba", size=5)
+    assert len(out) == 5
+    assert all(t.startswith("ba") for t in out["term"])
+    assert (out["df"].values[:-1] >= out["df"].values[1:]).all()
+    assert s.complete("zzzzq").empty
