@@ -9,16 +9,15 @@ reference too).
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Sequence
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def stats_agg(ds: Dataset, col: str) -> pd.DataFrame:

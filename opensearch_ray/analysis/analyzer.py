@@ -24,7 +24,6 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 import pyarrow as pa
 
-from .char_filters import CHAR_FILTERS
 from .stopwords import ENGLISH_STOP_WORDS
 from .token_filters import TOKEN_FILTERS, TokenFilter, make_stop_filter
 from .tokenizers import TOKENIZERS, standard_tokenizer

@@ -15,7 +15,7 @@ rather than exploding into O(n²) pairs.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd

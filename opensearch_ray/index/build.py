@@ -46,7 +46,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from .segment import SegmentBuilder, SEGMENT_SCHEMA
+from .segment import SegmentBuilder
 
 DEFAULT_NUM_BUCKETS = 32
 DEFAULT_HOT_DF = 1_000_000  # global df above which a term's chunks are salted

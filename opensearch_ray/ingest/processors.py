@@ -14,7 +14,6 @@ import json as _json
 import re
 from typing import Any, Callable, Dict, List, Optional
 
-import numpy as np
 import pandas as pd
 
 from ray.data import Dataset

@@ -11,8 +11,6 @@ Design notes for 100 TB operation (all real, only the codec is faked):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 

@@ -4,8 +4,6 @@ run the reference query set -> return hits (the driver's entry() pipeline)."""
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import pandas as pd
 
 from ..index.build import build_index, load_manifest

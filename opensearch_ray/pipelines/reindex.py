@@ -10,11 +10,9 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional
 
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data import Dataset
 
 
 def reindex(

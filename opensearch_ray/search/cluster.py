@@ -17,13 +17,12 @@ single-scan path.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 
 import ray
 
-from .bm25 import BM25Params
 from .searcher import Searcher, SearchHit
 
 

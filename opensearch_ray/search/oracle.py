@@ -15,7 +15,7 @@ then casting to float32. ``Searcher.search`` must produce the exact same
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pyarrow as pa

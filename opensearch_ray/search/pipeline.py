@@ -12,8 +12,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import Callable, Dict, List, Optional
 
-import pandas as pd
-
 from .searcher import Searcher, SearchHit
 
 

@@ -10,8 +10,6 @@
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

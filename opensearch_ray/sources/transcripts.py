@@ -17,7 +17,7 @@ Properties exercised (all seed-fixed, seed=42 default; NO external data):
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pyarrow as pa

@@ -15,8 +15,6 @@ watermarking (no late data in batch).
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 import pandas as pd
 

@@ -12,12 +12,9 @@
 from __future__ import annotations
 
 import re
-from typing import List
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ray.data import Dataset
 
