@@ -27,6 +27,13 @@ Our Ray-Data-first shape:
 
 At 100 TB the only all-to-all moves are (3) vocab-sized stats and (4) the
 compressed postings (~¼ of input bytes); raw text is never shuffled.
+
+The DEFAULT build (single_pass=True) fuses (2)-(4) into ONE streaming
+pipeline: builder tasks emit their postings rows directly into the bucket
+shuffle (no re-read), salting is decided per segment from local df, and the
+bucket writers emit per-bucket term-stats shards (readers aggregate the
+salted terms' partial sums). See _build_single_pass. The explicit
+three-phase path remains for build_index_from_dataset and force_merge.
 """
 
 from __future__ import annotations
@@ -155,6 +162,7 @@ def build_index(
     merge: bool = True,
     materialize_postings: bool = True,
     index_positions: bool = False,
+    single_pass: bool = True,
 ) -> IndexManifest:
     """Build (or resume) an index over parquet transcript fragments.
 
@@ -162,11 +170,26 @@ def build_index(
     order, matching a corpus laid out sorted by (conv_id, turn_idx) across
     files — the stable-ordering invariant. Within a file, rows are sorted by
     ``sort_cols`` by the builder regardless.
+
+    ``single_pass=True`` (default) fuses segment build + term stats + the
+    bucket merge into one streaming pipeline (_build_single_pass);
+    ``single_pass=False`` keeps the explicit three-phase layout (also used by
+    build_index_from_dataset and force_merge via _finalize_index).
     """
     files = list_input_files(input_path)
     if not files:
         raise ValueError(f"no parquet files under {input_path!r}")
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+
+    manifest_args = dict(
+        analyzer=analyzer if isinstance(analyzer, str)
+        else getattr(analyzer, "name", "custom"),
+        text_col=text_col,
+    )
+    if single_pass and merge:
+        return _build_single_pass(manifest_args, files, index_dir, analyzer,
+                                  text_col, sort_cols, columns, num_buckets,
+                                  hot_df_threshold, index_positions)
 
     items = [{"path": p, "seg_id": i} for i, p in enumerate(files)]
     # Fragment descriptors are a few BYTES each, but the real work behind one
@@ -317,6 +340,144 @@ def build_index_from_dataset(
         analyzer=analyzer if isinstance(analyzer, str) else getattr(analyzer, "name", "custom"),
         text_col=text_col, num_buckets=num_buckets)
     return _finalize_index(manifest, hot_df_threshold, merge, True)
+
+
+
+
+def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
+                       sort_cols, columns, num_buckets, hot_df_threshold,
+                       index_positions):
+    """ONE streaming pipeline: fragment -> segment build (emits its postings
+    rows downstream instead of being re-read) -> bucket assignment with
+    LOCALLY-decided salting -> groupby(bucket) -> bucket write + per-bucket
+    term-stats shard. Removes the separate stats and merge jobs (their fixed
+    cost dominated small-corpus scaling), and the postings bytes flow through
+    the object store exactly once.
+
+    Local salting: a segment salts a term's chunks when its OWN df for the
+    term >= hot_df_threshold / n_segments (the Zipfian head is hot in every
+    segment, so local detection finds it without a global pre-pass). A term
+    may be salted by some segments and not others: queries probe
+    hot_buckets[t] UNION {hash(t) % B}, which covers both layouts.
+    Term stats become per-bucket shards; salted terms carry partial sums
+    across shards and readers aggregate (Searcher.term_stats sums)."""
+    B = num_buckets
+    n_seg = max(len(files), 1)
+    local_thresh = max(1, hot_df_threshold // n_seg)
+    builder = SegmentBuilder(
+        index_dir=index_dir, analyzer=analyzer, text_col=text_col,
+        sort_cols=sort_cols, columns=columns, index_positions=index_positions,
+    )
+
+    def build_and_emit(batch: pa.Table) -> pa.Table:
+        row = batch.to_pylist()[0]
+        seg_id = int(row["seg_id"])
+        seg_dir = os.path.join(index_dir, "segments", f"seg-{seg_id:05d}")
+        post_path = os.path.join(seg_dir, "postings.parquet")
+        if os.path.exists(os.path.join(seg_dir, "meta.json")):
+            t = pq.read_table(post_path)  # resume: reuse the finished segment
+        else:
+            builder(batch)  # writes the segment atomically
+            t = pq.read_table(post_path)
+        n = t.num_rows
+        t = t.append_column("seg_id", pa.array(np.full(n, seg_id, dtype=np.int32)))
+        terms = t.column("term").to_pylist()
+        h = _stable_hash(terms)
+        bucket = (h % np.uint64(B)).astype(np.int64)
+        dfs = t.column("df").to_numpy(zero_copy_only=False)
+        salted = dfs >= local_thresh
+        if salted.any():
+            chunk = t.column("chunk").to_numpy(zero_copy_only=False).astype(np.uint64)
+            # python-int multiply + mask = the same 64-bit wraparound without
+            # numpy's scalar-overflow RuntimeWarning
+            seg_mix = np.uint64((seg_id * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            alt = ((h ^ seg_mix ^ (chunk * np.uint64(0xC2B2AE3D27D4EB4F)))
+                   % np.uint64(B)).astype(np.int64)
+            bucket = np.where(salted, alt, bucket)
+        t = t.append_column("bucket", pa.array(bucket.astype(np.int32)))
+        return t.append_column("salted", pa.array(salted))
+
+    merged_dir = os.path.join(index_dir, "merged")
+    stats_dir = os.path.join(index_dir, "term_stats")
+    os.makedirs(merged_dir, exist_ok=True)
+    os.makedirs(stats_dir, exist_ok=True)
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        b = int(group.column("bucket")[0].as_py())
+        salted_terms = sorted(set(
+            group.filter(group.column("salted")).column("term").to_pylist()))
+        body = group.drop_columns(["bucket", "salted"]).sort_by(
+            [("term", "ascending"), ("seg_id", "ascending"), ("chunk", "ascending")])
+        path = os.path.join(merged_dir, f"bucket-{b:05d}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(body, tmp, compression="zstd", row_group_size=2048)
+        os.replace(tmp, path)
+        # per-bucket term-stats shard (partial sums for salted terms)
+        st = (body.select(["term", "df", "ttf"]).group_by(["term"])
+              .aggregate([("df", "sum"), ("ttf", "sum")])
+              .rename_columns(["term", "df", "ttf"]).sort_by("term"))
+        spath = os.path.join(stats_dir, f"stats-{b:05d}.parquet")
+        stmp = spath + f".tmp-{os.getpid()}"
+        pq.write_table(st, stmp, row_group_size=65536)
+        os.replace(stmp, spath)
+        return pa.table({
+            "bucket": pa.array([b], pa.int32()),
+            "rows": pa.array([body.num_rows], pa.int64()),
+            "hot_present": pa.array([salted_terms], pa.list_(pa.string())),
+        })
+
+    # clear stale stats layout from a previous non-single-pass build
+    for f in os.listdir(stats_dir):
+        os.remove(os.path.join(stats_dir, f))
+
+    ctx = ray.data.DataContext.get_current()
+    prev_min = ctx.target_min_block_size
+    ctx.target_min_block_size = 1
+    items = [{"path": p, "seg_id": i} for i, p in enumerate(files)]
+    rows = (ray.data.from_items(items)
+            .map_batches(build_and_emit, batch_size=1, batch_format="pyarrow",
+                         num_cpus=1)
+            .groupby("bucket")
+            .map_groups(write_bucket, batch_format="pyarrow")
+            .take_all())
+    ctx.target_min_block_size = prev_min
+
+    hot_buckets: dict = {}
+    for r in rows:
+        for t in r["hot_present"]:
+            hot_buckets.setdefault(t, []).append(int(r["bucket"]))
+    hot_buckets = {t: sorted(bs) for t, bs in hot_buckets.items()}
+
+    if not os.listdir(stats_dir):
+        # corpus with zero index terms (e.g. all-empty docs): write an empty
+        # but SCHEMA'D stats file so readers' filtered scans still bind
+        pq.write_table(
+            pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "ttf": pa.array([], pa.int64())}),
+            os.path.join(stats_dir, "stats-empty.parquet"))
+
+    # segment metas (written by the builders; tiny local reads)
+    segments = []
+    base = 0
+    for i, pth in enumerate(files):
+        meta = json.load(open(os.path.join(index_dir, "segments",
+                                           f"seg-{i:05d}", "meta.json")))
+        segments.append(SegmentInfo(
+            seg_id=i, path=pth, doc_count=int(meta["doc_count"]),
+            sum_dl=int(meta["sum_dl"]), doc_base=base,
+            vocab=int(meta["vocab"])))
+        base += int(meta["doc_count"])
+
+    manifest = IndexManifest(
+        index_dir=index_dir, segments=segments, total_docs=base,
+        sum_dl=sum(x.sum_dl for x in segments),
+        num_buckets=num_buckets,
+        hot_terms=sorted(hot_buckets), merged=True,
+        hot_buckets=hot_buckets, has_positions=index_positions,
+        **manifest_args)
+    manifest.save()
+    return manifest
 
 
 def _segment_postings_ds(manifest: IndexManifest, columns: Optional[List[str]] = None):

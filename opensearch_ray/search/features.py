@@ -135,11 +135,7 @@ def term_suggest(searcher: Searcher, text: str, max_edits: int = 2,
     """Term suggester: vocabulary terms within ``max_edits`` of each input
     token, ordered by (distance asc, df desc, term asc) — ref
     search/suggest/term/TermSuggester semantics (suggest_mode=always)."""
-    import pyarrow.parquet as pq
-    import os
-
-    vocab_tbl = pq.read_table(os.path.join(searcher.manifest.index_dir, "term_stats"),
-                              columns=["term", "df"])
+    vocab_tbl = searcher._vocab()  # aggregated (term, df) dictionary
     vocab = vocab_tbl.column("term").to_pylist()
     dfs = vocab_tbl.column("df").to_pylist()
     rows = []

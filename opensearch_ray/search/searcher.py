@@ -101,7 +101,9 @@ class Searcher:
         return arr
 
     def term_stats(self, terms: Sequence[str]) -> Dict[str, Tuple[int, int]]:
-        """term -> (global df, global ttf); absent terms -> (0, 0)."""
+        """term -> (global df, global ttf); absent terms -> (0, 0).
+        Salted (Zipfian-head) terms carry PARTIAL sums across the per-bucket
+        stats shards of a single-pass build — sum the returned rows."""
         missing = [t for t in set(terms) if t not in self._stats_cache]
         if missing:
             tbl = pq.read_table(
@@ -109,8 +111,12 @@ class Searcher:
                 filters=[("term", "in", missing)],
                 columns=["term", "df", "ttf"],
             )
-            found = dict(zip(tbl.column("term").to_pylist(),
-                             zip(tbl.column("df").to_pylist(), tbl.column("ttf").to_pylist())))
+            found: Dict[str, Tuple[int, int]] = {}
+            for t, df, ttf in zip(tbl.column("term").to_pylist(),
+                                  tbl.column("df").to_pylist(),
+                                  tbl.column("ttf").to_pylist()):
+                a, b = found.get(t, (0, 0))
+                found[t] = (a + df, b + ttf)
             for t in missing:
                 self._stats_cache[t] = tuple(found.get(t, (0, 0)))
         return {t: self._stats_cache[t] for t in set(terms)}
@@ -130,9 +136,13 @@ class Searcher:
             per_bucket: Dict[int, List[str]] = {}
             for t in terms:
                 if t in self._hot:
-                    # salted chunks: exact bucket list from the manifest,
-                    # falling back to probing every bucket
-                    for b in self._hot_buckets.get(t, range(B)):
+                    # salted chunks: bucket list from the manifest UNION the
+                    # plain hash bucket (a segment below the local salting
+                    # threshold keeps its chunk at hash(term) % B), falling
+                    # back to probing every bucket
+                    probe = set(self._hot_buckets.get(t, range(B)))
+                    probe.add(int(_stable_hash([t])[0]) % B)
+                    for b in sorted(probe):
                         per_bucket.setdefault(b, []).append(t)
                 else:
                     # int() BEFORE %: np.uint64 % python-int promotes to
@@ -370,10 +380,13 @@ class Searcher:
     def _vocab(self) -> "pa.Table":
         """The global term dictionary (term, df) — the terms-dict scan that
         backs prefix/wildcard/fuzzy multi-term queries (Lucene rewrites them
-        over the terms enum; MultiTermQuery semantics)."""
+        over the terms enum; MultiTermQuery semantics). Aggregates the
+        per-bucket stats shards (salted terms have partial rows)."""
         if not hasattr(self, "_vocab_tbl"):
-            self._vocab_tbl = pq.read_table(self._stats_dir,
-                                            columns=["term", "df"])
+            raw = pq.read_table(self._stats_dir, columns=["term", "df"])
+            self._vocab_tbl = (raw.group_by(["term"])
+                               .aggregate([("df", "sum")])
+                               .rename_columns(["term", "df"]).sort_by("term"))
         return self._vocab_tbl
 
     def expand_prefix(self, prefix: str) -> List[str]:

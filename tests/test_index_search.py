@@ -328,3 +328,24 @@ def test_completion_suggester(built_index):
     assert all(t.startswith("ba") for t in out["term"])
     assert (out["df"].values[:-1] >= out["df"].values[1:]).all()
     assert s.complete("zzzzq").empty
+
+
+def test_single_pass_equals_three_phase(transcript_corpus, tmp_path, oracle):
+    """The fused single-pass build must produce results identical to the
+    explicit three-phase build (and to the oracle)."""
+    o, _ = oracle
+    corpus_dir, _ = transcript_corpus
+    m1 = build_index(corpus_dir, str(tmp_path / "sp"), analyzer="transcript",
+                     num_buckets=4, hot_df_threshold=400, single_pass=True)
+    m3 = build_index(corpus_dir, str(tmp_path / "tp"), analyzer="transcript",
+                     num_buckets=4, hot_df_threshold=400, single_pass=False)
+    s1, s3 = Searcher(m1.index_dir), Searcher(m3.index_dir)
+    assert m1.total_docs == m3.total_docs
+    for q in reference_queries():
+        a = [(h.docid, h.score) for h in s1.search(q["query_text"], k=q["k"])]
+        b = [(h.docid, h.score) for h in s3.search(q["query_text"], k=q["k"])]
+        w = o.search(q["query_text"], k=q["k"])
+        assert a == w and b == w, q["query_id"]
+    # salted-term stats must aggregate to the same global df in both layouts
+    hot = m1.hot_terms[0] if m1.hot_terms else "bace"
+    assert s1.term_stats([hot])[hot] == s3.term_stats([hot])[hot]
