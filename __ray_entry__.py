@@ -554,6 +554,9 @@ def _q_asof_join(sf_dir):
     out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
                     key_col="user_id", ts_col="ts").to_pandas()
     out = out[["event_id", "value"]].sort_values("event_id").reset_index(drop=True)
+    # the union's null padding floats the left key column; restore int64 so
+    # the schema matches the oracle's BIGINT
+    out["event_id"] = out["event_id"].astype("int64")
     return out
 
 
@@ -1008,7 +1011,8 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS doc_count
               FROM orders GROUP BY 1)
             SELECT month, doc_count,
-                   sum(doc_count) OVER (ORDER BY month) AS cum_count
+                   CAST(sum(doc_count) OVER (ORDER BY month) AS BIGINT)
+                     AS cum_count
             FROM m ORDER BY month
         """,
         "agg_derivative": """
