@@ -588,6 +588,16 @@ def _q_window_tumbling(sf_dir):
     return out[["event_type", "window_start", "doc_count", "value_sum"]]
 
 
+def _q_window_sliding(sf_dir):
+    from opensearch_ray.streaming import sliding_window
+    out = sliding_window(_read(sf_dir, "events"), "event_type", "ts", "value",
+                         size="2h", slide="1h")
+    out["window_start"] = pd.to_datetime(out["window_start"]).dt.strftime(
+        "%Y-%m-%d %H")
+    out["value_sum"] = _fmt(out["value_sum"], 2)
+    return out[["event_type", "window_start", "doc_count", "value_sum"]]
+
+
 def _q_window_session(sf_dir):
     from opensearch_ray.streaming import session_window
     out = session_window(_read(sf_dir, "events"), "user_id", "ts", "value",
@@ -805,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "hash_join": _q_hash_join,
         "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
         "window_session": _q_window_session,
         "collapse_bm25_by_lang": _q_collapse_bm25_by_lang,
         "bm25_filtered": _q_bm25_filtered,
@@ -1100,6 +1111,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS doc_count,
                    printf('%.2f', sum(value)) AS value_sum
             FROM events GROUP BY 1, date_trunc('hour', ts) ORDER BY 1, 2
+        """,
+        "window_sliding": """
+            WITH covered AS (
+              SELECT event_type, value,
+                     date_trunc('hour', ts) AS window_start FROM events
+              UNION ALL
+              SELECT event_type, value,
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+            SELECT event_type,
+                   strftime(window_start, '%Y-%m-%d %H') AS window_start,
+                   count(*) AS doc_count,
+                   printf('%.2f', sum(value)) AS value_sum
+            FROM covered GROUP BY event_type, covered.window_start
+            ORDER BY 1, 2
         """,
         "window_session": """
             WITH o AS (
