@@ -709,6 +709,16 @@ def _q_agg_bucket_selector(sf_dir):
     return out[["month", "doc_count"]]
 
 
+def _q_agg_significant_terms(sf_dir):
+    import pyarrow.compute as pc
+    from opensearch_ray.aggs import significant_terms_agg
+    out = significant_terms_agg(
+        _read(sf_dir, "events", ["event_type", "value"]), "event_type",
+        foreground=lambda t: pc.greater(t.column("value"), 150.0), size=10)
+    out["score"] = _fmt(out["score"], 6)
+    return out[["event_type", "fg", "bg", "score"]]
+
+
 def _q_agg_adjacency(sf_dir):
     import pyarrow.compute as pc
     from opensearch_ray.aggs import adjacency_matrix_agg
@@ -823,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completion_suggest": _q_completion,
         "query_terms_agg": _q_query_terms_agg,
         "agg_adjacency_matrix": _q_agg_adjacency,
+        "agg_significant_terms": _q_agg_significant_terms,
         "wildcard_query": _q_wildcard_query,
         "fuzzy_query": _q_fuzzy_query,
         "term_suggester": _q_term_suggester,
@@ -883,6 +894,27 @@ def oracle_sql() -> dict[str, str]:
                  SELECT doc_id FROM tf WHERE token = 'hash'
                  INTERSECT SELECT doc_id FROM tf WHERE token = 'join')""",
             query_terms=["hash", "join"]),
+        "agg_significant_terms": """
+            WITH per_key AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fg,
+                     count(*) AS bg
+              FROM events GROUP BY event_type),
+            tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS n_fg,
+                           CAST(sum(bg) AS DOUBLE) AS n_bg FROM per_key),
+            scored AS (
+              SELECT p.event_type, p.fg, p.bg,
+                     CASE WHEN p.fg / t.n_fg > p.bg / t.n_bg
+                          THEN (p.fg / t.n_fg - p.bg / t.n_bg)
+                               * ((p.fg / t.n_fg)
+                                  / greatest(p.bg / t.n_bg, 1e-9))
+                          ELSE 0.0 END AS score
+              FROM per_key p CROSS JOIN tot t)
+            SELECT event_type, fg, bg, printf('%.6f', score) AS score
+            FROM scored WHERE score > 0
+            ORDER BY scored.score DESC, event_type LIMIT 10
+        """,
         "agg_adjacency_matrix": """
             SELECT key, doc_count FROM (
               SELECT 'big' AS key, count(*) AS doc_count FROM events
