@@ -26,7 +26,8 @@ import ray
 import ray.data
 
 from .build import IndexManifest, SegmentInfo, _finalize_index
-from .postings import MAX_DOCS_PER_CHUNK, encode_postings, decode_postings
+from .postings import (MAX_DOCS_PER_CHUNK, encode_postings, decode_postings,
+                       decode_positions_flat, encode_positions_flat)
 from .segment import SEGMENT_SCHEMA
 
 
@@ -67,10 +68,10 @@ def _merge_group(index_dir: str, seg_ids: List[int], bases: List[int],
         [("term", "ascending"), ("_off", "ascending"), ("chunk", "ascending")])
 
     rows = {name: [] for name in SEGMENT_SCHEMA.names}
-    rows["_chunks"] = []
     cur_term = None
     cur_docs: List[np.ndarray] = []
     cur_tfs: List[np.ndarray] = []
+    cur_pos: List[np.ndarray] = []
     vocab = 0
 
     def flush():
@@ -79,6 +80,9 @@ def _merge_group(index_dir: str, seg_ids: List[int], bases: List[int],
             return
         docids = np.concatenate(cur_docs)
         tfs = np.concatenate(cur_tfs)
+        pos_flat = (np.concatenate(cur_pos) if has_positions and cur_pos
+                    else None)
+        tok_prefix = np.concatenate(([0], np.cumsum(tfs)))
         vocab += 1
         for ci, cs in enumerate(range(0, len(docids), MAX_DOCS_PER_CHUNK)):
             ce = min(cs + MAX_DOCS_PER_CHUNK, len(docids))
@@ -94,20 +98,23 @@ def _merge_group(index_dir: str, seg_ids: List[int], bases: List[int],
             rows["skip_tf_off"].append(enc["skip_tf_off"])
             rows["block_max_tf"].append(enc["block_max_tf"])
             rows["block_min_norm"].append(enc["block_min_norm"])
-            rows["pos_enc"].append(b"")  # positions dropped on force-merge
-                                          # (documented: rebuild w/ positions
-                                          # if phrase-native needed post-merge)
+            if pos_flat is not None:
+                rows["pos_enc"].append(encode_positions_flat(
+                    pos_flat[tok_prefix[cs]:tok_prefix[ce]], tfs[cs:ce]))
+            else:
+                rows["pos_enc"].append(b"")
 
     for row in allp.to_pylist():
         if row["term"] != cur_term:
             flush()
             cur_term = row["term"]
-            cur_docs, cur_tfs = [], []
+            cur_docs, cur_tfs, cur_pos = [], [], []
         d, t = decode_postings(row["docs_enc"], row["tfs_enc"], row["df"])
         cur_docs.append(d + row["_off"])
         cur_tfs.append(t)
+        if has_positions and row["pos_enc"]:
+            cur_pos.append(decode_positions_flat(row["pos_enc"], t))
     flush()
-    rows.pop("_chunks")
 
     postings = pa.table({n: pa.array(rows[n], type=SEGMENT_SCHEMA.field(n).type)
                          for n in SEGMENT_SCHEMA.names}, schema=SEGMENT_SCHEMA)
@@ -120,8 +127,8 @@ def _merge_group(index_dir: str, seg_ids: List[int], bases: List[int],
     pq.write_table(docstore, os.path.join(tmp, "docs.parquet"),
                    compression="zstd", row_group_size=65536)
     meta = {"doc_count": total_docs, "sum_dl": sum_dl, "vocab": vocab,
-            "postings_rows": postings.num_rows, "has_positions": False,
-            "merged_from": seg_ids}
+            "postings_rows": postings.num_rows,
+            "has_positions": bool(has_positions), "merged_from": seg_ids}
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
     return {"tmp": tmp, "out_dir": out_dir, "seg_id": new_seg_id,
@@ -179,6 +186,7 @@ def force_merge(manifest: IndexManifest, max_segments: int = 1,
         index_dir=manifest.index_dir, segments=new_segments,
         total_docs=manifest.total_docs, sum_dl=manifest.sum_dl,
         analyzer=manifest.analyzer, text_col=manifest.text_col,
-        num_buckets=manifest.num_buckets, has_positions=False)
+        num_buckets=manifest.num_buckets,
+        has_positions=manifest.has_positions)
     return _finalize_index(new_manifest, hot_df_threshold, merge=True,
                            materialize_postings=True)

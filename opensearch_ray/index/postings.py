@@ -136,3 +136,28 @@ def decode_postings(docs_enc: bytes, tfs_enc: bytes, df: int) -> Tuple[np.ndarra
     docids = np.cumsum(gaps.astype(np.int64))
     tfs = vb_decode(tfs_enc, count=df).astype(np.int64)
     return docids, tfs
+
+
+def decode_positions_flat(pos_enc: bytes, tfs: np.ndarray) -> np.ndarray:
+    """pos_enc + per-posting tfs -> flat ABSOLUTE token positions aligned to
+    the postings (delta gaps reset at each posting start)."""
+    gaps = vb_decode(pos_enc).astype(np.int64)
+    cum = np.cumsum(gaps)
+    tok_prefix = np.concatenate(([0], np.cumsum(tfs)))
+    starts = tok_prefix[:-1]
+    base = np.repeat(cum[starts] - gaps[starts], tfs)
+    return cum - base
+
+
+def encode_positions_flat(pos_flat: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Inverse of decode_positions_flat: per-posting delta-gapped varbyte."""
+    n = pos_flat.size
+    if n == 0:
+        return b""
+    tok_prefix = np.concatenate(([0], np.cumsum(tfs)))
+    starts = tok_prefix[:-1]
+    pg = pos_flat.astype(np.int64).copy()
+    mask = np.ones(n, dtype=bool)
+    mask[starts] = False
+    pg[mask] = pos_flat[mask] - pos_flat[np.flatnonzero(mask) - 1]
+    return vb_encode(pg.astype(np.uint64))

@@ -349,3 +349,22 @@ def test_single_pass_equals_three_phase(transcript_corpus, tmp_path, oracle):
     # salted-term stats must aggregate to the same global df in both layouts
     hot = m1.hot_terms[0] if m1.hot_terms else "bace"
     assert s1.term_stats([hot])[hot] == s3.term_stats([hot])[hot]
+
+
+def test_force_merge_preserves_positions(transcript_corpus, tmp_path, oracle):
+    """Positions survive force_merge: index-native phrase results unchanged."""
+    from opensearch_ray.index.build import build_index
+    from opensearch_ray.index.merge_policy import force_merge
+
+    corpus_dir, _ = transcript_corpus
+    idx = str(tmp_path / "idx_fm_pos")
+    m = build_index(corpus_dir, idx, analyzer="transcript",
+                    index_positions=True, num_buckets=4, hot_df_threshold=400)
+    s0 = Searcher(idx)
+    phrases = ["bace cedi", "the bace", "cedi the difo"]
+    before = {p: s0.match_phrase(p).tolist() for p in phrases}
+    m2 = force_merge(m, max_segments=2, hot_df_threshold=400)
+    assert m2.has_positions
+    s1 = Searcher(idx)
+    for p in phrases:
+        assert s1.match_phrase(p).tolist() == before[p], p
