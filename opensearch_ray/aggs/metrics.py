@@ -214,6 +214,36 @@ def percentiles_tdigest(ds: Dataset, col: str,
     return pd.DataFrame([{f"p{q}": acc.quantile(q / 100.0) for q in qs}])
 
 
+def median_absolute_deviation_agg(ds: Dataset, col: str,
+                                  compression: float = 100.0) -> float:
+    """median_absolute_deviation: two t-digest passes (median of values,
+    then median of |x - median|) — the reference's approximate MAD
+    (MedianAbsoluteDeviationAggregator, t-digest based)."""
+
+    def partial1(t: pa.Table) -> pa.Table:
+        d = _TDigest(compression)
+        d.add(t.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        d.compress()
+        return pa.table({"td": pa.array([d.to_bytes()], pa.binary())})
+
+    acc = _TDigest(compression)
+    for b in ds.map_batches(partial1, batch_format="pyarrow").to_pandas()["td"]:
+        acc.merge(_TDigest.from_bytes(b, compression))
+    med = acc.quantile(0.5)
+
+    def partial2(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        d = _TDigest(compression)
+        d.add(np.abs(x - med))
+        d.compress()
+        return pa.table({"td": pa.array([d.to_bytes()], pa.binary())})
+
+    acc2 = _TDigest(compression)
+    for b in ds.map_batches(partial2, batch_format="pyarrow").to_pandas()["td"]:
+        acc2.merge(_TDigest.from_bytes(b, compression))
+    return float(acc2.quantile(0.5))
+
+
 def matrix_stats_agg(ds: Dataset, cols: List[str]) -> pd.DataFrame:
     """matrix_stats (modules/aggs-matrix-stats): pairwise covariance /
     correlation from one pass of moment partials."""

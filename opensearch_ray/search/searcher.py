@@ -535,10 +535,19 @@ class Searcher:
         return np.sort(np.concatenate(parts))
 
     def bool_docs(self, must: Sequence[str] = (), should: Sequence[str] = (),
-                  must_not: Sequence[str] = (), minimum_should_match: int = 0,
+                  must_not: Sequence[str] = (), minimum_should_match=0,
                   ) -> np.ndarray:
         """Sorted-docid set algebra over posting lists (intersect / union /
-        difference) — ref server/index/query/BoolQueryBuilder.java."""
+        difference) — ref server/index/query/BoolQueryBuilder.java.
+        ``minimum_should_match`` accepts an int or a percentage string like
+        "75%" (of the should-clause count, floor — Queries.java
+        calculateMinShouldMatch semantics for positive percentages)."""
+        if isinstance(minimum_should_match, str):
+            pct = minimum_should_match.strip()
+            if pct.endswith("%"):
+                minimum_should_match = (len(should) * int(pct[:-1])) // 100
+            else:
+                minimum_should_match = int(pct)
         sets = [self.term_docs(t) for t in must]
         cur: Optional[np.ndarray] = None
         for s in sets:
@@ -592,6 +601,9 @@ class Searcher:
             return cand
         if self.manifest.has_positions:
             return self._match_phrase_indexed(q_toks, q_pos, cand)
+        return self._match_phrase_textverify(q_toks, q_pos, cand)
+
+    def _match_phrase_textverify(self, q_toks, q_pos, cand: np.ndarray) -> np.ndarray:
         fetched = self.fetch(cand.tolist(), columns=[self.manifest.text_col])
         out = []
         q_pos0 = [p - q_pos[0] for p in q_pos]
@@ -607,6 +619,32 @@ class Searcher:
                     out.append(r["_docid"])
                     break
         return np.array(sorted(out), dtype=np.int64)
+
+    def match_phrase_prefix(self, phrase_text: str, max_expansions: int = 50
+                            ) -> np.ndarray:
+        """match_phrase_prefix: the LAST analyzed token is treated as a
+        prefix, expanded against the terms dict (df-ordered, capped at
+        ``max_expansions`` — MatchPhrasePrefixQueryBuilder semantics), and
+        the union of the completed phrases matches."""
+        q_toks, q_pos = self.analyzer.analyze(phrase_text)
+        if not q_toks:
+            return np.empty(0, np.int64)
+        if len(q_toks) == 1:
+            return self.prefix_docs(q_toks[0])
+        expansions = self.complete(q_toks[-1], size=max_expansions)["term"].tolist()
+        out: List[np.ndarray] = []
+        for exp in expansions:
+            toks = q_toks[:-1] + [exp]
+            cand = self.bool_docs(must=list(dict.fromkeys(toks)))
+            if cand.size == 0:
+                continue
+            if self.manifest.has_positions:
+                out.append(self._match_phrase_indexed(toks, q_pos, cand))
+            else:
+                out.append(self._match_phrase_textverify(toks, q_pos, cand))
+        if not out:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(out))
 
     def _match_phrase_indexed(self, q_toks, q_pos, cand: np.ndarray) -> np.ndarray:
         """Verify phrase alignment from stored positions (no doc fetch)."""

@@ -187,3 +187,12 @@ def test_adjacency_matrix(ev, ev_pdf):
     assert d["big"] == (ev_pdf["value"] > 100).sum()
     assert d["big&err"] == ((ev_pdf["event_type"] == "error")
                             & (ev_pdf["value"] > 100)).sum()
+
+
+def test_median_absolute_deviation(li, li_pdf):
+    from opensearch_ray.aggs import median_absolute_deviation_agg
+    mad = median_absolute_deviation_agg(li, "l_extendedprice")
+    x = li_pdf["l_extendedprice"]
+    true_mad = (x - x.median()).abs().median()
+    spread = x.max() - x.min()
+    assert abs(mad - true_mad) < 0.03 * spread

@@ -368,3 +368,29 @@ def test_force_merge_preserves_positions(transcript_corpus, tmp_path, oracle):
     s1 = Searcher(idx)
     for p in phrases:
         assert s1.match_phrase(p).tolist() == before[p], p
+
+
+def test_match_phrase_prefix_and_msm(built_index, oracle):
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    texts = full.column("text").to_pylist()
+    an = s.analyzer
+    got = set(s.match_phrase_prefix("bace ce").tolist())
+    # brute force: any completion of 'ce*' adjacent after 'bace'
+    want = set()
+    for i, t in enumerate(texts):
+        toks, poss = an.analyze(t or "")
+        pos_of = {}
+        for tk, p in zip(toks, poss):
+            pos_of.setdefault(tk, set()).add(p)
+        for tk, ps in pos_of.items():
+            if tk.startswith("ce") and any((p - 1) in pos_of.get("bace", ())
+                                           for p in ps):
+                want.add(i)
+                break
+    assert got == want
+    # minimum_should_match percentage
+    terms = ["bace", "cedi", "difo", "fogu"]
+    d_pct = set(s.bool_docs(should=terms, minimum_should_match="50%").tolist())
+    d_int = set(s.bool_docs(should=terms, minimum_should_match=2).tolist())
+    assert d_pct == d_int
