@@ -108,6 +108,21 @@ def run_bench() -> dict:
     timings["queries_per_sec"] = round(len(lat) / sum(lat), 1)
     timings["query_cold_p50_ms"] = round(statistics.median(cold) * 1000, 2)
 
+    # --- distributed query path: shard fan-out actors (SearchCluster)
+    from opensearch_ray.search import SearchCluster
+    cluster = SearchCluster(idx, num_executors=4)
+    try:
+        for q in qs:  # warm the executors' caches
+            cluster.search(q["query_text"], k=q["k"])
+        clat = []
+        for q in qs:
+            tq = time.perf_counter()
+            cluster.search(q["query_text"], k=q["k"])
+            clat.append(time.perf_counter() - tq)
+        timings["cluster_query_p50_ms"] = round(statistics.median(clat) * 1000, 2)
+    finally:
+        cluster.shutdown()
+
     # --- secondary pipelines over the sf tables
     import ray.data as rd
 
