@@ -735,6 +735,15 @@ def _q_query_terms_agg(sf_dir):
     return s.terms_agg_on_hits(_BM25_Q, "lang", size=10)
 
 
+def _q_field_sort(sf_dir):
+    """Field sort: docs matching 'hash' ordered by n_chars desc, top 10."""
+    s = _searcher(sf_dir)
+    out = s.search_sorted("hash", "n_chars", k=10, ascending=False)
+    out = out.rename(columns={"_docid": "doc_id"})
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["doc_id", "n_chars"]]
+
+
 def _q_completion(sf_dir):
     s = _searcher(sf_dir)
     return s.complete("s", size=8)
@@ -831,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": _q_bm25_filtered,
         "prefix_query": _q_prefix_query,
         "completion_suggest": _q_completion,
+        "field_sort": _q_field_sort,
         "query_terms_agg": _q_query_terms_agg,
         "agg_adjacency_matrix": _q_agg_adjacency,
         "agg_significant_terms": _q_agg_significant_terms,
@@ -937,6 +947,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, count(*) AS doc_count
             FROM documents d JOIN hits USING (doc_id)
             GROUP BY d.lang ORDER BY doc_count DESC, d.lang LIMIT 10
+        """,
+        "field_sort": """
+            SELECT DISTINCT d.doc_id, d.n_chars FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok = 'hash'
+            ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
         """,
         "completion_suggest": f"""
             SELECT token AS term, df,

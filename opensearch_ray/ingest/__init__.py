@@ -6,5 +6,7 @@ modules/ingest-common/ (one file per processor).
 """
 
 from .processors import PROCESSORS, IngestPipeline, make_processor
+from .enrich import UserAgentProcessor, GeoIpProcessor
 
-__all__ = ["PROCESSORS", "IngestPipeline", "make_processor"]
+__all__ = ["PROCESSORS", "IngestPipeline", "make_processor",
+           "UserAgentProcessor", "GeoIpProcessor"]

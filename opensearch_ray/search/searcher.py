@@ -461,6 +461,43 @@ class Searcher:
                                 kind="mergesort").head(size)
                 .reset_index(drop=True))
 
+    def search_sorted(self, query_text: str, sort_field: str, k: int = 10,
+                      ascending: bool = True, operator: str = "or",
+                      filters: Optional[Dict[str, object]] = None):
+        """Field sort (FieldSortBuilder): top-k matching docs ordered by a
+        doc-values field instead of score; tie-break docid asc."""
+        import pandas as pd
+
+        terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))
+        if not terms:
+            return pd.DataFrame({"_docid": [], sort_field: []})
+        docs = (self.bool_docs(must=terms) if operator == "and"
+                else self.bool_docs(should=terms))
+        if docs.size == 0:
+            return pd.DataFrame({"_docid": [], sort_field: []})
+        seg_idx = np.searchsorted(self._bases, docs, side="right") - 1
+        vals_parts, doc_parts = [], []
+        for si in np.unique(seg_idx):
+            seg_id = int(self._seg_ids[si])
+            base = int(self._bases[si])
+            local = docs[seg_idx == si] - base
+            dv = self.doc_values(seg_id, sort_field)[local]
+            if filters:
+                keep = np.ones(len(local), dtype=bool)
+                for col, val in filters.items():
+                    fv = self.doc_values(seg_id, col)[local]
+                    keep &= (np.isin(fv, list(val))
+                             if isinstance(val, (list, tuple, set)) else fv == val)
+                dv, local = dv[keep], local[keep]
+            vals_parts.append(dv)
+            doc_parts.append(local + base)
+        vals = np.concatenate(vals_parts)
+        gdocs = np.concatenate(doc_parts)
+        df = pd.DataFrame({"_docid": gdocs, sort_field: vals})
+        df = df.sort_values([sort_field, "_docid"],
+                            ascending=[ascending, True], kind="mergesort")
+        return df.head(k).reset_index(drop=True)
+
     def count(self, query_text: str, operator: str = "or") -> int:
         """Hit count without scoring (the `_count` API / track_total_hits)."""
         terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))

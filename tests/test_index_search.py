@@ -394,3 +394,22 @@ def test_match_phrase_prefix_and_msm(built_index, oracle):
     d_pct = set(s.bool_docs(should=terms, minimum_should_match="50%").tolist())
     d_int = set(s.bool_docs(should=terms, minimum_should_match=2).tolist())
     assert d_pct == d_int
+
+
+def test_search_sorted(built_index, oracle):
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    out = s.search_sorted("bace", "turn_idx", k=10, ascending=False)
+    texts = full.column("text").to_pylist()
+    turns = full.column("turn_idx").to_pylist()
+    an = s.analyzer
+    match = [i for i, t in enumerate(texts) if "bace" in an.tokens(t or "")]
+    want = sorted(match, key=lambda i: (-turns[i], i))[:10]
+    assert out["_docid"].tolist() == want
+    # with filter
+    roles = full.column("role").to_pylist()
+    out2 = s.search_sorted("bace", "turn_idx", k=5, ascending=True,
+                           filters={"role": "user"})
+    want2 = sorted([i for i in match if roles[i] == "user"],
+                   key=lambda i: (turns[i], i))[:5]
+    assert out2["_docid"].tolist() == want2

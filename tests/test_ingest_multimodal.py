@@ -150,3 +150,35 @@ def test_multimodal_strict_raises():
     stage = ImageDecodeStage(strict=True)
     with pytest.raises(NotImplementedError):
         stage(tbl)
+
+
+def test_user_agent_processor():
+    from opensearch_ray.ingest import UserAgentProcessor
+    uas = [
+        "Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Gecko/20100101 Firefox/121.0",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Version/17.0 Mobile/15E148 Safari/604.1",
+        "curl/8.0",
+    ]
+    ds = rd.from_items([{"id": i, "user_agent": u} for i, u in enumerate(uas)])
+    out = (ds.map_batches(UserAgentProcessor, batch_format="pandas",
+                          concurrency=2, batch_size=2)
+           .to_pandas().sort_values("id"))
+    assert out["ua_name"].tolist() == ["Chrome", "Firefox", "Safari", "Other"]
+    assert out["ua_os"].tolist() == ["Windows", "Mac OS X", "iOS", "Other"]
+    assert out["ua_device"].tolist()[2] == "Mobile"
+    assert out["ua_version"].tolist()[0].startswith("120")
+
+
+def test_geoip_processor_stub():
+    from opensearch_ray.ingest import GeoIpProcessor
+    ds = rd.from_items([{"id": i, "ip": f"10.0.0.{i}"} for i in range(8)])
+    out = (ds.map_batches(GeoIpProcessor, batch_format="pandas", concurrency=2)
+           .to_pandas().sort_values("id"))
+    assert out["geo_stub"].all()  # clearly marked deterministic fake
+    assert out["geo_country"].notna().all()
+    # deterministic across runs
+    out2 = (rd.from_items([{"id": i, "ip": f"10.0.0.{i}"} for i in range(8)])
+            .map_batches(GeoIpProcessor, batch_format="pandas", concurrency=2)
+            .to_pandas().sort_values("id"))
+    assert out["geo_city"].tolist() == out2["geo_city"].tolist()
