@@ -97,7 +97,15 @@ def date_histogram_agg(ds: Dataset, field: str, calendar_interval: str = "month"
 
     def keyed(t: pa.Table) -> pa.Table:
         v = t.column(field).to_numpy(zero_copy_only=False)
-        key = v.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+        if unit == "W":
+            # Calendar weeks start Monday (Rounding.java WEEK_OF_WEEKYEAR),
+            # but numpy datetime64[W] weeks are epoch-aligned (Thursday
+            # 1970-01-01) — round down to Monday explicitly.
+            d = v.astype("datetime64[D]")
+            dow = (d.astype("int64") + 3) % 7  # Monday == 0
+            key = (d - dow.astype("timedelta64[D]")).astype("datetime64[us]")
+        else:
+            key = v.astype(f"datetime64[{unit}]").astype("datetime64[us]")
         return t.append_column("_bucket", pa.array(key))
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")

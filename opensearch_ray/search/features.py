@@ -166,7 +166,10 @@ def search_after_page(searcher: Searcher, query_text: str, page_size: int,
             return hits[:page_size]
         key = (-after[0], after[1])
         out = [h for h in hits if (-h.score, h.docid) > key]
-        if out or len(hits) < over + page_size:
+        # grow the window until a FULL page is available or the hit list is
+        # exhausted — returning on the first non-empty `out` would silently
+        # short-change pages whose cursor lands mid-window
+        if len(out) >= page_size or len(hits) < over + page_size:
             return out[:page_size]
         over *= 4
 

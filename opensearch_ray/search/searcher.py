@@ -666,9 +666,14 @@ class Searcher:
         q_toks, q_pos = self.analyzer.analyze(phrase_text)
         if not q_toks:
             return np.empty(0, np.int64)
+        # Lucene expands the trailing prefix in TERM-DICTIONARY order, capped
+        # at max_expansions (MatchPhrasePrefixQueryBuilder -> MultiPhrasePrefix
+        # rewrite) — the same cap applies in the single-token branch.
         if len(q_toks) == 1:
-            return self.prefix_docs(q_toks[0])
-        expansions = self.complete(q_toks[-1], size=max_expansions)["term"].tolist()
+            terms = self.expand_prefix(q_toks[0])[:max_expansions]
+            return (self.bool_docs(should=terms) if terms
+                    else np.empty(0, np.int64))
+        expansions = self.expand_prefix(q_toks[-1])[:max_expansions]
         out: List[np.ndarray] = []
         for exp in expansions:
             toks = q_toks[:-1] + [exp]

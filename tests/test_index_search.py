@@ -376,16 +376,24 @@ def test_match_phrase_prefix_and_msm(built_index, oracle):
     texts = full.column("text").to_pylist()
     an = s.analyzer
     got = set(s.match_phrase_prefix("bace ce").tolist())
-    # brute force: any completion of 'ce*' adjacent after 'bace'
-    want = set()
-    for i, t in enumerate(texts):
+    # brute force: completions of 'ce*' in TERM-DICT order capped at
+    # max_expansions (reference MultiPhrasePrefix rewrite), adjacent after
+    # 'bace'
+    vocab = set()
+    analyzed = []
+    for t in texts:
         toks, poss = an.analyze(t or "")
+        analyzed.append((toks, poss))
+        vocab.update(toks)
+    allowed = set(sorted(tk for tk in vocab if tk.startswith("ce"))[:50])
+    want = set()
+    for i, (toks, poss) in enumerate(analyzed):
         pos_of = {}
         for tk, p in zip(toks, poss):
             pos_of.setdefault(tk, set()).add(p)
         for tk, ps in pos_of.items():
-            if tk.startswith("ce") and any((p - 1) in pos_of.get("bace", ())
-                                           for p in ps):
+            if tk in allowed and any((p - 1) in pos_of.get("bace", ())
+                                     for p in ps):
                 want.add(i)
                 break
     assert got == want
