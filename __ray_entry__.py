@@ -775,6 +775,33 @@ def _q_bm25_filtered(sf_dir):
     })
 
 
+def _q_range_query(sf_dir):
+    """Numeric range query over doc values (RangeQueryBuilder [gte, lt))."""
+    s = _searcher(sf_dir)
+    docs = s.range_docs("n_chars", {"gte": 200, "lt": 400})
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_bm25_range_filtered(sf_dir):
+    """BM25 with a numeric range filter clause — filter context does not
+    affect scores (bool.filter + RangeQueryBuilder semantics)."""
+    s = _searcher(sf_dir)
+    hits = s.search(_BM25_Q, k=10**9,
+                    filters={"n_chars": {"gte": 200, "lt": 400}})
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "score": _fmt([h.score for h in hits], 4),
+    })
+
+
+def _q_phrase_slop(sf_dir):
+    """Sloppy phrase (slop=2): matches 'hash join' within an adjusted-offset
+    window of 2, transposition included (SloppyPhraseMatcher measure)."""
+    s = _searcher(sf_dir)
+    docs = s.match_phrase("hash join", slop=2)
+    return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+
 def _q_highlight(sf_dir):
     s = _searcher(sf_dir)
     from opensearch_ray.search.features import highlight
@@ -855,6 +882,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rare_terms": _q_agg_rare_terms,
         "agg_filters": _q_agg_filters,
         "agg_bucket_selector": _q_agg_bucket_selector,
+        "range_query": _q_range_query,
+        "bm25_range_filtered": _q_bm25_range_filtered,
+        "phrase_slop": _q_phrase_slop,
         "highlight": _q_highlight,
         # rows-only (non-SQL-expressible)
         "langid": _q_langid,
@@ -1282,6 +1312,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT month, doc_count FROM m
             WHERE doc_count > (SELECT avg(doc_count) FROM m)
             ORDER BY month
+        """,
+        "range_query": """
+            SELECT doc_id FROM documents
+            WHERE n_chars >= 200 AND n_chars < 400
+        """,
+        "bm25_range_filtered": _bm25_sql("""
+            SELECT sc.doc_id, printf('%.4f', sc.score) AS score
+            FROM scored sc JOIN documents d USING (doc_id)
+            WHERE d.n_chars >= 200 AND d.n_chars < 400"""),
+        "phrase_slop": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.tok = 'hash' AND b.tok = 'join'
+              AND (b.p - a.p) BETWEEN -1 AND 3
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

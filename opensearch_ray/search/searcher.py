@@ -96,9 +96,56 @@ class Searcher:
         if arr is None:
             t = pq.read_table(os.path.join(self._seg_dir(seg_id), "docs.parquet"),
                               columns=[col])
-            arr = np.asarray(t.column(col).to_pylist(), dtype=object)
+            col_pa = t.column(col)
+            if (pa.types.is_integer(col_pa.type) or pa.types.is_floating(col_pa.type)
+                    or pa.types.is_timestamp(col_pa.type)):
+                # typed values: numeric/date range filters compare vectorized
+                arr = col_pa.to_numpy(zero_copy_only=False)
+            else:
+                arr = np.asarray(col_pa.to_pylist(), dtype=object)
             self._docvalues[key] = arr
         return arr
+
+    @staticmethod
+    def _spec_mask(vals: np.ndarray, spec) -> np.ndarray:
+        """Filter spec -> boolean mask over doc values.
+
+        - dict with gte/gt/lte/lt: range semantics (RangeQueryBuilder.java
+          from/to + include_lower/include_upper); date strings are coerced
+          against timestamp doc values (the date-math subset: absolute dates)
+        - list/tuple/set: terms filter (is-in)
+        - scalar: term equality
+        """
+        if isinstance(spec, dict):
+            def coerce(x):
+                if vals.dtype.kind == "M" and isinstance(x, str):
+                    return np.datetime64(x)
+                return x
+            m = np.ones(len(vals), dtype=bool)
+            if "gte" in spec:
+                m &= vals >= coerce(spec["gte"])
+            if "gt" in spec:
+                m &= vals > coerce(spec["gt"])
+            if "lte" in spec:
+                m &= vals <= coerce(spec["lte"])
+            if "lt" in spec:
+                m &= vals < coerce(spec["lt"])
+            return m
+        if isinstance(spec, (list, tuple, set)):
+            return np.isin(vals, list(spec))
+        return vals == spec
+
+    def range_docs(self, col: str, spec: Dict[str, object]) -> np.ndarray:
+        """Global docids whose ``col`` doc value falls in the range — the
+        standalone `range` query (constant-score filter context)."""
+        parts = []
+        for s in sorted(self.manifest.segments, key=lambda s: s.seg_id):
+            vals = self.doc_values(s.seg_id, col)
+            m = self._spec_mask(vals, spec)
+            if m.any():
+                parts.append(np.flatnonzero(m).astype(np.int64)
+                             + self.doc_base(s.seg_id))
+        return (np.concatenate(parts) if parts else np.empty(0, np.int64))
 
     def term_stats(self, terms: Sequence[str]) -> Dict[str, Tuple[int, int]]:
         """term -> (global df, global ttf); absent terms -> (0, 0).
@@ -276,9 +323,7 @@ class Searcher:
             seg_filter_mask: Optional[np.ndarray] = None
             if filters:
                 for col, val in filters.items():
-                    vals = self.doc_values(seg_id, col)
-                    m = (np.isin(vals, list(val)) if isinstance(val, (list, tuple, set))
-                         else vals == val)
+                    m = self._spec_mask(self.doc_values(seg_id, col), val)
                     seg_filter_mask = m if seg_filter_mask is None else (seg_filter_mask & m)
 
             # MaxScore split: ubs ascending; the maximal prefix whose ub sum
@@ -485,9 +530,7 @@ class Searcher:
             if filters:
                 keep = np.ones(len(local), dtype=bool)
                 for col, val in filters.items():
-                    fv = self.doc_values(seg_id, col)[local]
-                    keep &= (np.isin(fv, list(val))
-                             if isinstance(val, (list, tuple, set)) else fv == val)
+                    keep &= self._spec_mask(self.doc_values(seg_id, col)[local], val)
                 dv, local = dv[keep], local[keep]
             vals_parts.append(dv)
             doc_parts.append(local + base)
@@ -629,7 +672,12 @@ class Searcher:
         TextFieldMapper.java:128-136), else by re-analyzing the candidates'
         stored text (fetch phase). Query-token positions keep stopword gaps,
         mirroring Lucene's PhraseQuery over a stop-filtered stream.
-        slop=0 only (exact phrase)."""
+
+        ``slop > 0`` uses the Lucene sloppy measure (SloppyPhraseMatcher /
+        MatchPhraseQueryBuilder.java:44-60): a doc matches when some choice of
+        one position per query term — distinct positions for repeated terms —
+        has adjusted-offset span  max_i(p_i - q_i) - min_i(p_i - q_i) <= slop
+        (a transposition costs 2)."""
         q_toks, q_pos = self.analyzer.analyze(phrase_text)
         if not q_toks:
             return np.empty(0, np.int64)
@@ -637,10 +685,69 @@ class Searcher:
         if cand.size == 0:
             return cand
         if self.manifest.has_positions:
-            return self._match_phrase_indexed(q_toks, q_pos, cand)
-        return self._match_phrase_textverify(q_toks, q_pos, cand)
+            return self._match_phrase_indexed(q_toks, q_pos, cand, slop)
+        return self._match_phrase_textverify(q_toks, q_pos, cand, slop)
 
-    def _match_phrase_textverify(self, q_toks, q_pos, cand: np.ndarray) -> np.ndarray:
+    @staticmethod
+    def _sloppy_ok(pos_lists: List[np.ndarray], q_pos: Sequence[int],
+                   q_toks: Sequence[str], slop: int) -> bool:
+        """Exists a selection with adjusted span <= slop? Min-span k-pointer
+        sweep over the offset-adjusted position lists; at each candidate
+        window repeated terms must claim DISTINCT document positions (greedy
+        interval matching — feasible sets are contiguous, so earliest-
+        position-first is exact)."""
+        import heapq
+        k = len(pos_lists)
+        adj = [pl.astype(np.int64) - q for pl, q in zip(pos_lists, q_pos)]
+        idx = [0] * k
+        heap = [(int(a[0]), i) for i, a in enumerate(adj)]
+        heapq.heapify(heap)
+        cur_max = max(int(a[0]) for a in adj)
+        dup = len(set(q_toks)) < k
+        while True:
+            cur_min, i = heap[0]
+            if cur_max - cur_min <= slop:
+                if not dup:
+                    return True
+                # distinctness for repeated terms: slots of term t may take any
+                # doc position p with cur_min <= p - q_slot <= cur_min + slop
+                ok = True
+                by_term: Dict[str, List[int]] = {}
+                for si, t in enumerate(q_toks):
+                    by_term.setdefault(t, []).append(si)
+                for t, slots in by_term.items():
+                    if len(slots) == 1:
+                        continue
+                    pl = pos_lists[slots[0]]
+                    taken: set = set()
+                    # earliest-deadline-first over sorted slot offsets
+                    for si in sorted(slots, key=lambda s: q_pos[s]):
+                        lo, hi = cur_min + q_pos[si], cur_min + slop + q_pos[si]
+                        got = None
+                        for p in pl[np.searchsorted(pl, lo):]:
+                            if p > hi:
+                                break
+                            if int(p) not in taken:
+                                got = int(p)
+                                break
+                        if got is None:
+                            ok = False
+                            break
+                        taken.add(got)
+                    if not ok:
+                        break
+                if ok:
+                    return True
+            idx[i] += 1
+            if idx[i] >= len(adj[i]):
+                return False
+            nxt = int(adj[i][idx[i]])
+            heapq.heapreplace(heap, (nxt, i))
+            if nxt > cur_max:
+                cur_max = nxt
+
+    def _match_phrase_textverify(self, q_toks, q_pos, cand: np.ndarray,
+                                 slop: int = 0) -> np.ndarray:
         fetched = self.fetch(cand.tolist(), columns=[self.manifest.text_col])
         out = []
         q_pos0 = [p - q_pos[0] for p in q_pos]
@@ -649,6 +756,13 @@ class Searcher:
             pos_of: Dict[str, list] = {}
             for t, p in zip(toks, poss):
                 pos_of.setdefault(t, []).append(p)
+            if slop > 0:
+                lists = [np.asarray(pos_of.get(t, ()), dtype=np.int64)
+                         for t in q_toks]
+                if all(l.size for l in lists) and self._sloppy_ok(
+                        lists, q_pos, q_toks, slop):
+                    out.append(r["_docid"])
+                continue
             starts = pos_of.get(q_toks[0], [])
             first_pos_sets = [set(pos_of.get(t, ())) for t in q_toks]
             for s0 in starts:
@@ -688,7 +802,8 @@ class Searcher:
             return np.empty(0, np.int64)
         return np.unique(np.concatenate(out))
 
-    def _match_phrase_indexed(self, q_toks, q_pos, cand: np.ndarray) -> np.ndarray:
+    def _match_phrase_indexed(self, q_toks, q_pos, cand: np.ndarray,
+                              slop: int = 0) -> np.ndarray:
         """Verify phrase alignment from stored positions (no doc fetch)."""
         uniq = list(dict.fromkeys(q_toks))
         post = self.postings(uniq)
@@ -713,13 +828,15 @@ class Searcher:
                 pos_of_term[t] = maps
             for ld in locals_:
                 ld = int(ld)
-                first = pos_of_term.get(q_toks[0], {}).get(ld)
-                if first is None:
-                    continue
-                ok = False
                 sets = [pos_of_term.get(t, {}).get(ld) for t in q_toks]
                 if any(x is None for x in sets):
                     continue
+                if slop > 0:
+                    if self._sloppy_ok(sets, q_pos, q_toks, slop):
+                        out.append(ld + base)
+                    continue
+                first = sets[0]
+                ok = False
                 set_lookups = [set(x.tolist()) for x in sets]
                 for s0 in first:
                     if all((s0 + dp) in ps for dp, ps in zip(q_delta, set_lookups)):

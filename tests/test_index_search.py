@@ -421,3 +421,86 @@ def test_search_sorted(built_index, oracle):
     want2 = sorted([i for i in match if roles[i] == "user"],
                    key=lambda i: (turns[i], i))[:5]
     assert out2["_docid"].tolist() == want2
+
+
+def _brute_sloppy(an, texts, phrase, slop):
+    """Min adjusted-offset span over all distinct-position selections."""
+    import itertools
+    q_toks, q_pos = an.analyze(phrase)
+    want = []
+    for i, t in enumerate(texts):
+        toks, poss = an.analyze(t or "")
+        pos_of = {}
+        for tk, p in zip(toks, poss):
+            pos_of.setdefault(tk, []).append(p)
+        lists = [pos_of.get(tk, []) for tk in q_toks]
+        if any(not l for l in lists):
+            continue
+        hit = False
+        for sel in itertools.product(*lists):
+            # repeated terms must take distinct doc positions
+            if len({(tk, p) for tk, p in zip(q_toks, sel)}) < len(q_toks):
+                continue
+            adj = [p - q for p, q in zip(sel, q_pos)]
+            if max(adj) - min(adj) <= slop:
+                hit = True
+                break
+        if hit:
+            want.append(i)
+    return want
+
+
+def test_match_phrase_slop(built_index, oracle):
+    """Sloppy phrase (both verify paths) vs brute-force min-span oracle."""
+    o, full = oracle
+    s = Searcher(built_index.index_dir)  # no positions -> text verify
+    texts = full.column("text").to_pylist()
+    an = s.analyzer
+    for phrase, slop in [("bace cedi", 1), ("bace cedi", 2),
+                         ("cedi bace", 2), ("bace bace", 3),
+                         ("bace cedi difo", 2)]:
+        got = s.match_phrase(phrase, slop=slop).tolist()
+        want = _brute_sloppy(an, texts, phrase, slop)
+        assert got == want, (phrase, slop)
+
+
+def test_match_phrase_slop_indexed(transcript_corpus, tmp_path, oracle):
+    """Same sloppy semantics from STORED positions."""
+    corpus_dir, _ = transcript_corpus
+    m = build_index(corpus_dir, str(tmp_path / "idx_slop"),
+                    analyzer="transcript", index_positions=True,
+                    num_buckets=4, hot_df_threshold=400)
+    s = Searcher(m.index_dir)
+    o, full = oracle
+    texts = full.column("text").to_pylist()
+    an = s.analyzer
+    for phrase, slop in [("bace cedi", 2), ("cedi bace", 2), ("bace bace", 3)]:
+        got = s.match_phrase(phrase, slop=slop).tolist()
+        want = _brute_sloppy(an, texts, phrase, slop)
+        assert got == want, (phrase, slop)
+
+
+def test_range_filters(built_index, oracle):
+    """range query + range filter context (RangeQueryBuilder [gte,lt) etc.)."""
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    turns = full.column("turn_idx").to_pylist()
+    # standalone range query over int doc values
+    got = sorted(s.range_docs("turn_idx", {"gte": 3, "lt": 7}).tolist())
+    want = [i for i, t in enumerate(turns) if 3 <= t < 7]
+    assert got == want
+    # gt/lte variant
+    got2 = sorted(s.range_docs("turn_idx", {"gt": 3, "lte": 7}).tolist())
+    assert got2 == [i for i, t in enumerate(turns) if 3 < t <= 7]
+    # timestamp range with ISO-string bounds
+    ts = full.column("ts").to_pylist()
+    lo = sorted(ts)[len(ts) // 2]
+    got3 = set(s.range_docs("ts", {"gte": lo.isoformat()}).tolist())
+    assert got3 == {i for i, v in enumerate(ts) if v >= lo}
+    # range filter composes with BM25 search without changing scores
+    unfiltered = s.search("bace", k=10**6)
+    flt = {"turn_idx": {"gte": 3, "lt": 7}}
+    hits = s.search("bace", k=10**6, filters=flt)
+    keep = {i for i, t in enumerate(turns) if 3 <= t < 7}
+    want_hits = [(h.docid, h.score) for h in unfiltered if h.docid in keep]
+    assert [(h.docid, h.score) for h in hits] == want_hits
