@@ -34,37 +34,57 @@ def _partial_counts(ds: Dataset, keys: List[str],
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
+def _topn_buckets(merged: Dataset, count_col: str, key_fields: List[str],
+                  size: int) -> pd.DataFrame:
+    """Bounded final reduce: per-BLOCK top-``size`` partials (exact after the
+    global groupby — every key's total lives in exactly one block) followed
+    by a driver merge of only n_blocks*size rows. The driver never holds the
+    full key cardinality (the shard_size/TermsAggregator concern)."""
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values([count_col] + key_fields,
+                              ascending=[False] + [True] * len(key_fields),
+                              kind="mergesort").head(size)
+
+    tops = merged.map_batches(block_top, batch_format="pandas").to_pandas()
+    tops = tops.sort_values([count_col] + key_fields,
+                            ascending=[False] + [True] * len(key_fields),
+                            kind="mergesort")
+    return tops.head(size).reset_index(drop=True)
+
+
 def terms_agg(ds: Dataset, field: str, size: int = 10,
               sum_col: Optional[str] = None) -> pd.DataFrame:
     """terms: top-N keys by doc_count (desc), key asc tie-break — the
-    reference's order (InternalTerms reduce + BucketOrder.count(false))."""
+    reference's order (InternalTerms reduce + BucketOrder.count(false)).
+    Exact at any cardinality: the post-groupby reduce is per-block top-N
+    partials + a bounded driver merge, not a full-cardinality to_pandas."""
     parts = _partial_counts(ds, [field], {"s": sum_col} if sum_col else None)
     aggs = [Sum("doc_count", alias_name="doc_count")]
     if sum_col:
         aggs.append(Sum(f"sum_{sum_col}", alias_name=f"sum_{sum_col}"))
-    merged = parts.groupby(field).aggregate(*aggs).to_pandas()
-    merged = merged.sort_values(["doc_count", field],
-                                ascending=[False, True], kind="mergesort")
-    return merged.head(size).reset_index(drop=True)
+    merged = parts.groupby(field).aggregate(*aggs)
+    return _topn_buckets(merged, "doc_count", [field], size)
 
 
 def multi_terms_agg(ds: Dataset, fields: List[str], size: int = 10) -> pd.DataFrame:
     parts = _partial_counts(ds, fields)
-    merged = (parts.groupby(fields)
-              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas())
-    merged = merged.sort_values(["doc_count"] + fields,
-                                ascending=[False] + [True] * len(fields),
-                                kind="mergesort")
-    return merged.head(size).reset_index(drop=True)
+    merged = parts.groupby(fields).aggregate(Sum("doc_count", alias_name="doc_count"))
+    return _topn_buckets(merged, "doc_count", fields, size)
 
 
 def rare_terms_agg(ds: Dataset, field: str, max_doc_count: int = 1) -> pd.DataFrame:
-    """rare_terms: keys with doc_count <= threshold, key asc."""
+    """rare_terms: keys with doc_count <= threshold, key asc. The threshold
+    filter runs distributed BEFORE collection, so the driver sees only the
+    rare tail."""
     parts = _partial_counts(ds, [field])
-    merged = (parts.groupby(field)
-              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas())
-    out = merged[merged["doc_count"] <= max_doc_count].sort_values(field)
-    return out.reset_index(drop=True)
+    merged = parts.groupby(field).aggregate(Sum("doc_count", alias_name="doc_count"))
+
+    def rare_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t.column("doc_count"),
+                                      pa.scalar(max_doc_count)))
+
+    out = merged.map_batches(rare_only, batch_format="pyarrow").to_pandas()
+    return out.sort_values(field).reset_index(drop=True)
 
 
 def histogram_agg(ds: Dataset, field: str, interval: float,

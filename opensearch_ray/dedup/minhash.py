@@ -55,6 +55,39 @@ def _sig_for_hashes(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return prod.min(axis=1)
 
 
+def _batch_signatures(texts, a: np.ndarray, b: np.ndarray, shingle_k: int
+                      ) -> np.ndarray:
+    """(n_docs, H) signature matrix, vectorized across the batch: ONE
+    hash_array call over all shingles, then a per-permutation
+    minimum.reduceat over doc boundaries (no per-doc Python hashing loop)."""
+    H = len(a)
+    n = len(texts)
+    if n == 0:
+        return np.empty((0, H), dtype=np.uint64)
+    shingles: list = []
+    counts = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(texts):
+        toks = (s or "").split()
+        if len(toks) < shingle_k:
+            sh = [" ".join(toks)] if toks else []
+        else:
+            sh = [" ".join(toks[j:j + shingle_k])
+                  for j in range(len(toks) - shingle_k + 1)]
+        counts[i] = len(sh)
+        shingles.extend(sh)
+    sigs = np.full((n, H), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not shingles:
+        return sigs
+    h = pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
+    nonempty = np.flatnonzero(counts)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nonempty]
+    # (H, S) permuted values, reduced per doc segment
+    perm = (h[None, :] * a[:, None] + b[:, None]) % _P
+    reduced = np.minimum.reduceat(perm, starts, axis=1)
+    sigs[nonempty] = reduced.T
+    return sigs
+
+
 def minhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 128, shingle_k: int = 3,
                        seed: int = 7) -> Dataset:
@@ -67,10 +100,7 @@ def minhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
     # pipeline stalls; observed under a 4-cpu session)
     def sign(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
-        sigs = np.stack([
-            _sig_for_hashes(_shingle_hashes(s or "", shingle_k), a, b)
-            for s in texts
-        ]) if texts else np.empty((0, num_hashes), dtype=np.uint64)
+        sigs = _batch_signatures(texts, a, b, shingle_k)
         flat = pa.array(sigs.astype(np.int64).ravel())
         offs = pa.array(np.arange(len(texts) + 1, dtype=np.int32) * num_hashes)
         return pa.table({
@@ -128,20 +158,168 @@ def lsh_candidate_pairs(sig_ds: Dataset, id_col: str = "doc_id",
     return cand.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
 
 
+def lsh_candidate_pairs_ds(sig_ds: Dataset, id_col: str = "doc_id",
+                           num_hashes: int = 128, bands: int = 32,
+                           max_bucket: int = 200) -> Dataset:
+    """Distributed variant: -> Dataset[(a, b)], deduplicated by a
+    groupby-(a,b) shuffle instead of a driver-side drop_duplicates — the
+    driver never holds the pair list."""
+    rows_per_band = num_hashes // bands
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sigs = np.asarray(t.column("sig").to_pylist(), dtype=np.int64)
+        if sigs.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "bh": pa.array([], pa.int64())})
+        n = len(ids)
+        bandviews = sigs.reshape(n, bands, rows_per_band)
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            bh = bh * np.uint64(0x9E3779B97F4A7C15) + bandviews[:, :, r].astype(np.uint64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "bh": pa.array(bh.astype(np.int64).ravel()),
+        })
+
+    def pairs_pa(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False))[:max_bucket]
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ii].astype(np.int64)),
+                         "b": pa.array(ids[jj].astype(np.int64))})
+
+    def first_pa(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    cand = (sig_ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["band", "bh"]).map_groups(pairs_pa, batch_format="pyarrow"))
+    return cand.groupby(["a", "b"]).map_groups(first_pa, batch_format="pyarrow")
+
+
+def _pack_sigs(t: pa.Table, id_col: str, new_id: str, new_sig: str) -> pa.Table:
+    """(id, sig list<int64>) -> (new_id, new_sig fixed-binary). Variable-width
+    list blocks don't survive Ray's block round-trips in a join; a fixed H*8
+    little-endian byte cell per doc does, and decodes zero-copy."""
+    sig = t.column("sig")
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    flat = sig.flatten().to_numpy(zero_copy_only=False).astype("<i8")
+    n = t.num_rows
+    width = (len(flat) // n) * 8 if n else 8
+    packed = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(width), n, [None, pa.py_buffer(flat.tobytes())])
+    return pa.table({new_id: t.column(id_col).cast(pa.int64()), new_sig: packed})
+
+
+def _attach_sig(left: Dataset, sig_packed: Dataset, key: str, sig_name: str,
+                left_schema: pa.Schema, B: int) -> Dataset:
+    """Co-partitioned inner join attaching ``sig_name`` to ``left`` rows on
+    ``key``: bucket both sides on hash(key) % B, one groupby shuffle, then a
+    vectorized searchsorted lookup per bucket — all Arrow blocks, no pandas."""
+    out_fields = list(left_schema) + [pa.field(sig_name, pa.binary())]
+    left_names = left_schema.names
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(k.astype(object)) % np.uint64(B)).astype(np.int64)
+        t = t.select(left_names)
+        t = t.append_column(sig_name, pa.nulls(t.num_rows, pa.binary()))
+        t = t.append_column("_bucket", pa.array(b))
+        return t.append_column("_is_sig", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(k.astype(object)) % np.uint64(B)).astype(np.int64)
+        cols = {key: t.column(key)}
+        for f in left_schema:
+            if f.name != key:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        cols[sig_name] = t.column(sig_name).cast(pa.binary())
+        out = pa.table(cols).select(left_names + [sig_name])
+        out = out.append_column("_bucket", pa.array(b))
+        return out.append_column("_is_sig", pa.array(np.ones(t.num_rows, np.int8)))
+
+    both = (left.map_batches(pad_left, batch_format="pyarrow")
+            .union(sig_packed.map_batches(pad_right, batch_format="pyarrow")))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        is_sig = g.column("_is_sig").to_numpy(zero_copy_only=False) == 1
+        lt = g.filter(pa.array(~is_sig))
+        rt = g.filter(pa.array(is_sig))
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_fields})
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        lkeys = lt.column(key).to_numpy(zero_copy_only=False)
+        rkeys = rt.column(key).to_numpy(zero_copy_only=False)
+        order = np.argsort(rkeys, kind="stable")
+        rsorted = rkeys[order]
+        pos = np.searchsorted(rsorted, lkeys)
+        pos_c = np.clip(pos, 0, len(rsorted) - 1)
+        hit = rsorted[pos_c] == lkeys
+        take_r = order[pos_c[hit]]
+        out = lt.filter(pa.array(hit)).select(left_names)
+        sigs = rt.column(sig_name).take(pa.array(take_r))
+        return out.append_column(sig_name, sigs.cast(pa.binary()))
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def verify_pairs(sig_ds: Dataset, pairs_ds: Dataset, id_col: str = "doc_id",
+                 threshold: float = 0.8, B: int = 32) -> Dataset:
+    """Distributed signature verification: join the candidate pairs back to
+    the signature shards on each endpoint (two bucketed shuffles), then
+    compare signatures VECTORIZED per batch. Signatures never land on the
+    driver; only pairs clearing ``threshold`` survive.
+    -> Dataset[(a, b, est_jaccard)]."""
+    sig_a = sig_ds.map_batches(
+        lambda t: _pack_sigs(t, id_col, "a", "sig_a"), batch_format="pyarrow")
+    sig_b = sig_ds.map_batches(
+        lambda t: _pack_sigs(t, id_col, "b", "sig_b"), batch_format="pyarrow")
+    s1 = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    j = _attach_sig(pairs_ds, sig_a, "a", "sig_a", s1, B)
+    s2 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                    ("sig_a", pa.binary())])
+    j = _attach_sig(j, sig_b, "b", "sig_b", s2, B)
+
+    def est(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = np.frombuffer(b"".join(t.column("sig_a").to_pylist()),
+                           dtype="<i8").reshape(n, -1)
+        sb = np.frombuffer(b"".join(t.column("sig_b").to_pylist()),
+                           dtype="<i8").reshape(n, -1)
+        e = (sa == sb).mean(axis=1)
+        keep = e >= threshold
+        return pa.table({
+            "a": t.column("a").filter(pa.array(keep)),
+            "b": t.column("b").filter(pa.array(keep)),
+            "est_jaccard": pa.array(e[keep]),
+        })
+
+    return j.map_batches(est, batch_format="pyarrow")
+
+
 def minhash_dedup_pairs(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
                         num_hashes: int = 128, bands: int = 32, shingle_k: int = 3,
                         threshold: float = 0.8, seed: int = 7) -> pd.DataFrame:
     """Full near-dup pipeline: candidates via LSH, verified by estimated
-    Jaccard (signature agreement) >= threshold. Returns (a, b, est_jaccard)."""
+    Jaccard (signature agreement) >= threshold. Returns (a, b, est_jaccard).
+
+    Fully distributed: signatures stay sharded, candidate pairs are deduped by
+    shuffle, and verification joins pairs back to the signature shards — the
+    driver materializes only the verified pairs (candidates ≪ corpus by the
+    LSH banding + bucket caps)."""
     sigs = minhash_signatures(ds, text_col, id_col, num_hashes, shingle_k, seed)
-    sig_mat = sigs.to_pandas().set_index(id_col)["sig"]
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    if cand.empty:
+    cand = lsh_candidate_pairs_ds(sigs, id_col, num_hashes, bands)
+    out = verify_pairs(sigs, cand, id_col, threshold).to_pandas()
+    if out.empty:
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    est = np.array([
-        float(np.mean(np.asarray(sig_mat[a]) == np.asarray(sig_mat[b])))
-        for a, b in zip(cand["a"], cand["b"])
-    ])
-    out = cand.assign(est_jaccard=est)
-    out = out[out["est_jaccard"] >= threshold]
-    return out[["a", "b", "est_jaccard"]].sort_values(["a", "b"]).reset_index(drop=True)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

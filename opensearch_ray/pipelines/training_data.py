@@ -46,12 +46,20 @@ def prepare_training_data(
     min_quality: float = 0.1,
     keep_langs: Optional[list] = None,
     near_dup_threshold: float = 0.8,
-    n_shards: int = 8,
+    n_shards: Optional[int] = None,
     force: bool = False,
 ) -> dict:
     """Returns a summary dict {input_rows, kept_rows, near_dups_removed,
-    shards_written, resumed}. Output layout: out_dir/shard=NNN/part.parquet
-    + _manifest.json (the resume unit)."""
+    shards_written, resumed}. Output layout: out_dir/shard=NNN/*.parquet
+    + _manifest.json.
+
+    ``n_shards`` defaults to input-size/256 MB (min 8) so shard count grows
+    with the corpus instead of pinning write layout at a fixed fan-in. The
+    write itself streams: ``write_parquet(partition_cols=)`` emits one file
+    per (block, shard) — write parallelism = cluster width, no whole-shard
+    task. Resume: completed runs short-circuit on the manifest; a crashed
+    run leaves only the staging dir (wiped on rerun) and/or fully-renamed
+    shard dirs (skipped on rerun — shard content is deterministic)."""
     manifest_path = os.path.join(out_dir, "_manifest.json")
     if os.path.exists(manifest_path) and not force:
         m = json.load(open(manifest_path))
@@ -60,6 +68,12 @@ def prepare_training_data(
 
     ds = ray.data.read_parquet(input_path)
     input_rows = ds.count()
+    if n_shards is None:
+        try:
+            in_bytes = ds.size_bytes() or 0
+        except Exception:
+            in_bytes = 0
+        n_shards = max(8, int(in_bytes // (256 << 20)) + 1)
 
     # --- near-dup kill list (side pass over id+text only)
     pairs = minhash_dedup_pairs(
@@ -99,35 +113,40 @@ def prepare_training_data(
               ).astype(np.int32)
         return t.append_column("_shard", pa.array(sh))
 
-    def write_shard(g: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-        sh = int(g.column("_shard")[0].as_py())
-        d = os.path.join(out_dir, f"shard={sh:03d}")
-        if not os.path.exists(d):  # resume: finished shards are skipped
-            tmp = d + f".tmp-{os.getpid()}"
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(g.drop_columns(["_shard"]).sort_by(id_col),
-                           os.path.join(tmp, "part.parquet"),
-                           compression="zstd")
-            try:
-                os.rename(tmp, d)
-            except OSError:
-                import shutil
-                shutil.rmtree(tmp, ignore_errors=True)
-        return pa.table({"shard": pa.array([sh], pa.int32()),
-                         "rows": pa.array([g.num_rows], pa.int64())})
+    import shutil
+
+    import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    shard_rows = (ds.map_batches(add_shard, batch_format="pyarrow")
-                  .groupby("_shard")
-                  .map_groups(write_shard, batch_format="pyarrow")
-                  .take_all())
-    kept = int(sum(r["rows"] for r in shard_rows))
+    staging = os.path.join(out_dir, "_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    # streaming partitioned write: every block writes its per-shard slices
+    # directly (parallelism = block count, peak task memory = one block)
+    (ds.map_batches(add_shard, batch_format="pyarrow")
+       .write_parquet(staging, partition_cols=["_shard"], compression="zstd"))
+
+    # atomic-ish commit: rename each finished partition dir into place;
+    # the manifest written LAST is the commit point
+    kept = 0
+    shards_written = 0
+    for name in sorted(os.listdir(staging)):
+        if not name.startswith("_shard="):
+            continue
+        sh = int(name.split("=", 1)[1])
+        src = os.path.join(staging, name)
+        dst = os.path.join(out_dir, f"shard={sh:03d}")
+        if not os.path.exists(dst):
+            os.rename(src, dst)
+        shards_written += 1
+        # row counts from parquet footers only (no data read)
+        kept += sum(pq.read_metadata(os.path.join(dst, f)).num_rows
+                    for f in os.listdir(dst) if f.endswith(".parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
     summary = {
         "input_rows": int(input_rows),
-        "kept_rows": kept,
+        "kept_rows": int(kept),
         "near_dups_removed": len(kill),
-        "shards_written": len(shard_rows),
+        "shards_written": shards_written,
         "resumed": False,
     }
     with open(manifest_path + ".tmp", "w") as f:
