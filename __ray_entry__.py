@@ -145,6 +145,70 @@ def _bm25_sql(body: str, query_terms=None) -> str:
             .replace("{QTERMS}", qvals) + body)
 
 
+def _multi_match_sql() -> str:
+    """DuckDB oracle for multi_match best_fields over title^2/body: per-field
+    BM25 (own dl/avgdl/df per field, shared N and norm table), dis_max
+    combine with tie_breaker=0."""
+    STOP = _stop_sql()
+    from collections import Counter
+    mult = Counter(_BM25_Q.split())
+    qvals = ",".join(f"('{t}', {float(m)})" for t, m in mult.items())
+
+    def field_cte(name, src_expr):
+        return f"""
+tok_{name} AS (
+  SELECT b.doc_id, t.tok AS token
+  FROM base b, unnest(string_split({src_expr}, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+),
+dl_{name} AS (SELECT doc_id, count(*) AS dl FROM tok_{name} GROUP BY doc_id),
+avg_{name} AS (
+  SELECT (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl_{name})
+         / (SELECT count(*) FROM base) AS avgdl),
+dlq_{name} AS (
+  SELECT dl.doc_id,
+         (SELECT max(v) FROM norm_vals WHERE v <= dl.dl) AS dl_q
+  FROM dl_{name} dl),
+df_{name} AS (SELECT token, count(DISTINCT doc_id) AS df
+              FROM tok_{name} GROUP BY token),
+tf_{name} AS (SELECT token, doc_id, count(*) AS tf
+              FROM tok_{name} GROUP BY token, doc_id),
+scored_{name} AS (
+  SELECT tf.doc_id,
+         SUM(qt.boost * ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (1.2 + 1.0) * tf.tf
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dl_q / a.avgdl))) AS score
+  FROM qterms qt
+  JOIN df_{name} df ON df.token = qt.term
+  JOIN tf_{name} tf ON tf.token = qt.term
+  JOIN dlq_{name} dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN consts c CROSS JOIN avg_{name} a
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH norm_vals(v) AS (VALUES {_norm_values_sql()}),
+base AS (
+  SELECT doc_id, text AS body,
+         array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+           AS title
+  FROM documents),
+consts AS (SELECT (SELECT count(*) FROM base) AS n_docs),
+qterms(term, boost) AS (VALUES {qvals}),
+{field_cte("t", "b.title")},
+{field_cte("b", "b.body")},
+combined AS (
+  SELECT coalesce(st.doc_id, sb.doc_id) AS doc_id,
+         greatest(coalesce(2.0 * st.score, 0.0),
+                  coalesce(sb.score, 0.0)) AS score
+  FROM scored_t st FULL OUTER JOIN scored_b sb ON st.doc_id = sb.doc_id)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       printf('%.4f', score) AS score
+FROM combined ORDER BY combined.score DESC, doc_id LIMIT 10
+"""
+
+
 def _fmt(vals, dec: int):
     """Fixed-decimal string formatting — hash-stable float comparison vs the
     SQL oracle's printf (identical correctly-rounded decimal strings)."""
@@ -775,6 +839,76 @@ def _q_bm25_filtered(sf_dir):
     })
 
 
+def _mf_index(sf_dir: str) -> str:
+    """Two-field (title=first-4-tokens, body=text) multi-field index over
+    `documents`, cached in /tmp — one sub-index per field, aligned docids."""
+    import pyarrow.parquet as pq
+    from opensearch_ray import __version__
+    from opensearch_ray.search import build_multi_field_index
+
+    key = hashlib.md5(f"{sf_dir}:{__version__}:mf1".encode()).hexdigest()[:10]
+    d = f"/tmp/osray_mfidx_{key}"
+    if not os.path.exists(os.path.join(d, "fields.json")):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        toks = pc.split_pattern(t.column("text"), " ")
+        title = pc.binary_join(pc.list_slice(toks, 0, 4), " ")
+        tbl = pa.table({"doc_id": t.column("doc_id"), "title": title,
+                        "body": t.column("text")})
+        os.makedirs(os.path.join(d, "src"), exist_ok=True)
+        pq.write_table(tbl, os.path.join(d, "src", "docs.parquet"))
+        build_multi_field_index(os.path.join(d, "src", "docs.parquet"), d,
+                                fields=["title", "body"], analyzer="transcript",
+                                sort_cols=("doc_id",), num_buckets=4)
+    return d
+
+
+def _q_multi_match(sf_dir):
+    """multi_match best_fields over title^2 + body (dis_max, tie_breaker=0)."""
+    from opensearch_ray.search import MultiFieldSearcher
+    s = MultiFieldSearcher(_mf_index(sf_dir), dtype=np.float64)
+    hits = s.multi_match(_BM25_Q, {"title": 2.0, "body": 1.0},
+                         match_type="best_fields", k=10)
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+        "score": _fmt([h.score for h in hits], 4),
+    })
+
+
+def _q_dis_max(sf_dir):
+    """dis_max over two match subqueries, tie_breaker=0.3."""
+    from opensearch_ray.search.features import dis_max
+    s = _searcher(sf_dir)
+    hits = dis_max(s, [("hash join", "or"), ("stream", "or")],
+                   tie_breaker=0.3, k=10)
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+        "score": _fmt([h.score for h in hits], 4),
+    })
+
+
+def _q_boosting(sf_dir):
+    """boosting: positive 'hash join', negative 'merge' demoted by 0.5."""
+    from opensearch_ray.search.features import boosting_query
+    s = _searcher(sf_dir)
+    hits = boosting_query(s, "hash join", "merge", negative_boost=0.5, k=10**9)
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "score": _fmt([h.score for h in hits], 4),
+    })
+
+
+def _q_query_string(sf_dir):
+    """query_string mini-language: (hash AND join) OR stream NOT merge."""
+    from opensearch_ray.search.features import query_string
+    s = _searcher(sf_dir)
+    out = query_string(s, '(hash AND join) OR stream NOT merge')
+    out["score"] = _fmt(out["score"], 4)
+    return out[["doc_id", "score"]]
+
+
 def _q_range_query(sf_dir):
     """Numeric range query over doc values (RangeQueryBuilder [gte, lt))."""
     s = _searcher(sf_dir)
@@ -882,6 +1016,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rare_terms": _q_agg_rare_terms,
         "agg_filters": _q_agg_filters,
         "agg_bucket_selector": _q_agg_bucket_selector,
+        "multi_match": _q_multi_match,
+        "dis_max_query": _q_dis_max,
+        "boosting_query": _q_boosting,
+        "query_string": _q_query_string,
         "range_query": _q_range_query,
         "bm25_range_filtered": _q_bm25_range_filtered,
         "phrase_slop": _q_phrase_slop,
@@ -1313,6 +1451,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_count > (SELECT avg(doc_count) FROM m)
             ORDER BY month
         """,
+        "multi_match": _multi_match_sql(),
+        "dis_max_query": _bm25_sql("""
+            , persub AS (
+              SELECT tf.doc_id, tf.token,
+                     ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * (1.2 + 1.0) * tf.tf
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dl_q / c.avgdl))
+                       AS sc
+              FROM tf JOIN df USING (token)
+              JOIN dlq ON dlq.doc_id = tf.doc_id CROSS JOIN consts c
+              WHERE tf.token IN ('hash', 'join', 'stream')),
+            s1 AS (SELECT doc_id, sum(sc) AS sc FROM persub
+                   WHERE token IN ('hash', 'join') GROUP BY doc_id),
+            s2 AS (SELECT doc_id, sum(sc) AS sc FROM persub
+                   WHERE token = 'stream' GROUP BY doc_id),
+            comb AS (
+              SELECT doc_id,
+                     greatest(coalesce(s1.sc, 0), coalesce(s2.sc, 0))
+                     + 0.3 * (coalesce(s1.sc, 0) + coalesce(s2.sc, 0)
+                              - greatest(coalesce(s1.sc, 0), coalesce(s2.sc, 0)))
+                       AS score
+              FROM s1 FULL OUTER JOIN s2 USING (doc_id))
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   printf('%.4f', score) AS score
+            FROM comb ORDER BY comb.score DESC, doc_id LIMIT 10""",
+            query_terms=["hash", "join", "stream"]),
+        "boosting_query": _bm25_sql("""
+            SELECT sc.doc_id,
+                   printf('%.4f', sc.score * CASE WHEN sc.doc_id IN (
+                     SELECT doc_id FROM tok WHERE token = 'merge')
+                     THEN 0.5 ELSE 1.0 END) AS score
+            FROM scored sc""", query_terms=["hash", "join"]),
+        "query_string": _bm25_sql("""
+            , hasd AS (SELECT DISTINCT doc_id, token FROM tok)
+            SELECT sc.doc_id, printf('%.4f', sc.score) AS score
+            FROM scored sc
+            WHERE (sc.doc_id IN (SELECT doc_id FROM hasd WHERE token = 'hash')
+                   AND sc.doc_id IN (SELECT doc_id FROM hasd WHERE token = 'join')
+                   OR sc.doc_id IN (SELECT doc_id FROM hasd WHERE token = 'stream'))
+              AND sc.doc_id NOT IN (SELECT doc_id FROM hasd WHERE token = 'merge')""",
+            query_terms=["hash", "join", "stream"]),
         "range_query": """
             SELECT doc_id FROM documents
             WHERE n_chars >= 200 AND n_chars < 400

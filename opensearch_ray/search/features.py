@@ -255,6 +255,216 @@ def more_like_this(searcher: Searcher, docid: int, k: int = 10,
     return [h for h in hits if h.docid != docid][:k]
 
 
+# ------------------------------------------------- compound queries
+
+def dis_max(searcher: Searcher, queries: List[Tuple[str, str]],
+            tie_breaker: float = 0.0, k: int = 10) -> List[SearchHit]:
+    """dis_max over match subqueries (ref index/query/DisMaxQueryBuilder.java:
+    47-90 / DisjunctionMaxQuery): per doc, score = best subquery score +
+    tie_breaker * Σ(other matching subqueries). ``queries`` = [(text, operator)]."""
+    import numpy as np
+
+    per_q = [searcher.search(q, k=10**9, operator=op) for q, op in queries]
+    all_ids = np.unique(np.concatenate(
+        [np.array([h.docid for h in hs], dtype=np.int64) for hs in per_q if hs]
+        or [np.empty(0, np.int64)]))
+    if all_ids.size == 0:
+        return []
+    mat = np.zeros((len(per_q), all_ids.size), dtype=np.float64)
+    for i, hs in enumerate(per_q):
+        if not hs:
+            continue
+        ids = np.array([h.docid for h in hs], dtype=np.int64)
+        sc = np.array([h.score for h in hs], dtype=np.float64)
+        mat[i, np.searchsorted(all_ids, ids)] = sc
+    mx = mat.max(axis=0)
+    total = mx + tie_breaker * (mat.sum(axis=0) - mx)
+    order = np.lexsort((all_ids, -total))[:k]
+    return [SearchHit(int(all_ids[i]), float(total[i])) for i in order]
+
+
+def boosting_query(searcher: Searcher, positive: str, negative: str,
+                   negative_boost: float = 0.2, k: int = 10,
+                   operator: str = "or") -> List[SearchHit]:
+    """boosting query (ref index/query/BoostingQueryBuilder.java): positive
+    matches keep their score; those also matching the negative query are
+    DEMOTED by multiplying with ``negative_boost`` (not excluded)."""
+    import numpy as np
+
+    hits = searcher.search(positive, k=10**9, operator=operator)
+    if not hits:
+        return []
+    neg_terms = list(dict.fromkeys(searcher.analyzer.tokens(negative)))
+    neg = set(searcher.bool_docs(should=neg_terms).tolist()) if neg_terms else set()
+    scored = [(h.docid, h.score * negative_boost if h.docid in neg else h.score)
+              for h in hits]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return [SearchHit(d, s) for d, s in scored[:k]]
+
+
+# --------------------------------------------------------- query_string
+
+def _qs_tokenize(q: str) -> List[str]:
+    """Lexer for the query_string mini-grammar: parentheses, AND/OR/NOT,
+    quoted phrases, bare terms (trailing ``*`` = prefix)."""
+    out, i, n = [], 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            j = n if j < 0 else j
+            out.append(q[i:j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            out.append(q[i:j])
+            i = j
+    return out
+
+
+class _QSParser:
+    """Recursive descent with Lucene classic QueryParser semantics
+    (QueryStringQueryBuilder.java -> classic grammar, default_operator=OR):
+    AND binds tighter than (implicit) OR; ``NOT x`` marks a PROHIBITED clause
+    of the enclosing bool (subtracted from its positive matches — never a
+    standalone complement; a pure-negative bool matches nothing)."""
+
+    def __init__(self, searcher: Searcher, tokens: List[str]):
+        self.s = searcher
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def parse_or(self) -> "np.ndarray":
+        import numpy as np
+        acc = None
+        negs = []
+        while True:
+            p = self.peek()
+            if p in (None, ")"):
+                break
+            if p == "OR":
+                self.i += 1
+                continue
+            ds, is_neg = self.parse_and_group()
+            if is_neg:
+                negs.append(ds)
+            else:
+                acc = ds if acc is None else np.union1d(acc, ds)
+        acc = acc if acc is not None else np.empty(0, np.int64)
+        for nd in negs:
+            acc = np.setdiff1d(acc, nd, assume_unique=True)
+        return acc
+
+    def parse_and_group(self):
+        """One AND-chain -> (docset, is_pure_negative)."""
+        import numpy as np
+        pos = None
+        negs = []
+
+        def take_unary():
+            if self.peek() == "NOT":
+                self.i += 1
+                return self.parse_atom(), True
+            return self.parse_atom(), False
+
+        ds, neg = take_unary()
+        if neg:
+            negs.append(ds)
+        else:
+            pos = ds
+        while self.peek() == "AND":
+            self.i += 1
+            ds, neg = take_unary()
+            if neg:
+                negs.append(ds)
+            else:
+                pos = ds if pos is None else np.intersect1d(
+                    pos, ds, assume_unique=True)
+        if pos is None:
+            # pure negative group: prohibited at the enclosing level
+            u = negs[0]
+            for nd in negs[1:]:
+                u = np.union1d(u, nd)
+            return u, True
+        for nd in negs:
+            pos = np.setdiff1d(pos, nd, assume_unique=True)
+        return pos, False
+
+    def parse_atom(self) -> "np.ndarray":
+        import numpy as np
+        tok = self.peek()
+        if tok == "(":
+            self.i += 1
+            inner = self.parse_or()
+            if self.peek() == ")":
+                self.i += 1
+            return inner
+        self.i += 1
+        if tok is None:
+            return np.empty(0, np.int64)
+        if tok.startswith('"'):
+            return self.s.match_phrase(tok.strip('"'))
+        if tok.endswith("*") and len(tok) > 1:
+            return self.s.prefix_docs(tok[:-1].lower())
+        terms = self.s.analyzer.tokens(tok)
+        if not terms:
+            return np.empty(0, np.int64)
+        return self.s.bool_docs(should=terms)
+
+
+def query_string(searcher: Searcher, q: str, k: Optional[int] = None
+                 ) -> pd.DataFrame:
+    """query_string query: boolean mini-language (AND/OR/NOT, parentheses,
+    "phrases", prefix*) parsed and evaluated over posting-list doc sets, hits
+    scored by the BM25 sum of the POSITIVE bare terms they match (Lucene bool
+    scoring: matching clauses sum; NOT clauses contribute nothing).
+    Returns (doc_id, score) sorted (score desc, doc_id asc)."""
+    import numpy as np
+
+    toks = _qs_tokenize(q)
+    docs = _QSParser(searcher, toks).parse_or()
+    if docs.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    # positive bare terms (not operators / phrases / under NOT)
+    pos_terms: List[str] = []
+    skip_next_neg = False
+    for t in toks:
+        if t == "NOT":
+            skip_next_neg = True
+            continue
+        if t in ("AND", "OR", "(", ")"):
+            continue
+        if skip_next_neg:
+            skip_next_neg = False
+            continue
+        if t.startswith('"') or t.endswith("*"):
+            continue
+        pos_terms.extend(searcher.analyzer.tokens(t))
+    pos_terms = list(dict.fromkeys(pos_terms))
+    score_of = {}
+    if pos_terms:
+        for h in searcher.search(" ".join(pos_terms), k=10**9):
+            score_of[h.docid] = h.score
+    out = pd.DataFrame({
+        "doc_id": docs.astype(np.int64),
+        "score": [float(score_of.get(int(d), 0.0)) for d in docs],
+    })
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    return out.head(k) if k else out
+
+
 # ------------------------------------------------------------- terms lookup
 
 def terms_lookup_filter(ds, filter_col: str, lookup_ds, lookup_col: str,

@@ -1,0 +1,112 @@
+"""Multi-field indexing + multi_match query.
+
+Reference mapping: OpenSearch keeps one postings/norms structure PER FIELD
+inside each Lucene segment (server/index/mapper/MapperService.java field
+mapping tree; per-field Terms in the codec). We mirror that as one sub-index
+per analyzed text field under the same root (field-<name>/), built over the
+SAME corpus with the SAME sort order, so segment-local and global docids
+align across fields and each field carries its own df/ttf stats, norms and
+avgdl — exactly Lucene's per-field BM25 inputs.
+
+multi_match (server/index/query/MultiMatchQueryBuilder.java:1-100):
+- ``best_fields`` (default): dis_max over the per-field match queries —
+  score = max_f(score_f) + tie_breaker * Σ(other fields)   (DisMaxQueryBuilder
+  semantics, DisjunctionMaxQuery)
+- ``most_fields``: sum of per-field scores (bool-should over fields)
+Per-field boosts multiply that field's score (BM25 term weight is linear in
+boost: weight = boost*idf*(k1+1)).
+
+Build cost note: N fields = N analysis passes over the corpus (one pruned
+column read per field), matching the reference's per-field analysis work; the
+corpus text is never shuffled either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .searcher import Searcher, SearchHit
+
+
+def build_multi_field_index(
+    input_path,
+    index_dir: str,
+    fields: Sequence[str],
+    analyzer="default",
+    sort_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    **build_kwargs,
+) -> dict:
+    """Build one sub-index per analyzed field (same corpus, same doc order).
+    ``analyzer`` may be a single name or {field: analyzer} (per-field
+    analyzers, the mapping-tree analogue)."""
+    from ..index.build import build_index
+
+    os.makedirs(index_dir, exist_ok=True)
+    an_of = (analyzer if isinstance(analyzer, dict)
+             else {f: analyzer for f in fields})
+    for f in fields:
+        build_index(input_path, os.path.join(index_dir, f"field-{f}"),
+                    analyzer=an_of[f], text_col=f, sort_cols=sort_cols,
+                    **build_kwargs)
+    meta = {"fields": list(fields)}
+    with open(os.path.join(index_dir, "fields.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+class MultiFieldSearcher:
+    """Searchers over the per-field sub-indexes; global docids align because
+    every sub-index was built over the same corpus in the same order."""
+
+    def __init__(self, index_dir: str, dtype=np.float32):
+        with open(os.path.join(index_dir, "fields.json")) as fh:
+            self.fields: List[str] = json.load(fh)["fields"]
+        self.searchers: Dict[str, Searcher] = {
+            f: Searcher(os.path.join(index_dir, f"field-{f}"), dtype=dtype)
+            for f in self.fields
+        }
+
+    def multi_match(self, query_text: str,
+                    field_boosts: Optional[Dict[str, float]] = None,
+                    match_type: str = "best_fields", tie_breaker: float = 0.0,
+                    k: int = 10, operator: str = "or") -> List[SearchHit]:
+        """Top-k multi_match. ``field_boosts`` defaults to 1.0 for every
+        indexed field. Exact (unpruned) per-field scoring feeds the combine,
+        so ranks match the reference's DisjunctionMaxQuery collection."""
+        boosts = field_boosts or {f: 1.0 for f in self.fields}
+        per_field: Dict[str, List[SearchHit]] = {}
+        for f, boost in boosts.items():
+            hits = self.searchers[f].search(query_text, k=10**9,
+                                            operator=operator)
+            per_field[f] = [(h.docid, boost * h.score) for h in hits]
+        # combine per docid
+        all_ids = np.unique(np.concatenate(
+            [np.array([d for d, _ in hs], dtype=np.int64)
+             for hs in per_field.values() if hs] or
+            [np.empty(0, np.int64)]))
+        if all_ids.size == 0:
+            return []
+        mat = np.zeros((len(boosts), all_ids.size), dtype=np.float64)
+        for i, f in enumerate(boosts):
+            hs = per_field[f]
+            if not hs:
+                continue
+            ids = np.array([d for d, _ in hs], dtype=np.int64)
+            sc = np.array([s for _, s in hs], dtype=np.float64)
+            mat[i, np.searchsorted(all_ids, ids)] = sc
+        if match_type == "most_fields":
+            total = mat.sum(axis=0)
+        else:  # best_fields: dis_max + tie_breaker
+            mx = mat.max(axis=0)
+            total = mx + tie_breaker * (mat.sum(axis=0) - mx)
+        if operator == "and" and match_type == "best_fields":
+            # a doc must satisfy the AND in at least one field — already
+            # guaranteed: only docs returned by some per-field AND search
+            # appear in all_ids
+            pass
+        order = np.lexsort((all_ids, -total))[:k]
+        return [SearchHit(int(all_ids[i]), float(total[i])) for i in order]

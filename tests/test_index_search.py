@@ -504,3 +504,105 @@ def test_range_filters(built_index, oracle):
     keep = {i for i, t in enumerate(turns) if 3 <= t < 7}
     want_hits = [(h.docid, h.score) for h in unfiltered if h.docid in keep]
     assert [(h.docid, h.score) for h in hits] == want_hits
+
+
+def test_multi_match(transcript_corpus, tmp_path, oracle):
+    """best_fields == dis_max(max + tb*rest) and most_fields == sum, combined
+    from independent per-field brute-force scores."""
+    import pyarrow.compute as pc
+    from opensearch_ray.search import (BruteForceOracle, MultiFieldSearcher,
+                                       build_multi_field_index)
+
+    corpus_dir, files = transcript_corpus
+    full = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+    toks = pc.split_pattern(full.column("text"), " ")
+    title = pc.binary_join(pc.list_slice(toks, 0, 3), " ")
+    derived = pa.table({"conv_id": full.column("conv_id"),
+                        "turn_idx": full.column("turn_idx"),
+                        "title": title, "body": full.column("text")})
+    src = tmp_path / "mf_src"
+    src.mkdir()
+    pq.write_table(derived, str(src / "part-0.parquet"))
+    idx = str(tmp_path / "mf_idx")
+    build_multi_field_index(str(src), idx, fields=["title", "body"],
+                            analyzer="transcript", num_buckets=4)
+    s = MultiFieldSearcher(idx)
+    o_t = BruteForceOracle(derived, text_col="title", analyzer="transcript")
+    o_b = BruteForceOracle(derived, text_col="body", analyzer="transcript")
+    q = "bace cedi"
+    big = 10**9
+    st = dict((d, sc) for d, sc in o_t.search(q, k=big))
+    sb = dict((d, sc) for d, sc in o_b.search(q, k=big))
+    ids = sorted(set(st) | set(sb))
+
+    def combine(tb):
+        rows = []
+        for d in ids:
+            a, b = 2.0 * st.get(d, 0.0), sb.get(d, 0.0)
+            mx, mn = max(a, b), min(a, b)
+            rows.append((d, mx + tb * mn))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:10]
+
+    # best_fields (dis_max, tie_breaker=0): docids and scores
+    got = s.multi_match(q, {"title": 2.0, "body": 1.0}, k=10)
+    want = combine(0.0)
+    assert [h.docid for h in got] == [d for d, _ in want]
+    for (d, wsc), h in zip(want, got):
+        assert h.score == pytest.approx(wsc, rel=1e-6)
+    # tie_breaker path
+    got_tb = s.multi_match(q, {"title": 2.0, "body": 1.0}, k=10,
+                           tie_breaker=0.5)
+    assert [h.docid for h in got_tb] == [d for d, _ in combine(0.5)]
+    # most_fields = sum of per-field scores
+    got_mf = s.multi_match(q, {"title": 2.0, "body": 1.0}, k=10,
+                           match_type="most_fields")
+    want_mf = sorted(((d, 2.0 * st.get(d, 0.0) + sb.get(d, 0.0)) for d in ids),
+                     key=lambda r: (-r[1], r[0]))[:10]
+    assert [h.docid for h in got_mf] == [d for d, _ in want_mf]
+
+
+def test_query_string_and_compounds(built_index, oracle):
+    """query_string boolean algebra, dis_max, boosting vs brute-force sets."""
+    from opensearch_ray.search.features import (boosting_query, dis_max,
+                                                query_string)
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    texts = full.column("text").to_pylist()
+    an = s.analyzer
+    has = lambda i, t: t in an.tokens(texts[i] or "")
+    N = len(texts)
+    want = {i for i in range(N)
+            if ((has(i, "bace") and has(i, "cedi")) or has(i, "difo"))
+            and not has(i, "fogu")}
+    out = query_string(s, '(bace AND cedi) OR difo NOT fogu')
+    assert set(out["doc_id"].tolist()) == want
+    # scores: BM25 sum over positive terms matched
+    sc = {h.docid: h.score for h in s.search("bace cedi difo", k=10**9)}
+    for d, v in zip(out["doc_id"], out["score"]):
+        assert v == pytest.approx(sc[d], rel=1e-6)
+    # phrase + prefix atoms
+    out2 = query_string(s, '"bace cedi" OR fo*')
+    want2 = set(s.match_phrase("bace cedi").tolist()) | set(
+        s.prefix_docs("fo").tolist())
+    assert set(out2["doc_id"].tolist()) == want2
+    # dis_max == max + tb*rest of subquery scores
+    s1 = {h.docid: h.score for h in s.search("bace cedi", k=10**9)}
+    s2 = {h.docid: h.score for h in s.search("difo", k=10**9)}
+    got = dis_max(s, [("bace cedi", "or"), ("difo", "or")],
+                  tie_breaker=0.4, k=10)
+    comb = sorted(
+        ((d, max(s1.get(d, 0), s2.get(d, 0))
+          + 0.4 * min(s1.get(d, 0), s2.get(d, 0)))
+         for d in set(s1) | set(s2)), key=lambda r: (-r[1], r[0]))[:10]
+    assert [(h.docid,) for h in got] == [(d,) for d, _ in comb]
+    for h, (d, v) in zip(got, comb):
+        assert h.score == pytest.approx(v, rel=1e-6)
+    # boosting demotes but keeps
+    hits = boosting_query(s, "bace cedi", "difo", negative_boost=0.1, k=10**9)
+    neg = set(s.term_docs("difo").tolist())
+    base = {h.docid: h.score for h in s.search("bace cedi", k=10**9)}
+    assert {h.docid for h in hits} == set(base)
+    for h in hits:
+        factor = 0.1 if h.docid in neg else 1.0
+        assert h.score == pytest.approx(base[h.docid] * factor, rel=1e-6)
