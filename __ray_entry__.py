@@ -909,6 +909,57 @@ def _q_query_string(sf_dir):
     return out[["doc_id", "score"]]
 
 
+def _q_phrase_suggest(sf_dir):
+    """Phrase suggester: per-term candidates + Stupid-Backoff bigram rerank."""
+    from opensearch_ray.search.features import phrase_suggest
+    s = _searcher(sf_dir)
+    out = phrase_suggest(s, "hash joim", size=5, max_edits=1,
+                         candidates_per_term=5, discount=0.4)
+    out["score"] = _fmt(out["score"], 6)
+    return out[["phrase", "score", "rank"]]
+
+
+def _q_agg_date_range(sf_dir):
+    from opensearch_ray.aggs import date_range_agg
+    return date_range_agg(_read(sf_dir, "events", ["ts"]), "ts",
+                          [(None, "2024-01-10"),
+                           ("2024-01-10", "2024-01-20"),
+                           ("2024-01-20", None)])
+
+
+def _q_agg_sampler(sf_dir):
+    """sampler (top shard_size by value) -> terms agg on the sample."""
+    from opensearch_ray.aggs import sampler_agg, terms_agg
+    sampled = sampler_agg(_read(sf_dir, "events",
+                                ["event_id", "event_type", "value"]),
+                          by="value", shard_size=1000, tie_col="event_id")
+    out = terms_agg(sampled, "event_type", size=10)
+    return out[["event_type", "doc_count"]]
+
+
+def _q_agg_diversified_sampler(sf_dir):
+    """diversified_sampler (max 1 doc per user) -> terms agg on the sample."""
+    from opensearch_ray.aggs import diversified_sampler_agg, terms_agg
+    sampled = diversified_sampler_agg(
+        _read(sf_dir, "events", ["event_id", "event_type", "user_id", "value"]),
+        diversify_field="user_id", by="value", shard_size=200,
+        max_docs_per_value=1, tie_col="event_id")
+    out = terms_agg(sampled, "event_type", size=10)
+    return out[["event_type", "doc_count"]]
+
+
+def _q_agg_significant_text(sf_dir):
+    """significant_text: JLH-scored tokens of documents.text, fg = lang 'de'."""
+    from opensearch_ray.aggs import significant_text_agg
+    out = significant_text_agg(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        "text", "doc_id",
+        foreground=lambda t: pc.equal(t.column("lang"), "de"),
+        analyzer="transcript", size=10)
+    out["score"] = _fmt(out["score"], 6)
+    return out[["term", "fg", "bg", "score"]]
+
+
 def _q_range_query(sf_dir):
     """Numeric range query over doc values (RangeQueryBuilder [gte, lt))."""
     s = _searcher(sf_dir)
@@ -1020,6 +1071,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max_query": _q_dis_max,
         "boosting_query": _q_boosting,
         "query_string": _q_query_string,
+        "phrase_suggest": _q_phrase_suggest,
+        "agg_date_range": _q_agg_date_range,
+        "agg_sampler": _q_agg_sampler,
+        "agg_diversified_sampler": _q_agg_diversified_sampler,
+        "agg_significant_text": _q_agg_significant_text,
         "range_query": _q_range_query,
         "bm25_range_filtered": _q_bm25_range_filtered,
         "phrase_slop": _q_phrase_slop,
@@ -1494,6 +1550,103 @@ def oracle_sql() -> dict[str, str]:
                    OR sc.doc_id IN (SELECT doc_id FROM hasd WHERE token = 'stream'))
               AND sc.doc_id NOT IN (SELECT doc_id FROM hasd WHERE token = 'merge')""",
             query_terms=["hash", "join", "stream"]),
+        "phrase_suggest": f"""
+            WITH tok AS (
+              SELECT d.doc_id, t.tok AS token
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}),
+            stats AS (SELECT token, count(DISTINCT doc_id) AS df,
+                             count(*) AS ttf
+                      FROM tok GROUP BY token),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM tok),
+            c1 AS (SELECT token, ttf FROM (
+                     SELECT s.token, s.ttf, row_number() OVER (
+                       ORDER BY levenshtein(s.token, 'hash'), s.df DESC,
+                                s.token) AS rn
+                     FROM stats s WHERE levenshtein(s.token, 'hash') <= 1)
+                   WHERE rn <= 5),
+            c2 AS (SELECT token, ttf FROM (
+                     SELECT s.token, s.ttf, row_number() OVER (
+                       ORDER BY levenshtein(s.token, 'joim'), s.df DESC,
+                                s.token) AS rn
+                     FROM stats s WHERE levenshtein(s.token, 'joim') <= 1)
+                   WHERE rn <= 5),
+            toklist AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                       x -> x <> '' AND x NOT IN {STOP}) AS l
+              FROM documents),
+            big AS (
+              SELECT l[i] AS w1, l[i+1] AS w2, count(*) AS n
+              FROM toklist, unnest(generate_series(1, len(l) - 1)) AS g(i)
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT c1.token || ' ' || c2.token AS phrase,
+                     ln((CAST(c1.ttf AS DOUBLE) / t.T) *
+                        CASE WHEN b.n IS NOT NULL
+                             THEN CAST(b.n AS DOUBLE) / c1.ttf
+                             ELSE 0.4 * c2.ttf / t.T END) AS score
+              FROM c1 CROSS JOIN c2 CROSS JOIN tot t
+              LEFT JOIN big b ON b.w1 = c1.token AND b.w2 = c2.token)
+            SELECT phrase, printf('%.6f', score) AS score,
+                   CAST(row_number() OVER (ORDER BY score DESC, phrase)
+                        AS BIGINT) AS rank
+            FROM scored ORDER BY scored.score DESC, phrase LIMIT 5
+        """,
+        "agg_date_range": """
+            SELECT key, count(*) AS doc_count FROM (
+              SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN '*-2024-01-10'
+                          WHEN ts < TIMESTAMP '2024-01-20'
+                            THEN '2024-01-10-2024-01-20'
+                          ELSE '2024-01-20-*' END AS key
+              FROM events) GROUP BY key
+        """,
+        "agg_sampler": """
+            WITH sample AS (
+              SELECT event_type FROM events
+              ORDER BY value DESC, event_id LIMIT 1000)
+            SELECT event_type, count(*) AS doc_count
+            FROM sample GROUP BY event_type
+            ORDER BY doc_count DESC, event_type LIMIT 10
+        """,
+        "agg_diversified_sampler": """
+            WITH diverse AS (
+              SELECT event_type, value, event_id FROM (
+                SELECT event_type, value, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY value DESC, event_id) AS rn
+                FROM events) WHERE rn <= 1),
+            sample AS (
+              SELECT event_type FROM diverse
+              ORDER BY value DESC, event_id LIMIT 200)
+            SELECT event_type, count(*) AS doc_count
+            FROM sample GROUP BY event_type
+            ORDER BY doc_count DESC, event_type LIMIT 10
+        """,
+        "agg_significant_text": f"""
+            WITH doc_tok AS (
+              SELECT DISTINCT d.doc_id, d.lang, t.tok AS term
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {_stop_sql()}),
+            per_term AS (
+              SELECT term,
+                     CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fg,
+                     count(*) AS bg
+              FROM doc_tok GROUP BY term),
+            tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS n_fg,
+                           CAST(sum(bg) AS DOUBLE) AS n_bg FROM per_term),
+            scored AS (
+              SELECT p.term, p.fg, p.bg,
+                     CASE WHEN p.fg / t.n_fg > p.bg / t.n_bg
+                          THEN (p.fg / t.n_fg - p.bg / t.n_bg)
+                               * ((p.fg / t.n_fg)
+                                  / greatest(p.bg / t.n_bg, 1e-9))
+                          ELSE 0.0 END AS score
+              FROM per_term p CROSS JOIN tot t)
+            SELECT term, fg, bg, printf('%.6f', score) AS score
+            FROM scored WHERE score > 0
+            ORDER BY scored.score DESC, term LIMIT 10
+        """,
         "range_query": """
             SELECT doc_id FROM documents
             WHERE n_chars >= 200 AND n_chars < 400

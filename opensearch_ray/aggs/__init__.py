@@ -19,6 +19,7 @@ from .bucket import (
     terms_agg, multi_terms_agg, rare_terms_agg, histogram_agg,
     date_histogram_agg, auto_date_histogram_agg, adjacency_matrix_agg,
     range_agg, filters_agg, missing_agg, composite_agg, significant_terms_agg,
+    date_range_agg, sampler_agg, diversified_sampler_agg, significant_text_agg,
 )
 from .pipeline import (
     cumulative_sum, derivative, moving_fn, serial_diff,

@@ -165,6 +165,128 @@ def range_agg(ds: Dataset, field: str,
     return merged[["key", "doc_count"]].reset_index(drop=True)
 
 
+def date_range_agg(ds: Dataset, field: str,
+                   ranges: Sequence[Tuple[Optional[str], Optional[str]]]
+                   ) -> pd.DataFrame:
+    """date_range: [from, to) buckets over a timestamp field, bounds as ISO
+    strings (DateRangeAggregationBuilder semantics: from inclusive, to
+    exclusive), reported in given order."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy(zero_copy_only=False)
+        counts = []
+        for lo, hi in ranges:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= v >= np.datetime64(lo)
+            if hi is not None:
+                m &= v < np.datetime64(hi)
+            counts.append(int(m.sum()))
+        return pa.table({"idx": pa.array(range(len(ranges)), pa.int64()),
+                         "doc_count": pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = (parts.groupby("idx")
+              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas()
+              .sort_values("idx"))
+    merged["key"] = [
+        f"{lo or '*'}-{hi or '*'}" for lo, hi in ranges
+    ]
+    return merged[["key", "doc_count"]].reset_index(drop=True)
+
+
+def sampler_agg(ds: Dataset, by: str, shard_size: int = 100,
+                tie_col: Optional[str] = None) -> Dataset:
+    """sampler: restrict sub-aggregations to the best-scoring docs
+    (bucket/sampler/SamplerAggregator — top shard_size by _score; here the
+    score is an explicit column). Deterministic: (by desc, tie_col asc).
+    Returns the sampled Dataset; run any agg on it. Per-block top partials
+    keep the reduce bounded."""
+    keys = [by] + ([tie_col] if tie_col else [])
+    asc = [False] + ([True] if tie_col else [])
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(keys, ascending=asc,
+                              kind="mergesort").head(shard_size)
+
+    tops = ds.map_batches(block_top, batch_format="pandas").to_pandas()
+    tops = tops.sort_values(keys, ascending=asc,
+                            kind="mergesort").head(shard_size)
+    import ray.data
+    return ray.data.from_pandas(tops.reset_index(drop=True))
+
+
+def diversified_sampler_agg(ds: Dataset, diversify_field: str, by: str,
+                            shard_size: int = 100,
+                            max_docs_per_value: int = 1,
+                            tie_col: Optional[str] = None) -> Dataset:
+    """diversified_sampler: like sampler but at most ``max_docs_per_value``
+    docs per ``diversify_field`` value survive before the top-N cut
+    (DiversifiedAggregatorFactory semantics)."""
+    keys = [by] + ([tie_col] if tie_col else [])
+    asc = [False] + ([True] if tie_col else [])
+
+    def best_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(keys, ascending=asc,
+                             kind="mergesort").head(max_docs_per_value)
+
+    diverse = ds.groupby(diversify_field).map_groups(
+        best_per_key, batch_format="pandas")
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(keys, ascending=asc,
+                              kind="mergesort").head(shard_size)
+
+    tops = diverse.map_batches(block_top, batch_format="pandas").to_pandas()
+    tops = tops.sort_values(keys, ascending=asc,
+                            kind="mergesort").head(shard_size)
+    import ray.data
+    return ray.data.from_pandas(tops.reset_index(drop=True))
+
+
+def significant_text_agg(ds: Dataset, text_col: str, id_col: str,
+                         foreground: Callable[[pa.Table], pa.Array],
+                         analyzer: str = "default",
+                         size: int = 10) -> pd.DataFrame:
+    """significant_text: JLH-scored over-represented TERMS of an analyzed
+    text field in the foreground docs vs the whole corpus
+    (SignificantTextAggregationBuilder). Counts are document frequencies
+    (each doc contributes a term once)."""
+    from ..analysis import get_analyzer
+
+    an = get_analyzer(analyzer)
+
+    def explode(t: pa.Table) -> pa.Table:
+        fg_mask = np.asarray(pc.cast(foreground(t), pa.bool_()).to_pylist(),
+                             dtype=bool)
+        terms, fgs = [], []
+        for s, fg in zip(t.column(text_col).to_pylist(), fg_mask):
+            uniq = set(an.tokens(s or ""))
+            terms.extend(uniq)
+            fgs.extend([1 if fg else 0] * len(uniq))
+        tt = pa.table({"term": pa.array(terms, pa.string()),
+                       "fg": pa.array(fgs, pa.int64()),
+                       "bg": pa.array(np.ones(len(terms), np.int64))})
+        # per-batch combine before the shuffle
+        return (tt.group_by(["term"]).aggregate([("fg", "sum"), ("bg", "sum")])
+                .rename_columns(["term", "fg", "bg"]))
+
+    parts = ds.map_batches(explode, batch_format="pyarrow")
+    p = (parts.groupby("term").aggregate(
+        Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg")).to_pandas())
+    N_fg, N_bg = p["fg"].sum(), p["bg"].sum()
+    eps = 1e-9
+    fg_rate = p["fg"] / max(N_fg, 1)
+    bg_rate = p["bg"] / max(N_bg, 1)
+    p["score"] = np.where(
+        fg_rate > bg_rate,
+        (fg_rate - bg_rate) * (fg_rate / np.maximum(bg_rate, eps)),
+        0.0)
+    p = p[p["score"] > 0].sort_values(["score", "term"],
+                                      ascending=[False, True])
+    return p[["term", "fg", "bg", "score"]].head(size).reset_index(drop=True)
+
+
 def filters_agg(ds: Dataset, filters: Dict[str, Callable[[pa.Table], pa.Array]]
                 ) -> pd.DataFrame:
     """filters: named-predicate doc counts (FiltersAggregator). Each filter is

@@ -255,6 +255,111 @@ def more_like_this(searcher: Searcher, docid: int, k: int = 10,
     return [h for h in hits if h.docid != docid][:k]
 
 
+# ---------------------------------------------------- phrase suggester
+
+def bigram_model(searcher: Searcher) -> dict:
+    """Corpus bigram counts over analyzed (stop-filtered) token sequences —
+    the word language model behind the phrase suggester (ref
+    search/suggest/phrase/PhraseSuggester.java:60-150; Lucene WordScorer
+    reads these from the index's shingle field, we run ONE distributed count
+    pass over the doc store). Cached on the searcher. At larger corpora the
+    counts stay a parquet artifact with per-w1 pruning; the model a suggester
+    needs is vocab-bounded either way."""
+    if hasattr(searcher, "_bigram_counts"):
+        return searcher._bigram_counts
+    import os
+
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    text_col = searcher.manifest.text_col
+    files = [os.path.join(searcher.manifest.index_dir, "segments",
+                          f"seg-{s.seg_id:05d}", "docs.parquet")
+             for s in searcher.manifest.segments]
+    an = searcher.analyzer
+
+    def grams(t: pa.Table) -> pa.Table:
+        w1, w2 = [], []
+        for s in t.column(text_col).to_pylist():
+            toks = an.tokens(s or "")
+            w1.extend(toks[:-1])
+            w2.extend(toks[1:])
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "n": pa.array(np.ones(len(w1), np.int64))})
+
+    counts = (ray.data.read_parquet(files, columns=[text_col])
+              .map_batches(grams, batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    model = {(a, b): int(n) for a, b, n in
+             zip(counts["w1"], counts["w2"], counts["n"])}
+    searcher._bigram_counts = model
+    return model
+
+
+def phrase_suggest(searcher: Searcher, text: str, size: int = 5,
+                   max_edits: int = 1, candidates_per_term: int = 5,
+                   discount: float = 0.4) -> pd.DataFrame:
+    """Did-you-mean whole phrases: per-token candidates from the term
+    dictionary (edit distance <= max_edits, ordered (distance, df desc, term),
+    capped — DirectCandidateGenerator shape), every candidate phrase scored
+    with a Stupid-Backoff bigram model:
+
+      score = ln( (ttf(w1)/T) * Π S(w_i | w_{i-1}) )
+      S(b|a) = count(a,b)/ttf(a)  if the bigram exists,
+               discount * ttf(b)/T  otherwise
+
+    (T = total analyzed tokens = manifest.sum_dl). Returns
+    (phrase, score, rank), (score desc, phrase asc)."""
+    import itertools
+    import math
+
+    toks = searcher.analyzer.tokens(text)
+    if not toks:
+        return pd.DataFrame({"phrase": [], "score": [], "rank": []})
+    vocab_tbl = searcher._vocab()
+    vocab = vocab_tbl.column("term").to_pylist()
+    dfs = vocab_tbl.column("df").to_pylist()
+    cand_of: List[List[str]] = []
+    for tok in toks:
+        cands = []
+        for term, df in zip(vocab, dfs):
+            d = _levenshtein(tok, term, max_edits)
+            if d <= max_edits:
+                cands.append((d, -df, term))
+        cands.sort()
+        cand_of.append([t for _, _, t in cands[:candidates_per_term]]
+                       or [tok])
+    model = bigram_model(searcher)
+    stats = searcher.term_stats([t for cl in cand_of for t in cl])
+    T = float(searcher.manifest.sum_dl) or 1.0
+    rows = []
+    for phrase in itertools.product(*cand_of):
+        ttf1 = stats.get(phrase[0], (0, 0))[1]
+        if ttf1 == 0:
+            continue
+        p = ttf1 / T
+        ok = True
+        for a, b in zip(phrase[:-1], phrase[1:]):
+            big = model.get((a, b), 0)
+            if big:
+                p *= big / stats[a][1]
+            else:
+                ttfb = stats.get(b, (0, 0))[1]
+                if ttfb == 0:
+                    ok = False
+                    break
+                p *= discount * ttfb / T
+        if ok and p > 0:
+            rows.append((" ".join(phrase), math.log(p)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out = pd.DataFrame(rows[:size], columns=["phrase", "score"])
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
 # ------------------------------------------------- compound queries
 
 def dis_max(searcher: Searcher, queries: List[Tuple[str, str]],

@@ -196,3 +196,53 @@ def test_median_absolute_deviation(li, li_pdf):
     true_mad = (x - x.median()).abs().median()
     spread = x.max() - x.min()
     assert abs(mad - true_mad) < 0.03 * spread
+
+
+def test_date_range_agg(ev, ev_pdf):
+    from opensearch_ray.aggs import date_range_agg
+    out = date_range_agg(ev, "ts", [(None, "2024-01-10"),
+                                    ("2024-01-10", "2024-01-20"),
+                                    ("2024-01-20", None)])
+    import pandas as pd
+    ts = pd.to_datetime(ev_pdf["ts"])
+    a = (ts < "2024-01-10").sum()
+    b = ((ts >= "2024-01-10") & (ts < "2024-01-20")).sum()
+    c = (ts >= "2024-01-20").sum()
+    assert out["doc_count"].tolist() == [a, b, c]
+    assert out["key"].tolist()[0] == "*-2024-01-10"
+
+
+def test_sampler_aggs(ev, ev_pdf):
+    from opensearch_ray.aggs import (diversified_sampler_agg, sampler_agg,
+                                     terms_agg)
+    sampled = sampler_agg(ev, by="value", shard_size=500, tie_col="event_id")
+    want = ev_pdf.sort_values(["value", "event_id"],
+                              ascending=[False, True]).head(500)
+    got = sampled.to_pandas().sort_values("event_id")
+    assert got["event_id"].tolist() == sorted(want["event_id"].tolist())
+    # diversified: at most 1 doc per user, then top 100
+    div = diversified_sampler_agg(ev, diversify_field="user_id", by="value",
+                                  shard_size=100, max_docs_per_value=1,
+                                  tie_col="event_id").to_pandas()
+    per_user = (ev_pdf.sort_values(["value", "event_id"],
+                                   ascending=[False, True])
+                .drop_duplicates("user_id"))
+    want_div = per_user.sort_values(["value", "event_id"],
+                                    ascending=[False, True]).head(100)
+    assert sorted(div["event_id"]) == sorted(want_div["event_id"])
+    assert div["user_id"].is_unique
+    # sub-agg runs on the sample
+    t = terms_agg(sampled, "event_type")
+    assert t["doc_count"].sum() == 500
+
+
+def test_significant_text(sf_dir):
+    from opensearch_ray.aggs import significant_text_agg
+    import pyarrow.compute as pc
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = significant_text_agg(ds, "text", "doc_id",
+                               foreground=lambda t: pc.equal(t.column("lang"), "de"),
+                               analyzer="transcript", size=5)
+    assert len(out) <= 5
+    assert (out["score"] > 0).all()
+    assert (out["fg"] <= out["bg"]).all()
