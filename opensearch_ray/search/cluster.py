@@ -8,6 +8,18 @@ MaxScore/block-max pruned BM25 as the local Searcher, and returns its top-k
 partial. The driver merges partials with the identical (score desc, docid asc)
 tie-break, so cluster results == local Searcher results exactly.
 
+Feature parity with the local path (filters, search_after, field sort,
+aggs-on-hits, count) runs per shard + a bounded coordinator merge — each
+shard's partial is exact over its own segments, so the merge is exact:
+- filters: applied inside each shard's segment scoring (non-scoring context)
+- search_after: each shard returns its page strictly after the cursor
+  (SearchAfterBuilder semantics); coordinator re-merges
+- field sort: per-shard top-k by doc values, merge on (value, docid)
+- terms agg on hits: per-shard complete key counts, coordinator sums
+- scroll: cursor loop over search_after — the executors' fixed segment set
+  IS the point-in-time (PIT/CreatePitAction analogue: actor state pins the
+  view for the scroll's lifetime)
+
 Scale notes: norms are 1 byte/doc, so an executor holding G segments keeps
 G x doc_count bytes — size the pool so segments-per-executor fits the heap.
 Executors read per-segment postings files (shard-local lookup, like a Lucene
@@ -17,7 +29,7 @@ single-scan path.
 
 from __future__ import annotations
 
-from typing import List
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -36,13 +48,55 @@ class QueryExecutor:
         segs = [s for s in self.searcher.manifest.segments if s.seg_id in set(seg_ids)]
         self.searcher.manifest.segments = segs
         self.searcher.manifest.merged = False  # per-segment postings lookup
+        # searcher-internal segment arrays must match the restricted group
+        segs_sorted = sorted(segs, key=lambda s: s.seg_id)
+        self.searcher._seg_ids = np.array([s.seg_id for s in segs_sorted],
+                                          dtype=np.int64)
+        self.searcher._bases = np.array([s.doc_base for s in segs_sorted],
+                                        dtype=np.int64)
+        self.searcher._counts = np.array([s.doc_count for s in segs_sorted],
+                                         dtype=np.int64)
         # warm the norm cache once per actor
         for s in segs:
             self.searcher.norms(s.seg_id)
 
-    def search(self, query_text: str, k: int, operator: str = "or"):
-        hits = self.searcher.search(query_text, k=k, operator=operator)
+    def search(self, query_text: str, k: int, operator: str = "or",
+               filters: Optional[dict] = None):
+        hits = self.searcher.search(query_text, k=k, operator=operator,
+                                    filters=filters)
         return [(h.docid, h.score) for h in hits]
+
+    def search_after(self, query_text: str, page_size: int,
+                     after: Tuple[float, int], operator: str = "or",
+                     filters: Optional[dict] = None):
+        """This shard's next page strictly after the (score, docid) cursor.
+        Exhaustive per shard (a collector-threshold cut in a real deep page);
+        exact by construction."""
+        hits = self.searcher.search(query_text, k=10**9, operator=operator,
+                                    filters=filters)
+        key = (-after[0], after[1])
+        out = [(h.docid, h.score) for h in hits
+               if (-h.score, h.docid) > key]
+        return out[:page_size]
+
+    def search_sorted(self, query_text: str, sort_field: str, k: int,
+                      ascending: bool, operator: str = "or",
+                      filters: Optional[dict] = None):
+        df = self.searcher.search_sorted(query_text, sort_field, k=k,
+                                         ascending=ascending,
+                                         operator=operator, filters=filters)
+        return list(zip(df["_docid"].tolist(), df[sort_field].tolist()))
+
+    def terms_agg_on_hits(self, query_text: str, field: str,
+                          operator: str = "or"):
+        # size=unbounded per shard: a shard's counts are COMPLETE for its
+        # segments, so the coordinator's sum-then-top is exact
+        df = self.searcher.terms_agg_on_hits(query_text, field, size=10**9,
+                                             operator=operator)
+        return list(zip(df[field].tolist(), df["doc_count"].tolist()))
+
+    def count(self, query_text: str, operator: str = "or") -> int:
+        return self.searcher.count(query_text, operator=operator)
 
     def count_terms(self, query_text: str):
         terms = self.searcher.analyzer.tokens(query_text)
@@ -67,16 +121,76 @@ class SearchCluster:
             QueryExecutor.remote(index_dir, g, dtype_str) for g in groups if g
         ]
 
-    def search(self, query_text: str, k: int = 10, operator: str = "or",
-               ) -> List[SearchHit]:
-        partials = ray.get([e.search.remote(query_text, k, operator)
-                            for e in self.executors])
+    @staticmethod
+    def _merge_hits(partials, k: int) -> List[SearchHit]:
         docs = np.array([d for p in partials for d, _ in p], dtype=np.int64)
         scores = np.array([s for p in partials for _, s in p])
         if docs.size == 0:
             return []
         order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
         return [SearchHit(int(docs[i]), float(scores[i])) for i in order]
+
+    def search(self, query_text: str, k: int = 10, operator: str = "or",
+               filters: Optional[dict] = None) -> List[SearchHit]:
+        partials = ray.get([e.search.remote(query_text, k, operator, filters)
+                            for e in self.executors])
+        return self._merge_hits(partials, k)
+
+    def search_after(self, query_text: str, page_size: int,
+                     after: Tuple[float, int], operator: str = "or",
+                     filters: Optional[dict] = None) -> List[SearchHit]:
+        partials = ray.get([
+            e.search_after.remote(query_text, page_size, after, operator,
+                                  filters)
+            for e in self.executors])
+        return self._merge_hits(partials, page_size)
+
+    def scroll(self, query_text: str, page_size: int = 100,
+               operator: str = "or", filters: Optional[dict] = None
+               ) -> Iterator[List[SearchHit]]:
+        """Deep pagination: yields successive pages until exhausted. The
+        executors' pinned segment groups give PIT semantics for the scroll's
+        lifetime."""
+        page = self.search(query_text, k=page_size, operator=operator,
+                           filters=filters)
+        while page:
+            yield page
+            cur = (page[-1].score, page[-1].docid)
+            page = self.search_after(query_text, page_size, cur,
+                                     operator=operator, filters=filters)
+
+    def search_sorted(self, query_text: str, sort_field: str, k: int = 10,
+                      ascending: bool = True, operator: str = "or",
+                      filters: Optional[dict] = None):
+        import pandas as pd
+        partials = ray.get([
+            e.search_sorted.remote(query_text, sort_field, k, ascending,
+                                   operator, filters)
+            for e in self.executors])
+        rows = [r for p in partials for r in p]
+        df = pd.DataFrame(rows, columns=["_docid", sort_field])
+        df = df.sort_values([sort_field, "_docid"],
+                            ascending=[ascending, True], kind="mergesort")
+        return df.head(k).reset_index(drop=True)
+
+    def terms_agg_on_hits(self, query_text: str, field: str, size: int = 10,
+                          operator: str = "or"):
+        import pandas as pd
+        partials = ray.get([e.terms_agg_on_hits.remote(query_text, field,
+                                                       operator)
+                            for e in self.executors])
+        acc: Dict[object, int] = {}
+        for p in partials:
+            for key, n in p:
+                acc[key] = acc.get(key, 0) + int(n)
+        df = pd.DataFrame({field: list(acc), "doc_count": list(acc.values())})
+        df = df.sort_values(["doc_count", field], ascending=[False, True],
+                            kind="mergesort").head(size)
+        return df.reset_index(drop=True)
+
+    def count(self, query_text: str, operator: str = "or") -> int:
+        return int(sum(ray.get([e.count.remote(query_text, operator)
+                                for e in self.executors])))
 
     def shutdown(self):
         for e in self.executors:

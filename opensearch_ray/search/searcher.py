@@ -550,6 +550,69 @@ class Searcher:
             return int(self.bool_docs(must=terms).size)
         return int(self.bool_docs(should=terms).size)
 
+    def search_with_totals(self, query_text: str, k: int = 10,
+                           operator: str = "or",
+                           track_total_hits=True,
+                           terminate_after: Optional[int] = None) -> dict:
+        """Collection controls (ref search/query/QueryPhase.java:367-369,
+        SearchContext.java:100-102):
+
+        - ``track_total_hits``: True = exact total; an int N = count
+          accurately only up to N, report (N, "gte") beyond; False = skip.
+        - ``terminate_after``: stop collecting once that many hits have been
+          seen (segment granularity here — Lucene terminates mid-segment in
+          doc order); results carry ``terminated_early``.
+
+        Returns {hits, total, total_relation, terminated_early}."""
+        terminated = False
+        if terminate_after is not None:
+            # collect segment prefixes until the hit budget is exhausted
+            hits: List[SearchHit] = []
+            seen = 0
+            kept_segments = []
+            full = sorted(self.manifest.segments, key=lambda s: s.seg_id)
+            for s in full:
+                kept_segments.append(s)
+                seen += self._segment_match_count(query_text, s.seg_id,
+                                                 operator)
+                if seen >= terminate_after:
+                    terminated = True
+                    break
+            saved = self.manifest.segments
+            try:
+                self.manifest.segments = kept_segments
+                hits = self.search(query_text, k=k, operator=operator)
+            finally:
+                self.manifest.segments = saved
+        else:
+            hits = self.search(query_text, k=k, operator=operator)
+        total = None
+        relation = None
+        if track_total_hits is True:
+            total, relation = self.count(query_text, operator), "eq"
+        elif isinstance(track_total_hits, int) and not isinstance(
+                track_total_hits, bool):
+            exact = self.count(query_text, operator)
+            if exact > track_total_hits:
+                total, relation = track_total_hits, "gte"
+            else:
+                total, relation = exact, "eq"
+        return {"hits": hits, "total": total, "total_relation": relation,
+                "terminated_early": terminated}
+
+    def _segment_match_count(self, query_text: str, seg_id: int,
+                             operator: str) -> int:
+        """Matched-doc count within ONE segment (no scoring)."""
+        terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))
+        if not terms:
+            return 0
+        base = self.doc_base(seg_id)
+        idx = int(np.searchsorted(self._seg_ids, seg_id))
+        hi = base + int(self._counts[idx])
+        docs = (self.bool_docs(must=terms) if operator == "and"
+                else self.bool_docs(should=terms))
+        return int(((docs >= base) & (docs < hi)).sum())
+
     def explain(self, query_text: str, docid: int) -> dict:
         """Scoring breakdown for one doc (the `_explain` API,
         search/fetch/subphase/ExplainPhase): per-term tf, df, idf, quantized

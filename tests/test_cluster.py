@@ -1,18 +1,66 @@
 """SearchCluster (shard fan-out actors) must equal the local Searcher exactly."""
 
+import pytest
+
 from opensearch_ray.search import Searcher, SearchCluster
+from opensearch_ray.search.features import search_after_page
 from opensearch_ray.sources import reference_queries
 
 
-def test_cluster_equals_local(built_index):
+@pytest.fixture(scope="module")
+def cluster(built_index):
+    c = SearchCluster(built_index.index_dir, num_executors=2)
+    yield c
+    c.shutdown()
+
+
+def test_cluster_equals_local(built_index, cluster):
     local = Searcher(built_index.index_dir)
-    cluster = SearchCluster(built_index.index_dir, num_executors=2)
-    try:
-        for q in reference_queries():
-            want = [(h.docid, h.score) for h in
-                    local.search(q["query_text"], k=q["k"])]
-            got = [(h.docid, h.score) for h in
-                   cluster.search(q["query_text"], k=q["k"])]
-            assert got == want, q["query_id"]
-    finally:
-        cluster.shutdown()
+    for q in reference_queries():
+        want = [(h.docid, h.score) for h in
+                local.search(q["query_text"], k=q["k"])]
+        got = [(h.docid, h.score) for h in
+               cluster.search(q["query_text"], k=q["k"])]
+        assert got == want, q["query_id"]
+
+
+def test_cluster_filters_parity(built_index, cluster):
+    local = Searcher(built_index.index_dir)
+    flt = {"role": "user", "turn_idx": {"gte": 2, "lt": 8}}
+    want = [(h.docid, h.score) for h in
+            local.search("bace cedi", k=20, filters=flt)]
+    got = [(h.docid, h.score) for h in
+           cluster.search("bace cedi", k=20, filters=flt)]
+    assert got == want
+
+
+def test_cluster_search_after_and_scroll(built_index, cluster):
+    local = Searcher(built_index.index_dir)
+    p1 = cluster.search("bace", k=10)
+    assert [(h.docid, h.score) for h in p1] == [
+        (h.docid, h.score) for h in local.search("bace", k=10)]
+    cur = (p1[-1].score, p1[-1].docid)
+    got = cluster.search_after("bace", 10, cur)
+    want = search_after_page(local, "bace", 10, after=cur)
+    assert [(h.docid, h.score) for h in got] == [
+        (h.docid, h.score) for h in want]
+    # full scroll enumerates exactly the exhaustive hit list, in order
+    all_hits = [(h.docid, h.score) for h in local.search("bace", k=10**9)]
+    scrolled = [(h.docid, h.score)
+                for page in cluster.scroll("bace", page_size=7)
+                for h in page]
+    assert scrolled == all_hits
+
+
+def test_cluster_sort_aggs_count_parity(built_index, cluster):
+    local = Searcher(built_index.index_dir)
+    want = local.search_sorted("bace", "turn_idx", k=10, ascending=False)
+    got = cluster.search_sorted("bace", "turn_idx", k=10, ascending=False)
+    assert got["_docid"].tolist() == want["_docid"].tolist()
+    assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
+    wa = local.terms_agg_on_hits("bace cedi", "role", size=5)
+    ga = cluster.terms_agg_on_hits("bace cedi", "role", size=5)
+    assert ga["role"].tolist() == wa["role"].tolist()
+    assert ga["doc_count"].tolist() == wa["doc_count"].tolist()
+    assert cluster.count("bace cedi", operator="and") == local.count(
+        "bace cedi", operator="and")

@@ -606,3 +606,27 @@ def test_query_string_and_compounds(built_index, oracle):
     for h in hits:
         factor = 0.1 if h.docid in neg else 1.0
         assert h.score == pytest.approx(base[h.docid] * factor, rel=1e-6)
+
+
+def test_collection_controls(built_index, oracle):
+    """terminate_after + track_total_hits (QueryPhase collection controls)."""
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    exact = s.count("bace")
+    r = s.search_with_totals("bace", k=5, track_total_hits=True)
+    assert r["total"] == exact and r["total_relation"] == "eq"
+    assert not r["terminated_early"]
+    r2 = s.search_with_totals("bace", k=5, track_total_hits=10)
+    assert r2["total"] == 10 and r2["total_relation"] == "gte"
+    r3 = s.search_with_totals("bace", k=5, track_total_hits=False)
+    assert r3["total"] is None
+    # terminate_after: early termination flagged, hits from segment prefix
+    r4 = s.search_with_totals("bace", k=5, terminate_after=5)
+    assert r4["terminated_early"]
+    seg0_hi = built_index.segments[0].doc_count
+    # with a tiny budget only the first segment(s) are collected
+    assert all(h.docid < built_index.total_docs for h in r4["hits"])
+    r5 = s.search_with_totals("bace", k=5, terminate_after=10**9)
+    assert not r5["terminated_early"]
+    assert [(h.docid, h.score) for h in r5["hits"]] == [
+        (h.docid, h.score) for h in s.search("bace", k=5)]
