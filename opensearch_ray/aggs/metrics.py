@@ -92,14 +92,15 @@ def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
     h = pd.util.hash_array(values if values.dtype == object
                            else values.astype(object))
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
-    rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel keeps rho bounded
-    # rho = leading zeros of remaining bits + 1, via bit_length
-    lz = np.zeros(len(h), dtype=np.int64)
-    v = rest
-    # leading zeros of 64-bit: 64 - bit_length
-    bl = np.frompyfunc(int.bit_length, 1, 1)(v.astype(object)).astype(np.int64)
-    lz = 64 - bl
-    rho = lz + 1
+    v = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel keeps rho bounded
+    # rho = leading zeros + 1. bit_length vectorized via frexp exponents:
+    # values that ROUND UP to a power of two overstate by one — correct by
+    # direct comparison (exact in uint64). v is never 0 (sentinel bit).
+    _, e = np.frexp(v.astype(np.float64))
+    bl = np.minimum(e.astype(np.int64), 64)  # top values round up past 2^64
+    shift = np.clip(bl - 1, 0, 63).astype(np.uint64)
+    bl = bl - (v < (np.uint64(1) << shift))
+    rho = 64 - bl + 1
     regs = np.zeros(m, dtype=np.int8)
     np.maximum.at(regs, idx, rho.astype(np.int8))
     return regs

@@ -157,7 +157,7 @@ def build_index(
     sort_cols: Sequence[str] = ("conv_id", "turn_idx"),
     columns: Optional[List[str]] = None,
     concurrency: Optional[int] = None,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     hot_df_threshold: int = DEFAULT_HOT_DF,
     merge: bool = True,
     materialize_postings: bool = True,
@@ -179,6 +179,15 @@ def build_index(
     files = list_input_files(input_path)
     if not files:
         raise ValueError(f"no parquet files under {input_path!r}")
+    if num_buckets is None:
+        # derive B from the corpus, not a constant: postings are ~¼ of input
+        # bytes, target ≤ ~128 MB of postings per bucket file so merge
+        # parallelism and per-task memory track corpus size (a fixed B=32
+        # would pin both at 100×)
+        total_bytes = sum(os.path.getsize(f) for f in files
+                          if os.path.exists(f))
+        num_buckets = int(min(65536, max(DEFAULT_NUM_BUCKETS,
+                                         total_bytes // (512 << 20) + 1)))
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
 
     manifest_args = dict(

@@ -440,17 +440,32 @@ class Searcher:
         return sorted(v.filter(m).column("term").to_pylist())
 
     def expand_wildcard(self, pattern: str) -> List[str]:
-        """``?`` = one char, ``*`` = any run (WildcardQuery)."""
+        """``?`` = one char, ``*`` = any run (WildcardQuery). Matching runs as
+        ONE vectorized Arrow regex kernel over the sorted terms dict (not a
+        per-term Python loop); a literal prefix before the first wildcard
+        additionally prunes with a binary-searchable starts_with."""
         import re as _re
-        rx = _re.compile("^" + _re.escape(pattern)
-                         .replace(r"\*", ".*").replace(r"\?", ".") + "$")
-        v = self._vocab().column("term").to_pylist()
-        return sorted(t for t in v if rx.match(t))
+        rx = ("^" + _re.escape(pattern)
+              .replace(r"\*", ".*").replace(r"\?", ".") + "$")
+        v = self._vocab()
+        lit = _re.split(r"[*?]", pattern, maxsplit=1)[0]
+        if lit:
+            v = v.filter(pc.starts_with(v.column("term"), lit))
+        m = pc.match_substring_regex(v.column("term"), rx)
+        return v.filter(m).column("term").to_pylist()  # already term-sorted
 
     def expand_fuzzy(self, term: str, max_edits: int = 2) -> List[str]:
+        """Vocabulary terms within ``max_edits``. Candidate pruning is
+        vectorized (utf8_length band — |len(t)-len(q)| <= max_edits is a
+        necessary condition); the bounded Levenshtein DP runs only on the
+        surviving band (the terms-enum + automaton shape, FuzzyQuery)."""
         from .features import _levenshtein
-        v = self._vocab().column("term").to_pylist()
-        return sorted(t for t in v
+        v = self._vocab()
+        lens = pc.utf8_length(v.column("term"))
+        band = pc.and_(pc.greater_equal(lens, pa.scalar(len(term) - max_edits)),
+                       pc.less_equal(lens, pa.scalar(len(term) + max_edits)))
+        cands = v.filter(band).column("term").to_pylist()
+        return sorted(t for t in cands
                       if _levenshtein(term, t, max_edits) <= max_edits)
 
     def complete(self, prefix: str, size: int = 5):

@@ -53,13 +53,17 @@ class IvfIndex:
 
     @staticmethod
     def build(ds: Dataset, index_dir: str, vec_col: str = "embedding",
-              id_col: str = "vec_id", n_cells: int = 16,
+              id_col: str = "vec_id", n_cells: int = None,
               sample_size: int = 4096, seed: int = 17) -> "IvfIndex":
         os.makedirs(index_dir, exist_ok=True)
         # --- train the coarse quantizer on a DATA-DERIVED sample:
         # hash(id) % stride == 0 (ray's random_sample isn't stable across
         # runs even when seeded; determinism matters for resumable builds)
         n = ds.count()
+        if n_cells is None:
+            # ~sqrt(N) cells (the classic IVF sizing) so cell size grows as
+            # sqrt, never corpus/16; floor keeps tiny corpora probe-able
+            n_cells = int(min(65536, max(16, round(n ** 0.5))))
         stride = max(1, n // max(sample_size, 1))
 
         def pick(t: pa.Table) -> pa.Table:
@@ -84,28 +88,31 @@ class IvfIndex:
             cell = (Vn @ cm.T).argmax(axis=1).astype(np.int32)
             return t.append_column("_cell", pa.array(cell))
 
-        def write_cell(g: pa.Table) -> pa.Table:
-            c = int(g.column("_cell")[0].as_py())
-            d = os.path.join(index_dir, f"cell={c:04d}")
-            tmp = d + f".tmp-{os.getpid()}"
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(g.drop_columns(["_cell"]),
-                           os.path.join(tmp, "part.parquet"),
-                           compression="zstd")
-            try:
-                os.rename(tmp, d)
-            except OSError:
-                import shutil
-                shutil.rmtree(tmp, ignore_errors=True)
-            return pa.table({"cell": pa.array([c], pa.int32()),
-                             "rows": pa.array([g.num_rows], pa.int64())})
-
-        rows = (ds.map_batches(assign, batch_format="pyarrow")
-                .groupby("_cell").map_groups(write_cell, batch_format="pyarrow")
-                .take_all())
+        # --- streaming partitioned write: every block emits its per-cell
+        # slices directly (no whole-cell task — a cell is a DIRECTORY of
+        # fragments, write parallelism = block count)
+        import shutil
+        staging = os.path.join(index_dir, "_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        (ds.map_batches(assign, batch_format="pyarrow")
+           .select_columns([id_col, vec_col, "_cell"])
+           .write_parquet(staging, partition_cols=["_cell"],
+                          compression="zstd"))
+        cell_rows = {}
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith("_cell="):
+                continue
+            c = int(name.split("=", 1)[1])
+            dst = os.path.join(index_dir, f"cell={c:04d}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(os.path.join(staging, name), dst)
+            cell_rows[str(c)] = sum(
+                pq.read_metadata(os.path.join(dst, f)).num_rows
+                for f in os.listdir(dst) if f.endswith(".parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
         meta = {"n_cells": int(len(C)), "dim": int(C.shape[1]),
                 "vec_col": vec_col, "id_col": id_col, "total": int(n),
-                "cell_rows": {str(r["cell"]): int(r["rows"]) for r in rows}}
+                "cell_rows": cell_rows}
         with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
             json.dump(meta, f)
         return IvfIndex(index_dir)

@@ -47,7 +47,10 @@ def tumbling_window(ds: Dataset, key_col: str, ts_col: str, value_col: str,
         g = (df.groupby([key_col, "window_start"])
              .agg(doc_count=(value_col, "size"), value_sum=(value_col, "sum"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the b'pandas' schema metadata: its embedded dict makes the
+        # schema unhashable and Ray's block dedup logs a warning per block
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -87,7 +90,8 @@ def sliding_window(ds: Dataset, key_col: str, ts_col: str, value_col: str,
         g = (out.groupby([key_col, "window_start"])
              .agg(doc_count=(value_col, "size"), value_sum=(value_col, "sum"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
