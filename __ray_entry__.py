@@ -209,6 +209,60 @@ FROM combined ORDER BY combined.score DESC, doc_id LIMIT 10
 """
 
 
+def _multi_index_sql() -> str:
+    """DuckDB oracle for the two-index union: per-subset (doc_id parity)
+    BM25 with each subset's own N/avgdl/df, merged (score desc, idx asc,
+    doc_id asc) top 10."""
+    STOP = _stop_sql()
+    from collections import Counter
+    mult = Counter(_BM25_Q.split())
+    qvals = ",".join(f"('{t}', {float(m)})" for t, m in mult.items())
+
+    def sub(name, parity):
+        return f"""
+base_{name} AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = {parity}),
+tok_{name} AS (
+  SELECT b.doc_id, t.tok AS token
+  FROM base_{name} b, unnest(string_split(b.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {STOP}),
+dl_{name} AS (SELECT doc_id, count(*) AS dl FROM tok_{name} GROUP BY doc_id),
+c_{name} AS (
+  SELECT (SELECT count(*) FROM base_{name}) AS n_docs,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl_{name})
+           / (SELECT count(*) FROM base_{name}) AS avgdl),
+dlq_{name} AS (
+  SELECT dl.doc_id, (SELECT max(v) FROM norm_vals WHERE v <= dl.dl) AS dl_q
+  FROM dl_{name} dl),
+df_{name} AS (SELECT token, count(DISTINCT doc_id) AS df
+              FROM tok_{name} GROUP BY token),
+tf_{name} AS (SELECT token, doc_id, count(*) AS tf
+              FROM tok_{name} GROUP BY token, doc_id),
+scored_{name} AS (
+  SELECT tf.doc_id,
+         SUM(qt.boost * ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (1.2 + 1.0) * tf.tf
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dl_q / c.avgdl))) AS score
+  FROM qterms qt
+  JOIN df_{name} df ON df.token = qt.term
+  JOIN tf_{name} tf ON tf.token = qt.term
+  JOIN dlq_{name} dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN c_{name} c
+  GROUP BY tf.doc_id)"""
+
+    return f"""
+WITH norm_vals(v) AS (VALUES {_norm_values_sql()}),
+qterms(term, boost) AS (VALUES {qvals}),
+{sub("even", 0)},
+{sub("odd", 1)},
+unioned AS (
+  SELECT 'even' AS idx, doc_id, score FROM scored_even
+  UNION ALL
+  SELECT 'odd' AS idx, doc_id, score FROM scored_odd)
+SELECT idx, doc_id, printf('%.4f', score) AS score
+FROM unioned ORDER BY unioned.score DESC, idx, doc_id LIMIT 10
+"""
+
+
 def _fmt(vals, dec: int):
     """Fixed-decimal string formatting — hash-stable float comparison vs the
     SQL oracle's printf (identical correctly-rounded decimal strings)."""
@@ -960,6 +1014,45 @@ def _q_agg_significant_text(sf_dir):
     return out[["term", "fg", "bg", "score"]]
 
 
+def _q_multi_index(sf_dir):
+    """Multi-index union: documents split by doc_id parity into two indexes,
+    one query over both (per-index stats, query_then_fetch)."""
+    import pyarrow.parquet as pq
+    from opensearch_ray import __version__
+    from opensearch_ray.index.build import build_index
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.search.features import multi_index_search
+
+    key = hashlib.md5(f"{sf_dir}:{__version__}:mi1".encode()).hexdigest()[:10]
+    root = f"/tmp/osray_miidx_{key}"
+    names = ["even", "odd"]
+    if not all(os.path.exists(os.path.join(root, n, "manifest.json"))
+               for n in names):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        for n, mask in [("even", ids % 2 == 0), ("odd", ids % 2 == 1)]:
+            src = os.path.join(root, f"src_{n}")
+            os.makedirs(src, exist_ok=True)
+            pq.write_table(t.filter(pa.array(mask)),
+                           os.path.join(src, "docs.parquet"))
+            build_index(src, os.path.join(root, n), analyzer="transcript",
+                        text_col="text", sort_cols=("doc_id",), num_buckets=4)
+    searchers = {n: Searcher(os.path.join(root, n), dtype=np.float64)
+                 for n in names}
+    out = multi_index_search(searchers, _BM25_Q, k=10)
+    # engine docids are subset-local ranks; map back to the table's doc_id
+    doc_ids = []
+    for idx_name, d in zip(out["index"], out["doc_id"]):
+        fetched = searchers[idx_name].fetch([int(d)], columns=["doc_id"])
+        doc_ids.append(int(fetched.column("doc_id")[0].as_py()))
+    return pd.DataFrame({
+        "idx": out["index"],
+        "doc_id": np.asarray(doc_ids, dtype=np.int64),
+        "score": _fmt(out["score"], 4),
+    })
+
+
 def _q_range_query(sf_dir):
     """Numeric range query over doc values (RangeQueryBuilder [gte, lt))."""
     s = _searcher(sf_dir)
@@ -1076,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_sampler": _q_agg_sampler,
         "agg_diversified_sampler": _q_agg_diversified_sampler,
         "agg_significant_text": _q_agg_significant_text,
+        "multi_index_union": _q_multi_index,
         "range_query": _q_range_query,
         "bm25_range_filtered": _q_bm25_range_filtered,
         "phrase_slop": _q_phrase_slop,
@@ -1508,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY month
         """,
         "multi_match": _multi_match_sql(),
+        "multi_index_union": _multi_index_sql(),
         "dis_max_query": _bm25_sql("""
             , persub AS (
               SELECT tf.doc_id, tf.token,

@@ -106,6 +106,37 @@ fingerprint_analyzer = Analyzer(
     name="fingerprint",
 )
 
+pattern_analyzer = Analyzer(
+    tokenizer=TOKENIZERS["pattern"](),  # default \W+ split
+    token_filters=(TOKEN_FILTERS["lowercase"],),
+    name="pattern",
+)
+
+
+def make_language_analyzer(lang: str) -> Analyzer:
+    """Prebuilt language analyzers (CommonAnalysisModulePlugin.java:204-244):
+    standard tokenizer + lowercase + language stop set + language stemmer,
+    elision for French/Italian, possessive stripping for English. Stemmers
+    are the LIGHT variants for non-English (see analysis.lang docstring)."""
+    from .lang import LANG_STOPWORDS, english_possessive_strip, make_stemmer
+    from .token_filters import make_stemmer_filter, per_token
+
+    if lang == "english":
+        filters = (TOKEN_FILTERS["lowercase"],
+                   per_token(english_possessive_strip),
+                   make_stop_filter(ENGLISH_STOP_WORDS),
+                   make_stemmer_filter("english"))
+    else:
+        pre = ()
+        if lang in ("french", "italian"):
+            pre = (TOKEN_FILTERS["elision"](),)
+        filters = ((TOKEN_FILTERS["lowercase"],) + pre
+                   + (make_stop_filter(LANG_STOPWORDS[lang]),
+                      make_stemmer_filter(lang)))
+    return Analyzer(tokenizer=standard_tokenizer, token_filters=filters,
+                    name=lang)
+
+
 ANALYZERS = {
     "standard": standard_analyzer,
     "english_stop": english_stop_analyzer,
@@ -116,7 +147,11 @@ ANALYZERS = {
     "keyword": keyword_analyzer,
     "stop": stop_analyzer,
     "fingerprint": fingerprint_analyzer,
+    "pattern": pattern_analyzer,
 }
+for _lang in ("english", "german", "french", "spanish", "italian",
+              "portuguese", "dutch", "russian"):
+    ANALYZERS[_lang] = make_language_analyzer(_lang)
 
 
 def get_analyzer(name_or_analyzer) -> Analyzer:

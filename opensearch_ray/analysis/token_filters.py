@@ -361,6 +361,72 @@ def word_delimiter_filter(tokens: List[str], positions: List[int]) -> TokenStrea
     return out_t, out_p
 
 
+def word_delimiter_graph_filter(tokens: List[str], positions: List[int]
+                                ) -> TokenStream:
+    """``word_delimiter_graph``: like word_delimiter but ALSO emits the
+    catenated whole (catenate_all) at the first part's position — the graph
+    shape flattened onto our (token, position) stream, a documented
+    approximation of Lucene's position-length graph
+    (CommonAnalysisModulePlugin.java word_delimiter_graph)."""
+    out_t, out_p = [], []
+    for t, p in zip(tokens, positions):
+        parts = [s for s in _WD_SPLIT_RE.split(t) if s]
+        if len(parts) > 1:
+            cat = "".join(parts)
+            out_t.append(cat)
+            out_p.append(p)
+        for s in parts:
+            out_t.append(s)
+            out_p.append(p)
+    return out_t, out_p
+
+
+def make_synonym_graph_filter(synonyms: dict) -> TokenFilter:
+    """``synonym_graph``: single-token keys expand to their synonyms; a
+    MULTI-WORD synonym's tokens are emitted at consecutive positions starting
+    at the matched token (so phrase queries over the expansion align) —
+    flattened approximation of the reference's graph positions."""
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t, out_p = [], []
+        for t, p in zip(tokens, positions):
+            out_t.append(t)
+            out_p.append(p)
+            for syn in synonyms.get(t, ()):
+                for j, part in enumerate(syn.split()):
+                    out_t.append(part)
+                    out_p.append(p + j)
+        return out_t, out_p
+    return filt
+
+
+def make_multiplexer_filter(chains: List[List[TokenFilter]]) -> TokenFilter:
+    """``multiplexer``: run each filter chain over every token, emit all
+    distinct outputs at the SAME position (preserving first-seen order)."""
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t, out_p = [], []
+        for t, p in zip(tokens, positions):
+            seen = set()
+            for chain in chains:
+                ts, ps = [t], [p]
+                for f in chain:
+                    ts, ps = f(ts, ps)
+                for res in ts:
+                    if res and res not in seen:
+                        seen.add(res)
+                        out_t.append(res)
+                        out_p.append(p)
+        return out_t, out_p
+    return filt
+
+
+def make_stemmer_filter(language: str = "english") -> TokenFilter:
+    """``stemmer`` filter with a language parameter
+    (StemmerTokenFilterFactory): english = full Porter, others = light
+    suffix-strippers (see analysis.lang)."""
+    from .lang import make_stemmer
+    return per_token(make_stemmer(language))
+
+
 # ---------------------------------------------------------------- fingerprint
 
 def make_fingerprint_filter(sep: str = " ", max_output_size: int = 255) -> TokenFilter:
@@ -386,7 +452,11 @@ TOKEN_FILTERS = {
     "unique": unique_filter,
     "porter_stem": porter_stem_filter,
     "word_delimiter": word_delimiter_filter,
+    "word_delimiter_graph": word_delimiter_graph_filter,
     # parameterized factories
+    "stemmer": make_stemmer_filter,
+    "synonym_graph": make_synonym_graph_filter,
+    "multiplexer": make_multiplexer_filter,
     "stop_with": make_stop_filter,
     "length": make_length_filter,
     "truncate": make_truncate_filter,

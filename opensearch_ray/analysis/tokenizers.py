@@ -172,8 +172,63 @@ def uax_url_email_tokenizer(text: str) -> List[str]:
     return _split_long(_URL_EMAIL_RE.findall(text), MAX_TOKEN_LENGTH)
 
 
+def make_simple_pattern_tokenizer(pattern: str) -> Callable[[str], List[str]]:
+    """``simple_pattern``: tokens = maximal matches of the pattern
+    (SimplePatternTokenizerFactory — the reference restricts to Lucene's
+    regex subset for speed; we accept any Python regex, a documented
+    superset)."""
+    rx = re.compile(pattern)
+
+    def tok(text: str) -> List[str]:
+        return [m for m in rx.findall(text) if m]
+    return tok
+
+
+def make_simple_pattern_split_tokenizer(pattern: str) -> Callable[[str], List[str]]:
+    """``simple_pattern_split``: split on pattern matches."""
+    rx = re.compile(pattern)
+
+    def tok(text: str) -> List[str]:
+        return [t for t in rx.split(text) if t]
+    return tok
+
+
+_CLASSIC_RE = re.compile(
+    r"(?:[A-Za-z]\.){2,}(?:['’]s)?"             # acronym U.S.A. (+possessive)
+    r"|[A-Za-z0-9]+(?:['’][A-Za-z0-9]+)*"       # word / possessive
+    r"|\d+(?:[.,]\d+)*"
+)
+
+
+def classic_tokenizer(text: str) -> List[str]:
+    """``classic`` (Lucene ClassicTokenizer approximation): keeps acronyms
+    with interior dots (dots then removed, ClassicFilter), keeps interior
+    apostrophes but strips trailing possessive 's."""
+    out = []
+    for t in _CLASSIC_RE.findall(text):
+        if "." in t:
+            t = t.replace(".", "")
+        if t.endswith("'s") or t.endswith("’s"):
+            t = t[:-2]
+        if t:
+            out.append(t)
+    return out
+
+
+_THAI_RUN = re.compile(rf"[฀-๿]+|[^\W{_CJK}฀-๿]+")
+
+
+def thai_tokenizer(text: str) -> List[str]:
+    """``thai`` — documented approximation: Thai codepoint runs become single
+    tokens (the reference segments them with an ICU/dictionary BreakIterator,
+    not available here); non-Thai text follows standard word rules."""
+    return _split_long(_THAI_RUN.findall(text), MAX_TOKEN_LENGTH)
+
+
 TOKENIZERS = {
     "standard": standard_tokenizer,
+    "classic": classic_tokenizer,
+    "thai": thai_tokenizer,
     "whitespace": whitespace_tokenizer,
     "letter": letter_tokenizer,
     "lowercase": lowercase_tokenizer,
@@ -181,6 +236,8 @@ TOKENIZERS = {
     "uax_url_email": uax_url_email_tokenizer,
     # parameterized factories (call to get a tokenizer)
     "pattern": make_pattern_tokenizer,
+    "simple_pattern": make_simple_pattern_tokenizer,
+    "simple_pattern_split": make_simple_pattern_split_tokenizer,
     "char_group": make_char_group_tokenizer,
     "ngram": make_ngram_tokenizer,
     "edge_ngram": make_edge_ngram_tokenizer,

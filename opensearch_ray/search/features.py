@@ -570,6 +570,23 @@ def query_string(searcher: Searcher, q: str, k: Optional[int] = None
     return out.head(k) if k else out
 
 
+# --------------------------------------------------------- multi-index union
+
+def multi_index_search(searchers: "dict[str, Searcher]", query_text: str,
+                       k: int = 10, operator: str = "or") -> pd.DataFrame:
+    """Search several indexes in one request (``GET /idx1,idx2/_search``):
+    each index scores with its OWN stats (the default query_then_fetch — no
+    cross-index DFS), hits merge on (score desc, index asc, docid asc).
+    Returns (index, doc_id, score)."""
+    rows = []
+    for name in sorted(searchers):
+        for h in searchers[name].search(query_text, k=k, operator=operator):
+            rows.append((name, h.docid, h.score))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    out = pd.DataFrame(rows[:k], columns=["index", "doc_id", "score"])
+    return out
+
+
 # ------------------------------------------------------------- terms lookup
 
 def terms_lookup_filter(ds, filter_col: str, lookup_ds, lookup_col: str,

@@ -100,3 +100,41 @@ def test_analyze_batch_matches_scalar():
         toks, poss = transcript_analyzer.analyze(t)
         assert out2.column("tokens").to_pylist()[i] == toks
         assert out2.column("pos").to_pylist()[i] == poss
+
+
+def test_new_tokenizers():
+    from opensearch_ray.analysis.tokenizers import TOKENIZERS
+    assert TOKENIZERS["classic"]("The U.S.A.'s O'Neil's car") == \
+        ["The", "USA", "O'Neil", "car"]
+    assert TOKENIZERS["simple_pattern"](r"[0-9]+")("ab 12 cd 345") == ["12", "345"]
+    assert TOKENIZERS["simple_pattern_split"](r"-")("a-b-c") == ["a", "b", "c"]
+    assert TOKENIZERS["thai"]("hello สวัสดี world") == \
+        ["hello", "สวัสดี", "world"]
+
+
+def test_language_analyzers():
+    from opensearch_ray.analysis import analyze
+    assert analyze("The runner's dogs are running quickly", "english") == \
+        ["runner", "dog", "run", "quickli"]
+    # stopwords removed + light stems applied per language
+    assert "der" not in analyze("Die Häuser der Kinder", "german")
+    assert analyze("Die Häuser der Kinder", "german") == ["haus", "kind"]
+    fr = analyze("les maisons nationaux de l'homme", "french")
+    assert fr == ["maison", "national", "homm"]
+    assert "los" not in analyze("las casas de los niños", "spanish")
+    for lang in ("italian", "portuguese", "dutch", "russian", "pattern"):
+        assert analyze("some text", lang) is not None  # registered
+
+
+def test_graph_filters():
+    from opensearch_ray.analysis.token_filters import TOKEN_FILTERS
+    wd = TOKEN_FILTERS["word_delimiter_graph"]
+    assert wd(["PowerShot-500"], [0]) == (
+        ["PowerShot500", "Power", "Shot", "500"], [0, 0, 0, 0])
+    syn = TOKEN_FILTERS["synonym_graph"]({"ny": ["new york"]})
+    assert syn(["in", "ny", "today"], [0, 1, 2]) == (
+        ["in", "ny", "new", "york", "today"], [0, 1, 1, 2, 2])
+    mux = TOKEN_FILTERS["multiplexer"]([[], [TOKEN_FILTERS["porter_stem"]]])
+    assert mux(["running"], [0]) == (["running", "run"], [0, 0])
+    st = TOKEN_FILTERS["stemmer"]("german")
+    assert st(["häuser"], [0]) == (["haus"], [0])
