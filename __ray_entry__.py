@@ -1053,6 +1053,62 @@ def _q_multi_index(sf_dir):
     })
 
 
+def _nested_orders(sf_dir):
+    """orders with their lineitems as a list<struct> child column."""
+    from opensearch_ray.nested import nest_children
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_quantity", "l_discount"])
+    return nest_children(orders, items, "o_orderkey", "l_orderkey",
+                         ["l_orderkey", "l_quantity", "l_discount"],
+                         list_col="items")
+
+
+def _q_nested_query(sf_dir):
+    """nested query: parents where ANY child matches (block-join)."""
+    from opensearch_ray.nested import nested_filter
+    out = nested_filter(
+        _nested_orders(sf_dir), "items",
+        lambda c: pc.and_(pc.greater(c.column("l_quantity"), 45.0),
+                          pc.greater(c.column("l_discount"), 0.05)))
+    df = out.to_pandas()[["o_orderkey"]].sort_values("o_orderkey")
+    return df.reset_index(drop=True)
+
+
+def _q_nested_agg(sf_dir):
+    """nested aggregation context: child-level stats per parent field."""
+    from opensearch_ray.nested import nested_flat_agg
+    flat = nested_flat_agg(_nested_orders(sf_dir), "items",
+                           parent_cols=["o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by(["o_orderstatus"])
+                .aggregate([([], "count_all"), ("l_quantity", "sum")])
+                .rename_columns(["o_orderstatus", "item_count", "qty_sum"]))
+
+    from ray.data.aggregate import Sum
+    out = (flat.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderstatus")
+           .aggregate(Sum("item_count", alias_name="item_count"),
+                      Sum("qty_sum", alias_name="qty_sum"))
+           .to_pandas().sort_values("o_orderstatus"))
+    out["qty_sum"] = _fmt(out["qty_sum"], 2)
+    return out[["o_orderstatus", "item_count", "qty_sum"]].reset_index(drop=True)
+
+
+def _q_percolate(sf_dir):
+    """Percolator: three registered queries matched against every document."""
+    from opensearch_ray.percolator import Percolator
+    p = Percolator(analyzer="transcript")
+    p.register("q_hash_join", must=["hash", "join"])
+    p.register("q_streamish", should=["stream", "window"],
+               minimum_should_match=1)
+    p.register("q_merge_only", must=["merge"], must_not=["hash"])
+    out = p.percolate(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      text_col="text", id_col="doc_id").to_pandas()
+    return out.sort_values(["doc_id", "query_id"]).reset_index(drop=True)
+
+
 def _q_range_query(sf_dir):
     """Numeric range query over doc values (RangeQueryBuilder [gte, lt))."""
     s = _searcher(sf_dir)
@@ -1170,6 +1226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_diversified_sampler": _q_agg_diversified_sampler,
         "agg_significant_text": _q_agg_significant_text,
         "multi_index_union": _q_multi_index,
+        "nested_query": _q_nested_query,
+        "nested_agg": _q_nested_agg,
+        "percolate": _q_percolate,
         "range_query": _q_range_query,
         "bm25_range_filtered": _q_bm25_range_filtered,
         "phrase_slop": _q_phrase_slop,
@@ -1603,6 +1662,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multi_match": _multi_match_sql(),
         "multi_index_union": _multi_index_sql(),
+        "nested_query": """
+            SELECT DISTINCT o_orderkey FROM orders
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_quantity > 45.0 AND l_discount > 0.05
+            ORDER BY o_orderkey
+        """,
+        "nested_agg": """
+            SELECT o_orderstatus, count(*) AS item_count,
+                   printf('%.2f', sum(l_quantity)) AS qty_sum
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "percolate": f"""
+            WITH has AS (
+              SELECT DISTINCT doc_id, t.tok AS token
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {_stop_sql()})
+            SELECT doc_id, query_id FROM (
+              SELECT doc_id, 'q_hash_join' AS query_id FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM has WHERE token = 'hash')
+                AND doc_id IN (SELECT doc_id FROM has WHERE token = 'join')
+              UNION ALL
+              SELECT doc_id, 'q_streamish' FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM has
+                               WHERE token IN ('stream', 'window'))
+              UNION ALL
+              SELECT doc_id, 'q_merge_only' FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM has WHERE token = 'merge')
+                AND doc_id NOT IN (SELECT doc_id FROM has WHERE token = 'hash')
+            ) ORDER BY doc_id, query_id
+        """,
         "dis_max_query": _bm25_sql("""
             , persub AS (
               SELECT tf.doc_id, tf.token,

@@ -159,6 +159,41 @@ def run_bench() -> dict:
                      np.asarray(qv, np.float32), k=10)
     timings["ann_topk_sec"] = round(time.perf_counter() - t0, 3)
 
+    # --- MinHash near-dup at 1M docs: the distributed-verify proof point.
+    # Driver peak-RSS delta is reported — signatures never land on the
+    # driver, so it stays flat. Skipped in the (5M-turn) scaling runs where
+    # only build throughput is compared.
+    if n_turns <= 1_000_000 and not os.environ.get("OSRAY_BENCH_NO_MINHASH"):
+        import resource
+
+        import pyarrow as _pa
+
+        mh_corpus = "/tmp/osray_bench_corpus_1000000"
+        write_transcript_corpus(mh_corpus, n_turns=1_000_000, n_files=64,
+                                seed=42)
+        from opensearch_ray.dedup import minhash_dedup_pairs
+
+        def add_id(t: "_pa.Table") -> "_pa.Table":
+            import pandas as _pd
+            import numpy as _np
+            key = [f"{c}:{i}" for c, i in zip(t.column("conv_id").to_pylist(),
+                                              t.column("turn_idx").to_pylist())]
+            ids = _pd.util.hash_array(_np.asarray(key, dtype=object)).astype(
+                "int64")
+            return t.append_column("mh_id", _pa.array(ids))
+
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.perf_counter()
+        pairs = minhash_dedup_pairs(
+            rd.read_parquet(mh_corpus, columns=["conv_id", "turn_idx", "text"])
+            .map_batches(add_id, batch_format="pyarrow"),
+            text_col="text", id_col="mh_id", threshold=0.9)
+        timings["minhash_1m_sec"] = round(time.perf_counter() - t0, 3)
+        timings["minhash_1m_pairs"] = int(len(pairs))
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        timings["minhash_1m_driver_rss_delta_mb"] = round(
+            (rss1 - rss0) / 1024, 1)
+
     headline = timings["index_build_sec"] + round(sum(lat), 3)
     out = {
         "metric": "transcript index build + BM25 reference-query wall time",

@@ -1,0 +1,172 @@
+"""Nested fields: list<struct> columns + block-join query/agg semantics.
+
+Reference: nested documents are indexed as hidden child Lucene docs adjacent
+to their parent, and `nested` queries block-join them back
+(server/index/query/NestedQueryBuilder.java, ToParentBlockJoinQuery;
+mapper/ObjectMapper nested=true). The Ray-Data-native shape keeps children
+INLINE as a ``list<struct>`` column — the columnar equivalent of the doc
+block — and evaluates inner predicates VECTORIZED over the flattened child
+table, reducing child hits back to parents through the list offsets (the
+block-join), all inside ``map_batches``.
+
+- :func:`nest_children`   parent ⟵ groupby-collected child rows (one shuffle)
+- :func:`nested_filter`   `nested` query: parent survives if ANY child
+                          matches (score_mode is count-agnostic here)
+- :func:`nested_flat_agg` `nested` aggregation context: explode children of
+                          (optionally pre-filtered) parents for child-level
+                          aggs
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+
+def nest_children(parent_ds: Dataset, child_ds: Dataset, parent_key: str,
+                  child_key: str, child_cols: Sequence[str],
+                  list_col: str = "children", B: int = 32) -> Dataset:
+    """Attach each parent's child rows as a ``list<struct>`` column: bucket
+    both sides on hash(key) % B (one co-partitioning shuffle), build the
+    lists per bucket with a vectorized sort + offsets split. Parents with no
+    children get an empty list."""
+
+    def pad_parent(t: pa.Table) -> pa.Table:
+        k = t.column(parent_key).to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(k.astype(object)) % np.uint64(B)).astype(np.int64)
+        t = t.append_column("_bucket", pa.array(b))
+        return t.append_column("_is_child", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    child_struct_cols = [c for c in child_cols if c != child_key]
+
+    def pad_child(t: pa.Table) -> pa.Table:
+        k = t.column(child_key).to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(k.astype(object)) % np.uint64(B)).astype(np.int64)
+        cols = {parent_key: t.column(child_key)}
+        for c in child_struct_cols:
+            cols["_c_" + c] = t.column(c)
+        out = pa.table(cols)
+        out = out.append_column("_bucket", pa.array(b))
+        return out.append_column("_is_child", pa.array(np.ones(t.num_rows, np.int8)))
+
+    parent_schema = parent_ds.schema()
+    parent_names = list(parent_schema.names)
+
+    # union needs identical schemas: give parents null child cols and
+    # children null parent cols
+    child_schema = child_ds.schema()
+    ctypes = {n: t for n, t in zip(child_schema.names, child_schema.types)}
+    ptypes = {n: t for n, t in zip(parent_schema.names, parent_schema.types)}
+
+    def pad_p(t: pa.Table) -> pa.Table:
+        t = pad_parent(t)
+        for c in child_struct_cols:
+            t = t.append_column("_c_" + c, pa.nulls(t.num_rows, ctypes[c]))
+        order = parent_names + ["_c_" + c for c in child_struct_cols] + \
+            ["_bucket", "_is_child"]
+        return t.select(order)
+
+    def pad_c(t: pa.Table) -> pa.Table:
+        t = pad_child(t)
+        for c in parent_names:
+            if c != parent_key:
+                t = t.append_column(c, pa.nulls(t.num_rows, ptypes[c]))
+        order = parent_names + ["_c_" + c for c in child_struct_cols] + \
+            ["_bucket", "_is_child"]
+        return t.select(order)
+
+    both = (parent_ds.map_batches(pad_p, batch_format="pyarrow")
+            .union(child_ds.map_batches(pad_c, batch_format="pyarrow")))
+
+    def assemble(g: pa.Table) -> pa.Table:
+        is_child = g.column("_is_child").to_numpy(zero_copy_only=False) == 1
+        parents = g.filter(pa.array(~is_child)).select(parent_names)
+        children = g.filter(pa.array(is_child))
+        pk = parents.column(parent_key).to_numpy(zero_copy_only=False)
+        ck = children.column(parent_key).to_numpy(zero_copy_only=False)
+        p_order = np.argsort(pk, kind="stable")
+        c_order = np.argsort(ck, kind="stable")
+        parents = parents.take(pa.array(p_order))
+        children = children.take(pa.array(c_order))
+        pk_s, ck_s = pk[p_order], ck[c_order]
+        # per-parent child counts -> list offsets; orphan children (no parent
+        # row) are dropped, matching the hidden-child-doc model
+        counts = np.zeros(len(pk_s), dtype=np.int64)
+        if len(ck_s):
+            pos = np.searchsorted(pk_s, ck_s)
+            posc = np.clip(pos, 0, max(len(pk_s) - 1, 0))
+            valid = (pk_s[posc] == ck_s) if len(pk_s) else np.zeros(
+                len(ck_s), dtype=bool)
+            if not valid.all():
+                children = children.filter(pa.array(valid))
+                ck_s = ck_s[valid]
+                posc = posc[valid]
+            np.add.at(counts, posc, 1)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [children.column("_c_" + c).combine_chunks()
+             for c in child_struct_cols],
+            names=child_struct_cols)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), struct)
+        return parents.append_column(list_col, lists)
+
+    return both.groupby("_bucket").map_groups(assemble, batch_format="pyarrow")
+
+
+def _flatten(t: pa.Table, list_col: str):
+    col = t.column(list_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.flatten()  # StructArray of children
+    names = [f.name for f in flat.type]
+    child_tbl = pa.table({n: flat.field(n) for n in names})
+    return child_tbl, offsets
+
+
+def nested_filter(ds: Dataset, list_col: str,
+                  predicate: Callable[[pa.Table], pa.Array]) -> Dataset:
+    """`nested` query: keep parents where ANY child satisfies ``predicate``
+    (a vectorized Arrow predicate over the FLATTENED child table). The
+    child->parent reduction is a segmented any() over the list offsets —
+    the ToParentBlockJoinQuery in columnar form."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        child_tbl, offsets = _flatten(t, list_col)
+        if child_tbl.num_rows == 0:
+            return t.slice(0, 0)
+        m = pc.fill_null(pc.cast(predicate(child_tbl), pa.bool_()),
+                         False).to_numpy(zero_copy_only=False).astype(bool)
+        csum = np.concatenate(([0], np.cumsum(m.astype(np.int64))))
+        per_parent = csum[offsets[1:]] - csum[offsets[:-1]]
+        return t.filter(pa.array(per_parent > 0))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def nested_flat_agg(ds: Dataset, list_col: str,
+                    parent_cols: Optional[List[str]] = None) -> Dataset:
+    """`nested` aggregation context: one row per CHILD, carrying the chosen
+    parent columns — downstream aggs then run over child rows."""
+    parent_cols = parent_cols or []
+
+    def explode(t: pa.Table) -> pa.Table:
+        child_tbl, offsets = _flatten(t, list_col)
+        n_per = np.diff(offsets)
+        cols = dict(zip(child_tbl.column_names, child_tbl.columns))
+        for c in parent_cols:
+            vals = t.column(c).combine_chunks() if isinstance(
+                t.column(c), pa.ChunkedArray) else t.column(c)
+            cols[c] = vals.take(pa.array(np.repeat(
+                np.arange(t.num_rows, dtype=np.int64), n_per)))
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -239,3 +239,62 @@ def test_cli(tmp_path, transcript_corpus):
                        timeout=60)
     st = _json.loads(r.stdout)
     assert st["total_docs"] == 2000 and st["bytes"]["segments"] > 0
+
+
+def test_nested_block_join(sf_dir):
+    import pyarrow.compute as pc
+    from opensearch_ray.nested import (nest_children, nested_filter,
+                                       nested_flat_agg)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+    nested = nest_children(orders, items, "o_orderkey", "l_orderkey",
+                           ["l_orderkey", "l_quantity"], list_col="items")
+    got = nested.to_pandas()
+    import pandas as pd
+    o_pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li_pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    assert len(got) == len(o_pdf)
+    # child counts per parent match a plain groupby
+    want_counts = li_pdf.groupby("l_orderkey").size()
+    got_counts = {k: len(v) for k, v in zip(got["o_orderkey"], got["items"])}
+    for k, n in want_counts.items():
+        assert got_counts[k] == n
+    # nested_filter == EXISTS semantics
+    flt = nested_filter(nested, "items",
+                        lambda c: pc.greater(c.column("l_quantity"), 49.0))
+    got_keys = sorted(flt.to_pandas()["o_orderkey"])
+    want_keys = sorted(li_pdf[li_pdf["l_quantity"] > 49.0]["l_orderkey"]
+                       .unique())
+    assert got_keys == want_keys
+    # flatten returns every child with parent fields attached
+    flat = nested_flat_agg(nested, "items", parent_cols=["o_orderstatus"])
+    assert flat.count() == len(li_pdf)
+
+
+def test_percolator(sf_dir):
+    from opensearch_ray.percolator import Percolator
+    import pandas as pd
+    p = Percolator(analyzer="transcript")
+    p.register("a", must=["hash", "join"])
+    p.register("b", should=["stream", "window"], minimum_should_match=2)
+    p.register("c", phrase="hash join")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = p.percolate(ds).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from opensearch_ray.analysis import get_analyzer
+    an = get_analyzer("transcript")
+    want = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = an.tokens(text or "")
+        ts = set(toks)
+        if {"hash", "join"} <= ts:
+            want.append((did, "a"))
+        if len({"stream", "window"} & ts) >= 2:
+            want.append((did, "b"))
+        if any(toks[i:i+2] == ["hash", "join"] for i in range(len(toks)-1)):
+            want.append((did, "c"))
+    got = sorted(zip(out["doc_id"], out["query_id"]))
+    assert got == sorted(want)
