@@ -1109,6 +1109,35 @@ def _q_percolate(sf_dir):
     return out.sort_values(["doc_id", "query_id"]).reset_index(drop=True)
 
 
+def _geo_events(sf_dir):
+    """events with deterministic derived coordinates (exact .5-multiples, so
+    float sums are order-independent): lat = user_id%180-89.5,
+    lon = event_id%360-179.5."""
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        lat = (uid % 180).astype(np.float64) - 89.5
+        lon = (eid % 360).astype(np.float64) - 179.5
+        return pa.table({"lat": pa.array(lat), "lon": pa.array(lon)})
+
+    return _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        derive, batch_format="pyarrow")
+
+
+def _q_agg_geo_distance(sf_dir):
+    from opensearch_ray.aggs.geo import geo_distance_agg
+    return geo_distance_agg(_geo_events(sf_dir), "lat", "lon", (0.0, 0.0),
+                            [(None, 5e6), (5e6, 1e7), (1e7, None)])
+
+
+def _q_agg_geo_centroid(sf_dir):
+    from opensearch_ray.aggs.geo import geo_centroid_agg
+    c = geo_centroid_agg(_geo_events(sf_dir), "lat", "lon")
+    return pd.DataFrame({"lat": _fmt([c["lat"]], 6),
+                         "lon": _fmt([c["lon"]], 6),
+                         "count": [np.int64(c["count"])]})
+
+
 def _q_range_query(sf_dir):
     """Numeric range query over doc values (RangeQueryBuilder [gte, lt))."""
     s = _searcher(sf_dir)
@@ -1229,6 +1258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_query": _q_nested_query,
         "nested_agg": _q_nested_agg,
         "percolate": _q_percolate,
+        "agg_geo_distance": _q_agg_geo_distance,
+        "agg_geo_centroid": _q_agg_geo_centroid,
         "range_query": _q_range_query,
         "bm25_range_filtered": _q_bm25_range_filtered,
         "phrase_slop": _q_phrase_slop,
@@ -1832,9 +1863,30 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE score > 0
             ORDER BY scored.score DESC, term LIMIT 10
         """,
-        "range_query": """
-            SELECT doc_id FROM documents
-            WHERE n_chars >= 200 AND n_chars < 400
+        "agg_geo_distance": """
+            WITH pts AS (
+              SELECT (user_id % 180) - 89.5 AS lat,
+                     (event_id % 360) - 179.5 AS lon
+              FROM events),
+            d AS (
+              SELECT 2.0 * 6371008.7714 * asin(sqrt(
+                       pow(sin(radians(lat) / 2.0), 2)
+                       + cos(radians(lat)) * pow(sin(radians(lon) / 2.0), 2)))
+                     AS dist
+              FROM pts)
+            SELECT key, count(*) AS doc_count FROM (
+              SELECT CASE WHEN dist < 5000000.0 THEN '*-5000000.0'
+                          WHEN dist < 10000000.0 THEN '5000000.0-10000000.0'
+                          ELSE '10000000.0-*' END AS key
+              FROM d) GROUP BY key
+        """,
+        "agg_geo_centroid": """
+            SELECT printf('%.6f', sum((user_id % 180) - 89.5) / count(*))
+                     AS lat,
+                   printf('%.6f', sum((event_id % 360) - 179.5) / count(*))
+                     AS lon,
+                   count(*) AS count
+            FROM events
         """,
         "bm25_range_filtered": _bm25_sql("""
             SELECT sc.doc_id, printf('%.4f', sc.score) AS score

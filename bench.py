@@ -251,8 +251,34 @@ def run_scaling() -> dict:
     }
 
 
+def run_weak_scaling() -> dict:
+    """Weak scaling: data grows WITH parallelism (156,250 turns per cpu), so
+    ideal behavior is CONSTANT wall time; efficiency = t_small / t_big."""
+    per_cpu = 156_250
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   OSRAY_BENCH_TURNS=str(per_cpu * ncpu),
+                   OSRAY_BENCH_NO_MINHASH="1")
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True, check=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    runs = {n: one(n) for n in (8, 32)}
+    t = {n: runs[n]["queries"]["index_build_sec"] for n in runs}
+    return {
+        "metric": "index-build WEAK scaling (turns/cpu fixed, 8 vs 32 cpus)",
+        "build_sec": {str(n): t[n] for n in t},
+        "turns": {str(n): runs[n]["n_turns"] for n in runs},
+        "weak_efficiency": round(t[8] / t[32], 3),
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling" in sys.argv and "--weak" in sys.argv:
+        print(json.dumps(run_weak_scaling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -370,6 +370,26 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
     hot_buckets[t] UNION {hash(t) % B}, which covers both layouts.
     Term stats become per-bucket shards; salted terms carry partial sums
     across shards and readers aggregate (Searcher.term_stats sums)."""
+    # completed-build short-circuit: if a finished manifest matches this
+    # build's inputs and every bucket file it references exists, the rerun is
+    # a no-op (the whole-index resume level above per-segment resume)
+    man_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man_path):
+        try:
+            prev = load_manifest(index_dir)
+            # the manifest is written LAST (atomic rename), so merged=True
+            # proves every bucket/stats file it references landed
+            same = (prev.merged
+                    and prev.analyzer == manifest_args["analyzer"]
+                    and prev.text_col == text_col
+                    and prev.num_buckets == num_buckets
+                    and prev.has_positions == index_positions
+                    and [s.path for s in prev.segments] == list(files))
+            if same:
+                return prev
+        except Exception:
+            pass  # unreadable manifest -> rebuild
+
     B = num_buckets
     n_seg = max(len(files), 1)
     local_thresh = max(1, hot_df_threshold // n_seg)

@@ -246,3 +246,30 @@ def test_significant_text(sf_dir):
     assert len(out) <= 5
     assert (out["score"] > 0).all()
     assert (out["fg"] <= out["bg"]).all()
+
+
+def test_geo_aggs(ev, ev_pdf):
+    import numpy as np
+    from opensearch_ray.aggs.geo import (geo_centroid_agg, geo_distance_agg,
+                                         haversine_m)
+    import pyarrow as pa
+
+    def derive(t):
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"lat": pa.array((uid % 180).astype(float) - 89.5),
+                         "lon": pa.array((eid % 360).astype(float) - 179.5)})
+
+    pts = ev.map_batches(derive, batch_format="pyarrow")
+    lat = (ev_pdf["user_id"] % 180).astype(float) - 89.5
+    lon = (ev_pdf["event_id"] % 360).astype(float) - 179.5
+    d = haversine_m(0.0, 0.0, lat.to_numpy(), lon.to_numpy())
+    out = geo_distance_agg(pts, "lat", "lon", (0.0, 0.0),
+                           [(None, 5e6), (5e6, 1e7), (1e7, None)])
+    assert out["doc_count"].tolist() == [
+        int((d < 5e6).sum()), int(((d >= 5e6) & (d < 1e7)).sum()),
+        int((d >= 1e7).sum())]
+    c = geo_centroid_agg(pts, "lat", "lon")
+    assert c["count"] == len(ev_pdf)
+    assert c["lat"] == lat.sum() / len(lat)
+    assert c["lon"] == lon.sum() / len(lon)
