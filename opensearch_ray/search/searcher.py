@@ -926,6 +926,31 @@ class Searcher:
 
     # --------------------------------------------------------------- fetch
 
+    def get(self, docid: int) -> Optional[dict]:
+        """Single-doc point read (the `GET /{index}/_doc/{id}` analogue —
+        stored fields of one docid; returns None when out of range)."""
+        if not (0 <= int(docid) < self.N):
+            return None
+        rows = self.fetch([int(docid)]).to_pylist()
+        return rows[0] if rows else None
+
+    def mget(self, docids: Sequence[int]) -> pa.Table:
+        """Multi-doc point read (`_mget`): stored fields for many ids in one
+        segment-grouped fetch."""
+        return self.fetch([d for d in docids if 0 <= int(d) < self.N])
+
+    def get_by(self, col: str, value) -> pa.Table:
+        """Point lookup by a doc-values column (the custom-`_id` routing
+        analogue: equality scan over per-segment doc values, then fetch)."""
+        hits = []
+        for s in sorted(self.manifest.segments, key=lambda x: x.seg_id):
+            vals = self.doc_values(s.seg_id, col)
+            m = self._spec_mask(vals, value)
+            if m.any():
+                hits.extend((np.flatnonzero(m) + self.doc_base(s.seg_id))
+                            .tolist())
+        return self.fetch(hits)
+
     def fetch(self, global_docids: Sequence[int], columns: Optional[List[str]] = None
               ) -> pa.Table:
         """Fetch-phase join: top-k global docids -> stored fields from the

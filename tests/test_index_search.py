@@ -630,3 +630,19 @@ def test_collection_controls(built_index, oracle):
     assert not r5["terminated_early"]
     assert [(h.docid, h.score) for h in r5["hits"]] == [
         (h.docid, h.score) for h in s.search("bace", k=5)]
+
+
+def test_point_reads(built_index, oracle):
+    """get / mget / get_by — the single-doc read APIs."""
+    o, full = oracle
+    s = Searcher(built_index.index_dir)
+    r = s.get(5)
+    assert r["_docid"] == 5 and r["text"] == full.column("text")[5].as_py()
+    assert s.get(-1) is None and s.get(10**9) is None
+    t = s.mget([3, 7, 10**9])
+    assert t.column("_docid").to_pylist() == [3, 7]
+    conv = full.column("conv_id")[4].as_py()
+    got = s.get_by("conv_id", conv)
+    want = [i for i, c in enumerate(full.column("conv_id").to_pylist())
+            if c == conv]
+    assert sorted(got.column("_docid").to_pylist()) == want
