@@ -1888,6 +1888,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count
             FROM events
         """,
+        "range_query": """
+            SELECT doc_id FROM documents
+            WHERE n_chars >= 200 AND n_chars < 400
+        """,
         "bm25_range_filtered": _bm25_sql("""
             SELECT sc.doc_id, printf('%.4f', sc.score) AS score
             FROM scored sc JOIN documents d USING (doc_id)
