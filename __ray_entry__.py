@@ -1138,6 +1138,37 @@ def _q_agg_geo_centroid(sf_dir):
                          "count": [np.int64(c["count"])]})
 
 
+def _q_agg_ip_range(sf_dir):
+    """ip_range over deterministic derived IPv4 strings."""
+    from opensearch_ray.aggs import ip_range_agg
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ips = [f"10.{int(u) % 256}.{int(e) % 256}.1"
+               for u, e in zip(uid, eid)]
+        return pa.table({"ip": pa.array(ips, pa.string())})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        derive, batch_format="pyarrow")
+    return ip_range_agg(ds, "ip", [(None, "10.100.0.0"),
+                                   ("10.100.0.0", "10.200.0.0"),
+                                   ("10.200.0.0", None)])
+
+
+def _q_span_near(sf_dir):
+    """span_near in_order: 'hash' then 'stream' with <=3 intervening."""
+    s = _searcher(sf_dir)
+    docs = s.span_near(["hash", "stream"], slop=3, in_order=True)
+    return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+
+def _q_span_near_unordered(sf_dir):
+    s = _searcher(sf_dir)
+    docs = s.span_near(["hash", "stream"], slop=2, in_order=False)
+    return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+
 def _q_range_query(sf_dir):
     """Numeric range query over doc values (RangeQueryBuilder [gte, lt))."""
     s = _searcher(sf_dir)
@@ -1260,6 +1291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _q_percolate,
         "agg_geo_distance": _q_agg_geo_distance,
         "agg_geo_centroid": _q_agg_geo_centroid,
+        "span_near_query": _q_span_near,
+        "span_near_unordered": _q_span_near_unordered,
+        "agg_ip_range": _q_agg_ip_range,
         "range_query": _q_range_query,
         "bm25_range_filtered": _q_bm25_range_filtered,
         "phrase_slop": _q_phrase_slop,
@@ -1891,6 +1925,39 @@ def oracle_sql() -> dict[str, str]:
         "range_query": """
             SELECT doc_id FROM documents
             WHERE n_chars >= 200 AND n_chars < 400
+        """,
+        "agg_ip_range": """
+            WITH keys(key, lo, hi) AS (VALUES
+              ('*-10.100.0.0', 0, 100),
+              ('10.100.0.0-10.200.0.0', 100, 200),
+              ('10.200.0.0-*', 200, 256)),
+            b AS (SELECT (user_id % 256) AS v FROM events)
+            SELECT k.key,
+                   (SELECT count(*) FROM b WHERE v >= k.lo AND v < k.hi)
+                     AS doc_count
+            FROM keys k
+        """,
+        "span_near_query": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.tok = 'hash' AND b.tok = 'stream'
+              AND (b.p - a.p) BETWEEN 1 AND 4
+        """,
+        "span_near_unordered": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.tok = 'hash' AND b.tok = 'stream'
+              AND abs(b.p - a.p) BETWEEN 1 AND 3
         """,
         "bm25_range_filtered": _bm25_sql("""
             SELECT sc.doc_id, printf('%.4f', sc.score) AS score

@@ -195,6 +195,52 @@ def date_range_agg(ds: Dataset, field: str,
     return merged[["key", "doc_count"]].reset_index(drop=True)
 
 
+def _ipv4_to_u32(col: pa.ChunkedArray) -> np.ndarray:
+    """Vectorized dotted-quad -> uint32 (Arrow split + one reshape matmul)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(col, ".")
+    flat = pc.cast(parts.flatten(), pa.int64()).to_numpy(zero_copy_only=False)
+    return (flat.reshape(-1, 4)
+            @ np.array([1 << 24, 1 << 16, 1 << 8, 1], dtype=np.int64)
+            ).astype(np.int64)
+
+
+def ip_range_agg(ds: Dataset, field: str,
+                 ranges: Sequence[Tuple[Optional[str], Optional[str]]]
+                 ) -> pd.DataFrame:
+    """ip_range: [from, to) buckets over dotted-quad IPv4 strings
+    (BinaryRangeAggregator / ip_range semantics; CIDR masks expressible as
+    their from/to bounds), reported in given order."""
+    def ip_key(s: Optional[str]) -> Optional[int]:
+        if s is None:
+            return None
+        a, b, c, d = (int(x) for x in s.split("."))
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    bounds = [(ip_key(lo), ip_key(hi)) for lo, hi in ranges]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _ipv4_to_u32(t.column(field))
+        counts = []
+        for lo, hi in bounds:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v < hi
+            counts.append(int(m.sum()))
+        return pa.table({"idx": pa.array(range(len(ranges)), pa.int64()),
+                         "doc_count": pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = (parts.groupby("idx")
+              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas()
+              .sort_values("idx"))
+    merged["key"] = [f"{lo or '*'}-{hi or '*'}" for lo, hi in ranges]
+    return merged[["key", "doc_count"]].reset_index(drop=True)
+
+
 def sampler_agg(ds: Dataset, by: str, shard_size: int = 100,
                 tie_col: Optional[str] = None) -> Dataset:
     """sampler: restrict sub-aggregations to the best-scoring docs

@@ -924,6 +924,82 @@ class Searcher:
                     out.append(ld + base)
         return np.array(sorted(out), dtype=np.int64)
 
+    def span_near(self, terms: Sequence[str], slop: int = 0,
+                  in_order: bool = True) -> np.ndarray:
+        """span_near (ref index/query/SpanNearQueryBuilder.java / Lucene
+        SpanNearQuery): docs where all ``terms`` occur within a window —
+        selection positions p_1..p_n (distinct) with
+        (max(p)-min(p)+1) - n <= slop intervening positions; ``in_order``
+        additionally requires p_1 < p_2 < ... < p_n. Terms are analyzed.
+        Position source: stored positions when indexed, else re-analysis of
+        the candidate docs (same fallback as match_phrase)."""
+        q_toks = [t for term in terms for t in self.analyzer.tokens(term)]
+        if not q_toks:
+            return np.empty(0, np.int64)
+        cand = self.bool_docs(must=list(dict.fromkeys(q_toks)))
+        if cand.size == 0:
+            return cand
+        n = len(q_toks)
+
+        def check(pos_lists: List[np.ndarray]) -> bool:
+            if in_order:
+                # greedy scan over first-term starts: earliest feasible
+                # increasing chain minimizes the window
+                for s0 in pos_lists[0]:
+                    prev = int(s0)
+                    ok = True
+                    for pl in pos_lists[1:]:
+                        nxt = pl[np.searchsorted(pl, prev + 1)] if \
+                            np.searchsorted(pl, prev + 1) < len(pl) else None
+                        if nxt is None:
+                            ok = False
+                            break
+                        prev = int(nxt)
+                    if ok and (prev - int(s0) + 1) - n <= slop:
+                        return True
+                return False
+            # unordered: min window covering one position per term == the
+            # sloppy sweep with all query offsets 0 and span <= slop+n-1
+            return self._sloppy_ok(pos_lists, [0] * n, q_toks, slop + n - 1)
+
+        out: List[int] = []
+        if self.manifest.has_positions:
+            uniq = list(dict.fromkeys(q_toks))
+            post = self.postings(uniq)
+            seg_idx = np.searchsorted(self._bases, cand, side="right") - 1
+            for si in np.unique(seg_idx):
+                seg_id = int(self._seg_ids[si])
+                base = int(self._bases[si])
+                pos_of_term: Dict[str, Dict[int, np.ndarray]] = {}
+                for t in uniq:
+                    maps: Dict[int, np.ndarray] = {}
+                    tbl = post.get(t)
+                    if tbl is not None and tbl.num_rows:
+                        for row in tbl.to_pylist():
+                            if int(row["seg_id"]) == seg_id:
+                                maps.update(self._decode_positions(row))
+                    pos_of_term[t] = maps
+                for ld in (cand[seg_idx == si] - base):
+                    lists = [pos_of_term[t].get(int(ld)) for t in q_toks]
+                    if any(x is None for x in lists):
+                        continue
+                    if check(lists):
+                        out.append(int(ld) + base)
+        else:
+            fetched = self.fetch(cand.tolist(),
+                                 columns=[self.manifest.text_col])
+            for r in fetched.to_pylist():
+                toks, poss = self.analyzer.analyze(
+                    r[self.manifest.text_col] or "")
+                pos_of: Dict[str, list] = {}
+                for t, p in zip(toks, poss):
+                    pos_of.setdefault(t, []).append(p)
+                lists = [np.asarray(pos_of.get(t, ()), dtype=np.int64)
+                         for t in q_toks]
+                if all(l.size for l in lists) and check(lists):
+                    out.append(r["_docid"])
+        return np.array(sorted(out), dtype=np.int64)
+
     # --------------------------------------------------------------- fetch
 
     def get(self, docid: int) -> Optional[dict]:

@@ -646,3 +646,47 @@ def test_point_reads(built_index, oracle):
     want = [i for i, c in enumerate(full.column("conv_id").to_pylist())
             if c == conv]
     assert sorted(got.column("_docid").to_pylist()) == want
+
+
+def test_span_near(built_index, transcript_corpus, tmp_path, oracle):
+    """span_near ordered/unordered vs brute force, text-verify AND stored
+    positions paths."""
+    import itertools
+    o, full = oracle
+    texts = full.column("text").to_pylist()
+
+    def brute(an, t1, t2, slop, in_order):
+        want = []
+        for i, t in enumerate(texts):
+            toks, poss = an.analyze(t or "")
+            p1 = [p for tk, p in zip(toks, poss) if tk == t1]
+            p2 = [p for tk, p in zip(toks, poss) if tk == t2]
+            hit = False
+            for a, b in itertools.product(p1, p2):
+                if a == b:
+                    continue
+                if in_order and not (a < b):
+                    continue
+                if (max(a, b) - min(a, b) + 1) - 2 <= slop:
+                    hit = True
+                    break
+            if hit:
+                want.append(i)
+        return want
+
+    s = Searcher(built_index.index_dir)  # text-verify path
+    corpus_dir, _ = transcript_corpus
+    m = build_index(corpus_dir, str(tmp_path / "idx_span"),
+                    analyzer="transcript", index_positions=True,
+                    num_buckets=4, hot_df_threshold=400)
+    s_pos = Searcher(m.index_dir)  # stored-positions path
+    for t1, t2, slop, in_order in [("bace", "cedi", 2, True),
+                                   ("bace", "cedi", 2, False),
+                                   ("cedi", "bace", 0, True),
+                                   ("bace", "difo", 5, False)]:
+        want = brute(s.analyzer, t1, t2, slop, in_order)
+        got = s.span_near([t1, t2], slop=slop, in_order=in_order).tolist()
+        got_pos = s_pos.span_near([t1, t2], slop=slop,
+                                  in_order=in_order).tolist()
+        assert got == want, (t1, t2, slop, in_order, "textverify")
+        assert got_pos == want, (t1, t2, slop, in_order, "indexed")
