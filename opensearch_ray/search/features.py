@@ -570,6 +570,47 @@ def query_string(searcher: Searcher, q: str, k: Optional[int] = None
     return out.head(k) if k else out
 
 
+# -------------------------------------------------------------- rank_feature
+
+def rank_feature_topk(ds, field: str, id_col: str, k: int = 10,
+                      function: str = "saturation", pivot: float = 1.0,
+                      scale: float = 1.0, exponent: float = 1.0
+                      ) -> pd.DataFrame:
+    """rank_feature query over a numeric feature column (ref
+    index/query/RankFeatureQueryBuilder / mapper/RankFeatureFieldMapper):
+    score = saturation v/(v+pivot) | log ln(scale + v) | sigmoid
+    v^exp/(v^exp + pivot^exp). Distributed: per-batch vectorized scoring +
+    per-batch top-k partials, driver merges k rows/block."""
+    import pyarrow.compute as _pc
+
+    def score_fn(v: np.ndarray) -> np.ndarray:
+        if function == "saturation":
+            return v / (v + pivot)
+        if function == "log":
+            return np.log(scale + v)
+        if function == "sigmoid":
+            vp = np.power(v, exponent)
+            return vp / (vp + np.power(pivot, exponent))
+        raise ValueError(function)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = score_fn(v)
+        kk = min(k, len(sc))
+        if kk == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        top = np.argpartition(-sc, kk - 1)[:kk]
+        return pa.table({id_col: t.column(id_col).take(pa.array(top)),
+                         "score": pa.array(sc[top])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["score", id_col], ascending=[False, True],
+                              kind="mergesort").head(k)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return parts.reset_index(drop=True)
+
+
 # --------------------------------------------------------- multi-index union
 
 def multi_index_search(searchers: "dict[str, Searcher]", query_text: str,
