@@ -1156,6 +1156,16 @@ def _q_agg_ip_range(sf_dir):
                                    ("10.200.0.0", None)])
 
 
+def _q_agg_vwh(sf_dir):
+    """variable_width_histogram (clustered buckets — rows-only: the k-means
+    boundaries are not SQL-expressible)."""
+    from opensearch_ray.aggs import variable_width_histogram_agg
+    out = variable_width_histogram_agg(_read(sf_dir, "events", ["value"]),
+                                       "value", buckets=8)
+    out["key"] = _fmt(out["key"], 4)
+    return out[["key", "doc_count", "min", "max"]]
+
+
 def _q_rank_feature(sf_dir):
     """rank_feature saturation scoring over events.value, top 10."""
     from opensearch_ray.search.features import rank_feature_topk
@@ -1305,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_unordered": _q_span_near_unordered,
         "agg_ip_range": _q_agg_ip_range,
         "rank_feature": _q_rank_feature,
+        "agg_variable_width_histogram": _q_agg_vwh,
         "range_query": _q_range_query,
         "bm25_range_filtered": _q_bm25_range_filtered,
         "phrase_slop": _q_phrase_slop,

@@ -333,6 +333,76 @@ def significant_text_agg(ds: Dataset, text_col: str, id_col: str,
     return p[["term", "fg", "bg", "score"]].head(size).reset_index(drop=True)
 
 
+def variable_width_histogram_agg(ds: Dataset, field: str, buckets: int = 10,
+                                 sample_size: int = 4096, seed: int = 17
+                                 ) -> pd.DataFrame:
+    """variable_width_histogram (VariableWidthHistogramAggregator): bucket
+    boundaries ADAPT to the value distribution instead of a fixed interval.
+    The reference clusters streamed values per shard and merges centroids;
+    here a deterministic 1-D k-means on a hash-strided sample fixes the
+    centroids (same sampling discipline as the IVF coarse quantizer), then
+    one distributed pass assigns by nearest centroid (searchsorted on
+    midpoints) and reduces (count, min, max, mean) per bucket."""
+    import ray
+
+    n = ds.count()
+    stride = max(1, n // max(sample_size, 1))
+
+    # deterministic sample: rows whose value-hash lands on the stride
+    def pick2(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = pd.util.hash_array(v) % np.uint64(stride)
+        return pa.table({field: pa.array(v[h == 0])})
+
+    sample = np.sort(ds.map_batches(pick2, batch_format="pyarrow")
+                     .to_pandas()[field].to_numpy())
+    if sample.size == 0:
+        return pd.DataFrame({"key": [], "doc_count": [], "min": [], "max": []})
+    k = min(buckets, max(1, len(np.unique(sample))))
+    # sorted-quantile init + a few Lloyd iterations (deterministic)
+    C = np.unique(np.quantile(sample, np.linspace(0, 1, k)))
+    for _ in range(10):
+        mids = (C[:-1] + C[1:]) / 2.0
+        assign = np.searchsorted(mids, sample)
+        C_new = np.array([sample[assign == i].mean() if (assign == i).any()
+                          else C[i] for i in range(len(C))])
+        if np.allclose(C_new, C):
+            break
+        C = np.sort(C_new)
+    mids = (C[:-1] + C[1:]) / 2.0
+    mids_ref = ray.put(mids)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(mids_ref)
+        v = t.column(field).to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.searchsorted(m, v)
+        nb = len(m) + 1
+        cnt = np.bincount(a, minlength=nb)
+        mn = np.full(nb, np.inf)
+        mx = np.full(nb, -np.inf)
+        sm = np.zeros(nb)
+        np.minimum.at(mn, a, v)
+        np.maximum.at(mx, a, v)
+        np.add.at(sm, a, v)
+        return pa.table({"bucket": pa.array(np.arange(nb, dtype=np.int64)),
+                         "doc_count": pa.array(cnt.astype(np.int64)),
+                         "min": pa.array(mn), "max": pa.array(mx),
+                         "sum": pa.array(sm)})
+
+    from ray.data.aggregate import Max, Min
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = (parts.groupby("bucket")
+           .aggregate(Sum("doc_count", alias_name="doc_count"),
+                      Min("min", alias_name="min"),
+                      Max("max", alias_name="max"),
+                      Sum("sum", alias_name="sum"))
+           .to_pandas().sort_values("bucket"))
+    out = out[out["doc_count"] > 0].reset_index(drop=True)
+    out["key"] = out["sum"] / out["doc_count"]  # bucket centroid (mean)
+    return out[["key", "doc_count", "min", "max"]]
+
+
 def filters_agg(ds: Dataset, filters: Dict[str, Callable[[pa.Table], pa.Array]]
                 ) -> pd.DataFrame:
     """filters: named-predicate doc counts (FiltersAggregator). Each filter is

@@ -273,3 +273,17 @@ def test_geo_aggs(ev, ev_pdf):
     assert c["count"] == len(ev_pdf)
     assert c["lat"] == lat.sum() / len(lat)
     assert c["lon"] == lon.sum() / len(lon)
+
+
+def test_variable_width_histogram(ev, ev_pdf):
+    from opensearch_ray.aggs import variable_width_histogram_agg
+    out = variable_width_histogram_agg(ev, "value", buckets=8)
+    assert 1 <= len(out) <= 8
+    assert out["doc_count"].sum() == len(ev_pdf)
+    # buckets are ordered, non-overlapping, and cover the value range
+    assert (out["min"].to_numpy()[1:] > out["max"].to_numpy()[:-1]).all()
+    assert out["min"].iloc[0] == ev_pdf["value"].min()
+    assert out["max"].iloc[-1] == ev_pdf["value"].max()
+    # deterministic across runs
+    out2 = variable_width_histogram_agg(ev, "value", buckets=8)
+    assert out["doc_count"].tolist() == out2["doc_count"].tolist()
