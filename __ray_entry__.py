@@ -1929,12 +1929,15 @@ def oracle_sql() -> dict[str, str]:
                        pow(sin(radians(lat) / 2.0), 2)
                        + cos(radians(lat)) * pow(sin(radians(lon) / 2.0), 2)))
                      AS dist
-              FROM pts)
-            SELECT key, count(*) AS doc_count FROM (
-              SELECT CASE WHEN dist < 5000000.0 THEN '*-5000000.0'
-                          WHEN dist < 10000000.0 THEN '5000000.0-10000000.0'
-                          ELSE '10000000.0-*' END AS key
-              FROM d) GROUP BY key
+              FROM pts),
+            keys(key, lo, hi) AS (VALUES
+              ('*-5000000.0', 0.0, 5000000.0),
+              ('5000000.0-10000000.0', 5000000.0, 10000000.0),
+              ('10000000.0-*', 10000000.0, 1e18))
+            SELECT k.key,
+                   (SELECT count(*) FROM d WHERE dist >= k.lo AND dist < k.hi)
+                     AS doc_count
+            FROM keys k
         """,
         "agg_geo_centroid": """
             SELECT printf('%.6f', sum((user_id % 180) - 89.5) / count(*))
