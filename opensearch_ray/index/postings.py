@@ -66,6 +66,11 @@ def vb_decode(buf: bytes, offset: int = 0, count: int = -1) -> np.ndarray:
     a = np.frombuffer(buf, dtype=np.uint8)
     if offset:
         a = a[offset:]
+    if count >= 0:
+        # a value is at most 5 encoded bytes — bound the terminator scan so a
+        # 128-value block decode never scans the whole chunk tail (this was
+        # ~half of warm-query time at 500k docs)
+        a = a[:count * 5]
     if a.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (a & 0x80) == 0

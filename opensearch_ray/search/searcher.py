@@ -68,6 +68,10 @@ class Searcher:
         self._stats_cache: Dict[str, Tuple[int, int]] = {}
         self._post_cache: Dict[str, pa.Table] = {}  # term -> postings rows
         self._post_cache_max = 512
+        # decoded hot chunks (term, seg, chunk) -> (docids, tfs): the decoded
+        # counterpart of Lucene's hot postings staying page-cache resident
+        self._dec_cache: Dict[Tuple[str, int, int], Tuple[np.ndarray, np.ndarray]] = {}
+        self._dec_cache_max = 4096
         self._docvalues: Dict[Tuple[int, str], np.ndarray] = {}
 
     # ------------------------------------------------------------- plumbing
@@ -357,7 +361,14 @@ class Searcher:
                 if ei in ness_set:
                     continue
                 t, row = entries[ei]
-                docids, tfs = self._decode_chunk_rows(row)
+                ck = (t, seg_id, int(row["chunk"]))
+                hit = self._dec_cache.get(ck)
+                if hit is None:
+                    hit = self._decode_chunk_rows(row)
+                    if len(self._dec_cache) >= self._dec_cache_max:
+                        self._dec_cache.clear()
+                    self._dec_cache[ck] = hit
+                docids, tfs = hit
                 sc = score_postings(tfs, norms[docids], weight[t], self.norm_cache)
                 all_docs.append(docids)
                 all_scores.append(sc)
