@@ -98,6 +98,10 @@ class QueryExecutor:
     def count(self, query_text: str, operator: str = "or") -> int:
         return self.searcher.count(query_text, operator=operator)
 
+    def msearch(self, requests: List[Tuple[str, int, str]]):
+        """Batched search (`_msearch`): all requests in ONE actor round-trip."""
+        return [self.search(q, k, op) for q, k, op in requests]
+
     def count_terms(self, query_text: str):
         terms = self.searcher.analyzer.tokens(query_text)
         return self.searcher.term_stats(terms)
@@ -191,6 +195,18 @@ class SearchCluster:
     def count(self, query_text: str, operator: str = "or") -> int:
         return int(sum(ray.get([e.count.remote(query_text, operator)
                                 for e in self.executors])))
+
+    def msearch(self, requests: List[Tuple[str, int, str]]
+                ) -> List[List[SearchHit]]:
+        """Batched multi-query (`_msearch` API): ships the WHOLE request list
+        to every executor in one round-trip (N queries cost one fan-out, not
+        N), then merges per query."""
+        per_exec = ray.get([e.msearch.remote(requests)
+                            for e in self.executors])
+        out = []
+        for qi, (_, k, _) in enumerate(requests):
+            out.append(self._merge_hits([pe[qi] for pe in per_exec], k))
+        return out
 
     def shutdown(self):
         for e in self.executors:

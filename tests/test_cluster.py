@@ -64,3 +64,13 @@ def test_cluster_sort_aggs_count_parity(built_index, cluster):
     assert ga["doc_count"].tolist() == wa["doc_count"].tolist()
     assert cluster.count("bace cedi", operator="and") == local.count(
         "bace cedi", operator="and")
+
+
+def test_cluster_msearch(built_index, cluster):
+    local = Searcher(built_index.index_dir)
+    reqs = [("bace", 5, "or"), ("bace cedi", 10, "and"), ("difo", 3, "or")]
+    got = cluster.msearch(reqs)
+    for (q, k, op), hits in zip(reqs, got):
+        want = local.search(q, k=k, operator=op)
+        assert [(h.docid, h.score) for h in hits] == [
+            (h.docid, h.score) for h in want], q
