@@ -398,9 +398,15 @@ class Searcher:
                 skip_docs = np.asarray(row["skip_docs"], dtype=np.int64)
                 if skip_docs.size == 0:
                     continue
-                bids = np.unique(np.searchsorted(skip_docs, udocs))
-                bids = bids[bids < len(skip_docs)]
-                docids, tfs = self._decode_blocks(row, bids)
+                cached = self._dec_cache.get((t, seg_id, int(row["chunk"])))
+                if cached is not None:
+                    # chunk already decoded by an earlier essential pass —
+                    # membership probe beats re-decoding blocks
+                    docids, tfs = cached
+                else:
+                    bids = np.unique(np.searchsorted(skip_docs, udocs))
+                    bids = bids[bids < len(skip_docs)]
+                    docids, tfs = self._decode_blocks(row, bids)
                 if len(docids) == 0:
                     continue
                 pos = np.clip(np.searchsorted(docids, udocs), 0, len(docids) - 1)
