@@ -27,4 +27,4 @@ No module in this package calls ``ray.init()`` — sessions are owned by the
 caller (driver, bench.py, or the pytest fixture).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
