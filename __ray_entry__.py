@@ -1118,7 +1118,8 @@ def _geo_events(sf_dir):
         eid = t.column("event_id").to_numpy(zero_copy_only=False)
         lat = (uid % 180).astype(np.float64) - 89.5
         lon = (eid % 360).astype(np.float64) - 179.5
-        return pa.table({"lat": pa.array(lat), "lon": pa.array(lon)})
+        return pa.table({"event_id": t.column("event_id"),
+                         "lat": pa.array(lat), "lon": pa.array(lon)})
 
     return _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
         derive, batch_format="pyarrow")
@@ -1174,6 +1175,22 @@ def _q_rank_feature(sf_dir):
                             function="saturation", pivot=100.0)
     out["score"] = _fmt(out["score"], 6)
     return out[["event_id", "score", "rank"]]
+
+
+def _q_geo_distance_query(sf_dir):
+    """geo_distance filter: events within 7,000 km of (0,0)."""
+    from opensearch_ray.aggs.geo import geo_distance_filter
+    out = geo_distance_filter(_geo_events(sf_dir), "lat", "lon",
+                              (0.0, 0.0), 7_000_000.0).to_pandas()
+    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+
+
+def _q_geo_bounding_box(sf_dir):
+    """geo_bounding_box filter: box [(40, -50) top-left, (-40, 50) b-right]."""
+    from opensearch_ray.aggs.geo import geo_bounding_box_filter
+    out = geo_bounding_box_filter(_geo_events(sf_dir), "lat", "lon",
+                                  (40.0, -50.0), (-40.0, 50.0)).to_pandas()
+    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
 
 
 def _q_span_near(sf_dir):
@@ -1314,6 +1331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_query": _q_span_near,
         "span_near_unordered": _q_span_near_unordered,
         "agg_ip_range": _q_agg_ip_range,
+        "geo_distance_query": _q_geo_distance_query,
+        "geo_bounding_box": _q_geo_bounding_box,
         "rank_feature": _q_rank_feature,
         "agg_variable_width_histogram": _q_agg_vwh,
         "range_query": _q_range_query,
@@ -1950,6 +1969,23 @@ def oracle_sql() -> dict[str, str]:
         "range_query": """
             SELECT doc_id FROM documents
             WHERE n_chars >= 200 AND n_chars < 400
+        """,
+        "geo_distance_query": """
+            SELECT event_id FROM (
+              SELECT event_id,
+                     2.0 * 6371008.7714 * asin(sqrt(
+                       pow(sin(radians((user_id % 180) - 89.5) / 2.0), 2)
+                       + cos(radians((user_id % 180) - 89.5))
+                         * pow(sin(radians((event_id % 360) - 179.5) / 2.0), 2)))
+                       AS dist
+              FROM events)
+            WHERE dist <= 7000000.0 ORDER BY event_id
+        """,
+        "geo_bounding_box": """
+            SELECT event_id FROM events
+            WHERE ((user_id % 180) - 89.5) BETWEEN -40.0 AND 40.0
+              AND ((event_id % 360) - 179.5) BETWEEN -50.0 AND 50.0
+            ORDER BY event_id
         """,
         "rank_feature": """
             SELECT event_id, printf('%.6f', value / (value + 100.0)) AS score,

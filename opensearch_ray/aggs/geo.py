@@ -64,6 +64,39 @@ def geo_distance_agg(ds: Dataset, lat_col: str, lon_col: str,
     return merged[["key", "doc_count"]].reset_index(drop=True)
 
 
+def geo_distance_filter(ds: Dataset, lat_col: str, lon_col: str,
+                        origin: Tuple[float, float], distance_m: float
+                        ) -> Dataset:
+    """geo_distance QUERY (filter context, GeoDistanceQueryBuilder): rows
+    within ``distance_m`` meters of origin (arc distance), vectorized."""
+    olat, olon = origin
+
+    def filt(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.filter(pa.array(haversine_m(olat, olon, lat, lon)
+                                 <= distance_m))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def geo_bounding_box_filter(ds: Dataset, lat_col: str, lon_col: str,
+                            top_left: Tuple[float, float],
+                            bottom_right: Tuple[float, float]) -> Dataset:
+    """geo_bounding_box query (GeoBoundingBoxQueryBuilder): rows inside the
+    [bottom, top] x [left, right] box (no dateline wrap)."""
+    top, left = top_left
+    bottom, right = bottom_right
+
+    def filt(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        m = (lat <= top) & (lat >= bottom) & (lon >= left) & (lon <= right)
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def geo_centroid_agg(ds: Dataset, lat_col: str, lon_col: str) -> dict:
     """geo_centroid: arithmetic mean of lat/lon over non-null points
     (GeoCentroidAggregator's running compensated mean, as sum/count here)."""

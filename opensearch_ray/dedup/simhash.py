@@ -41,8 +41,15 @@ def simhash_values(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def simhash_dedup_pairs(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
-                        max_hamming: int = 3, max_bucket: int = 200) -> pd.DataFrame:
-    """-> (a, b, hamming) pairs with distance <= max_hamming."""
+                        max_hamming: int = 3, max_bucket: int = 200,
+                        P: int = 256) -> pd.DataFrame:
+    """-> (a, b, hamming) pairs with distance <= max_hamming.
+
+    Same shuffle discipline as the MinHash path: band rows route through a
+    LOW-CARDINALITY hash partition (P≈256) with local vectorized bucket
+    formation (not a groupby over millions of distinct chunk values), and the
+    Hamming verification is inline (the fingerprint travels with the row), so
+    the driver receives only verified, deduplicated pairs."""
     n_chunks = max_hamming + 1
     bits_per = 64 // n_chunks
     sh_ds = simhash_values(ds, text_col, id_col)
@@ -55,34 +62,71 @@ def simhash_dedup_pairs(ds: Dataset, text_col: str = "text", id_col: str = "doc_
             (sh >> np.uint64(c * bits_per)) & np.uint64((1 << bits_per) - 1)
             for c in range(n_chunks)
         ], axis=1)
+        # fold chunk index into the bucket key: one 64-bit key per row
+        key = chunks.astype(np.uint64) ^ (np.arange(n_chunks, dtype=np.uint64)
+                                          [None, :] * np.uint64(0xA24BAED4963EE407))
+        part = (key % np.uint64(P)).astype(np.int32)
         return pa.table({
             id_col: pa.array(np.repeat(ids, n_chunks)),
             "simhash": pa.array(np.repeat(sh.astype(np.int64), n_chunks)),
-            "chunk": pa.array(np.tile(np.arange(n_chunks, dtype=np.int32), n)),
-            "cv": pa.array(chunks.astype(np.int64).ravel()),
+            "key": pa.array(key.astype(np.int64).ravel()),
+            "_part": pa.array(part.ravel()),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-                {"a": np.int64, "b": np.int64, "hamming": np.int64})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = sh[ii] ^ sh[jj]
-        ham = np.zeros(len(x), dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
-        m = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ii][m], "b": ids[jj][m], "hamming": ham[m]})
+    def pairs_part(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        sh = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, key))
+        key_s, ids_s, sh_s = key[order], ids[order], sh[order]
+        starts = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
+        ends = np.concatenate((starts[1:], [len(key_s)]))
+        a_p, b_p, h_p = [], [], []
+        for s, e in zip(starts, ends):
+            m = min(e - s, max_bucket)
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            x = sh_s[s:s + m][ii] ^ sh_s[s:s + m][jj]
+            ham = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            keep = ham <= max_hamming
+            a_p.append(ids_s[s:s + m][ii][keep])
+            b_p.append(ids_s[s:s + m][jj][keep])
+            h_p.append(ham[keep])
+        if not a_p:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({
+            "a": pa.array(np.concatenate(a_p).astype(np.int64)),
+            "b": pa.array(np.concatenate(b_p).astype(np.int64)),
+            "hamming": pa.array(np.concatenate(h_p))})
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pp = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(P)
+              ).astype(np.int32)
+        return t.append_column("_pp", pa.array(pp))
+
+    def dedup_part(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        h = g.column("hamming").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([a, b, h], axis=1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1]),
+                         "hamming": pa.array(u[:, 2])})
 
     out = (sh_ds.map_batches(explode, batch_format="pyarrow")
-           .groupby(["chunk", "cv"])
-           .map_groups(pairs, batch_format="pandas").to_pandas())
+           .groupby("_part").map_groups(pairs_part, batch_format="pyarrow")
+           .map_batches(add_pp, batch_format="pyarrow")
+           .groupby("_pp").map_groups(dedup_part, batch_format="pyarrow")
+           .to_pandas())
     if out.empty:
         return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
             {"a": np.int64, "b": np.int64, "hamming": np.int64})
-    return (out.drop_duplicates(subset=["a", "b"])
+    return (out[["a", "b", "hamming"]]
             .sort_values(["a", "b"]).reset_index(drop=True))
