@@ -190,7 +190,8 @@ def date_range_agg(ds: Dataset, field: str,
               .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas()
               .sort_values("idx"))
     merged["key"] = [
-        f"{lo or '*'}-{hi or '*'}" for lo, hi in ranges
+        f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        for lo, hi in ranges
     ]
     return merged[["key", "doc_count"]].reset_index(drop=True)
 
@@ -237,7 +238,8 @@ def ip_range_agg(ds: Dataset, field: str,
     merged = (parts.groupby("idx")
               .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas()
               .sort_values("idx"))
-    merged["key"] = [f"{lo or '*'}-{hi or '*'}" for lo, hi in ranges]
+    merged["key"] = [f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+                     for lo, hi in ranges]
     return merged[["key", "doc_count"]].reset_index(drop=True)
 
 

@@ -86,6 +86,10 @@ class IndexManifest:
     #: token positions stored (DOCS_AND_FREQS_AND_POSITIONS parity) — enables
     #: index-native phrase queries at ~+30-50% postings size
     has_positions: bool = False
+    #: build inputs fingerprint: hot_df_threshold + {path: [size, mtime_ns]}
+    #: — consulted by the completed-build short-circuit so a rerun with a
+    #: different salting layout or modified input files rebuilds
+    build_params: dict = field(default_factory=dict)
 
     @property
     def avgdl(self) -> float:
@@ -112,6 +116,7 @@ class IndexManifest:
                     "merged": self.merged,
                     "hot_buckets": self.hot_buckets,
                     "has_positions": self.has_positions,
+                    "build_params": self.build_params,
                 },
                 f,
             )
@@ -133,6 +138,7 @@ def load_manifest(index_dir: str) -> IndexManifest:
         merged=d["merged"],
         hot_buckets=d.get("hot_buckets", {}),
         has_positions=d.get("has_positions", False),
+        build_params=d.get("build_params", {}),
     )
 
 
@@ -374,17 +380,26 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
     # build's inputs and every bucket file it references exists, the rerun is
     # a no-op (the whole-index resume level above per-segment resume)
     man_path = os.path.join(index_dir, "manifest.json")
+    fingerprint = {
+        "hot_df_threshold": int(hot_df_threshold),
+        "inputs": {p: [int(st.st_size), int(st.st_mtime_ns)]
+                   for p in files for st in (os.stat(p),)},
+    }
     if os.path.exists(man_path):
         try:
             prev = load_manifest(index_dir)
             # the manifest is written LAST (atomic rename), so merged=True
-            # proves every bucket/stats file it references landed
+            # proves every bucket/stats file it references landed. The
+            # build_params fingerprint guards against a rerun with a changed
+            # salting threshold or modified input file content at the same
+            # paths silently "resuming" a stale index.
             same = (prev.merged
                     and prev.analyzer == manifest_args["analyzer"]
                     and prev.text_col == text_col
                     and prev.num_buckets == num_buckets
                     and prev.has_positions == index_positions
-                    and [s.path for s in prev.segments] == list(files))
+                    and [s.path for s in prev.segments] == list(files)
+                    and prev.build_params == fingerprint)
             if same:
                 return prev
         except Exception:
@@ -403,11 +418,10 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
         seg_id = int(row["seg_id"])
         seg_dir = os.path.join(index_dir, "segments", f"seg-{seg_id:05d}")
         post_path = os.path.join(seg_dir, "postings.parquet")
-        if os.path.exists(os.path.join(seg_dir, "meta.json")):
-            t = pq.read_table(post_path)  # resume: reuse the finished segment
-        else:
-            builder(batch)  # writes the segment atomically
-            t = pq.read_table(post_path)
+        # the builder is resume-aware: it reuses a finished segment only when
+        # the input-file fingerprint still matches, else rebuilds atomically
+        builder(batch)
+        t = pq.read_table(post_path)
         n = t.num_rows
         t = t.append_column("seg_id", pa.array(np.full(n, seg_id, dtype=np.int32)))
         terms = t.column("term").to_pylist()
@@ -504,7 +518,7 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
         num_buckets=num_buckets,
         hot_terms=sorted(hot_buckets), merged=True,
         hot_buckets=hot_buckets, has_positions=index_positions,
-        **manifest_args)
+        build_params=fingerprint, **manifest_args)
     manifest.save()
     return manifest
 

@@ -477,17 +477,28 @@ class SegmentBuilder:
         for row in batch.to_pylist():
             seg_id = int(row["seg_id"])
             seg_dir = os.path.join(self.index_dir, "segments", f"seg-{seg_id:05d}")
+            st = os.stat(row["path"])
+            input_fp = [int(st.st_size), int(st.st_mtime_ns)]
+            meta = None
             if os.path.exists(os.path.join(seg_dir, "meta.json")):
                 meta = json.load(open(os.path.join(seg_dir, "meta.json")))
                 meta["resumed"] = True
-            else:
+                if meta.get("input_fp") != input_fp:
+                    # input file changed since this segment was built: the
+                    # "finished" segment is stale — rebuild it (resume is
+                    # content-aware, not path-only)
+                    import shutil
+                    shutil.rmtree(seg_dir, ignore_errors=True)
+                    meta = None
+            if meta is None:
                 tbl = pq.read_table(row["path"], columns=self.columns)
                 postings, docstore, meta = build_segment_table(
                     tbl, text_col=self.text_col, analyzer=self.analyzer,
                     sort_cols=self.sort_cols, index_positions=self.index_positions,
                 )
                 meta["resumed"] = False
-                meta = {**meta, "seg_id": seg_id, "path": row["path"]}
+                meta = {**meta, "seg_id": seg_id, "path": row["path"],
+                        "input_fp": input_fp}
                 write_segment(seg_dir, postings, docstore, meta)
             meta.setdefault("seg_id", seg_id)
             meta.setdefault("path", row["path"])

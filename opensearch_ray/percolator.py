@@ -38,9 +38,10 @@ class _Query:
     should: Tuple[str, ...] = ()
     must_not: Tuple[str, ...] = ()
     minimum_should_match: int = 0
-    phrase: Optional[Tuple[str, ...]] = None  # exact-adjacency phrase tokens
+    phrase: Optional[Tuple[str, ...]] = None  # analyzed phrase tokens
+    phrase_pos: Tuple[int, ...] = ()  # their analyzed positions (stop gaps kept)
 
-    def matches(self, toks: List[str], tok_set: set) -> bool:
+    def matches(self, tok_set: set, pos_of: Dict[str, List[int]]) -> bool:
         if any(t not in tok_set for t in self.must):
             return False
         if any(t in tok_set for t in self.must_not):
@@ -50,9 +51,16 @@ class _Query:
             if sum(1 for t in self.should if t in tok_set) < need:
                 return False
         if self.phrase:
-            n = len(self.phrase)
-            ok = any(tuple(toks[i:i + n]) == self.phrase
-                     for i in range(len(toks) - n + 1))
+            # position-gap-aware phrase verification, identical semantics to
+            # Searcher.match_phrase / _match_phrase_textverify: a stopword
+            # between phrase terms leaves a position gap that must NOT match
+            # an adjacent-token document ("hash the join" != phrase "hash join")
+            deltas = [p - self.phrase_pos[0] for p in self.phrase_pos]
+            pos_sets = [set(pos_of.get(t, ())) for t in self.phrase]
+            if not all(pos_sets):
+                return False
+            ok = any(all((s0 + dp) in ps for dp, ps in zip(deltas, pos_sets))
+                     for s0 in pos_of.get(self.phrase[0], ()))
             if not ok:
                 return False
         return True
@@ -71,9 +79,10 @@ class Percolator:
                  phrase: Optional[str] = None) -> None:
         an = get_analyzer(self.analyzer_name)
         norm = lambda ts: tuple(t for x in ts for t in an.tokens(x))
+        ptoks, ppos = an.analyze(phrase) if phrase else ((), ())
         q = _Query(query_id, norm(must), norm(should), norm(must_not),
                    minimum_should_match,
-                   tuple(an.tokens(phrase)) if phrase else None)
+                   tuple(ptoks) if ptoks else None, tuple(ppos))
         self.queries[query_id] = q
         # candidate triggers: any positive term (must / should / phrase)
         triggers = set(q.must) | set(q.should) | set(q.phrase or ())
@@ -97,15 +106,18 @@ class Percolator:
             out_ids, out_qs = [], []
             for did, s in zip(t.column(id_col).to_pylist(),
                               t.column(text_col).to_pylist()):
-                toks = an.tokens(s or "")
+                toks, poss = an.analyze(s or "")
                 tok_set = set(toks)
+                pos_of: Dict[str, List[int]] = {}
+                for tok, p in zip(toks, poss):
+                    pos_of.setdefault(tok, []).append(p)
                 cands = set(uncond)
                 for tok in tok_set:
                     hits = term_map.get(tok)
                     if hits:
                         cands.update(hits)
                 for qid in cands:
-                    if queries[qid].matches(toks, tok_set):
+                    if queries[qid].matches(tok_set, pos_of):
                         out_ids.append(did)
                         out_qs.append(qid)
             return pa.table({id_col: pa.array(out_ids),

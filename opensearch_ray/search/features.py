@@ -209,7 +209,11 @@ def function_score_topk(ds, value_fn: Callable[[pa.Table], np.ndarray],
         if kk == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        top = np.argpartition(-sc, kk - 1)[:kk]
+        # the partial must honor the global (score desc, id asc) tie-break:
+        # a score-only argpartition could drop the smaller-id row of a tie at
+        # the k-th boundary, so order the batch lexicographically first
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, -sc))[:kk]
         return pa.table({id_col: t.column(id_col).take(pa.array(top)),
                          "score": pa.array(sc[top])})
 
@@ -600,7 +604,11 @@ def rank_feature_topk(ds, field: str, id_col: str, k: int = 10,
         if kk == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        top = np.argpartition(-sc, kk - 1)[:kk]
+        # the partial must honor the global (score desc, id asc) tie-break:
+        # a score-only argpartition could drop the smaller-id row of a tie at
+        # the k-th boundary, so order the batch lexicographically first
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, -sc))[:kk]
         return pa.table({id_col: t.column(id_col).take(pa.array(top)),
                          "score": pa.array(sc[top])})
 

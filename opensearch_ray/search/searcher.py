@@ -279,14 +279,20 @@ class Searcher:
     # -------------------------------------------------------------- search
 
     def search(self, query_text: str, k: int = 10, operator: str = "or",
-               filters: Optional[Dict[str, object]] = None) -> List[SearchHit]:
+               filters: Optional[Dict[str, object]] = None,
+               allowed_segs: Optional[set] = None) -> List[SearchHit]:
         """Match-query semantics: analyze text, OR (default, ref
         MatchQueryBuilder.java:88) or AND over terms, BM25-scored top-k.
 
         ``filters``: {column: value-or-list} keyword filters applied as a
         non-scoring bool.filter clause over segment doc values (the
         keyword-field + filter-context semantics, BoolQueryBuilder filter);
-        filtered docs are dropped BEFORE the top-k heap, scores unchanged."""
+        filtered docs are dropped BEFORE the top-k heap, scores unchanged.
+
+        ``allowed_segs``: restrict collection to these segment ids
+        (terminate_after's segment-prefix early termination). Applied AFTER
+        postings retrieval, so neither merged bucket files spanning all
+        segments nor a pre-warmed postings cache can leak extra segments."""
         if k <= 0:
             return []
         terms = self.analyzer.tokens(query_text)
@@ -312,7 +318,10 @@ class Searcher:
             if tbl.num_rows == 0:
                 continue
             for row in tbl.to_pylist():
-                per_seg.setdefault(int(row["seg_id"]), []).append((t, row))
+                sid = int(row["seg_id"])
+                if allowed_segs is not None and sid not in allowed_segs:
+                    continue
+                per_seg.setdefault(sid, []).append((t, row))
 
         n_req = len(live)
         topk_scores = np.empty(0, np.float32)
@@ -574,13 +583,14 @@ class Searcher:
         return df.head(k).reset_index(drop=True)
 
     def count(self, query_text: str, operator: str = "or") -> int:
-        """Hit count without scoring (the `_count` API / track_total_hits)."""
+        """Hit count without scoring (the `_count` API / track_total_hits).
+        Segment-streamed: peak memory is one segment's doc-set, never a
+        global doc-id array."""
         terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))
         if not terms:
             return 0
-        if operator == "and":
-            return int(self.bool_docs(must=terms).size)
-        return int(self.bool_docs(should=terms).size)
+        kw = {"must": terms} if operator == "and" else {"should": terms}
+        return sum(local.size for _, _, local in self._iter_bool_docs(**kw))
 
     def search_with_totals(self, query_text: str, k: int = 10,
                            operator: str = "or",
@@ -597,27 +607,25 @@ class Searcher:
 
         Returns {hits, total, total_relation, terminated_early}."""
         terminated = False
+        allowed: Optional[set] = None
         if terminate_after is not None:
-            # collect segment prefixes until the hit budget is exhausted
-            hits: List[SearchHit] = []
+            # collect segment prefixes until the hit budget is exhausted —
+            # ONE streaming doc-set pass over segments in order, then a
+            # search restricted to the collected segment set (restriction is
+            # enforced inside search(), immune to postings-cache pre-warm
+            # and to merged bucket files spanning all segments)
+            terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))
+            kw = {"must": terms} if operator == "and" else {"should": terms}
             seen = 0
-            kept_segments = []
-            full = sorted(self.manifest.segments, key=lambda s: s.seg_id)
-            for s in full:
-                kept_segments.append(s)
-                seen += self._segment_match_count(query_text, s.seg_id,
-                                                 operator)
+            allowed = set()
+            for sid, _, local in self._iter_bool_docs(**kw):
+                allowed.add(sid)
+                seen += local.size
                 if seen >= terminate_after:
                     terminated = True
                     break
-            saved = self.manifest.segments
-            try:
-                self.manifest.segments = kept_segments
-                hits = self.search(query_text, k=k, operator=operator)
-            finally:
-                self.manifest.segments = saved
-        else:
-            hits = self.search(query_text, k=k, operator=operator)
+        hits = self.search(query_text, k=k, operator=operator,
+                           allowed_segs=allowed if terminated else None)
         total = None
         relation = None
         if track_total_hits is True:
@@ -638,12 +646,11 @@ class Searcher:
         terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))
         if not terms:
             return 0
-        base = self.doc_base(seg_id)
-        idx = int(np.searchsorted(self._seg_ids, seg_id))
-        hi = base + int(self._counts[idx])
-        docs = (self.bool_docs(must=terms) if operator == "and"
-                else self.bool_docs(should=terms))
-        return int(((docs >= base) & (docs < hi)).sum())
+        kw = {"must": terms} if operator == "and" else {"should": terms}
+        for sid, _, local in self._iter_bool_docs(**kw):
+            if sid == seg_id:
+                return int(local.size)
+        return 0
 
     def explain(self, query_text: str, docid: int) -> dict:
         """Scoring breakdown for one doc (the `_explain` API,
@@ -700,14 +707,83 @@ class Searcher:
     def term_docs(self, term: str) -> np.ndarray:
         """All global docids containing `term` (ascending) — the primitive for
         bool filter algebra (BoolQueryBuilder semantics)."""
-        post = self.postings([term]).get(term)
-        if post is None or post.num_rows == 0:
+        parts = [local + self.doc_base(sid)
+                 for sid, local in self._term_docs_by_seg([term])[term].items()]
+        if not parts:
             return np.empty(0, np.int64)
-        parts = []
-        for row in post.to_pylist():
-            docids, _ = self._decode_chunk_rows(row)
-            parts.append(docids + self.doc_base(int(row["seg_id"])))
         return np.sort(np.concatenate(parts))
+
+    def _term_docs_by_seg(self, terms: Sequence[str]
+                          ) -> Dict[str, Dict[int, np.ndarray]]:
+        """term -> {seg_id: ascending LOCAL docids} for every requested term
+        (terms absent from a segment simply have no entry)."""
+        post = self.postings(list(dict.fromkeys(terms)))
+        out: Dict[str, Dict[int, np.ndarray]] = {t: {} for t in terms}
+        for t in set(terms):
+            tbl = post.get(t)
+            if tbl is None or tbl.num_rows == 0:
+                continue
+            per: Dict[int, List[np.ndarray]] = {}
+            for row in tbl.to_pylist():
+                docids, _ = self._decode_chunk_rows(row)
+                per.setdefault(int(row["seg_id"]), []).append(docids)
+            # chunks arrive (seg, chunk)-sorted with ascending docids, so the
+            # concatenation is already sorted; np.sort guards reordered input
+            out[t] = {sid: (v[0] if len(v) == 1
+                            else np.sort(np.concatenate(v)))
+                      for sid, v in per.items()}
+        return out
+
+    def _iter_bool_docs(self, must: Sequence[str] = (),
+                        should: Sequence[str] = (),
+                        must_not: Sequence[str] = (),
+                        minimum_should_match=0):
+        """Segment-streamed bool algebra: yields (seg_id, doc_base,
+        ascending local docids) per segment in seg order. Peak memory is ONE
+        segment's doc-set — match_all builds arange(seg.doc_count), never a
+        global arange(N), and must_not subtracts per-segment (the
+        LeafReaderContext-at-a-time shape of Lucene's BooleanWeight)."""
+        if isinstance(minimum_should_match, str):
+            pct = minimum_should_match.strip()
+            if pct.endswith("%"):
+                minimum_should_match = (len(should) * int(pct[:-1])) // 100
+            else:
+                minimum_should_match = int(pct)
+        must, should, must_not = list(must), list(should), list(must_not)
+        by_term = self._term_docs_by_seg(must + should + must_not)
+        empty = np.empty(0, np.int64)
+        for s in sorted(self.manifest.segments, key=lambda x: x.seg_id):
+            sid, base = s.seg_id, self.doc_base(s.seg_id)
+            cur: Optional[np.ndarray] = None
+            for t in must:
+                d = by_term[t].get(sid, empty)
+                cur = d if cur is None else np.intersect1d(
+                    cur, d, assume_unique=True)
+                if cur.size == 0:
+                    break
+            if must and (cur is None or cur.size == 0):
+                yield sid, base, empty
+                continue
+            if should:
+                sh = [by_term[t].get(sid, empty) for t in should]
+                cat = np.concatenate(sh) if sh else empty
+                if minimum_should_match > 1:
+                    ud, cnt = np.unique(cat, return_counts=True)
+                    union = ud[cnt >= minimum_should_match]
+                else:
+                    union = np.unique(cat)
+                if cur is None:
+                    cur = union
+                elif minimum_should_match >= 1:
+                    cur = np.intersect1d(cur, union, assume_unique=True)
+            if cur is None:
+                cur = np.arange(s.doc_count, dtype=np.int64)  # match_all
+            for t in must_not:
+                if cur.size == 0:
+                    break
+                cur = np.setdiff1d(cur, by_term[t].get(sid, empty),
+                                   assume_unique=True)
+            yield sid, base, cur
 
     def bool_docs(self, must: Sequence[str] = (), should: Sequence[str] = (),
                   must_not: Sequence[str] = (), minimum_should_match=0,
@@ -716,34 +792,16 @@ class Searcher:
         difference) — ref server/index/query/BoolQueryBuilder.java.
         ``minimum_should_match`` accepts an int or a percentage string like
         "75%" (of the should-clause count, floor — Queries.java
-        calculateMinShouldMatch semantics for positive percentages)."""
-        if isinstance(minimum_should_match, str):
-            pct = minimum_should_match.strip()
-            if pct.endswith("%"):
-                minimum_should_match = (len(should) * int(pct[:-1])) // 100
-            else:
-                minimum_should_match = int(pct)
-        sets = [self.term_docs(t) for t in must]
-        cur: Optional[np.ndarray] = None
-        for s in sets:
-            cur = s if cur is None else np.intersect1d(cur, s, assume_unique=True)
-        if should:
-            sh = [self.term_docs(t) for t in should]
-            if minimum_should_match > 1:
-                cat = np.concatenate(sh) if sh else np.empty(0, np.int64)
-                ud, cnt = np.unique(cat, return_counts=True)
-                union = ud[cnt >= minimum_should_match]
-            else:
-                union = np.unique(np.concatenate(sh)) if sh else np.empty(0, np.int64)
-            if cur is None:
-                cur = union
-            elif minimum_should_match >= 1:
-                cur = np.intersect1d(cur, union, assume_unique=True)
-        if cur is None:
-            cur = np.arange(self.N, dtype=np.int64)  # match_all
-        for t in must_not:
-            cur = np.setdiff1d(cur, self.term_docs(t), assume_unique=True)
-        return cur
+        calculateMinShouldMatch semantics for positive percentages).
+        Internally segment-streamed (:meth:`_iter_bool_docs`); only the
+        RESULT set is materialized here."""
+        parts = [local + base
+                 for _, base, local in self._iter_bool_docs(
+                     must, should, must_not, minimum_should_match)
+                 if local.size]
+        if not parts:
+            return np.empty(0, np.int64)
+        return np.concatenate(parts)
 
     @staticmethod
     def _decode_positions(row: dict) -> Dict[int, np.ndarray]:

@@ -620,12 +620,23 @@ def test_collection_controls(built_index, oracle):
     assert r2["total"] == 10 and r2["total_relation"] == "gte"
     r3 = s.search_with_totals("bace", k=5, track_total_hits=False)
     assert r3["total"] is None
-    # terminate_after: early termination flagged, hits from segment prefix
+    # terminate_after: early termination flagged, hits ONLY from the
+    # collected segment prefix (the cumulative-count cutoff)
     r4 = s.search_with_totals("bace", k=5, terminate_after=5)
     assert r4["terminated_early"]
-    seg0_hi = built_index.segments[0].doc_count
-    # with a tiny budget only the first segment(s) are collected
-    assert all(h.docid < built_index.total_docs for h in r4["hits"])
+    seen, prefix_hi = 0, built_index.total_docs
+    for seg in sorted(built_index.segments, key=lambda x: x.seg_id):
+        seen += s._segment_match_count("bace", seg.seg_id, "or")
+        if seen >= 5:
+            prefix_hi = seg.doc_base + seg.doc_count
+            break
+    assert prefix_hi < built_index.total_docs  # budget terminates mid-index
+    assert all(h.docid < prefix_hi for h in r4["hits"])
+    # restricted-prefix hits must equal a search over just those segments
+    # even when the postings cache was pre-warmed with full-index rows
+    full_hits = [(h.docid, h.score) for h in s.search("bace", k=5)]
+    assert [(h.docid, h.score) for h in r4["hits"]] != full_hits or \
+        all(d < prefix_hi for d, _ in full_hits)
     r5 = s.search_with_totals("bace", k=5, terminate_after=10**9)
     assert not r5["terminated_early"]
     assert [(h.docid, h.score) for h in r5["hits"]] == [

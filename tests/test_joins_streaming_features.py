@@ -286,15 +286,33 @@ def test_percolator(sf_dir):
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     from opensearch_ray.analysis import get_analyzer
     an = get_analyzer("transcript")
+    q_toks, q_pos = an.analyze("hash join")
+    q_deltas = [p - q_pos[0] for p in q_pos]
     want = []
     for did, text in zip(docs["doc_id"], docs["text"]):
-        toks = an.tokens(text or "")
+        toks, poss = an.analyze(text or "")
         ts = set(toks)
         if {"hash", "join"} <= ts:
             want.append((did, "a"))
         if len({"stream", "window"} & ts) >= 2:
             want.append((did, "b"))
-        if any(toks[i:i+2] == ["hash", "join"] for i in range(len(toks)-1)):
+        # phrase check is POSITION-aware (match_phrase parity): "hash the
+        # join" must not match phrase "hash join" — a stopword leaves a gap
+        pos_of = {}
+        for t, p in zip(toks, poss):
+            pos_of.setdefault(t, []).append(p)
+        sets = [set(pos_of.get(t, ())) for t in q_toks]
+        if all(sets) and any(
+                all(s0 + dp in ps for dp, ps in zip(q_deltas, sets))
+                for s0 in pos_of.get(q_toks[0], ())):
             want.append((did, "c"))
     got = sorted(zip(out["doc_id"], out["query_id"]))
     assert got == sorted(want)
+    # stopword-gap regression: "hash the join" analyzes to positions [0, 2]
+    # and must NOT percolate as phrase "hash join" (positions [0, 1])
+    p2 = Percolator(analyzer="transcript")
+    p2.register("ph", phrase="hash join")
+    ds2 = rd.from_items([{"doc_id": 1, "text": "hash the join"},
+                         {"doc_id": 2, "text": "hash join now"}])
+    out2 = p2.percolate(ds2).to_pandas()
+    assert sorted(zip(out2["doc_id"], out2["query_id"])) == [(2, "ph")]
