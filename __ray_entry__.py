@@ -71,6 +71,41 @@ def _doc_index(sf_dir: str) -> str:
     return idx
 
 
+def _doc_index_derived(sf_dir: str) -> str:
+    """Index over `documents` + two DERIVED doc-values columns exercising
+    exists / terms_set: ``opt_source`` (null when n_chars < 300 — the
+    missing-value case exists() must exclude) and ``required_matches``
+    ((doc_id % 3) + 1 — the per-doc minimum_should_match field)."""
+    from opensearch_ray.index.build import build_index
+    from opensearch_ray import __version__
+    key = hashlib.md5(f"{sf_dir}:{__version__}:drv1".encode()).hexdigest()[:10]
+    root = f"/tmp/osray_docidx_drv_{key}"
+    idx = os.path.join(root, "idx")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        corpus = os.path.join(root, "corpus")
+        os.makedirs(corpus, exist_ok=True)
+
+        def derive(t: pa.Table) -> pa.Table:
+            nchars = t.column("n_chars").to_numpy(zero_copy_only=False)
+            did = t.column("doc_id").to_numpy(zero_copy_only=False)
+            src = t.column("source").to_pylist()
+            opt = [s if n >= 300 else None for s, n in zip(src, nchars)]
+            t = t.append_column("opt_source", pa.array(opt, pa.string()))
+            return t.append_column(
+                "required_matches", pa.array((did % 3 + 1).astype(np.int64)))
+
+        tbl = (_read(sf_dir, "documents")
+               .map_batches(derive, batch_format="pyarrow")
+               .to_arrow_refs())
+        import ray as _ray
+        import pyarrow.parquet as _pq
+        full = pa.concat_tables(_ray.get(tbl)).sort_by("doc_id")
+        _pq.write_table(full, os.path.join(corpus, "part-0.parquet"))
+        build_index(corpus, idx, analyzer="transcript", text_col="text",
+                    sort_cols=("doc_id",), num_buckets=4)
+    return idx
+
+
 def _searcher(sf_dir: str, float64: bool = True):
     from opensearch_ray.search import Searcher
     return Searcher(_doc_index(sf_dir),
@@ -1238,6 +1273,81 @@ def _q_highlight(sf_dir):
     from opensearch_ray.search.features import highlight
     return highlight(s, "hash", k=10).rename(columns={"_docid": "doc_id"})
 
+
+def _q_exists(sf_dir):
+    """exists query over a nullable doc-values column (missing-value docs
+    excluded — ExistsQueryBuilder)."""
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.search.queries import exists_docs
+    s = Searcher(_doc_index_derived(sf_dir), dtype=np.float64)
+    docs = exists_docs(s, "opt_source")
+    out = s.fetch(docs.tolist(), columns=["doc_id"]).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_terms_set(sf_dir):
+    """terms_set: per-doc minimum_should_match from a doc-values field."""
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.search.queries import terms_set_docs
+    s = Searcher(_doc_index_derived(sf_dir), dtype=np.float64)
+    docs = terms_set_docs(s, ["hash", "join", "stream"], "required_matches")
+    out = s.fetch(docs.tolist(), columns=["doc_id"]).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_regexp(sf_dir):
+    """regexp query: anchored regex over the terms dict, constant-score
+    disjunction of the matching terms."""
+    from opensearch_ray.search.queries import regexp_docs
+    docs = regexp_docs(_searcher(sf_dir), "st.*m")
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_span_or(sf_dir):
+    from opensearch_ray.search.queries import span_or_docs
+    docs = span_or_docs(_searcher(sf_dir), ["merge", "sort"])
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_span_first(sf_dir):
+    """span_first: 'hash' with span end <= 5 (position < 5)."""
+    from opensearch_ray.search.queries import span_first_docs
+    docs = span_first_docs(_searcher(sf_dir), "hash", end=5)
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_span_not(sf_dir):
+    """span_not: 'hash' occurrences with no 'join' within +-1 position."""
+    from opensearch_ray.search.queries import span_not_docs
+    docs = span_not_docs(_searcher(sf_dir), "hash", "join", pre=1, post=1)
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_intervals(sf_dir):
+    """intervals match source: ordered, max_gaps=2."""
+    from opensearch_ray.search.queries import intervals_docs
+    docs = intervals_docs(_searcher(sf_dir), {
+        "match": {"query": "hash stream", "ordered": True, "max_gaps": 2}})
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_intervals_any_of(sf_dir):
+    """intervals any_of: union of an ordered and an unordered match."""
+    from opensearch_ray.search.queries import intervals_docs
+    docs = intervals_docs(_searcher(sf_dir), {"any_of": {"intervals": [
+        {"match": {"query": "hash join", "ordered": True, "max_gaps": 0}},
+        {"match": {"query": "merge sort", "ordered": False, "max_gaps": 1}},
+    ]}})
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_match_bool_prefix(sf_dir):
+    """match_bool_prefix: 'hash' as a term clause OR last token 'joi' as a
+    prefix clause."""
+    from opensearch_ray.search.queries import match_bool_prefix_docs
+    docs = match_bool_prefix_docs(_searcher(sf_dir), "hash joi")
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
 # ----------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -1330,6 +1440,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_geo_centroid": _q_agg_geo_centroid,
         "span_near_query": _q_span_near,
         "span_near_unordered": _q_span_near_unordered,
+        "span_or_query": _q_span_or,
+        "span_first_query": _q_span_first,
+        "span_not_query": _q_span_not,
+        "intervals_query": _q_intervals,
+        "intervals_any_of": _q_intervals_any_of,
+        "exists_query": _q_exists,
+        "terms_set_query": _q_terms_set,
+        "regexp_query": _q_regexp,
+        "match_bool_prefix": _q_match_bool_prefix,
         "agg_ip_range": _q_agg_ip_range,
         "geo_distance_query": _q_geo_distance_query,
         "geo_bounding_box": _q_geo_bounding_box,
@@ -2027,6 +2146,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
             WHERE a.tok = 'hash' AND b.tok = 'stream'
               AND abs(b.p - a.p) BETWEEN 1 AND 3
+        """,
+        "exists_query": """
+            SELECT doc_id FROM documents WHERE n_chars >= 300
+            ORDER BY doc_id
+        """,
+        "terms_set_query": """
+            WITH hit AS (
+              SELECT DISTINCT d.doc_id, t.tok FROM documents d,
+                unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok IN ('hash', 'join', 'stream'))
+            SELECT doc_id FROM hit GROUP BY doc_id
+            HAVING count(*) >= (doc_id % 3) + 1
+            ORDER BY doc_id
+        """,
+        "regexp_query": """
+            SELECT DISTINCT doc_id FROM documents d,
+              unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE regexp_full_match(t.tok, 'st.*m')
+            ORDER BY doc_id
+        """,
+        "span_or_query": """
+            SELECT DISTINCT doc_id FROM documents d,
+              unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok IN ('merge', 'sort') ORDER BY doc_id
+        """,
+        "span_first_query": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT doc_id FROM tok
+            WHERE tok = 'hash' AND p + 1 <= 5 ORDER BY doc_id
+        """,
+        "span_not_query": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id FROM tok a
+            WHERE a.tok = 'hash' AND NOT EXISTS (
+              SELECT 1 FROM tok b WHERE b.doc_id = a.doc_id
+                AND b.tok = 'join' AND b.p BETWEEN a.p - 1 AND a.p + 1)
+            ORDER BY a.doc_id
+        """,
+        "intervals_query": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.tok = 'hash' AND b.tok = 'stream'
+              AND (b.p - a.p) BETWEEN 1 AND 3
+            ORDER BY a.doc_id
+        """,
+        "intervals_any_of": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT doc_id FROM (
+              SELECT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+              WHERE a.tok = 'hash' AND b.tok = 'join'
+                AND (b.p - a.p) = 1
+              UNION ALL
+              SELECT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+              WHERE a.tok = 'merge' AND b.tok = 'sort'
+                AND abs(b.p - a.p) BETWEEN 1 AND 2)
+            ORDER BY doc_id
+        """,
+        "match_bool_prefix": """
+            SELECT DISTINCT doc_id FROM documents d,
+              unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok = 'hash' OR t.tok LIKE 'joi%'
+            ORDER BY doc_id
         """,
         "bm25_range_filtered": _bm25_sql("""
             SELECT sc.doc_id, printf('%.4f', sc.score) AS score

@@ -1,0 +1,155 @@
+"""exists / regexp / terms_set / span family / intervals / match_bool_prefix
+(opensearch_ray.search.queries) — brute-force parity over the stored text."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opensearch_ray.search import Searcher
+from opensearch_ray.search.queries import (
+    exists_docs, expand_regexp, intervals_docs, match_bool_prefix_docs,
+    regexp_docs, span_first_docs, span_not_docs, span_or_docs,
+    terms_set_docs)
+
+
+@pytest.fixture(scope="module")
+def s(built_index):
+    return Searcher(built_index.index_dir)
+
+
+@pytest.fixture(scope="module")
+def pos_index(transcript_corpus, tmp_path_factory):
+    """Positions-enabled index over the same corpus (indexed-positions path)."""
+    from opensearch_ray.index.build import build_index
+    corpus_dir, _ = transcript_corpus
+    idx = tmp_path_factory.mktemp("qidx") / "idx"
+    return build_index(corpus_dir, str(idx), analyzer="transcript",
+                       index_positions=True, num_buckets=4,
+                       hot_df_threshold=400)
+
+
+@pytest.fixture(scope="module")
+def analyzed(s):
+    """docid -> (tokens, positions) for every doc (brute-force reference)."""
+    full = s.fetch(list(range(s.N)), columns=[s.manifest.text_col])
+    out = {}
+    for r in full.to_pylist():
+        out[r["_docid"]] = s.analyzer.analyze(r[s.manifest.text_col] or "")
+    return out
+
+
+def test_regexp(s, analyzed):
+    pat = "ba.*a"
+    import re
+    rx = re.compile(f"^(?:{pat})$")
+    want_terms = sorted({t for toks, _ in analyzed.values() for t in toks
+                         if rx.match(t)})
+    assert expand_regexp(s, pat) == want_terms
+    want = sorted(d for d, (toks, _) in analyzed.items()
+                  if any(rx.match(t) for t in toks))
+    assert regexp_docs(s, pat).tolist() == want
+    assert regexp_docs(s, "zzzz+").size == 0
+
+
+def test_match_bool_prefix(s, analyzed):
+    got = match_bool_prefix_docs(s, "bace flo")
+    want = sorted(d for d, (toks, _) in analyzed.items()
+                  if "bace" in toks or any(t.startswith("flo") for t in toks))
+    assert sorted(got.tolist()) == want
+
+
+def test_span_or(s, analyzed):
+    got = span_or_docs(s, ["bace", "cedi"])
+    want = sorted(d for d, (toks, _) in analyzed.items()
+                  if "bace" in toks or "cedi" in toks)
+    assert sorted(got.tolist()) == want
+
+
+def _pos_of(analyzed, d, term):
+    toks, poss = analyzed[d]
+    return [p for t, p in zip(toks, poss) if t == term]
+
+
+@pytest.mark.parametrize("use_positions", [False, True])
+def test_span_first(s, pos_index, analyzed, use_positions):
+    eng = Searcher(pos_index.index_dir) if use_positions else s
+    got = span_first_docs(eng, "bace", end=6)
+    want = sorted(d for d in analyzed
+                  if _pos_of(analyzed, d, "bace")
+                  and _pos_of(analyzed, d, "bace")[0] + 1 <= 6)
+    assert sorted(got.tolist()) == want
+
+
+@pytest.mark.parametrize("use_positions", [False, True])
+def test_span_not(s, pos_index, analyzed, use_positions):
+    eng = Searcher(pos_index.index_dir) if use_positions else s
+    got = span_not_docs(eng, "bace", "cedi", pre=2, post=2)
+    want = []
+    for d in analyzed:
+        ip = _pos_of(analyzed, d, "bace")
+        ep = set(_pos_of(analyzed, d, "cedi"))
+        if ip and any(not any(p - 2 <= e <= p + 2 for e in ep) for p in ip):
+            want.append(d)
+    assert sorted(got.tolist()) == sorted(want)
+
+
+@pytest.mark.parametrize("use_positions", [False, True])
+@pytest.mark.parametrize("ordered,gaps", [(True, 0), (True, 2), (False, 1)])
+def test_intervals_match(s, pos_index, analyzed, use_positions, ordered, gaps):
+    eng = Searcher(pos_index.index_dir) if use_positions else s
+    got = intervals_docs(eng, {"match": {
+        "query": "bace cedi", "ordered": ordered, "max_gaps": gaps}})
+    want = []
+    for d in analyzed:
+        p1, p2 = _pos_of(analyzed, d, "bace"), _pos_of(analyzed, d, "cedi")
+        if ordered:
+            hit = any(b > a and b - a - 1 <= gaps for a in p1 for b in p2)
+        else:
+            hit = any(a != b and abs(b - a) - 1 <= gaps
+                      for a in p1 for b in p2)
+        if hit:
+            want.append(d)
+    assert sorted(got.tolist()) == sorted(want)
+
+
+def test_intervals_combinators(s, analyzed):
+    a = intervals_docs(s, {"match": {"query": "bace cedi", "ordered": True,
+                                     "max_gaps": 1}})
+    b = intervals_docs(s, {"match": {"query": "difo", "max_gaps": -1}})
+    union = intervals_docs(s, {"any_of": {"intervals": [
+        {"match": {"query": "bace cedi", "ordered": True, "max_gaps": 1}},
+        {"match": {"query": "difo", "max_gaps": -1}}]}})
+    inter = intervals_docs(s, {"all_of": {"intervals": [
+        {"match": {"query": "bace cedi", "ordered": True, "max_gaps": 1}},
+        {"match": {"query": "difo", "max_gaps": -1}}]}})
+    assert set(union.tolist()) == set(a.tolist()) | set(b.tolist())
+    assert set(inter.tolist()) == set(a.tolist()) & set(b.tolist())
+    with pytest.raises(NotImplementedError):
+        intervals_docs(s, {"all_of": {"max_gaps": 2, "intervals": []}})
+
+
+def test_exists_and_terms_set(tmp_path):
+    """exists over a nullable column + terms_set per-doc msm, on a tiny
+    purpose-built corpus (nulls in 'opt', per-doc 'req')."""
+    from opensearch_ray.index.build import build_index
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    texts = ["hash join stream", "hash merge", "join stream", "sort sort",
+             "hash join", "stream"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts),
+        "opt": pa.array(["a", None, "b", None, "c", None]),
+        "req": pa.array([1, 2, 2, 1, 3, 1], pa.int64()),
+    })
+    pq.write_table(tbl, str(corpus / "part-0.parquet"))
+    m = build_index(str(corpus), str(tmp_path / "idx"), analyzer="standard",
+                    text_col="text", sort_cols=("doc_id",), num_buckets=2)
+    s2 = Searcher(m.index_dir)
+    assert exists_docs(s2, "opt").tolist() == [0, 2, 4]
+    assert exists_docs(s2, "req").tolist() == [0, 1, 2, 3, 4, 5]
+    # matched counts vs per-doc req: doc0 has 3>=1, doc1 has 1<2, doc2 has
+    # 2>=2, doc3 has 0<1, doc4 has 2<3, doc5 has 1>=1
+    got = terms_set_docs(s2, ["hash", "join", "stream"], "req")
+    assert got.tolist() == [0, 2, 5]
