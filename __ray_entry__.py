@@ -872,6 +872,58 @@ def _q_agg_significant_terms(sf_dir):
     return out[["event_type", "fg", "bg", "score"]]
 
 
+def _make_sig_heuristic_q(heuristic: str):
+    def q(sf_dir):
+        import pyarrow.compute as pc
+        from opensearch_ray.aggs import significant_terms_agg
+        out = significant_terms_agg(
+            _read(sf_dir, "events", ["event_type", "value"]), "event_type",
+            foreground=lambda t: pc.greater(t.column("value"), 150.0),
+            size=10, heuristic=heuristic)
+        out["score"] = _fmt(out["score"], 6)
+        out["fg"] = out["fg"].astype(np.int64)
+        out["bg"] = out["bg"].astype(np.int64)
+        return out[["event_type", "fg", "bg", "score"]]
+    return q
+
+
+_q_agg_sig_chi_square = _make_sig_heuristic_q("chi_square")
+_q_agg_sig_mutual_info = _make_sig_heuristic_q("mutual_information")
+_q_agg_sig_gnd = _make_sig_heuristic_q("gnd")
+_q_agg_sig_percentage = _make_sig_heuristic_q("percentage")
+
+
+def _sig_nxy_sql(score_expr: str, extra_filter: str = "score > 0") -> str:
+    """Shared NXY contingency skeleton for the significance heuristics
+    (background_is_superset — NXYSignificanceHeuristic.computeNxys)."""
+    return f"""
+        WITH per_key AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS fg,
+                 count(*) AS bg
+          FROM events GROUP BY event_type),
+        tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS n_fg,
+                       CAST(sum(bg) AS DOUBLE) AS n_bg FROM per_key),
+        nxy AS (
+          SELECT p.event_type, p.fg, p.bg,
+                 CAST(p.fg AS DOUBLE) AS n11,
+                 t.n_fg - p.fg AS n01,
+                 CAST(p.bg - p.fg AS DOUBLE) AS n10,
+                 t.n_bg - p.bg - (t.n_fg - p.fg) AS n00,
+                 CAST(p.bg AS DOUBLE) AS n1_,
+                 t.n_bg - p.bg AS n0_,
+                 t.n_fg AS n_1,
+                 t.n_bg - t.n_fg AS n_0,
+                 t.n_bg AS n
+          FROM per_key p CROSS JOIN tot t),
+        scored AS (SELECT event_type, fg, bg, {score_expr} AS score FROM nxy)
+        SELECT event_type, fg, bg, printf('%.6f', score) AS score
+        FROM scored WHERE {extra_filter}
+        ORDER BY score DESC, event_type LIMIT 10
+    """
+
+
 def _q_agg_adjacency(sf_dir):
     import pyarrow.compute as pc
     from opensearch_ray.aggs import adjacency_matrix_agg
@@ -1412,6 +1464,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_terms_agg": _q_query_terms_agg,
         "agg_adjacency_matrix": _q_agg_adjacency,
         "agg_significant_terms": _q_agg_significant_terms,
+        "agg_sig_chi_square": _q_agg_sig_chi_square,
+        "agg_sig_mutual_info": _q_agg_sig_mutual_info,
+        "agg_sig_gnd": _q_agg_sig_gnd,
+        "agg_sig_percentage": _q_agg_sig_percentage,
         "wildcard_query": _q_wildcard_query,
         "fuzzy_query": _q_fuzzy_query,
         "term_suggester": _q_term_suggester,
@@ -1527,6 +1583,29 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE score > 0
             ORDER BY scored.score DESC, event_type LIMIT 10
         """,
+        "agg_sig_chi_square": _sig_nxy_sql("""
+            CASE WHEN n11 / n_1 < n10 / n_0 THEN -1.0
+                 ELSE n * pow(n11 * n00 - n01 * n10, 2.0)
+                      / greatest(n_1 * n1_ * n0_ * n_0, 1e-12) END"""),
+        "agg_sig_mutual_info": _sig_nxy_sql("""
+            CASE WHEN n11 / n_1 < n10 / n_0 THEN -1.0 ELSE
+            (CASE WHEN abs(n * n00) < 1e-7 AND abs(n00 / n) < 1e-7 THEN 0.0
+                  ELSE abs(n00 / n) * ln(abs(n * n00) / abs(n0_ * n_0)) END
+             + CASE WHEN abs(n * n01) < 1e-7 AND abs(n01 / n) < 1e-7 THEN 0.0
+                  ELSE abs(n01 / n) * ln(abs(n * n01) / abs(n0_ * n_1)) END
+             + CASE WHEN abs(n * n10) < 1e-7 AND abs(n10 / n) < 1e-7 THEN 0.0
+                  ELSE abs(n10 / n) * ln(abs(n * n10) / abs(n1_ * n_0)) END
+             + CASE WHEN abs(n * n11) < 1e-7 AND abs(n11 / n) < 1e-7 THEN 0.0
+                  ELSE abs(n11 / n) * ln(abs(n * n11) / abs(n1_ * n_1)) END
+            ) / ln(2.0) END"""),
+        "agg_sig_gnd": _sig_nxy_sql("""
+            CASE WHEN n11 = 0 THEN 0.0
+                 WHEN n1_ = n_1 AND n1_ = n11 THEN 1.0
+                 ELSE exp(-1.0 * (greatest(ln(n1_), ln(n_1)) - ln(n11))
+                          / greatest(ln(n) - least(ln(n1_), ln(n_1)),
+                                     1e-12)) END"""),
+        "agg_sig_percentage": _sig_nxy_sql(
+            "CASE WHEN bg = 0 THEN 0.0 ELSE n11 / n1_ END"),
         "agg_adjacency_matrix": """
             SELECT key, doc_count FROM (
               SELECT 'big' AS key, count(*) AS doc_count FROM events

@@ -194,6 +194,21 @@ def run_bench() -> dict:
         timings["minhash_1m_driver_rss_delta_mb"] = round(
             (rss1 - rss0) / 1024, 1)
 
+        # --- composite agg over 1M distinct (conv_id, turn_idx) keys: the
+        # high-cardinality paging proof — after-key filter is distributed
+        # and the reduce is per-block bounded, so driver RSS stays flat.
+        from opensearch_ray.aggs import composite_agg
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.perf_counter()
+        page = composite_agg(
+            rd.read_parquet(mh_corpus, columns=["conv_id", "turn_idx"]),
+            ["conv_id", "turn_idx"], size=50, after=("conv-0025000", 5))
+        timings["composite_1m_sec"] = round(time.perf_counter() - t0, 3)
+        timings["composite_1m_rows"] = int(len(page))
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        timings["composite_1m_driver_rss_delta_mb"] = round(
+            (rss1 - rss0) / 1024, 1)
+
     headline = timings["index_build_sec"] + round(sum(lat), 3)
     out = {
         "metric": "transcript index build + BM25 reference-query wall time",

@@ -292,47 +292,144 @@ def diversified_sampler_agg(ds: Dataset, diversify_field: str, by: str,
     return ray.data.from_pandas(tops.reset_index(drop=True))
 
 
+def _sig_scores(fg: np.ndarray, bg: np.ndarray, n_fg: float, n_bg: float,
+                heuristic: str = "jlh") -> np.ndarray:
+    """Significance score of (subsetFreq=fg, subsetSize=n_fg,
+    supersetFreq=bg, supersetSize=n_bg) per key, vectorized. Heuristics from
+    bucket/terms/heuristic/ (background_is_superset=true,
+    include_negatives=false — the contingency table of
+    NXYSignificanceHeuristic.computeNxys):
+
+    - jlh     — JLHScore.java:74-108: (fgRate-bgRate)*(fgRate/bgRate), 0 when
+                not over-represented
+    - chi_square — ChiSquare.java:87-96: N*(N11*N00-N01*N10)^2/(N_1*N1_*N0_*N_0)
+    - mutual_information — MutualInformation.java:89-135 (base-2, the four
+                0-guarded terms)
+    - gnd     — GND.java:95-115: exp(-(max(ln fx, ln fy)-ln fxy)
+                /(ln N - min(ln fx, ln fy)))
+    - percentage — PercentageScore.java:90-97: fg/bg
+    """
+    fg = np.asarray(fg, dtype=np.float64)
+    bg = np.asarray(bg, dtype=np.float64)
+    n_fg = max(float(n_fg), 1.0)
+    n_bg = max(float(n_bg), 1.0)
+    if heuristic == "jlh":
+        fg_rate, bg_rate = fg / n_fg, np.maximum(bg, 1.0) / n_bg
+        return np.where(fg_rate > bg_rate,
+                        (fg_rate - bg_rate) * (fg_rate / bg_rate), 0.0)
+    if heuristic == "percentage":
+        return np.divide(fg, bg, out=np.zeros_like(fg), where=bg > 0)
+    # NXY contingency (backgroundIsSuperset branch)
+    N11, N01 = fg, n_fg - fg
+    N10, N00 = bg - fg, n_bg - bg - (n_fg - fg)
+    N1_, N0_ = bg, n_bg - bg
+    N_1, N_0, N = n_fg, n_bg - n_fg, n_bg
+    negative = (N11 / np.maximum(N_1, 1e-12)) < (N10 / np.maximum(N_0, 1e-12))
+    if heuristic == "chi_square":
+        denom = np.maximum(N_1 * N1_ * N0_ * N_0, 1e-12)
+        score = N * (N11 * N00 - N01 * N10) ** 2 / denom
+        return np.where(negative, -np.inf, score)
+    if heuristic == "mutual_information":
+        def mi_term(nxy, nx_, n_y):
+            num = np.abs(N * nxy)
+            fac = np.abs(nxy / N)
+            safe = ~((num < 1e-7) & (fac < 1e-7))
+            val = np.zeros_like(nxy, dtype=np.float64)
+            np.log(np.divide(num, np.maximum(np.abs(nx_ * n_y), 1e-300),
+                             where=safe, out=np.ones_like(val)),
+                   where=safe, out=val)
+            return fac * val
+        score = (mi_term(N00, N0_, N_0) + mi_term(N01, N0_, N_1)
+                 + mi_term(N10, N1_, N_0) + mi_term(N11, N1_, N_1)) \
+            / np.log(2.0)
+        score = np.where(np.isnan(score), -np.inf, score)
+        return np.where(negative, -np.inf, score)
+    if heuristic == "gnd":
+        fx, fy, fxy = N1_, np.full_like(fg, N_1), N11
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = (np.maximum(np.log(fx), np.log(fy)) - np.log(fxy)) \
+                / np.maximum(np.log(N) - np.minimum(np.log(fx), np.log(fy)),
+                             1e-12)
+            score = np.exp(-raw)
+        score = np.where(fxy == 0, 0.0, score)
+        return np.where((fx == fy) & (fx == fxy), 1.0, score)
+    raise ValueError(f"unknown significance heuristic: {heuristic}")
+
+
+def _sig_reduce(parts: Dataset, key_col: str, size: int,
+                heuristic: str) -> pd.DataFrame:
+    """Bounded significance reduce: groupby(key) -> global totals (two
+    scalars) -> per-BLOCK scored top-``size`` partials -> driver merge of
+    n_blocks*size rows. Exact (each key's total lives in one block after the
+    groupby) and the driver never holds the key/vocab cardinality — the
+    shard_size discipline of SignificantTermsAggregatorFactory."""
+    merged = (parts.groupby(key_col)
+              .aggregate(Sum("fg", alias_name="fg"),
+                         Sum("bg", alias_name="bg"))
+              .materialize())  # consumed twice (totals + scoring)
+
+    def totals(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fg": pa.array([pc.sum(t.column("fg")).as_py() or 0], pa.int64()),
+            "bg": pa.array([pc.sum(t.column("bg")).as_py() or 0], pa.int64()),
+        })
+
+    tot = merged.map_batches(totals, batch_format="pyarrow").to_pandas()
+    n_fg, n_bg = int(tot["fg"].sum()), int(tot["bg"].sum())
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["fg"] = df["fg"].fillna(0)
+        df["score"] = _sig_scores(df["fg"].to_numpy(), df["bg"].to_numpy(),
+                                  n_fg, n_bg, heuristic)
+        df = df[df["score"] > 0]
+        return df.sort_values(["score", key_col], ascending=[False, True],
+                              kind="mergesort").head(size)
+
+    tops = merged.map_batches(block_top, batch_format="pandas").to_pandas()
+    tops = tops.sort_values(["score", key_col], ascending=[False, True],
+                            kind="mergesort").head(size)
+    return tops[[key_col, "fg", "bg", "score"]].reset_index(drop=True)
+
+
 def significant_text_agg(ds: Dataset, text_col: str, id_col: str,
                          foreground: Callable[[pa.Table], pa.Array],
                          analyzer: str = "default",
-                         size: int = 10) -> pd.DataFrame:
-    """significant_text: JLH-scored over-represented TERMS of an analyzed
-    text field in the foreground docs vs the whole corpus
+                         size: int = 10, heuristic: str = "jlh"
+                         ) -> pd.DataFrame:
+    """significant_text: significance-scored over-represented TERMS of an
+    analyzed text field in the foreground docs vs the whole corpus
     (SignificantTextAggregationBuilder). Counts are document frequencies
-    (each doc contributes a term once)."""
-    from ..analysis import get_analyzer
-
-    an = get_analyzer(analyzer)
+    (each doc contributes a term once). Tokenization is batched through
+    analyze_batch (no per-doc Python tokenize loop) and the final reduce is
+    bounded per-block top-N (driver memory independent of vocabulary size)."""
+    from ..analysis.analyzer import analyze_batch
 
     def explode(t: pa.Table) -> pa.Table:
-        fg_mask = np.asarray(pc.cast(foreground(t), pa.bool_()).to_pylist(),
-                             dtype=bool)
-        terms, fgs = [], []
-        for s, fg in zip(t.column(text_col).to_pylist(), fg_mask):
-            uniq = set(an.tokens(s or ""))
-            terms.extend(uniq)
-            fgs.extend([1 if fg else 0] * len(uniq))
-        tt = pa.table({"term": pa.array(terms, pa.string()),
-                       "fg": pa.array(fgs, pa.int64()),
-                       "bg": pa.array(np.ones(len(terms), np.int64))})
-        # per-batch combine before the shuffle
-        return (tt.group_by(["term"]).aggregate([("fg", "sum"), ("bg", "sum")])
+        fg_mask = pc.cast(foreground(t), pa.int64())
+        at = analyze_batch(t, text_column=text_col, analyzer=analyzer)
+        toks = at.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_per = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc_idx = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+        fg_doc = fg_mask.to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "doc": pa.array(doc_idx),
+            "term": toks.flatten(),
+            "fg": pa.array(fg_doc[doc_idx]),
+        })
+        # doc-frequency dedup: one row per (doc, term), then the per-batch
+        # combine — both vectorized Arrow group_bys
+        dedup = (pairs.group_by(["doc", "term"])
+                 .aggregate([("fg", "max")])
+                 .rename_columns(["doc", "term", "fg"]))
+        return (dedup.group_by(["term"])
+                .aggregate([("fg", "sum"), ([], "count_all")])
                 .rename_columns(["term", "fg", "bg"]))
 
     parts = ds.map_batches(explode, batch_format="pyarrow")
-    p = (parts.groupby("term").aggregate(
-        Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg")).to_pandas())
-    N_fg, N_bg = p["fg"].sum(), p["bg"].sum()
-    eps = 1e-9
-    fg_rate = p["fg"] / max(N_fg, 1)
-    bg_rate = p["bg"] / max(N_bg, 1)
-    p["score"] = np.where(
-        fg_rate > bg_rate,
-        (fg_rate - bg_rate) * (fg_rate / np.maximum(bg_rate, eps)),
-        0.0)
-    p = p[p["score"] > 0].sort_values(["score", "term"],
-                                      ascending=[False, True])
-    return p[["term", "fg", "bg", "score"]].head(size).reset_index(drop=True)
+    return _sig_reduce(parts, "term", size, heuristic)
 
 
 def variable_width_histogram_agg(ds: Dataset, field: str, buckets: int = 10,
@@ -439,15 +536,38 @@ def missing_agg(ds: Dataset, field: str) -> int:
 def composite_agg(ds: Dataset, sources: List[str], size: int = 10,
                   after: Optional[Tuple] = None) -> pd.DataFrame:
     """composite: paginated multi-source buckets in key order with after-key
-    cursor (bucket/composite/CompositeAggregator.java)."""
+    cursor (bucket/composite/CompositeAggregator.java). Scale shape: the
+    after-key predicate runs as a DISTRIBUTED lexicographic filter on the
+    merged buckets and the page is collected via per-block first-``size``
+    partials (exact: after the groupby each key lives in one block), so the
+    driver holds n_blocks*size rows — never the full key cardinality
+    (composite exists precisely to page millions of keys)."""
     parts = _partial_counts(ds, sources)
-    merged = (parts.groupby(sources)
-              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas())
-    merged = merged.sort_values(sources, kind="mergesort").reset_index(drop=True)
+    merged = parts.groupby(sources).aggregate(
+        Sum("doc_count", alias_name="doc_count"))
     if after is not None:
-        keys = [tuple(r) for r in merged[sources].itertuples(index=False)]
-        merged = merged[[kk > tuple(after) for kk in keys]]
-    return merged.head(size).reset_index(drop=True)
+        af = tuple(after)
+
+        def after_filter(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            gt = np.zeros(n, dtype=bool)
+            eq = np.ones(n, dtype=bool)
+            for col, a in zip(sources, af):  # vectorized lexicographic >
+                v = t.column(col).to_numpy(zero_copy_only=False)
+                if v.dtype.kind == "M" and isinstance(a, str):
+                    a = np.datetime64(a)
+                gt |= eq & (v > a)
+                eq &= v == a
+            return t.filter(pa.array(gt))
+
+        merged = merged.map_batches(after_filter, batch_format="pyarrow")
+
+    def block_head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sources, kind="mergesort").head(size)
+
+    tops = merged.map_batches(block_head, batch_format="pandas").to_pandas()
+    tops = tops.sort_values(sources, kind="mergesort").head(size)
+    return tops.reset_index(drop=True)
 
 
 def auto_date_histogram_agg(ds: Dataset, field: str, target_buckets: int = 10,
@@ -499,10 +619,13 @@ def adjacency_matrix_agg(ds: Dataset,
 
 def significant_terms_agg(ds: Dataset, field: str,
                           foreground: Callable[[pa.Table], pa.Array],
-                          size: int = 10) -> pd.DataFrame:
+                          size: int = 10, heuristic: str = "jlh"
+                          ) -> pd.DataFrame:
     """significant_terms: keys over-represented in the foreground set vs the
-    whole index, scored with the reference's default JLH heuristic
-    (significant/heuristics/JLHScore.java)."""
+    whole index (SignificantTermsAggregatorFactory). ``heuristic`` selects
+    the scoring function (jlh default; chi_square / mutual_information /
+    gnd / percentage — bucket/terms/heuristic/). The final reduce is
+    bounded per-block top-N (see _sig_reduce)."""
 
     def partial(t: pa.Table) -> pa.Table:
         m = pc.cast(foreground(t), pa.bool_())
@@ -518,18 +641,4 @@ def significant_terms_agg(ds: Dataset, field: str,
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    p = (parts.groupby(field).aggregate(
-        Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg"),
-    ).to_pandas())
-    p["fg"] = p["fg"].fillna(0)
-    N_fg, N_bg = p["fg"].sum(), p["bg"].sum()
-    eps = 1e-9
-    fg_rate = (p["fg"]) / max(N_fg, 1)
-    bg_rate = (p["bg"]) / max(N_bg, 1)
-    p["score"] = np.where(
-        fg_rate > bg_rate,
-        (fg_rate - bg_rate) * (fg_rate / np.maximum(bg_rate, eps)),  # JLH
-        0.0,
-    )
-    p = p[p["score"] > 0].sort_values(["score", field], ascending=[False, True])
-    return p[[field, "fg", "bg", "score"]].head(size).reset_index(drop=True)
+    return _sig_reduce(parts, field, size, heuristic)
