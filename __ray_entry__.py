@@ -872,6 +872,31 @@ def _q_agg_significant_terms(sf_dir):
     return out[["event_type", "fg", "bg", "score"]]
 
 
+def _q_agg_percentiles_hdr(sf_dir):
+    """HDR percentiles over lineitem.l_quantity (integers 1..50: the
+    digits=2 quantization is identity, so the bucket histogram is exact and
+    SQL-comparable via the cumulative-count convention)."""
+    from opensearch_ray.aggs import hdr_percentiles
+    return hdr_percentiles(_read(sf_dir, "lineitem", ["l_quantity"]),
+                           "l_quantity", qs=(25, 50, 95), digits=2)
+
+
+def _q_agg_percentile_ranks_hdr(sf_dir):
+    from opensearch_ray.aggs import hdr_percentile_ranks
+    return hdr_percentile_ranks(_read(sf_dir, "lineitem", ["l_quantity"]),
+                                "l_quantity", values=[10, 25, 40], digits=2)
+
+
+def _q_agg_percentile_ranks(sf_dir):
+    """t-digest percentile_ranks (approximate — rows-only check)."""
+    from opensearch_ray.aggs import percentile_ranks_tdigest
+    out = percentile_ranks_tdigest(_read(sf_dir, "events", ["value"]),
+                                   "value", values=[50, 150])
+    for c in out.columns:
+        out[c] = _fmt(out[c], 4)
+    return out
+
+
 def _make_sig_heuristic_q(heuristic: str):
     def q(sf_dir):
         import pyarrow.compute as pc
@@ -1523,6 +1548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "cardinality_hll": _q_cardinality_hll,
         "percentiles_tdigest": _q_percentiles_tdigest,
+        "agg_percentile_ranks": _q_agg_percentile_ranks,
+        "agg_percentiles_hdr": _q_agg_percentiles_hdr,
+        "agg_percentile_ranks_hdr": _q_agg_percentile_ranks_hdr,
         "multimodal_features": _q_multimodal,
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
@@ -1582,6 +1610,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, fg, bg, printf('%.6f', score) AS score
             FROM scored WHERE score > 0
             ORDER BY scored.score DESC, event_type LIMIT 10
+        """,
+        "agg_percentiles_hdr": """
+            WITH c AS (SELECT l_quantity AS v, count(*) AS cnt
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+                         (SELECT count(*) FROM lineitem) AS n FROM c)
+            SELECT (SELECT min(v) FROM t WHERE cum >= greatest(1, ceil(0.25 * n))) AS p25,
+                   (SELECT min(v) FROM t WHERE cum >= greatest(1, ceil(0.50 * n))) AS p50,
+                   (SELECT min(v) FROM t WHERE cum >= greatest(1, ceil(0.95 * n))) AS p95
+        """,
+        "agg_percentile_ranks_hdr": """
+            SELECT (100.0 * sum(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END))
+                     / count(*) AS rank_10,
+                   (100.0 * sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END))
+                     / count(*) AS rank_25,
+                   (100.0 * sum(CASE WHEN l_quantity <= 40 THEN 1 ELSE 0 END))
+                     / count(*) AS rank_40
+            FROM lineitem
         """,
         "agg_sig_chi_square": _sig_nxy_sql("""
             CASE WHEN n11 / n_1 < n10 / n_0 THEN -1.0

@@ -12,6 +12,7 @@ CardinalityAggregator / TDigestPercentilesAggregator.
 from .metrics import (
     stats_agg, extended_stats_agg, value_count_agg, weighted_avg_agg,
     cardinality_exact, cardinality_hll, percentiles_tdigest,
+    percentile_ranks_tdigest, hdr_percentiles, hdr_percentile_ranks,
     median_absolute_deviation_agg,
     matrix_stats_agg, top_hits_agg, scripted_metric_agg,
 )

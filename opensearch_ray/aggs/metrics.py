@@ -215,6 +215,113 @@ def percentiles_tdigest(ds: Dataset, col: str,
     return pd.DataFrame([{f"p{q}": acc.quantile(q / 100.0) for q in qs}])
 
 
+def percentile_ranks_tdigest(ds: Dataset, col: str,
+                             values: Sequence[float],
+                             compression: float = 100.0) -> pd.DataFrame:
+    """percentile_ranks: the inverse CDF of the percentiles agg — for each
+    given value, the percent of data at or below it
+    (TDigestPercentileRanksAggregator / InternalTDigestPercentileRanks).
+    Same distributed t-digest partials as percentiles_tdigest; the rank is
+    the interpolated CDF of the merged digest."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = _TDigest(compression)
+        d.add(t.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        d.compress()
+        return pa.table({"td": pa.array([d.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc = _TDigest(compression)
+    for b in parts["td"]:
+        acc.merge(_TDigest.from_bytes(b, compression))
+    acc.compress()
+    if len(acc.means) == 0:
+        return pd.DataFrame([{f"rank_{v}": math.nan for v in values}])
+    cum = np.cumsum(acc.weights) - acc.weights / 2
+    total = acc.weights.sum()
+    vs = np.asarray(list(values), dtype=np.float64)
+    ranks = np.interp(vs, acc.means, cum / total,
+                      left=0.0, right=1.0) * 100.0
+    return pd.DataFrame([{f"rank_{v}": float(r)
+                          for v, r in zip(values, ranks)}])
+
+
+def _hdr_quantize(v: np.ndarray, digits: int) -> np.ndarray:
+    """HDR-histogram value quantization: keep ceil(log2(10^digits)) mantissa
+    bits, guaranteeing relative error <= 10^-digits — the DoubleHistogram
+    precision contract (HDRPercentilesAggregator's
+    numberOfSignificantValueDigits). Bit-masking the float64 mantissa is the
+    binary sub-bucket scheme without the bucket bookkeeping; values whose
+    integer part needs fewer bits (e.g. small ints at digits>=2) quantize to
+    themselves. Non-negative values only (the reference rejects negatives)."""
+    m_bits = int(np.ceil(np.log2(10 ** digits)))
+    x = np.asarray(v, dtype=np.float64)
+    if (x < 0).any():
+        raise ValueError("HDR histogram requires non-negative values")
+    bits = x.view(np.uint64)
+    mask = ~np.uint64((1 << (52 - m_bits)) - 1)
+    return (bits & mask).view(np.float64)
+
+
+def _hdr_buckets(ds: Dataset, col: str, digits: int) -> pd.DataFrame:
+    """Distributed HDR bucket counts: per-batch quantize + count, exact
+    groupby merge. The driver-side result is BOUNDED by the histogram's
+    fixed bucket count (~2^m_bits per binade — the HDR design point), not by
+    the data cardinality."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = _hdr_quantize(
+            t.column(col).to_numpy(zero_copy_only=False), digits)
+        u, c = np.unique(q, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("v").aggregate(_Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    return merged.sort_values("v").reset_index(drop=True)
+
+
+def hdr_percentiles(ds: Dataset, col: str,
+                    qs: Sequence[float] = (1, 5, 25, 50, 75, 95, 99),
+                    digits: int = 2) -> pd.DataFrame:
+    """HDR-histogram percentiles (HDRPercentilesAggregator, conformance
+    190_percentiles_hdr_metric.yml): exact bucket-count merge, percentile p
+    = the smallest bucket value whose cumulative count reaches
+    ceil(p/100 * n) (the lowest-equivalent-value convention)."""
+    b = _hdr_buckets(ds, col, digits)
+    if b.empty:
+        return pd.DataFrame([{f"p{q}": math.nan for q in qs}])
+    cum = b["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = b["v"].to_numpy()
+    out = {}
+    for q in qs:
+        need = max(1, int(math.ceil(q / 100.0 * n)))
+        out[f"p{q}"] = float(vals[int(np.searchsorted(cum, need))])
+    return pd.DataFrame([out])
+
+
+def hdr_percentile_ranks(ds: Dataset, col: str, values: Sequence[float],
+                         digits: int = 2) -> pd.DataFrame:
+    """HDR percentile_ranks (HDRPercentileRanksAggregator): rank(v) = 100 *
+    count(x <= v) / n over the quantized buckets — the
+    getPercentileAtOrBelowValue convention."""
+    b = _hdr_buckets(ds, col, digits)
+    if b.empty:
+        return pd.DataFrame([{f"rank_{v}": math.nan for v in values}])
+    cum = b["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = b["v"].to_numpy()
+    out = {}
+    for v in values:
+        qv = float(_hdr_quantize(np.array([v]), digits)[0])
+        idx = int(np.searchsorted(vals, qv, side="right"))
+        out[f"rank_{v}"] = 100.0 * (int(cum[idx - 1]) if idx else 0) / n
+    return pd.DataFrame([out])
+
+
 def median_absolute_deviation_agg(ds: Dataset, col: str,
                                   compression: float = 100.0) -> float:
     """median_absolute_deviation: two t-digest passes (median of values,

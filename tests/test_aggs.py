@@ -287,3 +287,35 @@ def test_variable_width_histogram(ev, ev_pdf):
     # deterministic across runs
     out2 = variable_width_histogram_agg(ev, "value", buckets=8)
     assert out["doc_count"].tolist() == out2["doc_count"].tolist()
+
+
+def test_hdr_percentiles_and_ranks(li, li_pdf):
+    import numpy as np
+    from opensearch_ray.aggs.metrics import (_hdr_quantize, hdr_percentiles,
+                                             hdr_percentile_ranks,
+                                             percentile_ranks_tdigest)
+    # quantization contract: relative error <= 10^-digits, monotone
+    rng = np.random.default_rng(7)
+    v = rng.uniform(0.001, 1e9, 10_000)
+    for digits in (1, 2, 3):
+        q = _hdr_quantize(v, digits)
+        assert (np.abs(q - v) <= 10.0 ** -digits * v + 1e-12).all()
+        assert (q <= v).all()  # mantissa truncation rounds down
+    order = np.argsort(v)
+    assert (np.diff(_hdr_quantize(v[order], 2)) >= 0).all()
+    # l_quantity is integer 1..50: digits=2 quantization is identity, so
+    # HDR percentiles equal the exact cum-count percentiles
+    out = hdr_percentiles(li, "l_quantity", qs=(25, 50, 95), digits=2)
+    x = np.sort(li_pdf["l_quantity"].to_numpy())
+    n = len(x)
+    for qq in (25, 50, 95):
+        need = max(1, int(np.ceil(qq / 100.0 * n)))
+        assert out[f"p{qq}"].iloc[0] == x[need - 1]
+    r = hdr_percentile_ranks(li, "l_quantity", values=[10, 40], digits=2)
+    assert r["rank_10"].iloc[0] == 100.0 * (x <= 10).sum() / n
+    assert r["rank_40"].iloc[0] == 100.0 * (x <= 40).sum() / n
+    # t-digest ranks: monotone in v, ~consistent with exact CDF
+    tr = percentile_ranks_tdigest(li, "l_quantity", values=[10, 25, 40])
+    assert tr["rank_10"].iloc[0] <= tr["rank_25"].iloc[0] <= tr["rank_40"].iloc[0]
+    exact = 100.0 * (x <= 25).sum() / n
+    assert abs(tr["rank_25"].iloc[0] - exact) < 5.0
