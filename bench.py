@@ -48,6 +48,14 @@ def run_bench() -> dict:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
+    # Ray emits cosmetic warnings for the EMPTY boundary blocks its own
+    # sort-based map_groups produces (reproducible with a 3-key groupby over
+    # from_items and a UDF-free pipeline); our stages emit schema-stable
+    # typed blocks — silence just those two internal loggers
+    import logging as _logging
+    for _name in ("ray.data._internal.execution.streaming_executor_state",
+                  "ray.data._internal.arrow_ops.transform_pyarrow"):
+        _logging.getLogger(_name).setLevel(_logging.ERROR)
 
     from opensearch_ray.index.build import build_index
     from opensearch_ray.search import Searcher

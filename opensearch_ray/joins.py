@@ -78,7 +78,27 @@ def _prep(left: Dataset, right: Dataset, shared: List[str], suffix: str,
 
     both = (left.map_batches(make_pad("l", None), batch_format="pyarrow")
             .union(right.map_batches(make_pad("r", ren), batch_format="pyarrow")))
-    return both, lcols, rcols
+    # pandas dtype each column must carry INSIDE per-bucket frames: the pad
+    # nulls make Arrow->pandas widen int64 columns to float64 on the side
+    # that lacks them — per_bucket casts its own side's columns back so the
+    # joined output keeps the input dtypes (and empty groups stay typed)
+    dtypes = {}
+    for n, t in fields.items():
+        try:
+            dtypes[n] = np.dtype(t.to_pandas_dtype())
+        except (TypeError, NotImplementedError):
+            dtypes[n] = np.dtype(object)
+    return both, lcols, rcols, dtypes
+
+
+def _restore(df: pd.DataFrame, cols: List[str],
+             dtypes: Dict[str, np.dtype]) -> pd.DataFrame:
+    """Slice one side's columns out of a bucket frame and undo the
+    nullable-int widening (the side's own columns hold no nulls)."""
+    out = df[cols]
+    cast = {c: dtypes[c] for c in cols
+            if c in dtypes and out[c].dtype != dtypes[c]}
+    return out.astype(cast) if cast else out
 
 
 def asof_join(left: Dataset, right: Dataset, key_col: str, ts_col: str,
@@ -87,19 +107,23 @@ def asof_join(left: Dataset, right: Dataset, key_col: str, ts_col: str,
     """For each left row: the latest right row with the same key and
     right.ts <= left.ts (direction=backward; 'forward' = earliest >=).
     ``ts_col`` must exist on both sides under the same name."""
-    both, lcols, rcols = _prep(left, right, shared=[key_col, ts_col],
-                               suffix=suffix, key_col=key_col, B=B)
+    both, lcols, rcols, dtypes = _prep(left, right, shared=[key_col, ts_col],
+                                       suffix=suffix, key_col=key_col, B=B)
     r_val_cols = [c for c in rcols if c not in (key_col, ts_col)]
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["_side"] == "l"][lcols].sort_values(ts_col, kind="mergesort")
-        rf = g[g["_side"] == "r"][[key_col, ts_col] + r_val_cols]
-        rf = rf.sort_values(ts_col, kind="mergesort")
-        if lf.empty:
-            return pd.DataFrame(columns=lcols + [c + "_asof" if c == ts_col else c
-                                                 for c in [ts_col] + r_val_cols])
+        lf = _restore(g[g["_side"] == "l"], lcols, dtypes) \
+            .sort_values(ts_col, kind="mergesort")
+        rf = _restore(g[g["_side"] == "r"], [key_col, ts_col] + r_val_cols,
+                      dtypes).sort_values(ts_col, kind="mergesort")
         out = pd.merge_asof(lf, rf, on=ts_col, by=key_col,
                             direction=direction, suffixes=("", "_asof"))
+        # left-asof misses put NaN in right value columns; pin integer right
+        # columns to float64 in EVERY group so block schemas never drift
+        # between all-matched and partially-matched buckets
+        for c in r_val_cols:
+            if np.issubdtype(dtypes.get(c, np.dtype(object)), np.integer):
+                out[c] = out[c].astype(np.float64)
         return out.reset_index(drop=True)
 
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
@@ -110,17 +134,15 @@ def range_join(left: Dataset, right: Dataset, key_col: str,
                B: int = 16, suffix: str = "_r") -> Dataset:
     """left row x every right row with the same key and
     right_lo <= left_ts < right_hi (interval join), per key-bucket."""
-    both, lcols, rcols = _prep(left, right, shared=[key_col], suffix=suffix,
-                               key_col=key_col, B=B)
+    both, lcols, rcols, dtypes = _prep(left, right, shared=[key_col],
+                                       suffix=suffix, key_col=key_col, B=B)
     lo = right_lo if right_lo in rcols else right_lo + suffix
     hi = right_hi if right_hi in rcols else right_hi + suffix
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["_side"] == "l"][lcols]
-        rf = g[g["_side"] == "r"][rcols]
-        if lf.empty or rf.empty:
-            return pd.DataFrame(columns=lcols + [c for c in rcols if c != key_col])
-        m = lf.merge(rf, on=key_col)
+        lf = _restore(g[g["_side"] == "l"], lcols, dtypes)
+        rf = _restore(g[g["_side"] == "r"], rcols, dtypes)
+        m = lf.merge(rf, on=key_col)  # typed even when a side is empty
         m = m[(m[lo] <= m[left_ts]) & (m[left_ts] < m[hi])]
         return m.reset_index(drop=True)
 
@@ -131,12 +153,22 @@ def hash_join(left: Dataset, right: Dataset, key_col: str, B: int = 32,
               how: str = "inner", suffix: str = "_r") -> Dataset:
     """Explicit partitioned hash join (both sides large): bucket on
     hash(key) % B, join matching buckets pairwise inside map_groups."""
-    both, lcols, rcols = _prep(left, right, shared=[key_col], suffix=suffix,
-                               key_col=key_col, B=B)
+    both, lcols, rcols, dtypes = _prep(left, right, shared=[key_col],
+                                       suffix=suffix, key_col=key_col, B=B)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["_side"] == "l"][lcols]
-        rf = g[g["_side"] == "r"][rcols]
-        return lf.merge(rf, on=key_col, how=how).reset_index(drop=True)
+        lf = _restore(g[g["_side"] == "l"], lcols, dtypes)
+        rf = _restore(g[g["_side"] == "r"], rcols, dtypes)
+        out = lf.merge(rf, on=key_col, how=how)
+        if how != "inner":
+            # outer misses put NaN in the other side's int columns: pin them
+            # to float64 in every group so block schemas never drift
+            other = (rcols if how == "left" else lcols) if how != "outer" \
+                else lcols + rcols
+            for c in other:
+                if c != key_col and np.issubdtype(
+                        dtypes.get(c, np.dtype(object)), np.integer):
+                    out[c] = out[c].astype(np.float64)
+        return out.reset_index(drop=True)
 
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

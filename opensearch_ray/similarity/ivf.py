@@ -64,6 +64,12 @@ class IvfIndex:
             # ~sqrt(N) cells (the classic IVF sizing) so cell size grows as
             # sqrt, never corpus/16; floor keeps tiny corpora probe-able
             n_cells = int(min(65536, max(16, round(n ** 0.5))))
+        # the k-means can train at most sample-many centroids: scale the
+        # sample with the requested cell count (~40 points/centroid, the
+        # faiss training heuristic) instead of silently capping n_cells
+        sample_size = max(sample_size, 40 * n_cells)
+        if sample_size > n:
+            sample_size = n
         stride = max(1, n // max(sample_size, 1))
 
         def pick(t: pa.Table) -> pa.Table:
@@ -76,6 +82,11 @@ class IvfIndex:
         # init (index-based) sees an identical matrix every run
         sample = sample.sort_values(id_col, kind="mergesort")
         Xs = np.asarray(sample[vec_col].tolist(), dtype=np.float32)
+        if len(Xs) < n_cells:
+            import warnings
+            warnings.warn(
+                f"IVF sample ({len(Xs)}) smaller than n_cells ({n_cells}); "
+                f"training only {len(Xs)} centroids", stacklevel=2)
         C = _kmeans(Xs, n_cells, seed=seed)
         np.save(os.path.join(index_dir, "centroids.npy"), C)
         c_ref = ray.put(C)

@@ -147,3 +147,13 @@ def test_ivf_index(sf_dir, tmp_path):
     idx2 = IvfIndex.build(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), d2,
                           n_cells=8, seed=17)
     assert np.allclose(idx.centroids, idx2.centroids)
+
+
+def test_ivf_sample_scales_with_cells(sf_dir, tmp_path):
+    """sample_size auto-scales to ~40*n_cells: a small explicit sample no
+    longer silently trains fewer centroids than requested (ivf.py r2 nit)."""
+    from opensearch_ray.similarity import IvfIndex
+    d = str(tmp_path / "ivf_scale")
+    idx = IvfIndex.build(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), d,
+                         n_cells=60, sample_size=32, seed=17)
+    assert len(idx.centroids) == 60
