@@ -461,7 +461,9 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
               .rename_columns(["term", "df", "ttf"]).sort_by("term"))
         spath = os.path.join(stats_dir, f"stats-{b:05d}.parquet")
         stmp = spath + f".tmp-{os.getpid()}"
-        pq.write_table(st, stmp, row_group_size=65536)
+        # small row groups: per-row-group term min/max statistics let
+        # prefix/range vocab reads prune to a handful of row groups
+        pq.write_table(st, stmp, row_group_size=4096)
         os.replace(stmp, spath)
         return pa.table({
             "bucket": pa.array([b], pa.int32()),
@@ -577,7 +579,7 @@ def _build_term_stats(manifest: IndexManifest, hot_df_threshold: int,
         for f in os.listdir(out_dir):
             os.remove(os.path.join(out_dir, f))
         pq.write_table(merged, os.path.join(out_dir, "term_stats.parquet"),
-                       row_group_size=65536)
+                       row_group_size=4096)
     else:
         ds = (postings_ds.select_columns(["term", "df", "ttf"])
               if postings_ds is not None

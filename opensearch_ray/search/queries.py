@@ -91,8 +91,8 @@ def expand_regexp(s: Searcher, pattern: str) -> List[str]:
     Arrow regex kernel over the sorted terms dict, with a literal-prefix
     prune like expand_wildcard."""
     import re as _re
-    v = s._vocab()
     # prune by any literal prefix before the first regex metacharacter
+    lit = ""
     m = _re.match(r"[a-z0-9]+", pattern)
     if m and not pattern.startswith("("):
         lit = m.group(0)
@@ -100,8 +100,9 @@ def expand_regexp(s: Searcher, pattern: str) -> List[str]:
         # guaranteed); keep only the guaranteed prefix
         if len(lit) < len(pattern) and pattern[len(lit)] in "*?{":
             lit = lit[:-1]
-        if lit:
-            v = v.filter(pc.starts_with(v.column("term"), lit))
+    # prefix-pruned terms-dict slice (row-group min/max pruning) when a
+    # literal prefix exists, full scan otherwise (the automaton walk)
+    v = s._vocab_range(*s._prefix_bounds(lit)) if lit else s._vocab()
     mask = pc.match_substring_regex(v.column("term"),
                                     "^(?:" + pattern + ")$")
     return v.filter(mask).column("term").to_pylist()  # term-sorted

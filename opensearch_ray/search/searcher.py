@@ -449,10 +449,11 @@ class Searcher:
         return [SearchHit(int(topk_docs[i]), float(topk_scores[i])) for i in ordm]
 
     def _vocab(self) -> "pa.Table":
-        """The global term dictionary (term, df) — the terms-dict scan that
-        backs prefix/wildcard/fuzzy multi-term queries (Lucene rewrites them
-        over the terms enum; MultiTermQuery semantics). Aggregates the
-        per-bucket stats shards (salted terms have partial rows)."""
+        """The FULL global term dictionary (term, df) — only the queries with
+        no literal prefix to prune on (pure-regex, fuzzy) fall back to this
+        scan (Lucene's terms enum + automaton walks the whole dict too).
+        Aggregates the per-bucket stats shards (salted terms have partial
+        rows)."""
         if not hasattr(self, "_vocab_tbl"):
             raw = pq.read_table(self._stats_dir, columns=["term", "df"])
             self._vocab_tbl = (raw.group_by(["term"])
@@ -460,8 +461,42 @@ class Searcher:
                                .rename_columns(["term", "df"]).sort_by("term"))
         return self._vocab_tbl
 
+    def _vocab_range(self, lo: str, hi: Optional[str] = None) -> "pa.Table":
+        """Terms-dict slice [lo, hi): a FILTERED stats read. Shards are
+        term-sorted with small row groups, so parquet min/max row-group
+        statistics prune the scan to the matching key range — the
+        terms-dict-on-disk discipline (Lucene's BlockTree term index) instead
+        of loading the whole vocabulary per Searcher. Hot slices are cached."""
+        if hasattr(self, "_vocab_tbl"):  # full dict already resident
+            v = self._vocab_tbl
+            m = pc.greater_equal(v.column("term"), lo)
+            if hi is not None:
+                m = pc.and_(m, pc.less(v.column("term"), hi))
+            return v.filter(m)
+        cache = getattr(self, "_vocab_range_cache", None)
+        if cache is None:
+            cache = self._vocab_range_cache = {}
+        key = (lo, hi)
+        if key not in cache:
+            filters = [("term", ">=", lo)]
+            if hi is not None:
+                filters.append(("term", "<", hi))
+            raw = pq.read_table(self._stats_dir, columns=["term", "df"],
+                                filters=filters)
+            tbl = (raw.group_by(["term"]).aggregate([("df", "sum")])
+                   .rename_columns(["term", "df"]).sort_by("term"))
+            if len(cache) >= 64:
+                cache.clear()
+            cache[key] = tbl
+        return cache[key]
+
+    @staticmethod
+    def _prefix_bounds(prefix: str) -> Tuple[str, str]:
+        """[lo, hi) term range covering every string with ``prefix``."""
+        return prefix, prefix + "\U0010FFFF"
+
     def expand_prefix(self, prefix: str) -> List[str]:
-        v = self._vocab()
+        v = self._vocab_range(*self._prefix_bounds(prefix))
         m = pc.starts_with(v.column("term"), prefix)
         return sorted(v.filter(m).column("term").to_pylist())
 
@@ -473,10 +508,9 @@ class Searcher:
         import re as _re
         rx = ("^" + _re.escape(pattern)
               .replace(r"\*", ".*").replace(r"\?", ".") + "$")
-        v = self._vocab()
         lit = _re.split(r"[*?]", pattern, maxsplit=1)[0]
-        if lit:
-            v = v.filter(pc.starts_with(v.column("term"), lit))
+        v = (self._vocab_range(*self._prefix_bounds(lit)) if lit
+             else self._vocab())
         m = pc.match_substring_regex(v.column("term"), rx)
         return v.filter(m).column("term").to_pylist()  # already term-sorted
 
@@ -499,7 +533,7 @@ class Searcher:
         frequency (the popularity-weighted completion shape,
         search/suggest/completion — FST replaced by the terms-dict scan)."""
         import pandas as pd
-        v = self._vocab()
+        v = self._vocab_range(*self._prefix_bounds(prefix))
         m = pc.starts_with(v.column("term"), prefix)
         sub = v.filter(m).to_pandas()
         sub = sub.sort_values(["df", "term"], ascending=[False, True],

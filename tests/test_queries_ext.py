@@ -153,3 +153,50 @@ def test_exists_and_terms_set(tmp_path):
     # 2>=2, doc3 has 0<1, doc4 has 2<3, doc5 has 1>=1
     got = terms_set_docs(s2, ["hash", "join", "stream"], "req")
     assert got.tolist() == [0, 2, 5]
+
+
+def test_vocab_prefix_pruned_reads(tmp_path):
+    """Prefix/wildcard/completion vocab reads prune by parquet row-group
+    term min/max (the terms-dict-on-disk shape): on a 50k-term vocabulary a
+    prefix slice touches a small fraction of the stats row groups, and the
+    pruned read returns exactly the full-scan answer."""
+    import os
+    import pyarrow.parquet as pq
+    from opensearch_ray.index.build import build_index
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    # 5000 docs x 10 unique terms -> 50k distinct terms across 4 shards
+    texts = [" ".join(f"t{i:05d}w{j}" for j in range(10)) for i in range(5000)]
+    tbl = pa.table({"doc_id": pa.array(range(5000), pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, str(corpus / "part-0.parquet"))
+    m = build_index(str(corpus), str(tmp_path / "idx"), analyzer="standard",
+                    text_col="text", sort_cols=("doc_id",), num_buckets=4)
+    s = Searcher(m.index_dir)
+
+    stats_dir = os.path.join(m.index_dir, "term_stats")
+    lo, hi = s._prefix_bounds("t00123")
+    total_rg, hit_rg, total_bytes, hit_bytes = 0, 0, 0, 0
+    for f in sorted(os.listdir(stats_dir)):
+        md = pq.read_metadata(os.path.join(stats_dir, f))
+        ti = md.schema.to_arrow_schema().get_field_index("term")
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(ti).statistics
+            total_rg += 1
+            total_bytes += rg.total_byte_size
+            if st.min <= hi and st.max >= lo:
+                hit_rg += 1
+                hit_bytes += rg.total_byte_size
+    assert total_rg >= 8  # the vocabulary spans many row groups
+    assert hit_rg <= max(1, total_rg // 4)  # the prefix slice prunes most
+    assert hit_bytes < total_bytes / 2
+    # pruned read == full-scan answer
+    want = [f"t00123w{j}" for j in range(10)]
+    assert s.expand_prefix("t00123") == sorted(want)
+    assert sorted(s.expand_wildcard("t00123w?")) == sorted(want)
+    comp = s.complete("t00123w", size=5)
+    assert list(comp["term"][:1])[0].startswith("t00123w")
+    # the full dict was never materialized on this Searcher
+    assert not hasattr(s, "_vocab_tbl")
