@@ -1351,6 +1351,16 @@ def _q_highlight(sf_dir):
     return highlight(s, "hash", k=10).rename(columns={"_docid": "doc_id"})
 
 
+def _q_highlight_unified(sf_dir):
+    """unified highlighter (reference default): passage-scored fragments,
+    all term occurrences tagged — rows-only (passage scoring not SQL)."""
+    s = _searcher(sf_dir)
+    from opensearch_ray.search.features import highlight_unified
+    out = highlight_unified(s, "hash join", k=10, number_of_fragments=2,
+                            fragment_char_size=80)
+    return out.rename(columns={"_docid": "doc_id"})
+
+
 def _q_exists(sf_dir):
     """exists query over a nullable doc-values column (missing-value docs
     excluded — ExistsQueryBuilder)."""
@@ -1530,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_set_query": _q_terms_set,
         "regexp_query": _q_regexp,
         "match_bool_prefix": _q_match_bool_prefix,
+        "highlight_unified": _q_highlight_unified,
         "agg_ip_range": _q_agg_ip_range,
         "geo_distance_query": _q_geo_distance_query,
         "geo_bounding_box": _q_geo_bounding_box,

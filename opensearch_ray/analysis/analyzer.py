@@ -128,7 +128,7 @@ def make_language_analyzer(lang: str) -> Analyzer:
                    make_stemmer_filter("english"))
     else:
         pre = ()
-        if lang in ("french", "italian"):
+        if lang in ("french", "italian", "catalan"):
             pre = (TOKEN_FILTERS["elision"](),)
         filters = ((TOKEN_FILTERS["lowercase"],) + pre
                    + (make_stop_filter(LANG_STOPWORDS[lang]),
@@ -150,7 +150,9 @@ ANALYZERS = {
     "pattern": pattern_analyzer,
 }
 for _lang in ("english", "german", "french", "spanish", "italian",
-              "portuguese", "dutch", "russian"):
+              "portuguese", "brazilian", "dutch", "russian", "swedish",
+              "norwegian", "danish", "finnish", "hungarian", "czech",
+              "romanian", "bulgarian", "indonesian", "turkish", "catalan"):
     ANALYZERS[_lang] = make_language_analyzer(_lang)
 
 

@@ -82,6 +82,137 @@ RUSSIAN_STOP = frozenset("""–∞ –±–µ–∑ –±–æ–ª–µ–µ –±—ã –±—ã–ª –±—ã–ª–∞ –±—ã–ª–∏ –
 —á–µ–π —á–µ–º —á—Ç–æ —á—Ç–æ–±—ã —á—å–µ —á—å—è —ç—Ç–∞ —ç—Ç–∏ —ç—Ç–æ —è
 """.split())
 
+SWEDISH_STOP = frozenset("""och det att i en jag hon som han p√• den med var
+sig f√∂r s√• till √§r men ett om hade de av icke mig du henne d√• sin nu har
+inte hans honom skulle hennes d√§r min man ej vid kunde n√•got fr√•n ut n√§r
+efter upp vi dem vara vad √∂ver √§n dig kan sina h√§r ha mot alla under n√•gon
+eller allt mycket sedan ju denna sj√§lv detta √•t utan varit hur ingen mitt
+ni bli blev oss din dessa n√•gra deras blir mina samma vilken er s√•dan v√•r
+blivit dess inom mellan s√•dant varf√∂r varje vilka ditt vem vilket sitta
+s√•dana vart dina vars v√•rt v√•ra ert era vilkas
+""".split())
+
+NORWEGIAN_STOP = frozenset("""og i jeg det at en et den til er som p√• de med
+han av ikke ikkje der s√• var meg seg men ett har om vi min mitt ha hadde hun
+n√• over da ved fra du ut sin dem oss opp man kan hans hvor eller hva skal
+selv sj√∏l her alle vil bli ble blei bli? blitt kunne inn n√•r v√¶re kom noen
+noe ville dere som deres kun ja etter ned skulle denne for deg si sine sitt
+mot √• meget hvorfor dette disse uten hvordan ingen din ditt blir samme
+hvilken hvilke s√•nn inni mellom v√•r hver hvem vors hvis b√•de bare enn fordi
+f√∏r mange ogs√• slik v√¶rt
+""".split())
+
+DANISH_STOP = frozenset("""og i jeg det at en den til er som p√• de med han af
+for ikke der var mig sig men et har om vi min havde ham hun nu over da fra
+du ud sin dem os op man hans hvor eller hvad skal selv her alle vil blev
+kunne ind n√•r v√¶re dog noget ville jo deres efter ned skulle denne end
+dette mit ogs√• under have dig anden hende mine alt meget sit sine vor mod
+disse hvis din nogle hos blive mange ad bliver hendes v√¶ret thi jer s√•dan
+""".split())
+
+FINNISH_STOP = frozenset("""olla olen olet on olemme olette ovat ole oli
+olisi olisit olisin olisimme olisitte olisivat olit olin olimme olitte
+olivat ollut olleet en et ei emme ette eiv√§t min√§ minun minut minua minussa
+minusta minuun minulla minulta minulle sin√§ sinun h√§n h√§nen se sen sit√§ me
+te he ket√§ kuka mik√§ mit√§ miss√§ mist√§ joka jonka jota jossa josta johon ja
+jos koska kun niin nyt sek√§ mutta vaan tai vai eli ett√§ sitten t√§ss√§ t√§t√§
+t√§m√§ n√§m√§ ne noin my√∂s jo viel√§ vain kanssa mukaan ilman ennen j√§lkeen yli
+alle paljon kaikki muut itse
+""".split())
+
+HUNGARIAN_STOP = frozenset("""a ahogy ahol aki akik akkor alatt √°ltal
+√°ltal√°ban amely amelyek amelyekben amelyeket amelyet amelynek ami amit
+amolyan am√≠g amikor √°t abban ahhoz annak arra arr√≥l az azok azon azt azzal
+az√©rt azt√°n azut√°n azonban b√°r be bel√ºl benne cikk de e eddig eg√©sz egy
+egyes egyetlen egy√©b egyik egyre ekkor el el√©g ellen el≈ë el≈ësz√∂r el≈ëtt els≈ë
+√©n √©ppen ebben ehhez emilyen ennek erre ez ezt ezek ezen ezzel ez√©rt √©s fel
+fel√© hanem hiszen hogy hogyan igen √≠gy illetve ill ilyen ilyenkor ison ism√©t
+itt j√≥ j√≥l jobban kell kellett kereszt√ºl keress√ºnk ki k√≠v√ºl k√∂z√∂tt k√∂z√ºl
+legal√°bb lehet lehetett legyen lenne lenni lesz lett maga mag√°t majd meg m√©g
+mellett mert mely melyek mi mit m√≠g mi√©rt milyen mikor minden mindent
+mindenki mindig mint mintha mivel most nagy nagyobb nagyon ne n√©ha nekem
+neki nem n√©h√°ny n√©lk√ºl nincs olyan ott √∂ssze ≈ë ≈ëk ≈ëket pedig persze r√° s
+saj√°t sem semmi sok sokat sokkal sz√°m√°ra szemben szerint szinte tal√°n teh√°t
+teljes tov√°bb tov√°bb√° t√∂bb √∫gy ugyanis √∫j √∫jabb √∫jra ut√°n ut√°na utols√≥ vagy
+vagyis valaki valami valamint val√≥ vagyok van vannak volt voltam voltak
+voltunk vissza vele viszont volna
+""".split())
+
+CZECH_STOP = frozenset("""a aby ale ani asi a≈æ bez bude budem bude≈° by byl
+na ve je jsou byla byli bylo b√Ωt co ƒçi dal≈°√≠ do ho i jak jake jako jeho jej jej√≠ jejich
+jen je≈°tƒõ ji jin√© jiz ji≈æ jsem jse≈° jsme jsou jste k kam kde kdo kdy≈æ ke
+kter√° kter√© kter√Ω kte≈ôi kterou ne≈æ nic nov√© nov√Ω o od on ona oni ono pak po
+pod podle pokud pouze pr√°vƒõ pro proƒç proto proto≈æe prvn√≠ p≈ôed p≈ôes p≈ôi s se
+si sice strana sv√© sv≈Øj sv√Ωch sv√Ωm sv√Ωmi ta tak tak√© tak≈æe tato te tƒõ tedy
+ten tento t√©to t√≠m t√≠mto to tohle toho tohoto tom tomto tomuto tu tuto ty
+tyto u u≈æ v v√°m v√≠ce v≈°ak v≈°echen z za zde ze ≈æe
+""".split())
+
+ROMANIAN_STOP = frozenset("""acea aceasta aceastƒÉ aceea acei aceia acel
+acela acele acelea acest acesta aceste acestea acestui acolo acum ai aia
+aibƒÉ aici al ƒÉla ale alea altceva altcineva am ar are a≈ü a≈üadar asemenea
+asta ƒÉsta astƒÉzi astea ƒÉstea ƒÉ≈ütia asupra a≈£i au avea avem ave≈£i azi bine
+bucur bunƒÉ ca cƒÉ cƒÉci c√¢nd care cƒÉrei cƒÉror cƒÉrui c√¢t c√¢te c√¢≈£i cƒÉtre c√¢tva
+ce cel ceva chiar c√Ænd cine cineva c√Æt c√Æte c√Æ≈£i c√Ætva contra cu cum cumva
+da dƒÉ dacƒÉ dar datoritƒÉ de deci deja deoarece departe de≈üi din dinaintea
+dintr dintre drept dupƒÉ ea ei el ele eram este e≈üti eu face fƒÉrƒÉ fi fie
+fiecare fii fim fi≈£i iar ieri √Æi √Æl √Æmi √Æmpotriva √Æn √Ænainte √Ænaintea
+√Ænc√¢t √Ænc√Æt √Æncotro √Æntre √Æntruc√¢t √Æntruc√Æt √Æ≈£i la l√¢ngƒÉ le li l√ÆngƒÉ lor
+lui mƒÉ m√¢ine mea mei mele mereu meu mi mine mult multƒÉ mul≈£i ne nicƒÉieri
+nici nimeni nimic ni≈üte noastrƒÉ noastre noi no≈ütri nostru nu ori oric√¢nd
+oricare oric√¢t orice oric√Ænd oricine oric√Æt oricum oriunde p√¢nƒÉ pe pentru
+peste p√ÆnƒÉ poate pot prea prima primul prin printr sa sƒÉ sƒÉi sale sau sƒÉu
+se ≈üi s√Ænt s√Æntem s√Ænte≈£i spre sub sunt suntem sunte≈£i te ≈£i ≈£ie toatƒÉ
+toate tot to≈£i totu≈üi tu un una unde undeva unei unele uneori unor vƒÉ vi
+voastrƒÉ voastre voi vo≈ütri vostru vouƒÉ vreo vreun
+""".split())
+
+BULGARIAN_STOP = frozenset("""–∞ –∞–∫–æ –∞–ª–∞ –±–µ –±–µ–∑ –±–µ—à–µ –±–∏ –±–∏–ª –±–∏–ª–∞ –±–∏–ª–∏ –±–∏–ª–æ
+–±–ª–∏–∑–æ –±—ä–¥–∞—Ç –±—ä–¥–µ –±—è—Ö–∞ –≤ –≤–∞—Å –≤–∞—à –≤–∞—à–∞ –≤–µ—Ä–æ—è—Ç–Ω–æ –≤–µ—á–µ –≤–∑–µ–º–∞ –≤–∏ –≤–∏–µ –≤–∏–Ω–∞–≥–∏ –≤—Å–µ
+–≤—Å–µ–∫–∏ –≤—Å–∏—á–∫–∏ –≤—Å–∏—á–∫–æ –≤—Å—è–∫–∞ –≤—ä–≤ –≤—ä–ø—Ä–µ–∫–∏ –≤—ä—Ä—Ö—É –≥ –≥–∏ –≥–ª–∞–≤–Ω–æ –≥–æ –¥ –¥–∞ –¥–∞–ª–∏ –¥–æ
+–¥–æ–∫–∞—Ç–æ –¥–æ–∫–æ–≥–∞ –¥–æ—Ä–∏ –¥–æ—Å–µ–≥–∞ –¥–æ—Å—Ç–∞ –µ –µ–¥–≤–∞ –µ–¥–∏–Ω –µ—Ç–æ –∑–∞ –∑–∞–¥ –∑–∞–µ–¥–Ω–æ –∑–∞—Ä–∞–¥–∏ –∑–∞—Å–µ–≥–∞
+–∑–∞—Ç–æ–≤–∞ –∑–∞—â–æ –∑–∞—â–æ—Ç–æ –∏ –∏–∑ –∏–ª–∏ –∏–º –∏–º–∞ –∏–º–∞—Ç –∏—Å–∫–∞ –π –∫–∞–∑–∞ –∫–∞–∫ –∫–∞–∫–≤–∞ –∫–∞–∫–≤–æ –∫–∞–∫—Ç–æ
+–∫–∞–∫—ä–≤ –∫–∞—Ç–æ –∫–æ–≥–∞ –∫–æ–≥–∞—Ç–æ –∫–æ–µ—Ç–æ –∫–æ–∏—Ç–æ –∫–æ–π –∫–æ–π—Ç–æ –∫–æ–ª–∫–æ –∫–æ—è—Ç–æ –∫—ä–¥–µ –∫—ä–¥–µ—Ç–æ –∫—ä–º –ª–∏
+–º –º–µ –º–µ–∂–¥—É –º–µ–Ω –º–∏ –º–Ω–æ–∑–∏–Ω–∞ –º–æ–≥–∞ –º–æ–≥–∞—Ç –º–æ–∂–µ –º–æ–ª—è –º–æ–º–µ–Ω—Ç–∞ –º—É –Ω –Ω–∞ –Ω–∞–¥ –Ω–∞–∑–∞–¥
+–Ω–∞–π –Ω–∞–ø—Ä–∞–≤–∏ –Ω–∞–ø—Ä–µ–¥ –Ω–∞–ø—Ä–∏–º–µ—Ä –Ω–∞—Å –Ω–µ –Ω–µ–≥–æ –Ω–µ—è –Ω–∏ –Ω–∏–µ –Ω–∏–∫–æ–π –Ω–∏—Ç–æ –Ω–æ –Ω—è–∫–æ–∏
+–Ω—è–∫–æ–π –Ω—è–º–∞ –æ–±–∞—á–µ –æ–∫–æ–ª–æ –æ—Å–≤–µ–Ω –æ—Å–æ–±–µ–Ω–æ –æ—Ç –æ—Ç–≥–æ—Ä–µ –æ—Ç–Ω–æ–≤–æ –æ—â–µ –ø–∞–∫ –ø–æ –ø–æ–≤–µ—á–µ
+–ø–æ–≤–µ—á–µ—Ç–æ –ø–æ–¥ –ø–æ–Ω–µ –ø–æ—Ä–∞–¥–∏ –ø–æ—Å–ª–µ –ø–æ—á—Ç–∏ –ø—Ä–∞–≤–∏ –ø—Ä–µ–¥ –ø—Ä–µ–¥–∏ –ø—Ä–µ–∑ –ø—Ä–∏ –ø—ä–∫ –ø—ä—Ä–≤–æ —Å
+—Å–∞ —Å–∞–º–æ —Å–µ —Å–µ–≥–∞ —Å–∏ —Å–∫–æ—Ä–æ —Å–ª–µ–¥ —Å–º–µ —Å–ø–æ—Ä–µ–¥ —Å—Ä–µ–¥ —Å—Ä–µ—â—É —Å—Ç–µ —Å—ä–º —Å—ä—Å —Å—ä—â–æ —Ç —Ç–∞–∑–∏
+—Ç–∞–∫–∞ —Ç–∞–∫–∏–≤–∞ —Ç–∞–∫—ä–≤ —Ç–∞–º —Ç–≤–æ–π —Ç–µ —Ç–µ–∑–∏ —Ç–∏ —Ç–æ —Ç–æ–≤–∞ —Ç–æ–≥–∞–≤–∞ —Ç–æ–∑–∏ —Ç–æ–π —Ç–æ–ª–∫–æ–≤–∞
+—Ç–æ—á–Ω–æ —Ç—Ä—è–±–≤–∞ —Ç—É–∫ —Ç—ä–π —Ç—è —Ç—è—Ö —É —Ö–∞—Ä–µ—Å–≤–∞ —á —á–µ —á–µ—Å—Ç–æ —á—Ä–µ–∑ —â–µ —â–æ–º —è
+""".split())
+
+INDONESIAN_STOP = frozenset("""yang dan di ke dari ini itu dengan untuk pada
+adalah sebagai dalam tidak akan ada mereka dia kami kita saya kamu anda bisa
+oleh juga karena jika telah sudah saat ketika seperti atau tapi tetapi namun
+hanya lebih sangat harus masih setelah sebelum antara semua para secara
+sehingga yaitu bahwa maka kepada terhadap tersebut begitu sini situ mana
+siapa apa kenapa bagaimana berapa
+""".split())
+
+TURKISH_STOP = frozenset("""acaba ama ancak aslƒ±nda az bazƒ± belki biri
+birka√ß bir≈üey biz bu buna bunda bundan bunlar bunlarƒ± bunun burada √ßok √ß√ºnk√º
+da daha de defa diye eƒüer en gibi hem hep hepsi her hi√ß i√ßin ile ise kez ki
+kim mƒ± mi mu m√º nasƒ±l ne neden nedenle nerde nerede nereye ni√ßin niye o olan
+olarak oldu olduƒüu onlar onlarƒ±n onu onun √∂yle oysa sanki ≈üey siz ≈üu t√ºm ve
+veya ya yani
+""".split())
+
+BRAZILIAN_STOP = PORTUGUESE_STOP
+
+CATALAN_STOP = frozenset("""a al als abans algun alguna algunes alguns altre amb
+ambd√≥s anar ans aquell aquelles aquells aquest aquesta aquestes aquests aix√≠
+bastant b√© cada com consegueixo conseguim conseguir considera considerar
+contra d dalt de des dins el elles ells els em en ens entre era erem eren
+√©s √©ssent est√† estan estat estava estem esteu estic est√†vem fa faig fan fas
+fem fer feu fi ha han has haver hi ho i incl√≤s jo la les li llavors mateix
+mateixa mateixes mateixos me meu meus meva molt molts mentre mode nosaltres
+o on per perqu√® per√≤ pot potser primer puc qual quals quan quant que qu√® qui
+sabem saber sap saps sense ser seu seus seva seves si soc solament sols som
+sota tamb√© te tene tenim tenir teniu tinc teu teus teva tot un una unes uns
+√∫s va vaig van vosaltres
+""".split())
+
 
 # --------------------------------------------------------- light stemmers
 
@@ -151,14 +282,154 @@ def russian_light_stem(w: str) -> str:
     return w
 
 
+def swedish_light_stem(w: str) -> str:
+    """SwedishLightStemmer-style: definite/plural endings."""
+    w = _strip_first(w, ("heterna", "heten", "heter", "arna", "erna", "orna",
+                         "ande", "arne", "aste", "ande", "erns"), 4)
+    w = _strip_first(w, ("are", "ast", "het", "ens", "ern", "ets"), 4)
+    w = _strip_first(w, ("ar", "er", "or", "en", "et", "na", "at"), 4)
+    w = _strip_first(w, ("a", "e", "n", "t", "s"), 4)
+    return w
+
+
+def norwegian_light_stem(w: str) -> str:
+    """NorwegianLightStemmer-style: -ing and definite/plural endings."""
+    w = _strip_first(w, ("hetene", "hetens", "heter", "heten", "endes",
+                         "ingen", "inger", "ingene"), 4)
+    w = _strip_first(w, ("ende", "enes", "edes", "ings", "else"), 4)
+    w = _strip_first(w, ("ane", "ene", "ens", "ers", "ets", "ing", "het",
+                         "ert", "est"), 4)
+    w = _strip_first(w, ("en", "ar", "er", "as", "es", "et", "st"), 4)
+    w = _strip_first(w, ("a", "e", "n", "t", "s"), 4)
+    return w
+
+
+def danish_light_stem(w: str) -> str:
+    """Danish light (Snowball Danish is also suffix-stripping)."""
+    w = _strip_first(w, ("erendes", "erende", "hedens", "ethed", "erede",
+                         "heden", "heder", "endes", "erens", "erets"), 4)
+    w = _strip_first(w, ("ende", "eren", "erer", "eres", "eret", "heds"), 4)
+    w = _strip_first(w, ("ene", "ens", "ere", "ers", "ets", "hed"), 4)
+    w = _strip_first(w, ("en", "er", "es", "et", "e", "s"), 4)
+    return w
+
+
+def finnish_light_stem(w: str) -> str:
+    """FinnishLightStemmer-style: case endings + possessives (subset)."""
+    w = _strip_first(w, ("isiin", "ssa", "ss√§", "sta", "st√§", "lla", "ll√§",
+                         "lta", "lt√§", "lle", "ksi", "ine", "han", "h√§n",
+                         "iin", "een"), 4)
+    w = _strip_first(w, ("ni", "si", "mme", "nne", "nsa", "ns√§"), 4)
+    w = _strip_first(w, ("it", "et", "at", "ut", "yt", "ia", "i√§", "ja",
+                         "j√§"), 4)
+    w = _strip_first(w, ("a", "√§", "i", "n", "t", "e"), 4)
+    return w
+
+
+def hungarian_light_stem(w: str) -> str:
+    """HungarianLightStemmer-style: case suffixes + plural (subset)."""
+    w = _strip_first(w, ("okkal", "ekkel", "√∂kkel", "aknak", "eknek",
+                         "okban", "ekben", "√∂kben", "ainak", "einek"), 4)
+    w = _strip_first(w, ("ban", "ben", "nak", "nek", "val", "vel", "t√≥l",
+                         "t≈ël", "r√≥l", "r≈ël", "b√≥l", "b≈ël", "hoz", "hez",
+                         "h√∂z", "n√°l", "n√©l", "√°ra", "√©re", "kal", "kel"), 4)
+    w = _strip_first(w, ("ok", "ek", "√∂k", "ak", "on", "en", "√∂n", "an",
+                         "at", "et", "ot", "√∂t", "ra", "re", "ba", "be",
+                         "ig", "ul", "√ºl"), 4)
+    w = _strip_first(w, ("a", "e", "o", "√°", "√©", "t", "k", "n"), 4)
+    return w
+
+
+def czech_light_stem(w: str) -> str:
+    """CzechStemmer-style (light): case endings."""
+    w = _strip_first(w, ("atech", "ƒõtem", "at≈Øm", "ech", "ich", "√≠ch",
+                         "√©ho", "ƒõmi", "emi", "√©mu", "ƒõte", "ƒõti", "iho",
+                         "√≠mu", "√≠mi", "√°ch", "√Ωmi", "ami", "ov√©", "ovi",
+                         "√©ho"), 4)
+    w = _strip_first(w, ("em", "es", "√©m", "√≠m", "≈Øm", "at", "√°m", "os",
+                         "us", "√Ωm", "mi", "ou", "≈Øv"), 4)
+    w = _strip_first(w, ("a", "e", "i", "o", "u", "y", "√°", "√©", "√≠", "√Ω",
+                         "ƒõ", "≈Ø"), 4)
+    return w
+
+
+def romanian_light_stem(w: str) -> str:
+    w = _strip_first(w, ("ilor", "ului", "elor", "iile", "iilor", "atei",
+                         "a≈£ie", "a≈£ia", "eazƒÉ", "escu", "e≈üti"), 4)
+    w = _strip_first(w, ("ile", "uri", "ata", "ate", "a≈£i", "ele", "eze",
+                         "ant", "ent"), 4)
+    w = _strip_first(w, ("ul", "ua", "ea", "le", "ii", "ie", "iu", "at",
+                         "ut", "it"), 4)
+    w = _strip_first(w, ("a", "e", "i", "u", "ƒÉ"), 4)
+    return w
+
+
+def bulgarian_light_stem(w: str) -> str:
+    """BulgarianStemmer-style (light): definite articles + plural."""
+    w = _strip_first(w, ("–æ–≤–µ—Ç–µ", "–µ–≤–µ—Ç–µ", "–æ–≤—Ü–µ—Ç–µ", "–∏—â–∞—Ç–∞", "–∏—è—Ç–∞"), 4)
+    w = _strip_first(w, ("–æ–≤–µ", "–µ–≤–µ", "–∞—Ç–∞", "—è—Ç–∞", "–∏—Ç–µ", "–µ—Ç–æ", "–∏—è—Ç",
+                         "–Ω—å–æ", "–∏—â–∞"), 4)
+    w = _strip_first(w, ("—ä—Ç", "—Ç–æ", "—Ç–µ", "—Ç–∞", "–∏—è", "—ä—Ç"), 4)
+    w = _strip_first(w, ("–∞", "—è", "–æ", "–µ", "–∏"), 4)
+    return w
+
+
+def indonesian_light_stem(w: str) -> str:
+    """IndonesianStemmer-style (light): particles + common affixes."""
+    w = _strip_first(w, ("kah", "lah", "pun", "nya"), 4)
+    for pre in ("meng", "meny", "men", "mem", "me", "peng", "peny", "pen",
+                "pem", "di", "ter", "ke", "ber", "per", "se"):
+        if w.startswith(pre) and len(w) - len(pre) >= 3:
+            w = w[len(pre):]
+            break
+    w = _strip_first(w, ("kan", "an", "i"), 3)
+    return w
+
+
+def turkish_light_stem(w: str) -> str:
+    """Light Turkish: common case/possessive suffixes (subset of the
+    snowball Turkish suffix list; no vowel-harmony modeling)."""
+    for _ in range(2):
+        w = _strip_first(w, ("larƒ±nƒ±n", "lerinin", "larƒ±nda", "lerinde",
+                             "larƒ±ndan", "lerinden"), 4)
+        w = _strip_first(w, ("larƒ±n", "lerin", "lara", "lere", "larƒ±",
+                             "leri", "larda", "lerde", "dan", "den", "tan",
+                             "ten", "nƒ±n", "nin", "nun", "n√ºn", "ƒ±nda",
+                             "inde"), 4)
+        w = _strip_first(w, ("lar", "ler", "da", "de", "ta", "te", "ƒ±n",
+                             "in", "un", "√ºn", "ƒ±", "i", "u", "√º", "a",
+                             "e"), 4)
+    return w
+
+
+def catalan_light_stem(w: str) -> str:
+    w = _strip_first(w, ("aments", "ament", "acions", "aci√≥", "adors",
+                         "ador", "ances", "an√ßa"), 4)
+    w = _strip_first(w, ("es", "os", "ns"), 4)
+    w = _strip_first(w, ("a", "e", "o", "s", "√≠"), 4)
+    return w
+
+
 LIGHT_STEMMERS: dict = {
     "german": german_light_stem,
     "french": french_light_stem,
     "spanish": spanish_light_stem,
     "italian": italian_light_stem,
     "portuguese": portuguese_light_stem,
+    "brazilian": portuguese_light_stem,
     "dutch": dutch_light_stem,
     "russian": russian_light_stem,
+    "swedish": swedish_light_stem,
+    "norwegian": norwegian_light_stem,
+    "danish": danish_light_stem,
+    "finnish": finnish_light_stem,
+    "hungarian": hungarian_light_stem,
+    "czech": czech_light_stem,
+    "romanian": romanian_light_stem,
+    "bulgarian": bulgarian_light_stem,
+    "indonesian": indonesian_light_stem,
+    "turkish": turkish_light_stem,
+    "catalan": catalan_light_stem,
 }
 
 LANG_STOPWORDS: dict = {
@@ -167,8 +438,20 @@ LANG_STOPWORDS: dict = {
     "spanish": SPANISH_STOP,
     "italian": ITALIAN_STOP,
     "portuguese": PORTUGUESE_STOP,
+    "brazilian": BRAZILIAN_STOP,
     "dutch": DUTCH_STOP,
     "russian": RUSSIAN_STOP,
+    "swedish": SWEDISH_STOP,
+    "norwegian": NORWEGIAN_STOP,
+    "danish": DANISH_STOP,
+    "finnish": FINNISH_STOP,
+    "hungarian": HUNGARIAN_STOP,
+    "czech": CZECH_STOP,
+    "romanian": ROMANIAN_STOP,
+    "bulgarian": BULGARIAN_STOP,
+    "indonesian": INDONESIAN_STOP,
+    "turkish": TURKISH_STOP,
+    "catalan": CATALAN_STOP,
 }
 
 

@@ -427,6 +427,313 @@ def make_stemmer_filter(language: str = "english") -> TokenFilter:
     return per_token(make_stemmer(language))
 
 
+# ------------------------------------------------------------ snowball (en)
+
+_P2_V = "aeiouy"
+
+
+def _p2_regions(w: str) -> Tuple[int, int]:
+    """Porter2 R1/R2 start offsets (special-cased gener/commun/arsen)."""
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            r1 = len(pre)
+            break
+    else:
+        r1 = len(w)
+        for i in range(1, len(w)):
+            if w[i] not in _P2_V and w[i - 1] in _P2_V:
+                r1 = i + 1
+                break
+    r2 = len(w)
+    for i in range(r1 + 1, len(w)):
+        if w[i] not in _P2_V and w[i - 1] in _P2_V:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _p2_short(w: str, r1: int) -> bool:
+    """Word ends in a short syllable and R1 == end (Porter2 'short word')."""
+    if r1 < len(w):
+        return False
+    n = len(w)
+    if n >= 3:
+        c, v, c2 = w[-1], w[-2], w[-3]
+        return (c not in _P2_V and c not in "wxY" and v in _P2_V
+                and c2 not in _P2_V)
+    if n == 2:
+        return w[0] in _P2_V and w[1] not in _P2_V
+    return False
+
+
+def snowball_english(word: str) -> str:
+    """Snowball English (Porter2) stemmer — the algorithm published at
+    snowballstem.org (what the reference's ``snowball``/``stemmer(english)``
+    Lucene SnowballFilter runs), implemented directly from the published
+    step list."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    exceptions = {"skis": "ski", "skies": "sky", "dying": "die",
+                  "lying": "lie", "tying": "tie", "idly": "idl",
+                  "gently": "gentl", "ugly": "ugli", "early": "earli",
+                  "only": "onli", "singly": "singl", "sky": "sky",
+                  "news": "news", "howe": "howe", "atlas": "atlas",
+                  "cosmos": "cosmos", "bias": "bias", "andes": "andes"}
+    if w in exceptions:
+        return exceptions[w]
+    if w.startswith("'"):
+        w = w[1:]
+    # mark consonant-y
+    if w.startswith("y"):
+        w = "Y" + w[1:]
+    w = re.sub(r"([aeiouy])y", lambda m: m.group(1) + "Y", w)
+    r1, r2 = _p2_regions(w)
+    # step 0
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-2] if len(w) > 4 else w[:-1]
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s") and any(c in _P2_V for c in w[:-2]):
+        w = w[:-1]
+    if w in ("inning", "outing", "canning", "herring", "earring",
+             "proceed", "exceed", "succeed"):
+        return w.lower()
+    # step 1b
+    done_1b = False
+    for suf, rep in (("eedly", "ee"), ("eed", "ee")):
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                w = w[: -len(suf)] + rep
+            done_1b = True
+            break
+    if not done_1b:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf) and any(c in _P2_V for c in w[: -len(suf)]):
+                w = w[: -len(suf)]
+                if w.endswith(("at", "bl", "iz")):
+                    w += "e"
+                elif (len(w) >= 2 and w[-1] == w[-2]
+                      and w[-1] in "bdfgmnprt"):
+                    w = w[:-1]
+                elif _p2_short(w, _p2_regions(w)[0]):
+                    w += "e"
+                break
+    # step 1c
+    if (len(w) > 2 and w[-1] in "yY" and w[-2] not in _P2_V):
+        w = w[:-1] + "i"
+    r1, r2 = _p2_regions(w)
+    # step 2
+    for suf, rep in (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+                     ("anci", "ance"), ("abli", "able"), ("entli", "ent"),
+                     ("izer", "ize"), ("ization", "ize"), ("ation", "ate"),
+                     ("ator", "ate"), ("alism", "al"), ("aliti", "al"),
+                     ("alli", "al"), ("fulness", "ful"), ("ousli", "ous"),
+                     ("ousness", "ous"), ("iveness", "ive"), ("iviti", "ive"),
+                     ("biliti", "ble"), ("bli", "ble"), ("fulli", "ful"),
+                     ("lessli", "less"), ("ogi", "og"), ("li", "")):
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ogi":
+                    if w.endswith("logi"):
+                        w = w[:-1]
+                elif suf == "li":
+                    if w[-3:-2] in ("c", "d", "e", "g", "h", "k", "m",
+                                    "n", "r", "t"):
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    r1, r2 = _p2_regions(w)
+    # step 3
+    for suf, rep in (("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+                     ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+                     ("ful", ""), ("ness", ""), ("ative", "")):
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(w) - len(suf) >= r2:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    r1, r2 = _p2_regions(w)
+    # step 4
+    for suf in ("ement", "ance", "ence", "able", "ible", "ment", "ant",
+                "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
+                "al", "er", "ic"):
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r2:
+                if suf == "ion":
+                    if w[-4:-3] in ("s", "t"):
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+    r1, r2 = _p2_regions(w)
+    # step 5
+    if w.endswith("e") and (len(w) - 1 >= r2
+                            or (len(w) - 1 >= r1
+                                and not _p2_short(w[:-1], 10**9))):
+        # the short-syllable test here is on the stem BEFORE the e, with no
+        # R1-end requirement (Porter2 step 5a)
+        stem = w[:-1]
+        n = len(stem)
+        short_syl = (n >= 3 and stem[-1] not in _P2_V
+                     and stem[-1] not in "wxY" and stem[-2] in _P2_V
+                     and stem[-3] not in _P2_V) or \
+                    (n == 2 and stem[0] in _P2_V and stem[1] not in _P2_V)
+        if len(w) - 1 >= r2 or not short_syl:
+            w = stem
+    elif w.endswith("ll") and len(w) - 1 >= r2:
+        w = w[:-1]
+    return w.lower()
+
+
+snowball_filter = per_token(snowball_english)
+
+
+# --------------------------------------------------------------------- kstem
+
+_KSTEM_PROTECT = frozenset((
+    "is", "as", "this", "has", "was", "during", "something", "nothing",
+    "anything", "everything", "sing", "bring", "ring", "thing", "king",
+    "spring", "string", "wing", "morning", "evening",
+))
+
+
+def kstem(word: str) -> str:
+    """kstem-LIKE light English stemmer: the KStem rule steps (plural
+    reduction, -ied/-ies, -ing, -ed, -ly, -ness/-ful) WITHOUT the KStem
+    head-word lexicon the reference ships (Lucene KStemmer) — flagged
+    approximation: rule-identical on regular inflections, no dictionary
+    lookups for irregulars."""
+    w = word.lower()
+    if len(w) <= 3 or w in _KSTEM_PROTECT or not w.isalpha():
+        return w
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith("es") and w[-3:-2] in ("s", "x", "z", "h"):
+        return w[:-2]
+    if w.endswith("s") and not w.endswith(("ss", "us", "is")):
+        return w[:-1]
+    if w.endswith("ied"):
+        return w[:-3] + "y"
+    if w.endswith("ing") and len(w) > 5:
+        stem = w[:-3]
+        if len(stem) >= 2 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+            stem = stem[:-1]
+        elif not any(c in "aeiouy" for c in stem):
+            return w
+        return stem + ("e" if stem.endswith(("at", "iz", "bl", "v")) else "")
+    if w.endswith("ed") and len(w) > 4:
+        stem = w[:-2]
+        if stem.endswith("i"):
+            return stem[:-1] + "y"
+        if len(stem) >= 2 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+            return stem[:-1]
+        return stem + ("e" if stem.endswith(("at", "iz", "bl", "v")) else "")
+    if w.endswith("ly") and len(w) > 5:
+        return w[:-2]
+    if w.endswith("ness") and len(w) > 6:
+        return w[:-4]
+    return w
+
+
+kstem_filter = per_token(kstem)
+
+
+# -------------------------------------------------------------- common_grams
+
+def make_common_grams_filter(common_words: Iterable[str],
+                             query_mode: bool = False) -> TokenFilter:
+    """``common_grams`` (CommonGramsFilter / CommonGramsQueryFilter): pairs
+    where either token is a common word additionally emit the bigram
+    "a_b" at the FIRST token's position; query_mode replaces the common
+    unigrams instead of keeping both (the query-side filter)."""
+    cw = frozenset(common_words)
+
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t: List[str] = []
+        out_p: List[int] = []
+        n = len(tokens)
+        for i, (t, p) in enumerate(zip(tokens, positions)):
+            gram = None
+            if i + 1 < n and (t in cw or tokens[i + 1] in cw) \
+                    and positions[i + 1] == p + 1:
+                gram = f"{t}_{tokens[i + 1]}"
+            prev_gram = (i > 0 and positions[i - 1] == p - 1
+                         and (tokens[i - 1] in cw or t in cw))
+            if query_mode:
+                # keep the unigram only when it forms no gram on either side
+                if not gram and not prev_gram:
+                    out_t.append(t)
+                    out_p.append(p)
+            else:
+                out_t.append(t)
+                out_p.append(p)
+            if gram:
+                out_t.append(gram)
+                out_p.append(p)
+        return out_t, out_p
+    return filt
+
+
+# ------------------------------------------------------------------ min_hash
+
+def make_min_hash_filter(hash_count: int = 1, bucket_count: int = 512,
+                         hash_set_size: int = 1,
+                         with_rotation: bool = True) -> TokenFilter:
+    """``min_hash`` token filter (MinHashTokenFilter / MinHashFilterFactory):
+    hash every input token (typically a shingle stream), split the hash
+    space into ``bucket_count`` buckets, keep the ``hash_set_size`` smallest
+    hashes per bucket per hash function; ``with_rotation`` fills empty
+    buckets with the next non-empty bucket's minimum (circular). Output
+    tokens are 16-hex-digit strings of the kept hashes at position 0."""
+    import numpy as np
+    import pandas as pd
+
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        if not tokens:
+            return [], []
+        base = pd.util.hash_array(np.asarray(tokens, dtype=object))
+        out: List[str] = []
+        for h in range(hash_count):
+            # per-function salt: xor-mix with an odd constant per h
+            salt = np.uint64((0x9E3779B97F4A7C15 * (h + 1))
+                             & 0xFFFFFFFFFFFFFFFF)
+            hs = base ^ salt
+            bucket = (hs % np.uint64(bucket_count)).astype(np.int64)
+            kept: dict = {}
+            for b, v in zip(bucket, hs):
+                lst = kept.setdefault(int(b), [])
+                lst.append(int(v))
+            mins: List[Optional[List[int]]] = [None] * bucket_count
+            for b, vs in kept.items():
+                mins[b] = sorted(set(vs))[:hash_set_size]
+            if with_rotation and kept:
+                # circular fill: an empty bucket takes the NEXT non-empty
+                # bucket's minimum
+                for b in range(bucket_count):
+                    if mins[b] is None:
+                        j = (b + 1) % bucket_count
+                        while mins[j] is None:
+                            j = (j + 1) % bucket_count
+                        mins[b] = [mins[j][0]]
+            for b in range(bucket_count):
+                if mins[b]:
+                    out.extend(f"{v:016x}" for v in mins[b])
+        return out, list(range(len(out)))
+    return filt
+
+
 # ---------------------------------------------------------------- fingerprint
 
 def make_fingerprint_filter(sep: str = " ", max_output_size: int = 255) -> TokenFilter:
@@ -451,6 +758,8 @@ TOKEN_FILTERS = {
     "stop": stop_filter,
     "unique": unique_filter,
     "porter_stem": porter_stem_filter,
+    "snowball": snowball_filter,
+    "kstem": kstem_filter,
     "word_delimiter": word_delimiter_filter,
     "word_delimiter_graph": word_delimiter_graph_filter,
     # parameterized factories
@@ -468,4 +777,6 @@ TOKEN_FILTERS = {
     "synonym": make_synonym_filter,
     "elision": make_elision_filter,
     "fingerprint": make_fingerprint_filter,
+    "common_grams": make_common_grams_filter,
+    "min_hash": make_min_hash_filter,
 }

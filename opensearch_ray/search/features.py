@@ -23,7 +23,7 @@ primitives.
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -108,6 +108,84 @@ def highlight(searcher: Searcher, query_text: str, k: int = 10,
                    + post_tag + text[end:hi])
         out_ids.append(r["_docid"])
         out_snips.append(snippet)
+    order = {h.docid: i for i, h in enumerate(hits)}
+    df = pd.DataFrame({"_docid": out_ids, "snippet": out_snips})
+    return df.sort_values("_docid", key=lambda s: s.map(order)).reset_index(drop=True)
+
+
+def highlight_unified(searcher: Searcher, query_text: str, k: int = 10,
+                      number_of_fragments: int = 1,
+                      fragment_char_size: int = 100,
+                      pre_tag: str = "<em>", post_tag: str = "</em>"
+                      ) -> pd.DataFrame:
+    """Unified-highlighter semantics (the reference default —
+    SearchModule.java:910-912, search/fetch/subphase/highlight/
+    UnifiedHighlighter): break the stored text into passages, score each
+    passage, return the top ``number_of_fragments`` passages re-ordered by
+    text position with EVERY query-term occurrence tagged.
+
+    Passages: sentence-bounded (split at .!? like the BreakIterator
+    default), falling back to ~fragment_char_size word-boundary windows for
+    unpunctuated text. Passage score = Σ over unique matched terms of
+    idf(term) * (1 + ln(1 + tf_in_passage)) — the PassageScorer shape
+    (idf-weighted, tf-dampened) without its proximity pivot."""
+    import re as _re
+
+    terms = list(dict.fromkeys(searcher.analyzer.tokens(query_text)))
+    hits = searcher.search(query_text, k=k)
+    if not hits or not terms:
+        return pd.DataFrame({"_docid": [], "snippet": []})
+    stats = searcher.term_stats(terms)
+    N = max(searcher.N, 1)
+    idf = {t: float(np.log(1 + (N - stats[t][0] + 0.5) / (stats[t][0] + 0.5)))
+           for t in terms}
+    term_rx = _re.compile(
+        r"\b(" + "|".join(_re.escape(t) for t in
+                          sorted(terms, key=len, reverse=True)) + r")\b",
+        _re.IGNORECASE)
+    fetched = searcher.fetch([h.docid for h in hits])
+    text_col = searcher.manifest.text_col
+    out_ids, out_snips = [], []
+    for r in fetched.to_pylist():
+        text = r[text_col] or ""
+        # sentence passages, else fixed word-boundary windows
+        bounds = [m.end() for m in _re.finditer(r"[.!?]+\s*", text)]
+        if bounds and (bounds[-1] >= len(text) * 0.5 or len(bounds) > 1):
+            starts = [0] + bounds
+            passages = [(s, e) for s, e in zip(starts, starts[1:] + [len(text)])
+                        if e > s]
+        else:
+            passages = []
+            pos = 0
+            while pos < len(text):
+                end = min(len(text), pos + fragment_char_size)
+                if end < len(text):
+                    sp = text.rfind(" ", pos, end)
+                    if sp > pos:
+                        end = sp
+                passages.append((pos, end))
+                pos = end + 1
+        scored = []
+        for pi, (s, e) in enumerate(passages):
+            tf: Dict[str, int] = {}
+            for m in term_rx.finditer(text, s, e):
+                key = m.group(0).lower()
+                tf[key] = tf.get(key, 0) + 1
+            if not tf:
+                continue
+            sc = sum(idf.get(t, 0.0) * (1.0 + np.log1p(c))
+                     for t, c in tf.items())
+            scored.append((sc, pi, s, e))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        chosen = sorted(scored[:number_of_fragments], key=lambda x: x[1])
+        snips = []
+        for _, _, s, e in chosen:
+            frag = text[s:e]
+            snips.append(term_rx.sub(
+                lambda m: pre_tag + m.group(0) + post_tag, frag).strip())
+        out_ids.append(r["_docid"])
+        out_snips.append(" ... ".join(snips) if snips
+                         else text[:fragment_char_size])
     order = {h.docid: i for i, h in enumerate(hits)}
     df = pd.DataFrame({"_docid": out_ids, "snippet": out_snips})
     return df.sort_values("_docid", key=lambda s: s.map(order)).reset_index(drop=True)

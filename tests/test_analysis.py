@@ -138,3 +138,85 @@ def test_graph_filters():
     assert mux(["running"], [0]) == (["running", "run"], [0, 0])
     st = TOKEN_FILTERS["stemmer"]("german")
     assert st(["häuser"], [0]) == (["haus"], [0])
+
+
+def test_snowball_porter2():
+    """Porter2 (snowball english) — expectations traced through the
+    published algorithm steps (snowballstem.org); differs from Porter1
+    where the algorithms differ (e.g. agreed -> agre, conditional ->
+    condit, generously -> generous)."""
+    from opensearch_ray.analysis.token_filters import snowball_english
+    cases = {
+        "caresses": "caress", "flies": "fli", "dies": "die", "mules": "mule",
+        "denied": "deni", "died": "die", "agreed": "agre", "owned": "own",
+        "sized": "size", "meeting": "meet", "stating": "state",
+        "plotted": "plot", "generously": "generous", "cats": "cat",
+        "knightly": "knight", "conditional": "condit", "rational": "ration",
+        "valency": "valenc", "hesitancy": "hesit", "digitizer": "digit",
+        "radically": "radic", "differently": "differ", "vileness": "vile",
+        "hopefulness": "hope", "electricity": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "relational": "relat", "sky": "sky", "dying": "die",
+        "news": "news", "skis": "ski",
+    }
+    bad = {w: (snowball_english(w), want) for w, want in cases.items()
+           if snowball_english(w) != want}
+    assert not bad, bad
+
+
+def test_kstem_common_grams_min_hash():
+    from opensearch_ray.analysis.token_filters import (
+        kstem, make_common_grams_filter, make_min_hash_filter, TOKEN_FILTERS)
+    assert kstem("running") == "run" and kstem("cats") == "cat"
+    assert kstem("cities") == "city" and kstem("boxes") == "box"
+    assert kstem("sing") == "sing"  # protected word, not a plural/gerund
+    cg = TOKEN_FILTERS["common_grams"]({"the", "of"})
+    toks, pos = cg(["the", "quick", "fox", "of", "fire"], [0, 1, 2, 3, 4])
+    assert "the_quick" in toks and "of_fire" in toks and "fox_of" in toks
+    assert toks.index("the_quick") == toks.index("the") + 1
+    # query mode drops unigrams that participate in a gram
+    cgq = make_common_grams_filter({"the", "of"}, query_mode=True)
+    toks_q, _ = cgq(["the", "quick", "fox", "of", "fire"], [0, 1, 2, 3, 4])
+    assert toks_q == ["the_quick", "fox_of", "of_fire"]
+    # non-adjacent (position gap) tokens never form grams
+    toks_g, _ = cg(["the", "fox"], [0, 2])
+    assert toks_g == ["the", "fox"]
+    # min_hash: deterministic, bucketed, rotation fills all buckets
+    mh = make_min_hash_filter(bucket_count=8)
+    t1, p1 = mh(["ab", "cd", "ef"], [0, 1, 2])
+    t2, _ = mh(["ab", "cd", "ef"], [0, 1, 2])
+    assert t1 == t2 and len(t1) == 8 and p1 == list(range(8))
+    assert all(len(x) == 16 for x in t1)
+    no_rot = make_min_hash_filter(bucket_count=8, with_rotation=False)
+    t3, _ = no_rot(["ab", "cd", "ef"], [0, 1, 2])
+    assert 1 <= len(t3) <= 3
+
+
+def test_language_analyzers_extended():
+    """Round-3 language tail: 12 more prebuilt analyzers (light stemmers +
+    Snowball-derived stop subsets, flagged approximations)."""
+    from opensearch_ray.analysis import get_analyzer
+    cases = {
+        "swedish": ("flickorna springer och hoppar", "och"),
+        "norwegian": ("hustypene er fine", "er"),
+        "danish": ("bogen ligger på bordet", "på"),
+        "finnish": ("talossa on kissa", "on"),
+        "hungarian": ("a házakban laknak", "a"),
+        "czech": ("ve městech bydlí lidé", "ve"),
+        "romanian": ("copiii merg la școală", "la"),
+        "bulgarian": ("децата играят в парка", "в"),
+        "indonesian": ("mereka membaca buku di perpustakaan", "di"),
+        "turkish": ("evlerinde kitaplar var", "ve"),
+        "catalan": ("els nens juguen al parc", "els"),
+        "brazilian": ("as crianças brincam no parque", "no"),
+    }
+    for lang, (text, stopword) in cases.items():
+        an = get_analyzer(lang)
+        toks = an.tokens(text)
+        assert toks, lang
+        assert stopword not in toks, (lang, toks)
+    # stemming collapses inflections within a language
+    sw = get_analyzer("swedish")
+    assert sw.tokens("flickorna")[0] == sw.tokens("flickor")[0]
+    idn = get_analyzer("indonesian")
+    assert idn.tokens("membaca")[0] == idn.tokens("baca")[0]

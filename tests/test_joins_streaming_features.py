@@ -128,6 +128,22 @@ def test_highlight(searcher):
     assert "bace" == inner
 
 
+def test_highlight_unified(searcher):
+    from opensearch_ray.search.features import highlight_unified
+    out = highlight_unified(searcher, "bace cedi", k=5,
+                            number_of_fragments=2, fragment_char_size=60)
+    assert len(out) == 5
+    hits = {h.docid for h in searcher.search("bace cedi", k=5)}
+    assert set(out["_docid"]) == hits
+    for snip in out["snippet"]:
+        # every tagged span is a query term; at least one term is tagged
+        spans = [s.split("</em>")[0] for s in snip.split("<em>")[1:]]
+        assert spans and all(t in ("bace", "cedi") for t in spans)
+        # the best passage is chosen: fragments respect the size budget
+        for frag in snip.split(" ... "):
+            assert len(frag) <= 60 + len("<em></em>") * max(1, len(spans)) + 10
+
+
 def test_term_suggest(searcher):
     out = term_suggest(searcher, "bacce", max_edits=2, size=5)
     assert "bace" in out["suggestion"].tolist()
