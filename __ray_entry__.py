@@ -1410,6 +1410,16 @@ def _q_span_not(sf_dir):
     return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
 
 
+def _q_span_containing(sf_dir):
+    """span_containing: hash..stream (ordered, slop<=5) containing 'join'."""
+    from opensearch_ray.search.queries import span_containing_docs
+    docs = span_containing_docs(
+        _searcher(sf_dir),
+        {"span_near": {"terms": ["hash", "stream"], "slop": 5,
+                       "in_order": True}}, "join")
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
 def _q_intervals(sf_dir):
     """intervals match source: ordered, max_gaps=2."""
     from opensearch_ray.search.queries import intervals_docs
@@ -1534,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_or_query": _q_span_or,
         "span_first_query": _q_span_first,
         "span_not_query": _q_span_not,
+        "span_containing_query": _q_span_containing,
         "intervals_query": _q_intervals,
         "intervals_any_of": _q_intervals_any_of,
         "exists_query": _q_exists,
@@ -2329,6 +2340,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM tok b WHERE b.doc_id = a.doc_id
                 AND b.tok = 'join' AND b.p BETWEEN a.p - 1 AND a.p + 1)
             ORDER BY a.doc_id
+        """,
+        "span_containing_query": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents)),
+            spans AS (
+              SELECT h.doc_id, h.p AS s0, min(st.p) AS e0
+              FROM tok h JOIN tok st
+                ON st.doc_id = h.doc_id AND st.tok = 'stream' AND st.p > h.p
+              WHERE h.tok = 'hash'
+              GROUP BY h.doc_id, h.p
+              HAVING (min(st.p) - h.p + 1) - 2 <= 5)
+            SELECT DISTINCT s.doc_id FROM spans s JOIN tok j
+              ON j.doc_id = s.doc_id AND j.tok = 'join'
+            WHERE j.p BETWEEN s.s0 AND s.e0
+            ORDER BY s.doc_id
         """,
         "intervals_query": """
             WITH tok AS (

@@ -221,6 +221,94 @@ def span_not_docs(s: Searcher, include: str, exclude: str,
     return np.asarray(out, dtype=np.int64)
 
 
+def _clause_spans(s: Searcher, clause, pos_of: Dict[str, np.ndarray]
+                  ) -> List[tuple]:
+    """Matching spans [(start, end)] of a span clause within ONE doc, from
+    its per-term position lists. Clauses: a term string (width-1 spans) or
+    {"span_near": {"terms": [...], "slop": int, "in_order": bool}} —
+    ordered spans enumerate the greedy-minimal chain per start position
+    (Lucene NearSpansOrdered's canonical span set)."""
+    if isinstance(clause, str):
+        toks = s.analyzer.tokens(clause)
+        if not toks:
+            return []
+        return [(int(p), int(p)) for p in pos_of.get(toks[0], ())]
+    spec = clause["span_near"]
+    q_toks = [t for term in spec["terms"] for t in s.analyzer.tokens(term)]
+    slop = int(spec.get("slop", 0))
+    in_order = bool(spec.get("in_order", True))
+    lists = [np.asarray(pos_of.get(t, ()), dtype=np.int64) for t in q_toks]
+    if not all(l.size for l in lists):
+        return []
+    n = len(q_toks)
+    spans = []
+    if in_order:
+        for s0 in lists[0]:
+            prev, ok = int(s0), True
+            for pl in lists[1:]:
+                i = int(np.searchsorted(pl, prev + 1))
+                if i >= len(pl):
+                    ok = False
+                    break
+                prev = int(pl[i])
+            if ok and (prev - int(s0) + 1) - n <= slop:
+                spans.append((int(s0), prev))
+    else:
+        # enumerate feasible unordered windows: for each anchor position of
+        # the first term, the tightest window covering one position per term
+        import itertools
+        if int(np.prod([l.size for l in lists])) <= 4096:
+            for combo in itertools.product(*[l.tolist() for l in lists]):
+                if len(set(combo)) < n:
+                    continue
+                lo, hi = min(combo), max(combo)
+                if (hi - lo + 1) - n <= slop:
+                    spans.append((int(lo), int(hi)))
+        else:  # degenerate huge docs: fall back to the boolean sweep
+            if Searcher._sloppy_ok(lists, [0] * n, q_toks, slop + n - 1):
+                allp = np.concatenate(lists)
+                spans.append((int(allp.min()), int(allp.max())))
+    return sorted(set(spans))
+
+
+def _span_clause_terms(s: Searcher, clause) -> List[str]:
+    if isinstance(clause, str):
+        return s.analyzer.tokens(clause)
+    return [t for term in clause["span_near"]["terms"]
+            for t in s.analyzer.tokens(term)]
+
+
+def span_containing_docs(s: Searcher, big, little) -> np.ndarray:
+    """span_containing (SpanContainingQueryBuilder): docs with a ``big``
+    span that fully encloses a ``little`` span (big.start <= little.start
+    and little.end <= big.end). Clause forms as in _clause_spans."""
+    big_terms = _span_clause_terms(s, big)
+    little_terms = _span_clause_terms(s, little)
+    if not big_terms or not little_terms:
+        return np.empty(0, np.int64)
+    cand = s.bool_docs(must=list(dict.fromkeys(big_terms + little_terms)))
+    if cand.size == 0:
+        return cand
+    pos = _positions_by_doc(s, big_terms + little_terms, cand)
+    out = []
+    for d in cand.tolist():
+        bs = _clause_spans(s, big, pos[d])
+        if not bs:
+            continue
+        ls = _clause_spans(s, little, pos[d])
+        if any(b0 <= l0 and l1 <= b1
+               for b0, b1 in bs for l0, l1 in ls):
+            out.append(d)
+    return np.asarray(out, dtype=np.int64)
+
+
+def span_within_docs(s: Searcher, big, little) -> np.ndarray:
+    """span_within (SpanWithinQueryBuilder): the same containment predicate
+    as span_containing — the two differ only in WHICH query's spans are
+    emitted for scoring, which doesn't change the matching doc set."""
+    return span_containing_docs(s, big, little)
+
+
 # -------------------------------------------------------------- intervals
 
 def intervals_docs(s: Searcher, source: dict) -> np.ndarray:

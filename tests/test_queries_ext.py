@@ -200,3 +200,31 @@ def test_vocab_prefix_pruned_reads(tmp_path):
     assert list(comp["term"][:1])[0].startswith("t00123w")
     # the full dict was never materialized on this Searcher
     assert not hasattr(s, "_vocab_tbl")
+
+
+@pytest.mark.parametrize("use_positions", [False, True])
+def test_span_containing_within(s, pos_index, analyzed, use_positions):
+    from opensearch_ray.search.queries import (span_containing_docs,
+                                               span_within_docs)
+    eng = Searcher(pos_index.index_dir) if use_positions else s
+    big = {"span_near": {"terms": ["bace", "cedi"], "slop": 4,
+                         "in_order": True}}
+    got = span_containing_docs(eng, big, "difo")
+    want = []
+    for d in analyzed:
+        p1 = _pos_of(analyzed, d, "bace")
+        p2 = _pos_of(analyzed, d, "cedi")
+        pl = _pos_of(analyzed, d, "difo")
+        hit = False
+        for a in p1:
+            nxt = [b for b in p2 if b > a]
+            if not nxt:
+                continue
+            b = min(nxt)
+            if (b - a + 1) - 2 <= 4 and any(a <= p <= b for p in pl):
+                hit = True
+                break
+        if hit:
+            want.append(d)
+    assert sorted(got.tolist()) == sorted(want)
+    assert (span_within_docs(eng, big, "difo").tolist() == got.tolist())
