@@ -34,6 +34,19 @@ def _partial_counts(ds: Dataset, keys: List[str],
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
+def _shuffle_blocks() -> int:
+    """Pre-shuffle block count: enough blocks for sort parallelism, few
+    enough that per-partition sub-blocks stay above Ray's in-process-store
+    threshold (tiny sub-blocks accumulate in the driver — see the measured
+    rationale in dedup/minhash.py)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return int(min(256, max(16, cpus)))
+
+
 def _topn_buckets(merged: Dataset, count_col: str, key_fields: List[str],
                   size: int) -> pd.DataFrame:
     """Bounded final reduce: per-BLOCK top-``size`` partials (exact after the
@@ -363,7 +376,9 @@ def _sig_reduce(parts: Dataset, key_col: str, size: int,
     n_blocks*size rows. Exact (each key's total lives in one block after the
     groupby) and the driver never holds the key/vocab cardinality — the
     shard_size discipline of SignificantTermsAggregatorFactory."""
-    merged = (parts.groupby(key_col)
+    # vocabulary-sized partials: consolidate blocks before the shuffle
+    # (driver-leak discipline, see composite_agg / dedup/minhash.py)
+    merged = (parts.repartition(_shuffle_blocks()).groupby(key_col)
               .aggregate(Sum("fg", alias_name="fg"),
                          Sum("bg", alias_name="bg"))
               .materialize())  # consumed twice (totals + scoring)
@@ -543,8 +558,14 @@ def composite_agg(ds: Dataset, sources: List[str], size: int = 10,
     driver holds n_blocks*size rows — never the full key cardinality
     (composite exists precisely to page millions of keys)."""
     parts = _partial_counts(ds, sources)
-    merged = parts.groupby(sources).aggregate(
-        Sum("doc_count", alias_name="doc_count"))
+    # high-cardinality keys make partials ~input-sized: consolidate blocks
+    # before the groupby shuffle — MANY small map blocks leak the sort's
+    # per-partition sub-blocks into the DRIVER process (measured: 1M keys /
+    # 64 input blocks -> +284 MB driver RSS; repartitioned -> +8 MB and a
+    # faster shuffle). Block count tracks CPU count for sort parallelism.
+    merged = (parts.repartition(_shuffle_blocks())
+              .groupby(sources)
+              .aggregate(Sum("doc_count", alias_name="doc_count")))
     if after is not None:
         af = tuple(after)
 
