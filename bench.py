@@ -33,6 +33,54 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+def _quiet_ray_data_worker_logs() -> None:
+    """Write a Ray Data logging config (Ray 2.49's default + two internal
+    loggers raised to ERROR) and point RAY_DATA_LOGGING_CONFIG at it. MUST
+    run before the first ``import ray.data`` anywhere in the process (that
+    import applies the config) and before ray.init (workers inherit the
+    env). The dict below mirrors ray.data._internal.logging.DEFAULT_CONFIG —
+    importing that constant would itself import ray.data, defeating the
+    ordering, so it's inlined."""
+    if os.environ.get("RAY_DATA_LOGGING_CONFIG"):
+        return
+    import yaml
+
+    handlers = ["file", "console"]
+    cfg = {
+        "version": 1,
+        "disable_existing_loggers": False,
+        "formatters": {
+            "ray": {"format": "%(asctime)s\t%(levelname)s %(filename)s:"
+                              "%(lineno)s -- %(message)s"},
+        },
+        "filters": {
+            "console_filter": {
+                "()": "ray.data._internal.logging.HiddenRecordFilter"},
+        },
+        "handlers": {
+            "file": {"class": "ray.data._internal.logging.SessionFileHandler",
+                     "formatter": "ray", "filename": "ray-data.log"},
+            "console": {"class": "ray._private.log.PlainRayHandler",
+                        "formatter": "ray", "level": "INFO",
+                        "filters": ["console_filter"]},
+        },
+        "loggers": {
+            "ray.data": {"level": "DEBUG", "handlers": handlers,
+                         "propagate": False},
+            "ray.air.util.tensor_extensions": {
+                "level": "DEBUG", "handlers": handlers, "propagate": False},
+            "ray.data._internal.execution.streaming_executor_state": {
+                "level": "ERROR", "handlers": handlers, "propagate": False},
+            "ray.data._internal.arrow_ops.transform_pyarrow": {
+                "level": "ERROR", "handlers": handlers, "propagate": False},
+        },
+    }
+    path = "/tmp/osray_ray_data_logging.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    os.environ["RAY_DATA_LOGGING_CONFIG"] = path
+
+
 def run_bench() -> dict:
     import ray
 
@@ -45,17 +93,21 @@ def run_bench() -> dict:
     # run both parallelism levels on the IDENTICAL input layout
     n_files = int(os.environ.get("OSRAY_BENCH_FILES", "64"))
 
+    # Two cosmetic Ray-internal warning sources, both emitted from WORKER
+    # processes (driver-side logger levels don't reach them):
+    #  - empty boundary blocks Ray's own sort-based map_groups produces
+    #    (reproducible with a 3-key groupby over from_items, UDF-free)
+    #  - schema hashing inside ReadParquet over files whose footers carry a
+    #    `pandas` metadata dict (the driver-written testdata files; pyarrow's
+    #    hash(schema) raises on dict metadata). Our own writers/stages emit
+    #    metadata-free schemas (arrowutil.nometa).
+    # RAY_DATA_LOGGING_CONFIG is read by every Ray Data process; ship the
+    # default config with those two loggers raised to ERROR.
+    _quiet_ray_data_worker_logs()
+
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
-    # Ray emits cosmetic warnings for the EMPTY boundary blocks its own
-    # sort-based map_groups produces (reproducible with a 3-key groupby over
-    # from_items and a UDF-free pipeline); our stages emit schema-stable
-    # typed blocks — silence just those two internal loggers
-    import logging as _logging
-    for _name in ("ray.data._internal.execution.streaming_executor_state",
-                  "ray.data._internal.arrow_ops.transform_pyarrow"):
-        _logging.getLogger(_name).setLevel(_logging.ERROR)
 
     from opensearch_ray.index.build import build_index
     from opensearch_ray.search import Searcher

@@ -14,6 +14,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from opensearch_ray.arrowutil import nometa
+
 
 def content_hashes(ds: Dataset, text_col: str = "text",
                    out_col: str = "_content_hash") -> Dataset:
@@ -22,7 +24,7 @@ def content_hashes(ds: Dataset, text_col: str = "text",
     def add_hash(t: pa.Table) -> pa.Table:
         vals = np.asarray(t.column(text_col).to_pylist(), dtype=object)
         h = pd.util.hash_array(vals).astype(np.uint64)
-        return t.append_column(out_col, pa.array(h.astype(np.int64)))
+        return nometa(t.append_column(out_col, pa.array(h.astype(np.int64))))
 
     return ds.map_batches(add_hash, batch_format="pyarrow")
 

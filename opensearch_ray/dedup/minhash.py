@@ -23,6 +23,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from opensearch_ray.arrowutil import nometa
+
 _P = np.uint64((1 << 61) - 1)  # Mersenne prime
 
 
@@ -266,7 +268,8 @@ def _attach_sig(left: Dataset, sig_packed: Dataset, key: str, sig_name: str,
         t = t.select(left_names)
         t = t.append_column(sig_name, pa.nulls(t.num_rows, pa.binary()))
         t = t.append_column("_bucket", pa.array(b))
-        return t.append_column("_is_sig", pa.array(np.zeros(t.num_rows, np.int8)))
+        return nometa(t.append_column("_is_sig",
+                                      pa.array(np.zeros(t.num_rows, np.int8))))
 
     def pad_right(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)

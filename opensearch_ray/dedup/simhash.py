@@ -16,6 +16,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from opensearch_ray.arrowutil import nometa
+
 
 def _simhash_batch(texts: List[str]) -> np.ndarray:
     out = np.zeros(len(texts), dtype=np.uint64)
@@ -110,7 +112,7 @@ def simhash_dedup_pairs(ds: Dataset, text_col: str = "text", id_col: str = "doc_
         b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
         pp = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(P)
               ).astype(np.int32)
-        return t.append_column("_pp", pa.array(pp))
+        return nometa(t.append_column("_pp", pa.array(pp)))
 
     def dedup_part(g: pa.Table) -> pa.Table:
         a = g.column("a").to_numpy(zero_copy_only=False)

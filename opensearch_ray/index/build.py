@@ -53,6 +53,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from opensearch_ray.arrowutil import nometa
+
 from .segment import SegmentBuilder
 
 DEFAULT_NUM_BUCKETS = 32
@@ -317,7 +319,7 @@ def build_index_from_dataset(
     def route(t: pa.Table) -> pa.Table:
         k = np.asarray(t.column(partition_key).to_pylist(), dtype=object)
         part = (pd.util.hash_array(k) % np.uint64(P)).astype(np.int32)
-        return t.append_column("_partition", pa.array(part))
+        return nometa(t.append_column("_partition", pa.array(part)))
 
     def build_partition(g: pa.Table) -> pa.Table:
         seg_id = int(g.column("_partition")[0].as_py())
@@ -438,7 +440,7 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
                    % np.uint64(B)).astype(np.int64)
             bucket = np.where(salted, alt, bucket)
         t = t.append_column("bucket", pa.array(bucket.astype(np.int32)))
-        return t.append_column("salted", pa.array(salted))
+        return nometa(t.append_column("salted", pa.array(salted)))
 
     merged_dir = os.path.join(index_dir, "merged")
     stats_dir = os.path.join(index_dir, "term_stats")
@@ -639,7 +641,8 @@ def _merge_segments(manifest: IndexManifest, postings_ds=None) -> dict:
                        ^ (chunk * np.uint64(0xC2B2AE3D27D4EB4F))) % np.uint64(B)).astype(np.int64)
             is_hot = np.fromiter((t in hotset for t in terms), dtype=bool, count=len(terms))
             bucket = np.where(is_hot, salted, bucket)
-        return batch.append_column("bucket", pa.array(bucket.astype(np.int32)))
+        return nometa(batch.append_column("bucket",
+                                          pa.array(bucket.astype(np.int32))))
 
     ds = postings_ds if postings_ds is not None else _segment_postings_ds(manifest)
     rows = (

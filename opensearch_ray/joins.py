@@ -22,6 +22,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from opensearch_ray.arrowutil import nometa
+
 
 def _prep(left: Dataset, right: Dataset, shared: List[str], suffix: str,
           key_col: str, B: int) -> Tuple[Dataset, List[str], List[str]]:
@@ -72,8 +74,8 @@ def _prep(left: Dataset, right: Dataset, shared: List[str], suffix: str,
             # cast both sides to the SAME schema so union block types agree
             t = t.select(all_cols).cast(target)
             t = t.append_column("_bucket", pa.array(b))
-            return t.append_column(
-                "_side", pa.array(np.full(len(b), side, dtype=object), type=pa.string()))
+            return nometa(t.append_column(
+                "_side", pa.array(np.full(len(b), side, dtype=object), type=pa.string())))
         return pad
 
     both = (left.map_batches(make_pad("l", None), batch_format="pyarrow")

@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from opensearch_ray.arrowutil import nometa
+
 
 def nest_children(parent_ds: Dataset, child_ds: Dataset, parent_key: str,
                   child_key: str, child_cols: Sequence[str],
@@ -41,7 +43,8 @@ def nest_children(parent_ds: Dataset, child_ds: Dataset, parent_key: str,
         k = t.column(parent_key).to_numpy(zero_copy_only=False)
         b = (pd.util.hash_array(k.astype(object)) % np.uint64(B)).astype(np.int64)
         t = t.append_column("_bucket", pa.array(b))
-        return t.append_column("_is_child", pa.array(np.zeros(t.num_rows, np.int8)))
+        return nometa(t.append_column("_is_child",
+                                      pa.array(np.zeros(t.num_rows, np.int8))))
 
     child_struct_cols = [c for c in child_cols if c != child_key]
 

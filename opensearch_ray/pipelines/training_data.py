@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from opensearch_ray.arrowutil import nometa
+
 from ..dedup import dedup_exact, minhash_dedup_pairs
 from ..textstats import langid_heuristic, quality_scores, token_counts
 
@@ -111,7 +113,7 @@ def prepare_training_data(
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         sh = (pd.util.hash_array(ids.astype(object)) % np.uint64(n_shards)
               ).astype(np.int32)
-        return t.append_column("_shard", pa.array(sh))
+        return nometa(t.append_column("_shard", pa.array(sh)))
 
     import shutil
 

@@ -24,6 +24,8 @@ import pyarrow.parquet as pq
 import ray
 from ray.data import Dataset
 
+from opensearch_ray.arrowutil import nometa
+
 
 def _kmeans(X: np.ndarray, k: int, iters: int = 10, seed: int = 17) -> np.ndarray:
     """Seeded spherical k-means (cosine): few Lloyd iterations on normalized
@@ -97,7 +99,7 @@ class IvfIndex:
             V = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float32)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             cell = (Vn @ cm.T).argmax(axis=1).astype(np.int32)
-            return t.append_column("_cell", pa.array(cell))
+            return nometa(t.append_column("_cell", pa.array(cell)))
 
         # --- streaming partitioned write: every block emits its per-cell
         # slices directly (no whole-cell task — a cell is a DIRECTORY of
