@@ -1445,6 +1445,94 @@ def _q_match_bool_prefix(sf_dir):
     docs = match_bool_prefix_docs(_searcher(sf_dir), "hash joi")
     return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
 
+def _event_index(sf_dir: str) -> str:
+    """Index over `events` (text = event_type, one token per doc), cached in
+    /tmp — gives the date doc-values surface (ts) for distance_feature."""
+    from opensearch_ray import __version__
+    from opensearch_ray.index.build import build_index
+    key = hashlib.md5(f"{sf_dir}:{__version__}:ev1".encode()).hexdigest()[:10]
+    idx = f"/tmp/osray_evidx_{key}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(os.path.join(sf_dir, "events.parquet"), idx,
+                    analyzer="transcript", text_col="event_type",
+                    sort_cols=("event_id",), num_buckets=4)
+    return idx
+
+
+def _q_ids(sf_dir):
+    """ids query: doc-values membership of the stored id."""
+    from opensearch_ray.search.queries import ids_docs
+    s = _searcher(sf_dir)
+    docs = ids_docs(s, [3, 7, 450, 999_999_999], "doc_id")
+    out = s.fetch(docs.tolist(), columns=["doc_id"]).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_constant_score(sf_dir):
+    """constant_score: term filter 'hash', every hit scores boost=1.5."""
+    from opensearch_ray.search.queries import constant_score_docs
+    s = _searcher(sf_dir)
+    docs, scores = constant_score_docs(s, s.term_docs("hash"), boost=1.5)
+    return pd.DataFrame({"doc_id": docs, "score": _fmt(scores, 4)})
+
+
+def _q_simple_query_string(sf_dir):
+    """simple_query_string exercising phrase | (prefix AND NOT term)."""
+    from opensearch_ray.search.queries import simple_query_string_docs
+    docs = simple_query_string_docs(
+        _searcher(sf_dir), '"hash join" | (str* + -batch)')
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_distance_feature(sf_dir):
+    """distance_feature on a date field: candidates = term 'click', score =
+    boost * pivot / (pivot + |ts - origin| ms), top-10."""
+    from opensearch_ray.search.queries import distance_feature_topk
+    from opensearch_ray.search import Searcher
+    s = Searcher(_event_index(sf_dir), dtype=np.float64)
+    cand = s.term_docs("click")
+    pivot_ms = 3 * 24 * 3600 * 1000.0
+    docs, scores = distance_feature_topk(
+        s, "ts", "2024-01-15T00:00:00", pivot_ms, cand, k=10, boost=2.0)
+    out = s.fetch(docs.tolist(), columns=["event_id"]).to_pandas()
+    out = out.set_index("_docid").loc[docs]
+    return pd.DataFrame({"event_id": out["event_id"].to_numpy(),
+                         "rank": np.arange(1, len(docs) + 1, dtype=np.int64),
+                         "score": _fmt(scores, 6)})
+
+
+def _q_script_score(sf_dir):
+    """script_score: filter term 'hash', score = ln(1 + n_chars), top-10."""
+    from opensearch_ray.search.queries import script_score_topk
+    s = _searcher(sf_dir)
+    docs, scores = script_score_topk(
+        s, s.term_docs("hash"), lambda dv: np.log1p(dv["n_chars"]), k=10)
+    return pd.DataFrame({"doc_id": docs,
+                         "rank": np.arange(1, len(docs) + 1, dtype=np.int64),
+                         "score": _fmt(scores, 4)})
+
+
+def _q_span_multi(sf_dir):
+    """span_near [term 'hash', span_multi(prefix 'jo')], slop=2, ordered."""
+    from opensearch_ray.search.queries import span_near_clauses_docs
+    docs = span_near_clauses_docs(
+        _searcher(sf_dir), ["hash", {"span_multi": {"prefix": "jo"}}],
+        slop=2, in_order=True)
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_field_masking_span(sf_dir):
+    """field_masking_span: body-field 'hash' adjacent to title-field 'join'
+    (title = first 4 body tokens, so positions align — the stemmed-subfield
+    pattern FieldMaskingSpanQueryBuilder exists for)."""
+    from opensearch_ray.search import MultiFieldSearcher
+    from opensearch_ray.search.queries import field_masking_span_docs
+    mfs = MultiFieldSearcher(_mf_index(sf_dir), dtype=np.float64)
+    docs = field_masking_span_docs(
+        mfs, [("body", "hash"), ("title", "join")], slop=0, in_order=True)
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
 # ----------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -1551,6 +1639,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_set_query": _q_terms_set,
         "regexp_query": _q_regexp,
         "match_bool_prefix": _q_match_bool_prefix,
+        "ids_query": _q_ids,
+        "constant_score_query": _q_constant_score,
+        "simple_query_string": _q_simple_query_string,
+        "distance_feature": _q_distance_feature,
+        "script_score": _q_script_score,
+        "span_multi_query": _q_span_multi,
+        "field_masking_span": _q_field_masking_span,
         "highlight_unified": _q_highlight_unified,
         "agg_ip_range": _q_agg_ip_range,
         "geo_distance_query": _q_geo_distance_query,
@@ -2312,6 +2407,85 @@ def oracle_sql() -> dict[str, str]:
               unnest(string_split(d.text, ' ')) AS t(tok)
             WHERE regexp_full_match(t.tok, 'st.*m')
             ORDER BY doc_id
+        """,
+        "ids_query": """
+            SELECT doc_id FROM documents
+            WHERE doc_id IN (3, 7, 450, 999999999) ORDER BY doc_id
+        """,
+        "constant_score_query": """
+            SELECT DISTINCT doc_id, printf('%.4f', 1.5) AS score
+            FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok = 'hash' ORDER BY doc_id
+        """,
+        "simple_query_string": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents)),
+            phrase AS (
+              SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+              WHERE a.tok = 'hash' AND b.tok = 'join' AND b.p = a.p + 1),
+            pre AS (SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'str%'),
+            neg AS (SELECT DISTINCT doc_id FROM tok WHERE tok = 'batch')
+            SELECT doc_id FROM phrase
+            UNION
+            SELECT doc_id FROM pre WHERE doc_id NOT IN (SELECT doc_id FROM neg)
+            ORDER BY doc_id
+        """,
+        "distance_feature": """
+            WITH cand AS (
+              SELECT event_id, ts FROM events WHERE event_type = 'click'),
+            scored AS (
+              SELECT event_id,
+                     2.0 * 259200000.0 / (259200000.0 + CAST(abs(
+                       epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-15 00:00:00')
+                     ) AS DOUBLE)) AS score
+              FROM cand)
+            SELECT event_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, event_id)
+                        AS BIGINT) AS rank,
+                   printf('%.6f', score) AS score
+            FROM scored ORDER BY scored.score DESC, event_id LIMIT 10
+        """,
+        "script_score": """
+            WITH cand AS (
+              SELECT DISTINCT d.doc_id, d.n_chars FROM documents d,
+                unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok = 'hash'),
+            scored AS (
+              SELECT doc_id, ln(1.0 + CAST(n_chars AS DOUBLE)) AS score
+              FROM cand)
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   printf('%.4f', score) AS score
+            FROM scored ORDER BY scored.score DESC, doc_id LIMIT 10
+        """,
+        "span_multi_query": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.tok = 'hash' AND b.tok LIKE 'jo%'
+              AND (b.p - a.p) BETWEEN 1 AND 3
+            ORDER BY a.doc_id
+        """,
+        "field_masking_span": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.tok = 'hash' AND b.tok = 'join'
+              AND b.p = a.p + 1 AND b.p < 4
+            ORDER BY a.doc_id
         """,
         "span_or_query": """
             SELECT DISTINCT doc_id FROM documents d,

@@ -233,6 +233,12 @@ def _clause_spans(s: Searcher, clause, pos_of: Dict[str, np.ndarray]
         if not toks:
             return []
         return [(int(p), int(p)) for p in pos_of.get(toks[0], ())]
+    if "span_multi" in clause:
+        # SpanMultiTermQueryWrapper: width-1 spans at every position of any
+        # term the wrapped multi-term query expands to
+        ps = sorted({int(p) for t in _span_multi_terms(s, clause)
+                     for p in pos_of.get(t, ())})
+        return [(p, p) for p in ps]
     spec = clause["span_near"]
     q_toks = [t for term in spec["terms"] for t in s.analyzer.tokens(term)]
     slop = int(spec.get("slop", 0))
@@ -271,11 +277,122 @@ def _clause_spans(s: Searcher, clause, pos_of: Dict[str, np.ndarray]
     return sorted(set(spans))
 
 
+def _span_multi_terms(s: Searcher, clause) -> List[str]:
+    """Expand a {"span_multi": {"wildcard"|"prefix"|"regexp": pat}} clause
+    against the (prefix-pruned) terms dict — the MultiTermQuery rewrite the
+    reference applies inside SpanMultiTermQueryWrapper."""
+    spec = clause["span_multi"]
+    if "wildcard" in spec:
+        return s.expand_wildcard(spec["wildcard"])
+    if "prefix" in spec:
+        return s.expand_prefix(spec["prefix"])
+    if "regexp" in spec:
+        return expand_regexp(s, spec["regexp"])
+    raise ValueError(f"unsupported span_multi inner query: {sorted(spec)}")
+
+
 def _span_clause_terms(s: Searcher, clause) -> List[str]:
     if isinstance(clause, str):
         return s.analyzer.tokens(clause)
+    if "span_multi" in clause:
+        return _span_multi_terms(s, clause)
     return [t for term in clause["span_near"]["terms"]
             for t in s.analyzer.tokens(term)]
+
+
+def span_near_clauses_docs(s: Searcher, clauses: Sequence, slop: int = 0,
+                           in_order: bool = True) -> np.ndarray:
+    """span_near over generalized span clauses (term string, span_multi,
+    nested span_near — the _clause_spans forms): docs with one span per
+    clause packable into a window of (width - n_spans_positions) <= slop;
+    ordered requires strictly increasing non-overlapping spans
+    (SpanNearQueryBuilder with SpanMultiTermQueryWrapper sub-clauses)."""
+    per_clause = [_span_clause_terms(s, c) for c in clauses]
+    if not all(per_clause):
+        return np.empty(0, np.int64)
+    # candidates: docs containing >= 1 term of EVERY clause
+    cand: Optional[np.ndarray] = None
+    for terms in per_clause:
+        d = np.sort(s.bool_docs(should=list(dict.fromkeys(terms))))
+        cand = d if cand is None else np.intersect1d(cand, d,
+                                                     assume_unique=True)
+        if cand.size == 0:
+            return cand
+    all_terms = list(dict.fromkeys(t for ts in per_clause for t in ts))
+    pos = _positions_by_doc(s, all_terms, cand)
+    out = []
+    import itertools
+    for d in cand.tolist():
+        span_lists = [_clause_spans(s, c, pos[d]) for c in clauses]
+        if not all(span_lists):
+            continue
+        hit = False
+        if int(np.prod([len(sl) for sl in span_lists])) <= 4096:
+            for combo in itertools.product(*span_lists):
+                covered = sum(e - b + 1 for b, e in combo)
+                lo = min(b for b, _ in combo)
+                hi = max(e for _, e in combo)
+                if (hi - lo + 1) - covered > slop:
+                    continue
+                if in_order and any(combo[i + 1][0] <= combo[i][1]
+                                    for i in range(len(combo) - 1)):
+                    continue
+                # spans may not overlap even unordered (Lucene NearSpans)
+                ordered = sorted(combo)
+                if any(ordered[i + 1][0] <= ordered[i][1]
+                       for i in range(len(ordered) - 1)):
+                    continue
+                hit = True
+                break
+        if hit:
+            out.append(d)
+    return np.asarray(out, dtype=np.int64)
+
+
+def field_masking_span_docs(mfs, clauses: Sequence[tuple], slop: int = 0,
+                            in_order: bool = True) -> np.ndarray:
+    """field_masking_span (FieldMaskingSpanQueryBuilder): a span query whose
+    sub-clauses read positions from DIFFERENT fields of the same documents
+    but combine as if one field — legal because our multi-field sub-indexes
+    share global docids (multifield.py invariant). ``mfs`` is a
+    MultiFieldSearcher; ``clauses`` are (field, term) pairs; position
+    streams come from each clause's own field."""
+    import itertools
+    per = []  # (searcher, analyzed term) per clause
+    for field, term in clauses:
+        s = mfs.searchers[field]
+        toks = s.analyzer.tokens(term)
+        if not toks:
+            return np.empty(0, np.int64)
+        per.append((s, toks[0]))
+    cand: Optional[np.ndarray] = None
+    for s, t in per:
+        d = np.sort(s.term_docs(t))
+        cand = d if cand is None else np.intersect1d(cand, d,
+                                                     assume_unique=True)
+        if cand.size == 0:
+            return cand
+    pos_per_clause = [
+        _positions_by_doc(s, [t], cand) for s, t in per]
+    out = []
+    for d in cand.tolist():
+        lists = [pc_[d][t] for pc_, (s, t) in zip(pos_per_clause, per)]
+        if not all(l.size for l in lists):
+            continue
+        hit = False
+        if int(np.prod([l.size for l in lists])) <= 4096:
+            for combo in itertools.product(*[l.tolist() for l in lists]):
+                if len(set(combo)) < len(combo):
+                    continue
+                if in_order and any(combo[i + 1] <= combo[i]
+                                    for i in range(len(combo) - 1)):
+                    continue
+                if (max(combo) - min(combo) + 1) - len(combo) <= slop:
+                    hit = True
+                    break
+        if hit:
+            out.append(d)
+    return np.asarray(out, dtype=np.int64)
 
 
 def span_containing_docs(s: Searcher, big, little) -> np.ndarray:
@@ -307,6 +424,193 @@ def span_within_docs(s: Searcher, big, little) -> np.ndarray:
     as span_containing — the two differ only in WHICH query's spans are
     emitted for scoring, which doesn't change the matching doc set."""
     return span_containing_docs(s, big, little)
+
+
+# ----------------------------------------------------- more query types
+
+def ids_docs(s: Searcher, values: Sequence, id_field: str) -> np.ndarray:
+    """ids query (server/index/query/IdsQueryBuilder.java): docs whose
+    stored id is in the given set. The reference matches on _id; our custom
+    id lives in a doc-values column — one vectorized isin per segment."""
+    want = np.asarray(list(values))
+    parts: List[np.ndarray] = []
+    for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id):
+        vals = s.doc_values(seg.seg_id, id_field)
+        mask = np.isin(vals, want)
+        if mask.any():
+            parts.append(np.flatnonzero(mask).astype(np.int64)
+                         + s.doc_base(seg.seg_id))
+    return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
+def constant_score_docs(s: Searcher, filter_docs: np.ndarray,
+                        boost: float = 1.0):
+    """constant_score (ConstantScoreQueryBuilder.java): every filtered doc
+    scores exactly ``boost`` (ties broken by docid asc, like all hits)."""
+    d = np.sort(np.asarray(filter_docs, dtype=np.int64))
+    return d, np.full(d.size, float(boost), dtype=np.float64)
+
+
+def distance_feature_topk(s: Searcher, field: str, origin, pivot: float,
+                          cand: np.ndarray, k: int = 10, boost: float = 1.0):
+    """distance_feature (server/index/query/DistanceFeatureQueryBuilder.java):
+    score = boost * pivot / (pivot + |value - origin|) over candidate docs;
+    for date fields distance is in MILLISECONDS (the reference's unit).
+    Returns (docids, scores) of the top-k by (score desc, docid asc)."""
+    cand = np.asarray(cand, dtype=np.int64)
+    if cand.size == 0:
+        return cand, np.empty(0, np.float64)
+    seg_idx = np.searchsorted(s._bases, cand, side="right") - 1
+    dist = np.empty(cand.size, dtype=np.float64)
+    for si in np.unique(seg_idx):
+        seg_id = int(s._seg_ids[si])
+        base = int(s._bases[si])
+        m = seg_idx == si
+        vals = s.doc_values(seg_id, field)[cand[m] - base]
+        if vals.dtype.kind == "M":
+            v_ms = vals.astype("datetime64[ms]").astype(np.int64)
+            o_ms = np.datetime64(origin).astype("datetime64[ms]").astype(np.int64)
+            dist[m] = np.abs(v_ms - o_ms).astype(np.float64)
+        else:
+            dist[m] = np.abs(vals.astype(np.float64) - float(origin))
+    # (boost*pivot)/(pivot+dist) — keep this float64 op order; the SQL
+    # oracle's `boost * pivot / (pivot + d)` parses left-associatively
+    scores = (float(boost) * float(pivot)) / (float(pivot) + dist)
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]
+
+
+def script_score_topk(s: Searcher, cand: np.ndarray, script, k: int = 10):
+    """script_score (server/index/query/ScriptScoreQueryBuilder.java): the
+    wrapped query provides the doc set, the script the score. ``script`` is
+    a Python callable over a {field: numpy doc-values} dict (the Painless
+    analogue, vectorized over all candidates at once)."""
+    cand = np.asarray(cand, dtype=np.int64)
+    if cand.size == 0:
+        return cand, np.empty(0, np.float64)
+    seg_idx = np.searchsorted(s._bases, cand, side="right") - 1
+
+    class _DocValues:
+        def __init__(self, inner, pick):
+            self._inner, self._pick = inner, pick
+
+        def __getitem__(self, f):
+            return self._inner.doc_values(self._pick[0], f)[self._pick[1]]
+
+    scores = np.empty(cand.size, dtype=np.float64)
+    for si in np.unique(seg_idx):
+        seg_id = int(s._seg_ids[si])
+        base = int(s._bases[si])
+        m = seg_idx == si
+        scores[m] = np.asarray(
+            script(_DocValues(s, (seg_id, cand[m] - base))), dtype=np.float64)
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]
+
+
+# --------------------------------------------------- simple_query_string
+
+def _sqs_tokenize(q: str) -> List[str]:
+    """Lexer for the simple-query-string subset: ( ) + | - "..." term."""
+    out, i, n = [], 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in '()+|-':
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            j = n if j < 0 else j
+            out.append('"' + q[i + 1:j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()+|-"':
+                j += 1
+            out.append(q[i:j])
+            i = j
+    return out
+
+
+def simple_query_string_docs(s: Searcher, query: str,
+                             default_operator: str = "or") -> np.ndarray:
+    """simple_query_string (server/index/query/SimpleQueryStringBuilder.java
+    -> Lucene SimpleQueryParser), filter-context doc set. Supported syntax
+    (the conformance surface): bare terms joined by ``default_operator``,
+    explicit ``+`` (AND) / ``|`` (OR), ``-`` negation, ``"..."`` phrases,
+    trailing ``*`` prefix, ``( )`` grouping. Unlike query_string, malformed
+    input never raises — lenient parsing drops what it can't read."""
+    toks = _sqs_tokenize(query)
+    pos = 0
+    all_docs = None  # lazy: only a leading/lone negation needs the universe
+
+    def universe() -> np.ndarray:
+        nonlocal all_docs
+        if all_docs is None:
+            all_docs = s.bool_docs()  # match_all, segment-streamed
+        return all_docs
+
+    def leaf(tok: str) -> np.ndarray:
+        if tok.startswith('"'):
+            return np.sort(s.match_phrase(tok[1:]))
+        if tok.endswith('*') and len(tok) > 1:
+            # prefix leaf: analyzers don't run on prefixes (Lucene rewrites
+            # the raw lowercased prefix against the terms dict)
+            terms = s.expand_prefix(tok[:-1].lower())
+            return (np.sort(s.bool_docs(should=terms)) if terms
+                    else np.empty(0, np.int64))
+        ts = s.analyzer.tokens(tok)
+        if not ts:
+            return np.empty(0, np.int64)
+        return np.sort(s.bool_docs(must=ts))
+
+    def parse_clause():
+        nonlocal pos
+        neg = False
+        while pos < len(toks) and toks[pos] == '-':
+            neg = not neg
+            pos += 1
+        if pos >= len(toks):
+            return np.empty(0, np.int64), neg
+        t = toks[pos]
+        if t == '(':
+            pos += 1
+            d = parse_expr()
+            if pos < len(toks) and toks[pos] == ')':
+                pos += 1
+            return d, neg
+        if t in ')+|':  # stray operator: lenient skip
+            pos += 1
+            return parse_clause()
+        pos += 1
+        return leaf(t), neg
+
+    def parse_expr() -> np.ndarray:
+        nonlocal pos
+        acc, acc_neg = parse_clause()
+        if acc_neg:
+            acc = np.setdiff1d(universe(), acc, assume_unique=True)
+        while pos < len(toks) and toks[pos] != ')':
+            op = default_operator
+            if toks[pos] == '+':
+                op, pos = "and", pos + 1
+            elif toks[pos] == '|':
+                op, pos = "or", pos + 1
+            if pos >= len(toks) or toks[pos] == ')':
+                break
+            d, neg = parse_clause()
+            if op == "and":
+                acc = (np.setdiff1d(acc, d, assume_unique=True) if neg
+                       else np.intersect1d(acc, d, assume_unique=True))
+            else:
+                if neg:
+                    d = np.setdiff1d(universe(), d, assume_unique=True)
+                acc = np.union1d(acc, d)
+        return acc
+
+    return parse_expr()
 
 
 # -------------------------------------------------------------- intervals

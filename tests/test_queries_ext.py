@@ -202,6 +202,124 @@ def test_vocab_prefix_pruned_reads(tmp_path):
     assert not hasattr(s, "_vocab_tbl")
 
 
+def test_ids_and_constant_score(s):
+    from opensearch_ray.search.queries import constant_score_docs, ids_docs
+    got = ids_docs(s, [0, 2, 5, 10**9], "conv_id")  # string col: no hits
+    assert got.size == 0
+    got = ids_docs(s, [1, 3, 10**9], "turn_idx")
+    vals = np.concatenate([
+        s.doc_values(seg.seg_id, "turn_idx")
+        for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id)])
+    assert got.tolist() == np.flatnonzero(np.isin(vals, [1, 3])).tolist()
+    d, sc = constant_score_docs(s, s.term_docs("bace"), boost=2.5)
+    assert d.tolist() == sorted(s.term_docs("bace").tolist())
+    assert (sc == 2.5).all()
+
+
+def test_simple_query_string(s, analyzed):
+    from opensearch_ray.search.queries import simple_query_string_docs
+
+    def docs_with(pred):
+        return {d for d, (toks, _) in analyzed.items() if pred(toks)}
+
+    got = simple_query_string_docs(s, "bace cedi")  # default OR
+    assert set(got.tolist()) == docs_with(lambda t: "bace" in t or "cedi" in t)
+    got = simple_query_string_docs(s, "bace + cedi")
+    assert set(got.tolist()) == docs_with(lambda t: "bace" in t and "cedi" in t)
+    got = simple_query_string_docs(s, "bace + -cedi")
+    assert set(got.tolist()) == docs_with(
+        lambda t: "bace" in t and "cedi" not in t)
+    got = simple_query_string_docs(s, "bace + (cedi | difo)")
+    assert set(got.tolist()) == docs_with(
+        lambda t: "bace" in t and ("cedi" in t or "difo" in t))
+    # phrase + prefix leaves
+    got = simple_query_string_docs(s, '"bace cedi" | fl*')
+    phrase = set(s.match_phrase("bace cedi").tolist())
+    pre = docs_with(lambda t: any(x.startswith("fl") for x in t))
+    assert set(got.tolist()) == phrase | pre
+    # lenient: stray operators never raise
+    assert simple_query_string_docs(s, ") | + (").size == 0
+
+
+def test_script_score(s):
+    from opensearch_ray.search.queries import script_score_topk
+    cand = s.term_docs("bace")
+    docs, scores = script_score_topk(
+        s, cand, lambda dv: dv["turn_idx"].astype(np.float64), k=5)
+    assert len(docs) == min(5, cand.size)
+    assert (np.diff(scores) <= 0).all()
+    # ties broken by docid asc
+    eq = scores[:-1] == scores[1:]
+    assert (np.diff(docs)[eq] > 0).all()
+
+
+def test_distance_feature(tmp_path):
+    from opensearch_ray.index.build import build_index
+    from opensearch_ray.search.queries import distance_feature_topk
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    ts = pa.array(np.arange(10) * np.timedelta64(1, "D")
+                  + np.datetime64("2024-01-01T00:00:00", "us"))
+    tbl = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                    "text": pa.array(["click"] * 10), "ts": ts})
+    pq.write_table(tbl, str(corpus / "part-0.parquet"))
+    m = build_index(str(corpus), str(tmp_path / "idx"), analyzer="standard",
+                    text_col="text", sort_cols=("doc_id",), num_buckets=2)
+    s2 = Searcher(m.index_dir)
+    pivot = 2 * 24 * 3600 * 1000.0  # 2 days in ms
+    docs, scores = distance_feature_topk(
+        s2, "ts", "2024-01-05T00:00:00", pivot, s2.term_docs("click"), k=3)
+    # doc 4 is the origin (score = boost), docs 3/5 tie at 1 day; docid asc
+    assert docs.tolist() == [4, 3, 5]
+    assert scores[0] == 1.0 and scores[1] == scores[2] == pytest.approx(2 / 3)
+
+
+@pytest.mark.parametrize("use_positions", [False, True])
+def test_span_multi_in_near(s, pos_index, analyzed, use_positions):
+    from opensearch_ray.search.queries import span_near_clauses_docs
+    eng = Searcher(pos_index.index_dir) if use_positions else s
+    got = span_near_clauses_docs(
+        eng, ["bace", {"span_multi": {"prefix": "ce"}}], slop=2,
+        in_order=True)
+    want = []
+    for d, (toks, poss) in analyzed.items():
+        p1 = [p for t, p in zip(toks, poss) if t == "bace"]
+        p2 = [p for t, p in zip(toks, poss) if t.startswith("ce")]
+        if any(b > a and b - a - 1 <= 2 for a in p1 for b in p2):
+            want.append(d)
+    assert sorted(got.tolist()) == sorted(want)
+
+
+def test_field_masking_span(tmp_path):
+    from opensearch_ray.search import MultiFieldSearcher
+    from opensearch_ray.search import build_multi_field_index
+    from opensearch_ray.search.queries import field_masking_span_docs
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    # stem field = body with 'running'->'run' (the masked-subfield pattern)
+    body = ["running fast hash", "hash running", "walk slow", "running hash"]
+    stem = [b.replace("running", "run") for b in body]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "body": pa.array(body), "stem": pa.array(stem)})
+    pq.write_table(tbl, str(corpus / "d.parquet"))
+    build_multi_field_index(str(corpus / "d.parquet"), str(tmp_path / "mf"),
+                            fields=["body", "stem"], analyzer="standard",
+                            sort_cols=("doc_id",), num_buckets=2)
+    mfs = MultiFieldSearcher(str(tmp_path / "mf"))
+    # stem-field 'run' immediately before body-field 'hash': doc3 only
+    # (doc0 has a 1-token gap, doc1 has them reversed)
+    got = field_masking_span_docs(
+        mfs, [("stem", "run"), ("body", "hash")], slop=0, in_order=True)
+    assert got.tolist() == [3]
+    got = field_masking_span_docs(
+        mfs, [("stem", "run"), ("body", "hash")], slop=1, in_order=True)
+    assert got.tolist() == [0, 3]
+    # unordered with slop 1 admits the reversed doc1 too
+    got = field_masking_span_docs(
+        mfs, [("stem", "run"), ("body", "hash")], slop=1, in_order=False)
+    assert got.tolist() == [0, 1, 3]
+
+
 @pytest.mark.parametrize("use_positions", [False, True])
 def test_span_containing_within(s, pos_index, analyzed, use_positions):
     from opensearch_ray.search.queries import (span_containing_docs,
