@@ -835,6 +835,48 @@ def _q_agg_serial_diff(sf_dir):
     return out[["month", "sdiff"]]
 
 
+def _q_agg_percentiles_bucket(sf_dir):
+    """percentiles_bucket over the monthly order histogram (nearest-rank,
+    ref: pipeline/PercentilesBucketPipelineAggregator.java:92)."""
+    from opensearch_ray.aggs import date_histogram_agg, percentiles_bucket
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    res = percentiles_bucket(out, "doc_count",
+                             percents=[1.0, 25.0, 50.0, 75.0, 99.0])
+    res["percent"] = _fmt(res["percent"], 1)
+    res["value"] = _fmt(res["value"], 4)
+    return res
+
+
+def _q_agg_extended_stats_bucket(sf_dir):
+    from opensearch_ray.aggs import date_histogram_agg, extended_stats_bucket
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    st = extended_stats_bucket(out, "doc_count")
+    return pd.DataFrame({
+        "count": [np.int64(st["count"])],
+        "min": _fmt([st["min"]], 1), "max": _fmt([st["max"]], 1),
+        "sum": _fmt([st["sum"]], 1), "avg": _fmt([st["avg"]], 4),
+        "sum_of_squares": _fmt([st["sum_of_squares"]], 1),
+        "variance": _fmt([st["variance"]], 4),
+        "std_deviation": _fmt([st["std_deviation"]], 4),
+    })
+
+
+def _q_agg_max_bucket(sf_dir):
+    """max_bucket: extreme sibling value + ALL tied bucket keys
+    (ref: pipeline/InternalBucketMetricValue.java keeps String[] keys)."""
+    from opensearch_ray.aggs import date_histogram_agg, max_bucket
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    r = max_bucket(out, "doc_count", key_col="month")
+    return pd.DataFrame({
+        "keys": [",".join(sorted(r["keys"]))],
+        "value": _fmt([r["value"]], 1),
+    })
+
+
 def _q_agg_rare_terms(sf_dir):
     import pyarrow.parquet as pq
     idx = _doc_index(sf_dir)
@@ -1612,6 +1654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rare_terms": _q_agg_rare_terms,
         "agg_filters": _q_agg_filters,
         "agg_bucket_selector": _q_agg_bucket_selector,
+        "agg_percentiles_bucket": _q_agg_percentiles_bucket,
+        "agg_extended_stats_bucket": _q_agg_extended_stats_bucket,
+        "agg_max_bucket": _q_agg_max_bucket,
         "multi_match": _q_multi_match,
         "dis_max_query": _q_dis_max,
         "boosting_query": _q_boosting,
@@ -2126,6 +2171,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT month, doc_count FROM m
             WHERE doc_count > (SELECT avg(doc_count) FROM m)
             ORDER BY month
+        """,
+        "agg_percentiles_bucket": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1),
+            arr AS (SELECT list(doc_count ORDER BY doc_count) AS a,
+                           count(*) AS n FROM m),
+            p AS (SELECT unnest([1.0, 25.0, 50.0, 75.0, 99.0]) AS percent)
+            SELECT printf('%.1f', percent) AS percent,
+                   printf('%.4f', CAST(a[CAST(floor(percent/100.0*(n-1)+0.5)
+                                              AS BIGINT) + 1] AS DOUBLE)) AS value
+            FROM p, arr ORDER BY CAST(percent AS DOUBLE)
+        """,
+        "agg_extended_stats_bucket": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS count,
+                   printf('%.1f', CAST(min(doc_count) AS DOUBLE)) AS min,
+                   printf('%.1f', CAST(max(doc_count) AS DOUBLE)) AS max,
+                   printf('%.1f', CAST(sum(doc_count) AS DOUBLE)) AS sum,
+                   printf('%.4f', avg(CAST(doc_count AS DOUBLE))) AS avg,
+                   printf('%.1f', sum(CAST(doc_count AS DOUBLE) * doc_count))
+                     AS sum_of_squares,
+                   printf('%.4f', sum(CAST(doc_count AS DOUBLE) * doc_count)
+                          / count(*) - avg(CAST(doc_count AS DOUBLE))
+                          * avg(CAST(doc_count AS DOUBLE))) AS variance,
+                   printf('%.4f', sqrt(sum(CAST(doc_count AS DOUBLE) * doc_count)
+                          / count(*) - avg(CAST(doc_count AS DOUBLE))
+                          * avg(CAST(doc_count AS DOUBLE)))) AS std_deviation
+            FROM m
+        """,
+        "agg_max_bucket": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1)
+            SELECT string_agg(month, ',' ORDER BY month) AS keys,
+                   printf('%.1f', CAST(max(doc_count) AS DOUBLE)) AS value
+            FROM m WHERE doc_count = (SELECT max(doc_count) FROM m)
         """,
         "multi_match": _multi_match_sql(),
         "multi_index_union": _multi_index_sql(),

@@ -27,6 +27,8 @@ from .geo import geo_distance_agg, geo_centroid_agg
 from .pipeline import (
     cumulative_sum, derivative, moving_fn, serial_diff,
     bucket_script, bucket_selector, bucket_sort, stats_bucket,
+    extended_stats_bucket, percentiles_bucket,
+    max_bucket, min_bucket, avg_bucket, sum_bucket,
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]

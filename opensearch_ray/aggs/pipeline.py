@@ -73,3 +73,72 @@ def stats_bucket(buckets: pd.DataFrame, metric: str) -> Dict[str, float]:
         "count": int(v.count()), "min": float(v.min()), "max": float(v.max()),
         "sum": float(v.sum()), "avg": float(v.mean()),
     }
+
+
+def extended_stats_bucket(buckets: pd.DataFrame, metric: str,
+                          sigma: float = 2.0) -> Dict[str, float]:
+    """extended_stats_bucket (ref: pipeline/ExtendedStatsBucketPipelineAggregator.java):
+    stats_bucket plus sum_of_squares, POPULATION variance/std_deviation and
+    avg +/- sigma*std bounds, matching InternalExtendedStats math."""
+    v = buckets[metric].astype(float).to_numpy()
+    n = len(v)
+    s = float(v.sum())
+    ss = float(np.dot(v, v))
+    avg = s / n if n else float("nan")
+    var = max(ss / n - avg * avg, 0.0) if n else float("nan")
+    std = float(np.sqrt(var))
+    return {
+        "count": n, "min": float(v.min()) if n else float("nan"),
+        "max": float(v.max()) if n else float("nan"), "sum": s, "avg": avg,
+        "sum_of_squares": ss, "variance": var, "std_deviation": std,
+        "std_deviation_bounds_upper": avg + sigma * std,
+        "std_deviation_bounds_lower": avg - sigma * std,
+    }
+
+
+def percentiles_bucket(buckets: pd.DataFrame, metric: str,
+                       percents: List[float] = (1.0, 5.0, 25.0, 50.0,
+                                                75.0, 95.0, 99.0)) -> pd.DataFrame:
+    """percentiles_bucket (ref: pipeline/PercentilesBucketPipelineAggregator.java:83-93):
+    sort the sibling-bucket metric values, then nearest-rank selection
+    index = round(p/100 * (n-1)) — NOT interpolated like t-digest."""
+    data = np.sort(buckets[metric].astype(float).to_numpy())
+    n = len(data)
+    vals = []
+    for p in percents:
+        if n == 0:
+            vals.append(float("nan"))
+        else:
+            # Java Math.round = floor(x + 0.5)
+            idx = int(np.floor((p / 100.0) * (n - 1) + 0.5))
+            vals.append(float(data[idx]))
+    return pd.DataFrame({"percent": list(percents), "value": vals})
+
+
+def _extreme_bucket(buckets: pd.DataFrame, metric: str, key_col: str,
+                    take_max: bool) -> Dict[str, object]:
+    """min_bucket / max_bucket: extreme value plus the key LIST of every
+    sibling bucket attaining it (ref: pipeline/InternalBucketMetricValue.java
+    keeps String[] keys of all ties)."""
+    v = buckets[metric].astype(float)
+    if len(v) == 0:
+        return {"value": float("nan"), "keys": []}
+    ext = float(v.max() if take_max else v.min())
+    keys = [str(k) for k in buckets.loc[v == ext, key_col]]
+    return {"value": ext, "keys": keys}
+
+
+def max_bucket(buckets: pd.DataFrame, metric: str, key_col: str = "key"):
+    return _extreme_bucket(buckets, metric, key_col, True)
+
+
+def min_bucket(buckets: pd.DataFrame, metric: str, key_col: str = "key"):
+    return _extreme_bucket(buckets, metric, key_col, False)
+
+
+def avg_bucket(buckets: pd.DataFrame, metric: str) -> float:
+    return float(buckets[metric].astype(float).mean())
+
+
+def sum_bucket(buckets: pd.DataFrame, metric: str) -> float:
+    return float(buckets[metric].astype(float).sum())

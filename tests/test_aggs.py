@@ -319,3 +319,23 @@ def test_hdr_percentiles_and_ranks(li, li_pdf):
     assert tr["rank_10"].iloc[0] <= tr["rank_25"].iloc[0] <= tr["rank_40"].iloc[0]
     exact = 100.0 * (x <= 25).sum() / n
     assert abs(tr["rank_25"].iloc[0] - exact) < 5.0
+
+
+def test_bucket_family_pipeline_aggs():
+    from opensearch_ray.aggs import (avg_bucket, sum_bucket, min_bucket,
+                                     max_bucket, extended_stats_bucket,
+                                     percentiles_bucket)
+    b = pd.DataFrame({"key": ["a", "b", "c", "d"],
+                      "doc_count": [4, 9, 2, 9]})
+    assert avg_bucket(b, "doc_count") == 6.0
+    assert sum_bucket(b, "doc_count") == 24.0
+    mx = max_bucket(b, "doc_count", key_col="key")
+    assert mx["value"] == 9.0 and mx["keys"] == ["b", "d"]  # ALL ties kept
+    mn = min_bucket(b, "doc_count", key_col="key")
+    assert mn["value"] == 2.0 and mn["keys"] == ["c"]
+    st = extended_stats_bucket(b, "doc_count")
+    assert st["count"] == 4 and st["sum_of_squares"] == 182.0
+    assert abs(st["variance"] - (182.0 / 4 - 36.0)) < 1e-12
+    # nearest-rank: round(p/100*(n-1)) over sorted [2,4,9,9]
+    p = percentiles_bucket(b, "doc_count", percents=[0.0, 50.0, 100.0])
+    assert list(p["value"]) == [2.0, 9.0, 9.0]  # round(0.5*3)=round(1.5)=2
