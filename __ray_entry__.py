@@ -180,6 +180,84 @@ def _bm25_sql(body: str, query_terms=None) -> str:
             .replace("{QTERMS}", qvals) + body)
 
 
+def _sayt_sql() -> str:
+    """DuckDB oracle for multi_match bool_prefix 'hash join qu' over a
+    search_as_you_type field (base analyzer = standard, max_shingle_size=3).
+
+    Per-field clause sum (BOOL_PREFIX tie_breaker=1.0):
+      root:  BM25('hash') + BM25('join')        + prefix 'qu'
+      2gram: BM25('hash join')                  + prefix 'join qu'
+      3gram: (no complete shingles)             + prefix 'hash join qu'
+    Prefix clauses are TermQueries on ._index_prefix (omitNorms =>
+    idf * (k1+1) * tf/(tf+k1), no length norm); its token stream is the
+    trailing-padded 3-shingle strings, so tf(prefix) = #positions whose
+    padded shingle starts with the prefix."""
+    NORMS = _norm_values_sql()
+
+    def field_bm25(fid, stream, terms):
+        tlist = ",".join(f"'{t}'" for t in terms)
+        return f"""
+dl{fid} AS (SELECT doc_id, count(*) AS dl FROM {stream} GROUP BY doc_id),
+avg{fid} AS (SELECT (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl{fid})
+                    / c.n AS avgdl FROM consts c),
+dlq{fid} AS (SELECT doc_id, (SELECT max(v) FROM norm_vals WHERE v <= dl)
+                    AS dlq FROM dl{fid}),
+df{fid} AS (SELECT tok, count(DISTINCT doc_id) AS df FROM {stream}
+            WHERE tok IN ({tlist}) GROUP BY tok),
+tf{fid} AS (SELECT tok, doc_id, count(*) AS tf FROM {stream}
+            WHERE tok IN ({tlist}) GROUP BY tok, doc_id),
+sc{fid} AS (SELECT tf{fid}.doc_id,
+                   sum(ln(1 + (c.n - df{fid}.df + 0.5) / (df{fid}.df + 0.5))
+                       * 2.2 * tf{fid}.tf
+                       / (tf{fid}.tf + 1.2 * (1 - 0.75 + 0.75 * dlq{fid}.dlq
+                                              / a.avgdl))) AS score
+            FROM tf{fid} JOIN df{fid} USING (tok)
+            JOIN dlq{fid} ON dlq{fid}.doc_id = tf{fid}.doc_id
+            CROSS JOIN consts c CROSS JOIN avg{fid} a
+            GROUP BY tf{fid}.doc_id)"""
+
+    def prefix_clause(pid, value):
+        return f"""
+p{pid} AS (SELECT doc_id, count(*) AS tf FROM pf
+           WHERE starts_with(s, '{value}') GROUP BY doc_id),
+dfp{pid} AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM p{pid}),
+scp{pid} AS (SELECT doc_id, ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                    * 2.2 * tf / (tf + 1.2) AS score
+             FROM p{pid} CROSS JOIN dfp{pid} d CROSS JOIN consts c)"""
+
+    return f"""
+WITH norm_vals(v) AS (VALUES {NORMS}),
+base AS (SELECT doc_id, text FROM documents),
+consts AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM base) AS n),
+tok AS (SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+  SELECT doc_id, unnest(list_transform(
+           list_filter(string_split(text, ' '), x -> x <> ''),
+           (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+  FROM base)),
+tok2 AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS tok, p FROM tok
+         WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+         QUALIFY lead(tok, 1) OVER w IS NOT NULL),
+pf AS (SELECT doc_id,
+              tok || ' ' || coalesce(lead(tok, 1) OVER w, '') || ' ' ||
+              coalesce(lead(tok, 2) OVER w, '') AS s
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+{field_bm25(1, 'tok', ['hash', 'join'])},
+{field_bm25(2, 'tok2', ['hash join'])},
+{prefix_clause(1, 'qu')},
+{prefix_clause(2, 'join qu')},
+{prefix_clause(3, 'hash join qu')},
+clauses AS (
+  SELECT doc_id, score FROM sc1 UNION ALL
+  SELECT doc_id, score FROM sc2 UNION ALL
+  SELECT doc_id, score FROM scp1 UNION ALL
+  SELECT doc_id, score FROM scp2 UNION ALL
+  SELECT doc_id, score FROM scp3),
+tot AS (SELECT doc_id, sum(score) AS score FROM clauses GROUP BY doc_id)
+SELECT doc_id, printf('%.4f', score) AS score
+FROM tot ORDER BY tot.score DESC, doc_id LIMIT 10
+"""
+
+
 def _multi_match_sql() -> str:
     """DuckDB oracle for multi_match best_fields over title^2/body: per-field
     BM25 (own dl/avgdl/df per field, shared N and norm table), dis_max
@@ -833,6 +911,34 @@ def _q_agg_serial_diff(sf_dir):
     out = out.dropna(subset=["sdiff"])
     out["sdiff"] = out["sdiff"].astype(np.int64)
     return out[["month", "sdiff"]]
+
+
+def _sayt_index(sf_dir: str) -> str:
+    """search_as_you_type layout over documents.text (root + 2gram + 3gram +
+    edge-ngram prefix sub-indexes, aligned docids)."""
+    from opensearch_ray.search.sayt import build_sayt_index
+    from opensearch_ray import __version__
+    key = hashlib.md5(f"{sf_dir}:{__version__}:sayt1".encode()).hexdigest()[:10]
+    idx = f"/tmp/osray_sayt_{key}"
+    if not os.path.exists(os.path.join(idx, "sayt.json")):
+        build_sayt_index(os.path.join(sf_dir, "documents.parquet"), idx,
+                         field="text", base_analyzer="standard",
+                         max_shingle_size=3, sort_cols=("doc_id",),
+                         num_buckets=4)
+    return idx
+
+
+def _q_search_as_you_type(sf_dir):
+    """multi_match type=bool_prefix over a search_as_you_type field
+    (ref SearchAsYouTypeFieldMapper.java; tie_breaker=1.0 => field-score sum;
+    last term resolved as a TermQuery on ._index_prefix, omitNorms BM25)."""
+    from opensearch_ray.search.sayt import SaytSearcher
+    s = SaytSearcher(_sayt_index(sf_dir), dtype=np.float64)
+    hits = s.query("hash join qu", k=10)
+    return pd.DataFrame({
+        "doc_id": np.array([h.docid for h in hits], np.int64),
+        "score": _fmt([h.score for h in hits], 4),
+    })
 
 
 def _q_agg_percentiles_bucket(sf_dir):
@@ -1654,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rare_terms": _q_agg_rare_terms,
         "agg_filters": _q_agg_filters,
         "agg_bucket_selector": _q_agg_bucket_selector,
+        "search_as_you_type": _q_search_as_you_type,
         "agg_percentiles_bucket": _q_agg_percentiles_bucket,
         "agg_extended_stats_bucket": _q_agg_extended_stats_bucket,
         "agg_max_bucket": _q_agg_max_bucket,
@@ -2172,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_count > (SELECT avg(doc_count) FROM m)
             ORDER BY month
         """,
+        "search_as_you_type": _sayt_sql(),
         "agg_percentiles_bucket": """
             WITH m AS (
               SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,

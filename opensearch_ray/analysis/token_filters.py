@@ -303,12 +303,19 @@ def make_ngram_filter(min_gram: int = 1, max_gram: int = 2) -> TokenFilter:
     return filt
 
 
-def make_edge_ngram_filter(min_gram: int = 1, max_gram: int = 2) -> TokenFilter:
+def make_edge_ngram_filter(min_gram: int = 1, max_gram: int = 2,
+                           preserve_original: bool = False) -> TokenFilter:
+    """``edge_ngram`` filter; ``preserve_original`` additionally emits tokens
+    LONGER than max_gram unchanged (Lucene EdgeNGramTokenFilter's
+    preserveOriginal flag, used by search_as_you_type's prefix subfield)."""
     def filt(tokens: List[str], positions: List[int]) -> TokenStream:
         out_t, out_p = [], []
         for t, p in zip(tokens, positions):
             for g in range(min_gram, min(max_gram, len(t)) + 1):
                 out_t.append(t[:g])
+                out_p.append(p)
+            if preserve_original and len(t) > max_gram:
+                out_t.append(t)
                 out_p.append(p)
         return out_t, out_p
     return filt

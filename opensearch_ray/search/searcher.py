@@ -48,11 +48,14 @@ class Searcher:
     a query-executor actor). Caches norms + term stats per segment."""
 
     def __init__(self, index_dir: str, params: BM25Params = BM25Params(),
-                 dtype=np.float32):
+                 dtype=np.float32, analyzer=None):
         self.manifest: IndexManifest = load_manifest(index_dir)
         self.params = params
         self.dtype = dtype  # float32 = Lucene-identical; float64 = SQL-oracle
-        self.analyzer = get_analyzer(self.manifest.analyzer)
+        # ``analyzer`` overrides the manifest name for indexes built with an
+        # unregistered (derived) analyzer, e.g. search_as_you_type subfields
+        self.analyzer = (get_analyzer(analyzer) if analyzer is not None
+                         else get_analyzer(self.manifest.analyzer))
         self.N = self.manifest.total_docs
         self.avgdl = self.manifest.avgdl
         self.norm_cache = (make_norm_cache(self.avgdl, params, dtype)
@@ -280,7 +283,8 @@ class Searcher:
 
     def search(self, query_text: str, k: int = 10, operator: str = "or",
                filters: Optional[Dict[str, object]] = None,
-               allowed_segs: Optional[set] = None) -> List[SearchHit]:
+               allowed_segs: Optional[set] = None,
+               terms: Optional[Sequence[str]] = None) -> List[SearchHit]:
         """Match-query semantics: analyze text, OR (default, ref
         MatchQueryBuilder.java:88) or AND over terms, BM25-scored top-k.
 
@@ -292,10 +296,15 @@ class Searcher:
         ``allowed_segs``: restrict collection to these segment ids
         (terminate_after's segment-prefix early termination). Applied AFTER
         postings retrieval, so neither merged bucket files spanning all
-        segments nor a pre-warmed postings cache can leak extra segments."""
+        segments nor a pre-warmed postings cache can leak extra segments.
+
+        ``terms``: pre-analyzed terms bypassing the index analyzer (the
+        TermQuery-list entry point; search_as_you_type scores explicit
+        shingle terms this way)."""
         if k <= 0:
             return []
-        terms = self.analyzer.tokens(query_text)
+        terms = (list(terms) if terms is not None
+                 else self.analyzer.tokens(query_text))
         if not terms or not self.N:
             return []  # zero_terms_query=NONE default (MatchQuery.java:176)
         mult = Counter(terms)  # duplicate query terms => boosted clause
@@ -746,6 +755,24 @@ class Searcher:
         if not parts:
             return np.empty(0, np.int64)
         return np.sort(np.concatenate(parts))
+
+    def term_postings(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
+        """(ascending global docids, term frequencies) for one term — the
+        TermQuery scoring primitive (search_as_you_type's prefix-subfield
+        term query reads tf through this)."""
+        post = self.postings([term]).get(term)
+        d_out, t_out = [], []
+        if post is not None and post.num_rows:
+            for row in post.to_pylist():
+                docids, tfs = self._decode_chunk_rows(row)
+                d_out.append(docids + self.doc_base(int(row["seg_id"])))
+                t_out.append(tfs)
+        if not d_out:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        d = np.concatenate(d_out)
+        t = np.concatenate(t_out)
+        order = np.argsort(d, kind="stable")
+        return d[order], t[order]
 
     def _term_docs_by_seg(self, terms: Sequence[str]
                           ) -> Dict[str, Dict[int, np.ndarray]]:

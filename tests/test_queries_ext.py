@@ -346,3 +346,88 @@ def test_span_containing_within(s, pos_index, analyzed, use_positions):
             want.append(d)
     assert sorted(got.tolist()) == sorted(want)
     assert (span_within_docs(eng, big, "difo").tolist() == got.tolist())
+
+
+# ------------------------------------------------------- search_as_you_type
+
+def test_search_as_you_type(tmp_path):
+    """Layout + scoring parity vs a brute-force model of the reference's
+    multi_match bool_prefix (SearchAsYouTypeFieldMapper defaults)."""
+    import math
+    from opensearch_ray.index.norms import NORM_LENGTH_TABLE
+    from opensearch_ray.search.sayt import (SaytSearcher, build_sayt_index,
+                                            query_shingles, sayt_analyzers)
+
+    texts = ["the quick brown fox jumps", "quick brown foxtrot",
+             "brown fog quick", "fox", "slow green turtle quick brown",
+             "quick quick brown"]
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(pa.table({"doc_id": list(range(len(texts))),
+                             "text": texts}), str(corpus / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    build_sayt_index(str(corpus), idx, field="text",
+                     base_analyzer="standard", sort_cols=("doc_id",),
+                     num_buckets=2)
+    s = SaytSearcher(idx, dtype=np.float64)
+
+    # prefix analyzer emits trailing-padded shingles ("fox  " for a final
+    # token), so single-word prefixes resolve in the prefix sub-index
+    ptoks = sayt_analyzers("standard")["prefix"]
+    assert "fox  " in ptoks.tokens("fox")
+    assert query_shingles(["a", "b", "c"], 2) == ["a b", "b c"]
+
+    # brute-force clause-sum model
+    def norm_len(dl):
+        return int(NORM_LENGTH_TABLE[np.searchsorted(
+            np.sort(NORM_LENGTH_TABLE), dl, side="right") - 1]) if dl else 0
+
+    toks = [t.split() for t in texts]
+    N, k1, b = len(texts), 1.2, 0.75
+
+    def bm25_field(streams, terms):
+        dls = [len(x) for x in streams]
+        avgdl = sum(dls) / N
+        qn = [NORM_LENGTH_TABLE[np.searchsorted(np.sort(NORM_LENGTH_TABLE),
+              d, side="right") - 1] if d else 0 for d in dls]
+        out = np.zeros(N)
+        for t in terms:
+            df = sum(1 for x in streams if t in x)
+            if not df:
+                continue
+            idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+            for d, x in enumerate(streams):
+                tf = x.count(t)
+                if tf:
+                    out[d] += idf * (k1 + 1) * tf / (
+                        tf + k1 * (1 - b + b * qn[d] / avgdl))
+        return out
+
+    def padded_shingles(x, n=3):
+        return [" ".join((x[i:i + n] + [""] * n)[:n])
+                for i in range(len(x))]
+
+    def prefix_clause(value):
+        pf = [padded_shingles(x) for x in toks]
+        tfs = np.array([sum(1 for sh in x if sh.startswith(value))
+                        for x in pf], float)
+        df = int((tfs > 0).sum())
+        out = np.zeros(N)
+        if df:
+            idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+            nz = tfs > 0
+            out[nz] = idf * (k1 + 1) * tfs[nz] / (tfs[nz] + k1)
+        return out
+
+    q = ["quick", "brown", "f"]
+    expect = (bm25_field(toks, q[:-1]) + prefix_clause("f")
+              + bm25_field([query_shingles(x, 2) for x in toks],
+                           ["quick brown"]) + prefix_clause("brown f")
+              + prefix_clause("quick brown f"))
+    hits = s.query("quick brown f", k=6)
+    got = {h.docid: h.score for h in hits}
+    for d in range(N):
+        if expect[d] > 0:
+            assert abs(got[d] - expect[d]) < 1e-9, (d, got.get(d), expect[d])
+    order = sorted(range(N), key=lambda d: (-expect[d], d))
+    assert [h.docid for h in hits] == [d for d in order if expect[d] > 0]
