@@ -1453,6 +1453,20 @@ def _q_geo_bounding_box(sf_dir):
     return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
 
 
+def _q_agg_geotile_grid(sf_dir):
+    """geotile_grid z=4 over derived coordinates, top 20 cells."""
+    from opensearch_ray.aggs.geo import geotile_grid_agg
+    return geotile_grid_agg(_geo_events(sf_dir), "lat", "lon",
+                            precision=4, size=20)
+
+
+def _q_agg_geohash_grid(sf_dir):
+    """geohash_grid precision=2 over derived coordinates, top 15 cells."""
+    from opensearch_ray.aggs.geo import geohash_grid_agg
+    return geohash_grid_agg(_geo_events(sf_dir), "lat", "lon",
+                            precision=2, size=15)
+
+
 def _q_span_near(sf_dir):
     """span_near in_order: 'hash' then 'stream' with <=3 intervening."""
     s = _searcher(sf_dir)
@@ -1779,6 +1793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _q_percolate,
         "agg_geo_distance": _q_agg_geo_distance,
         "agg_geo_centroid": _q_agg_geo_centroid,
+        "agg_geotile_grid": _q_agg_geotile_grid,
+        "agg_geohash_grid": _q_agg_geohash_grid,
         "span_near_query": _q_span_near,
         "span_near_unordered": _q_span_near_unordered,
         "span_or_query": _q_span_or,
@@ -2521,6 +2537,46 @@ def oracle_sql() -> dict[str, str]:
                      AS lon,
                    count(*) AS count
             FROM events
+        """,
+        "agg_geotile_grid": """
+            WITH pts AS (
+              SELECT (user_id % 180) - 89.5 AS lat,
+                     (event_id % 360) - 179.5 AS lon
+              FROM events),
+            xy AS (
+              SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 16)
+                                         AS BIGINT), 0), 15) AS x,
+                     least(greatest(CAST(floor(
+                       (0.5 - ln((1.0 + sin(radians(lat)))
+                                 / (1.0 - sin(radians(lat)))) / (4.0 * pi()))
+                       * 16) AS BIGINT), 0), 15) AS y
+              FROM pts)
+            SELECT '4/' || x || '/' || y AS key, count(*) AS doc_count
+            FROM xy GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 20
+        """,
+        "agg_geohash_grid": """
+            WITH pts AS (
+              SELECT (user_id % 180) - 89.5 AS lat,
+                     (event_id % 360) - 179.5 AS lon
+              FROM events),
+            xy AS (
+              SELECT CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT) AS x,
+                     CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT) AS y
+              FROM pts),
+            h AS (
+              -- precision 2 = 10 bits, even count: lon bits at odd positions
+              SELECT ((x & 1) << 1) | (((x >> 1) & 1) << 3)
+                   | (((x >> 2) & 1) << 5) | (((x >> 3) & 1) << 7)
+                   | (((x >> 4) & 1) << 9)
+                   | (y & 1) | (((y >> 1) & 1) << 2) | (((y >> 2) & 1) << 4)
+                   | (((y >> 3) & 1) << 6) | (((y >> 4) & 1) << 8) AS v
+              FROM xy)
+            SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST((v >> 5) AS INT) + 1, 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST((v & 31) AS INT) + 1, 1) AS key,
+              count(*) AS doc_count
+            FROM h GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 15
         """,
         "range_query": """
             SELECT doc_id FROM documents

@@ -97,6 +97,84 @@ def geo_bounding_box_filter(ds: Dataset, lat_col: str, lon_col: str,
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+MERCATOR_MAX_LAT = 85.0511287798066  # GeoTileUtils.LATITUDE_MASK
+
+
+def geotile_keys(lat: np.ndarray, lon: np.ndarray, precision: int) -> np.ndarray:
+    """Vectorized slippy-map tile keys "z/x/y" (GeoTileUtils.getXTile/getYTile:
+    web-mercator y, out-of-range tiles clamped to [0, tiles-1])."""
+    tiles = 1 << precision
+    x = np.floor((lon + 180.0) / 360.0 * tiles)
+    s = np.sin(np.radians(lat))
+    # 0.5 - ln((1+sin)/(1-sin)) / (4*pi)  — GeoTileUtils.getYTile's formula.
+    y = np.floor((0.5 - np.log((1.0 + s) / (1.0 - s)) / (4.0 * np.pi)) * tiles)
+    x = np.clip(x, 0, tiles - 1).astype(np.int64)
+    y = np.clip(np.nan_to_num(y, nan=0.0, posinf=tiles - 1, neginf=0.0),
+                0, tiles - 1).astype(np.int64)
+    z = np.char.add(f"{precision}/", x.astype(np.str_))
+    return np.char.add(np.char.add(z, "/"), y.astype(np.str_))
+
+
+def geohash_keys(lat: np.ndarray, lon: np.ndarray, precision: int) -> np.ndarray:
+    """Vectorized base-32 geohash encode (Geohash.stringEncode semantics):
+    5*precision bits, longitude first, bits interleaved lon/lat from the MSB."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * (1 << lon_bits)),
+                0, (1 << lon_bits) - 1).astype(np.int64)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << lat_bits)),
+                0, (1 << lat_bits) - 1).astype(np.int64)
+    h = np.zeros(len(x), dtype=np.int64)
+    # lon bit i lands at position 2i (odd nbits) / 2i+1 (even nbits); lat is
+    # the complementary comb.  Derivation: MSB-first interleave lon,lat,...
+    lon_off, lat_off = (0, 1) if nbits % 2 else (1, 0)
+    for i in range(lon_bits):
+        h |= ((x >> i) & 1) << (2 * i + lon_off)
+    for i in range(lat_bits):
+        h |= ((y >> i) & 1) << (2 * i + lat_off)
+    alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+    chars = np.empty((len(h), precision), dtype=np.uint8)
+    for c in range(precision):
+        chars[:, c] = alpha[(h >> (5 * (precision - 1 - c))) & 31]
+    return chars.reshape(-1).view(f"S{precision}").astype(str)
+
+
+def _grid_agg(ds: Dataset, lat_col: str, lon_col: str, precision: int,
+              size: int, keyfn) -> pd.DataFrame:
+    """Shared geotile_grid/geohash_grid body: per-batch vectorized cell keys +
+    combine, small groupby over cell cardinality, bounded top-N reduce
+    (doc_count desc, key asc — InternalGeoGrid reduce order)."""
+    from .bucket import _topn_buckets
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys, counts = np.unique(keyfn(lat, lon, precision), return_counts=True)
+        return pa.table({"key": pa.array(keys.astype(object), pa.string()),
+                         "doc_count": pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = parts.groupby("key").aggregate(_Sum("doc_count",
+                                                 alias_name="doc_count"))
+    return _topn_buckets(merged, "doc_count", ["key"], size)
+
+
+def geotile_grid_agg(ds: Dataset, lat_col: str, lon_col: str,
+                     precision: int = 7, size: int = 10000) -> pd.DataFrame:
+    """geotile_grid (bucket/geogrid/GeoTileGridAggregationBuilder.java):
+    buckets keyed "z/x/y", top ``size`` by doc_count desc then key asc."""
+    return _grid_agg(ds, lat_col, lon_col, precision, size, geotile_keys)
+
+
+def geohash_grid_agg(ds: Dataset, lat_col: str, lon_col: str,
+                     precision: int = 5, size: int = 10000) -> pd.DataFrame:
+    """geohash_grid (bucket/geogrid/GeoHashGridAggregationBuilder.java)."""
+    return _grid_agg(ds, lat_col, lon_col, precision, size, geohash_keys)
+
+
 def geo_centroid_agg(ds: Dataset, lat_col: str, lon_col: str) -> dict:
     """geo_centroid: arithmetic mean of lat/lon over non-null points
     (GeoCentroidAggregator's running compensated mean, as sum/count here)."""

@@ -275,6 +275,41 @@ def test_geo_aggs(ev, ev_pdf):
     assert c["lon"] == lon.sum() / len(lon)
 
 
+def test_geo_grid_aggs(ev, ev_pdf):
+    """geotile/geohash grid: encoders vs known values + pandas parity."""
+    import numpy as np
+    import pyarrow as pa
+    from opensearch_ray.aggs.geo import (geohash_grid_agg, geohash_keys,
+                                         geotile_grid_agg, geotile_keys)
+
+    # known encodings (geohash.org / OSM slippy-map references)
+    assert geohash_keys(np.array([57.64911]), np.array([10.40744]), 5)[0] \
+        == "u4pru"
+    assert geotile_keys(np.array([41.85]), np.array([-87.65]), 7)[0] \
+        == "7/32/47"
+    # mercator clamp: poles land in the edge rows
+    assert list(geotile_keys(np.array([89.5, -89.5]),
+                             np.array([0.5, 0.5]), 4)) == ["4/8/0", "4/8/15"]
+
+    def derive(t):
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"lat": pa.array((uid % 180).astype(float) - 89.5),
+                         "lon": pa.array((eid % 360).astype(float) - 179.5)})
+
+    pts = ev.map_batches(derive, batch_format="pyarrow")
+    lat = ((ev_pdf["user_id"] % 180).astype(float) - 89.5).to_numpy()
+    lon = ((ev_pdf["event_id"] % 360).astype(float) - 179.5).to_numpy()
+    for agg, keyfn, prec in [(geotile_grid_agg, geotile_keys, 4),
+                             (geohash_grid_agg, geohash_keys, 2)]:
+        out = agg(pts, "lat", "lon", precision=prec, size=10)
+        exp = (pd.Series(keyfn(lat, lon, prec)).value_counts()
+               .rename_axis("key").reset_index(name="doc_count")
+               .sort_values(["doc_count", "key"], ascending=[False, True],
+                            kind="mergesort").head(10).reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, exp)
+
+
 def test_variable_width_histogram(ev, ev_pdf):
     from opensearch_ray.aggs import variable_width_histogram_agg
     out = variable_width_histogram_agg(ev, "value", buckets=8)
