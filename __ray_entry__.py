@@ -180,6 +180,68 @@ def _bm25_sql(body: str, query_terms=None) -> str:
             .replace("{QTERMS}", qvals) + body)
 
 
+_SIM_SQL_TEMPLATE = """
+WITH norm_vals(v) AS (VALUES {NORMS}),
+tok AS (
+  SELECT d.doc_id, t.tok AS token
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (SELECT (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) AS tot),
+dlq AS (
+  SELECT dl.doc_id,
+         CAST((SELECT max(v) FROM norm_vals WHERE v <= dl.dl) AS DOUBLE)
+           AS dl_q
+  FROM dl
+),
+qterms(term, boost) AS (VALUES {QTERMS}),
+ttf AS (SELECT token, CAST(count(*) AS DOUBLE) AS ttf FROM tok
+        GROUP BY token),
+tf AS (SELECT token, doc_id, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       GROUP BY token, doc_id),
+scored AS (
+  SELECT tf.doc_id, SUM({FORMULA}) AS score
+  FROM qterms qt
+  JOIN ttf ON ttf.token = qt.term
+  JOIN tf  ON tf.token = qt.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+)
+"""
+
+_SIM_FORMULAS = {
+    # Lucene formula mirrors of search/similarity.py (float64 op order kept):
+    # p = (ttf+1)/(tot+1), dl = 1-byte-quantized doc length.
+    "boolean": "qt.boost",
+    "lm_dirichlet": (
+        "greatest(qt.boost * ("
+        "ln(1.0 + tf.tf / (2000.0 * ((ttf.ttf + 1.0) / (c.tot + 1.0))))"
+        " + ln(2000.0 / (dlq.dl_q + 2000.0))), 0.0)"),
+    "lm_jelinek_mercer": (
+        "greatest(qt.boost * ln(1.0 + ((1.0 - 0.1) * tf.tf / dlq.dl_q)"
+        " / (0.1 * ((ttf.ttf + 1.0) / (c.tot + 1.0)))), 0.0)"),
+    "dfi": (
+        "CASE WHEN tf.tf > (ttf.ttf + 1.0) * dlq.dl_q / (c.tot + 1.0)"
+        " THEN qt.boost * log2((tf.tf - (ttf.ttf + 1.0) * dlq.dl_q"
+        " / (c.tot + 1.0)) / sqrt((ttf.ttf + 1.0) * dlq.dl_q"
+        " / (c.tot + 1.0)) + 1.0) ELSE 0.0 END"),
+}
+
+
+def _sim_sql(similarity: str, body: str, query_terms=None) -> str:
+    terms = query_terms or _BM25_Q.split()
+    from collections import Counter
+    mult = Counter(terms)
+    qvals = ",".join(f"('{t}', {float(m)})" for t, m in mult.items())
+    return (_SIM_SQL_TEMPLATE
+            .replace("{NORMS}", _norm_values_sql())
+            .replace("{STOP}", _stop_sql())
+            .replace("{QTERMS}", qvals)
+            .replace("{FORMULA}", _SIM_FORMULAS[similarity]) + body)
+
+
 def _sayt_sql() -> str:
     """DuckDB oracle for multi_match bool_prefix 'hash join qu' over a
     search_as_you_type field (base analyzer = standard, max_shingle_size=3).
@@ -436,6 +498,20 @@ def _q_bm25_and(sf_dir):
         "doc_id": [h.docid for h in hits],
         "score": _fmt([h.score for h in hits], 4),
     })
+
+
+def _q_similarity(similarity):
+    """Top-10 under an alternative similarity module (similarity.py)."""
+    def run(sf_dir):
+        from opensearch_ray.search.similarity import similarity_search
+        hits = similarity_search(_searcher(sf_dir), _BM25_Q, k=10,
+                                 similarity=similarity)
+        return pd.DataFrame({
+            "doc_id": [h.docid for h in hits],
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "score": _fmt([h.score for h in hits], 4),
+        })
+    return run
 
 
 def _q_term_query(sf_dir):
@@ -1713,6 +1789,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_match_docs": _q_bm25_match_docs,
         "bm25_topk": _q_bm25_topk,
         "bm25_and": _q_bm25_and,
+        "sim_boolean": _q_similarity("boolean"),
+        "sim_lm_dirichlet": _q_similarity("lm_dirichlet"),
+        "sim_lm_jelinek_mercer": _q_similarity("lm_jelinek_mercer"),
+        "sim_dfi": _q_similarity("dfi"),
         "term_query": _q_term_query,
         "bool_query": _q_bool_query,
         "phrase_query": _q_phrase_query,
@@ -1875,6 +1955,13 @@ def oracle_sql() -> dict[str, str]:
                  SELECT doc_id FROM tf WHERE token = 'hash'
                  INTERSECT SELECT doc_id FROM tf WHERE token = 'join')""",
             query_terms=["hash", "join"]),
+        **{f"sim_{s}": _sim_sql(
+            s,
+            """SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                      printf('%.4f', score) AS score
+               FROM scored ORDER BY score DESC, doc_id LIMIT 10""")
+           for s in ("boolean", "lm_dirichlet", "lm_jelinek_mercer", "dfi")},
         "agg_significant_terms": """
             WITH per_key AS (
               SELECT event_type,

@@ -701,3 +701,50 @@ def test_span_near(built_index, transcript_corpus, tmp_path, oracle):
                                   in_order=in_order).tolist()
         assert got == want, (t1, t2, slop, in_order, "textverify")
         assert got_pos == want, (t1, t2, slop, in_order, "indexed")
+
+
+def test_similarity_modules_vs_brute_force(built_index, oracle):
+    """boolean / lm_dirichlet / lm_jelinek_mercer / dfi top-k vs an
+    independent dict-based rescoring of the whole corpus."""
+    import math
+
+    from opensearch_ray.search.similarity import similarity_search
+
+    o, _ = oracle
+    s = Searcher(built_index.index_dir)
+    ttf = {}
+    for tfs in o.doc_tfs:
+        for t, c in tfs.items():
+            ttf[t] = ttf.get(t, 0) + c
+    tot = o.sum_dl
+
+    def brute(terms, sim):
+        scores = {}
+        for t in terms:
+            p = (ttf.get(t, 0) + 1.0) / (tot + 1.0)
+            for i, tfs in enumerate(o.doc_tfs):
+                tf = tfs.get(t, 0)
+                if not tf:
+                    continue
+                dl = float(o.dl_q[i])
+                if sim == "boolean":
+                    c = 1.0
+                elif sim == "lm_dirichlet":
+                    c = max(0.0, math.log(1 + tf / (2000.0 * p))
+                            + math.log(2000.0 / (dl + 2000.0)))
+                elif sim == "lm_jelinek_mercer":
+                    c = max(0.0, math.log(1 + (0.9 * tf / dl) / (0.1 * p)))
+                else:  # dfi standardized
+                    exp = (ttf[t] + 1.0) * dl / (tot + 1.0)
+                    c = (math.log2((tf - exp) / math.sqrt(exp) + 1.0)
+                         if tf > exp else 0.0)
+                scores[i] = scores.get(i, 0.0) + c
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    for sim in ("boolean", "lm_dirichlet", "lm_jelinek_mercer", "dfi"):
+        got = [(h.docid, h.score) for h in
+               similarity_search(s, "bace cedi difo", k=10, similarity=sim)]
+        want = brute(s.analyzer.tokens("bace cedi difo"), sim)
+        assert [g[0] for g in got] == [w[0] for w in want], sim
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-12, (sim, g, w)
