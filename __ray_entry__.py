@@ -384,10 +384,10 @@ FROM combined ORDER BY combined.score DESC, doc_id LIMIT 10
 """
 
 
-def _multi_index_sql() -> str:
+def _multi_index_sql(boost_even: float = 1.0, boost_odd: float = 1.0) -> str:
     """DuckDB oracle for the two-index union: per-subset (doc_id parity)
     BM25 with each subset's own N/avgdl/df, merged (score desc, idx asc,
-    doc_id asc) top 10."""
+    doc_id asc) top 10. Non-unit boosts = the indices_boost variant."""
     STOP = _stop_sql()
     from collections import Counter
     mult = Counter(_BM25_Q.split())
@@ -430,9 +430,11 @@ qterms(term, boost) AS (VALUES {qvals}),
 {sub("even", 0)},
 {sub("odd", 1)},
 unioned AS (
-  SELECT 'even' AS idx, doc_id, score FROM scored_even
+  SELECT 'even' AS idx, doc_id, score * {boost_even} AS score
+  FROM scored_even
   UNION ALL
-  SELECT 'odd' AS idx, doc_id, score FROM scored_odd)
+  SELECT 'odd' AS idx, doc_id, score * {boost_odd} AS score
+  FROM scored_odd)
 SELECT idx, doc_id, printf('%.4f', score) AS score
 FROM unioned ORDER BY unioned.score DESC, idx, doc_id LIMIT 10
 """
@@ -1350,14 +1352,13 @@ def _q_agg_significant_text(sf_dir):
     return out[["term", "fg", "bg", "score"]]
 
 
-def _q_multi_index(sf_dir):
-    """Multi-index union: documents split by doc_id parity into two indexes,
-    one query over both (per-index stats, query_then_fetch)."""
+def _mi_searchers(sf_dir):
+    """Two parity-split document indexes (cached in /tmp, keyed by engine
+    version), returned as {name: Searcher} in float64 oracle mode."""
     import pyarrow.parquet as pq
     from opensearch_ray import __version__
     from opensearch_ray.index.build import build_index
     from opensearch_ray.search import Searcher
-    from opensearch_ray.search.features import multi_index_search
 
     key = hashlib.md5(f"{sf_dir}:{__version__}:mi1".encode()).hexdigest()[:10]
     root = f"/tmp/osray_miidx_{key}"
@@ -1374,10 +1375,12 @@ def _q_multi_index(sf_dir):
                            os.path.join(src, "docs.parquet"))
             build_index(src, os.path.join(root, n), analyzer="transcript",
                         text_col="text", sort_cols=("doc_id",), num_buckets=4)
-    searchers = {n: Searcher(os.path.join(root, n), dtype=np.float64)
-                 for n in names}
-    out = multi_index_search(searchers, _BM25_Q, k=10)
-    # engine docids are subset-local ranks; map back to the table's doc_id
+    return {n: Searcher(os.path.join(root, n), dtype=np.float64)
+            for n in names}
+
+
+def _mi_map_docids(searchers, out):
+    """engine docids are subset-local ranks; map back to the table's doc_id"""
     doc_ids = []
     for idx_name, d in zip(out["index"], out["doc_id"]):
         fetched = searchers[idx_name].fetch([int(d)], columns=["doc_id"])
@@ -1387,6 +1390,64 @@ def _q_multi_index(sf_dir):
         "doc_id": np.asarray(doc_ids, dtype=np.int64),
         "score": _fmt(out["score"], 4),
     })
+
+
+def _q_multi_index(sf_dir):
+    """Multi-index union: documents split by doc_id parity into two indexes,
+    one query over both (per-index stats, query_then_fetch)."""
+    from opensearch_ray.search.features import multi_index_search
+    searchers = _mi_searchers(sf_dir)
+    return _mi_map_docids(searchers,
+                          multi_index_search(searchers, _BM25_Q, k=10))
+
+
+def _q_indices_boost(sf_dir):
+    """indices_boost: even index boosted 2.0x, odd 0.5x before the merge."""
+    from opensearch_ray.search.features import indices_boost_search
+    searchers = _mi_searchers(sf_dir)
+    out = indices_boost_search(searchers, _BM25_Q,
+                               {"even": 2.0, "odd": 0.5}, k=10)
+    return _mi_map_docids(searchers, out)
+
+
+def _q_post_filter(sf_dir):
+    """post_filter: terms agg over ALL matches of the query; hits filtered to
+    lang='en' afterwards (filtered_hits column proves the hit-side filter)."""
+    from opensearch_ray.search.features import post_filter_search
+    r = post_filter_search(_searcher(sf_dir), _BM25_Q, {"lang": "en"},
+                           agg_field="source", k=10**9)
+    aggs = r["aggregations"].copy()
+    aggs["doc_count"] = aggs["doc_count"].astype(np.int64)
+    aggs["filtered_hits"] = np.int64(len(r["hits"]))
+    return aggs
+
+
+def _q_min_score(sf_dir):
+    """min_score=4.0 cutoff over the fixed BM25 query."""
+    from opensearch_ray.search.features import min_score_search
+    out = min_score_search(_searcher(sf_dir), _BM25_Q, 4.0, k=10**9)
+    return pd.DataFrame({"doc_id": out["_docid"].astype(np.int64),
+                         "score": _fmt(out["score"], 4)})
+
+
+def _q_matched_queries(sf_dir):
+    """Named bool clauses: every matching doc lists which clauses hit."""
+    from opensearch_ray.search.features import matched_queries_search
+    out = matched_queries_search(_searcher(sf_dir),
+                                 {"clause_hj": ["hash", "join"],
+                                  "clause_st": ["stream"]})
+    return pd.DataFrame({"doc_id": out["_docid"].astype(np.int64),
+                         "matched": out["matched"]})
+
+
+def _q_agg_geo_bounds(sf_dir):
+    """geo_bounds over the derived coordinates (exact .5-multiples)."""
+    from opensearch_ray.aggs.geo import geo_bounds_agg
+    b = geo_bounds_agg(_geo_events(sf_dir), "lat", "lon")
+    return pd.DataFrame({"top": _fmt([b["top"]], 1),
+                         "bottom": _fmt([b["bottom"]], 1),
+                         "left": _fmt([b["left"]], 1),
+                         "right": _fmt([b["right"]], 1)})
 
 
 def _nested_orders(sf_dir):
@@ -1868,6 +1929,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_diversified_sampler": _q_agg_diversified_sampler,
         "agg_significant_text": _q_agg_significant_text,
         "multi_index_union": _q_multi_index,
+        "indices_boost": _q_indices_boost,
+        "post_filter": _q_post_filter,
+        "min_score": _q_min_score,
+        "matched_queries": _q_matched_queries,
+        "agg_geo_bounds": _q_agg_geo_bounds,
         "nested_query": _q_nested_query,
         "nested_agg": _q_nested_agg,
         "percolate": _q_percolate,
@@ -2427,6 +2493,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multi_match": _multi_match_sql(),
         "multi_index_union": _multi_index_sql(),
+        "indices_boost": _multi_index_sql(2.0, 0.5),
+        "post_filter": _bm25_sql("""
+            SELECT d.source AS key,
+                   count(DISTINCT d.doc_id) AS doc_count,
+                   (SELECT count(DISTINCT t2.doc_id) FROM tf t2
+                    JOIN documents d2 ON d2.doc_id = t2.doc_id
+                    WHERE d2.lang = 'en'
+                      AND t2.token IN ('hash', 'join', 'stream'))
+                     AS filtered_hits
+            FROM (SELECT DISTINCT doc_id FROM tf
+                  WHERE token IN ('hash', 'join', 'stream')) m
+            JOIN documents d ON d.doc_id = m.doc_id
+            GROUP BY d.source ORDER BY key"""),
+        "min_score": _bm25_sql("""
+            SELECT doc_id, printf('%.4f', score) AS score FROM scored
+            WHERE score >= 4.0"""),
+        "matched_queries": _bm25_sql("""
+            SELECT doc_id,
+                   concat_ws(',',
+                     CASE WHEN bool_or(token IN ('hash', 'join'))
+                          THEN 'clause_hj' END,
+                     CASE WHEN bool_or(token = 'stream')
+                          THEN 'clause_st' END) AS matched
+            FROM tf WHERE token IN ('hash', 'join', 'stream')
+            GROUP BY doc_id ORDER BY doc_id"""),
+        "agg_geo_bounds": """
+            SELECT printf('%.1f', max((user_id % 180) - 89.5)) AS top,
+                   printf('%.1f', min((user_id % 180) - 89.5)) AS bottom,
+                   printf('%.1f', min((event_id % 360) - 179.5)) AS "left",
+                   printf('%.1f', max((event_id % 360) - 179.5)) AS "right"
+            FROM events
+        """,
         "nested_query": """
             SELECT DISTINCT o_orderkey FROM orders
             JOIN lineitem ON l_orderkey = o_orderkey

@@ -97,6 +97,32 @@ def geo_bounding_box_filter(ds: Dataset, lat_col: str, lon_col: str,
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def geo_bounds_agg(ds: Dataset, lat_col: str, lon_col: str) -> dict:
+    """geo_bounds (metrics/GeoBoundsAggregator.java, wrap_longitude=false):
+    bounding box of all non-null points — top_left=(max lat, min lon),
+    bottom_right=(min lat, max lon)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(lat) | np.isnan(lon))
+        if not ok.any():
+            return pa.table({"top": pa.array([], pa.float64()),
+                             "bottom": pa.array([], pa.float64()),
+                             "left": pa.array([], pa.float64()),
+                             "right": pa.array([], pa.float64())})
+        return pa.table({"top": pa.array([float(lat[ok].max())]),
+                         "bottom": pa.array([float(lat[ok].min())]),
+                         "left": pa.array([float(lon[ok].min())]),
+                         "right": pa.array([float(lon[ok].max())])})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if p.empty:
+        return {"top": None, "bottom": None, "left": None, "right": None}
+    return {"top": float(p["top"].max()), "bottom": float(p["bottom"].min()),
+            "left": float(p["left"].min()), "right": float(p["right"].max())}
+
+
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 MERCATOR_MAX_LAT = 85.0511287798066  # GeoTileUtils.LATITUDE_MASK
 

@@ -714,6 +714,81 @@ def multi_index_search(searchers: "dict[str, Searcher]", query_text: str,
     return out
 
 
+def indices_boost_search(searchers: "dict[str, Searcher]", query_text: str,
+                         boosts: "dict[str, float]", k: int = 10,
+                         operator: str = "or") -> pd.DataFrame:
+    """indices_boost (SearchSourceBuilder.indexBoosts): multi-index search
+    with each index's hit scores multiplied by its boost before the merge.
+    Missing indexes default to 1.0."""
+    rows = []
+    for name in sorted(searchers):
+        b = float(boosts.get(name, 1.0))
+        for h in searchers[name].search(query_text, k=k, operator=operator):
+            rows.append((name, h.docid, h.score * b))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return pd.DataFrame(rows[:k], columns=["index", "doc_id", "score"])
+
+
+def post_filter_search(searcher: Searcher, query_text: str,
+                       post_filter: "dict[str, object]", agg_field: str,
+                       k: int = 10, operator: str = "or") -> "dict":
+    """post_filter (SearchSourceBuilder.postFilter; FilteredCollector):
+    aggregations are computed over ALL query matches, hits are filtered
+    AFTERWARDS — the one observable difference from a bool.filter clause.
+
+    Returns {"hits": DataFrame(_docid, score), "aggregations":
+    DataFrame(key, doc_count)}. The agg here fetches stored fields for every
+    match (fine for the oracle surface; a distributed variant would run the
+    terms agg over doc values per segment)."""
+    hits = searcher.search(query_text, k=10**9, operator=operator)
+    if not hits:
+        return {"hits": pd.DataFrame({"_docid": [], "score": []}),
+                "aggregations": pd.DataFrame({"key": [], "doc_count": []})}
+    fetched = searcher.fetch([h.docid for h in hits]).to_pandas()
+    aggs = (fetched.groupby(agg_field).size().rename("doc_count")
+            .rename_axis("key").reset_index().sort_values("key")
+            .reset_index(drop=True))
+    mask = np.ones(len(fetched), dtype=bool)
+    for col, spec in post_filter.items():
+        mask &= Searcher._spec_mask(fetched[col].to_numpy(), spec)
+    keep = set(fetched.loc[mask, "_docid"].tolist())
+    flt = [(h.docid, h.score) for h in hits if h.docid in keep][:k]
+    return {"hits": pd.DataFrame(flt, columns=["_docid", "score"]),
+            "aggregations": aggs}
+
+
+def min_score_search(searcher: Searcher, query_text: str, min_score: float,
+                     k: int = 10, operator: str = "or") -> pd.DataFrame:
+    """min_score (SearchSourceBuilder.minScore): hits scoring below the
+    cutoff are dropped before pagination."""
+    hits = searcher.search(query_text, k=10**9, operator=operator)
+    kept = [(h.docid, h.score) for h in hits if h.score >= min_score][:k]
+    return pd.DataFrame(kept, columns=["_docid", "score"])
+
+
+def matched_queries_search(searcher: Searcher,
+                           named_clauses: "dict[str, list]",
+                           ) -> pd.DataFrame:
+    """Named queries (_name on bool clauses; MatchedQueriesPhase): every doc
+    matching ANY clause, with the sorted list of clause names it matched.
+    Each clause is a match query (OR over its terms), filter context."""
+    clause_docs = {}
+    for name, terms in named_clauses.items():
+        sets = [searcher.term_docs(t) for t in terms]
+        nonempty = [s for s in sets if len(s)]
+        clause_docs[name] = (np.unique(np.concatenate(nonempty))
+                             if nonempty else np.empty(0, np.int64))
+    all_docs = np.unique(np.concatenate(
+        [d for d in clause_docs.values() if len(d)] or
+        [np.empty(0, np.int64)]))
+    names = sorted(clause_docs)
+    flags = {n: np.isin(all_docs, clause_docs[n]) for n in names}
+    matched = [",".join(n for n in names if flags[n][i])
+               for i in range(len(all_docs))]
+    return pd.DataFrame({"_docid": all_docs.astype(np.int64),
+                         "matched": matched})
+
+
 # ------------------------------------------------------------- terms lookup
 
 def terms_lookup_filter(ds, filter_col: str, lookup_ds, lookup_col: str,

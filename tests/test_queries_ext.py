@@ -431,3 +431,40 @@ def test_search_as_you_type(tmp_path):
             assert abs(got[d] - expect[d]) < 1e-9, (d, got.get(d), expect[d])
     order = sorted(range(N), key=lambda d: (-expect[d], d))
     assert [h.docid for h in hits] == [d for d in order if expect[d] > 0]
+
+
+def test_search_options_features(s):
+    """post_filter / min_score / matched_queries / indices_boost semantics
+    vs recomputation from the engine's own unrestricted search."""
+    from opensearch_ray.search.features import (
+        indices_boost_search, matched_queries_search, min_score_search,
+        post_filter_search)
+
+    q = "bace cedi"
+    hits = s.search(q, k=10**9)
+
+    ms = min_score_search(s, q, 3.0, k=10**9)
+    want = [(h.docid, h.score) for h in hits if h.score >= 3.0]
+    assert list(zip(ms["_docid"], ms["score"])) == want
+
+    r = post_filter_search(s, q, {"role": "user"}, agg_field="role",
+                           k=10**9)
+    fetched = s.fetch([h.docid for h in hits]).to_pandas()
+    counts = fetched.groupby("role").size()
+    got = dict(zip(r["aggregations"]["key"], r["aggregations"]["doc_count"]))
+    assert got == counts.to_dict()          # aggs over UNfiltered matches
+    keep = set(fetched.loc[fetched["role"] == "user", "_docid"])
+    assert r["hits"]["_docid"].tolist() == [h.docid for h in hits
+                                            if h.docid in keep]
+
+    mq = matched_queries_search(s, {"a": ["bace"], "b": ["cedi"]})
+    da, db = set(s.term_docs("bace")), set(s.term_docs("cedi"))
+    assert set(mq["_docid"]) == da | db
+    for d, m in zip(mq["_docid"], mq["matched"]):
+        assert m == ",".join(n for n, ds in [("a", da), ("b", db)] if d in ds)
+
+    ib = indices_boost_search({"x": s, "y": s}, q, {"x": 2.0}, k=6)
+    top = sorted([("x", h.docid, h.score * 2.0) for h in s.search(q, k=6)]
+                 + [("y", h.docid, h.score) for h in s.search(q, k=6)],
+                 key=lambda r: (-r[2], r[0], r[1]))[:6]
+    assert list(map(tuple, ib.itertuples(index=False))) == top
