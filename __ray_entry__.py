@@ -1832,6 +1832,100 @@ def _q_field_masking_span(sf_dir):
     return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
 
 
+def _q_fetch_source_filter(sf_dir):
+    """_source filtering: wildcard includes/excludes resolve to a pruned
+    column read (FetchSourcePhase)."""
+    from opensearch_ray.search.fetch_phase import fetch_source
+    s = _searcher(sf_dir)
+    docs = s.term_docs("stream")
+    t = fetch_source(s, docs.tolist(),
+                     includes=["doc_id", "lang", "source"],
+                     excludes=["source"])
+    out = t.to_pandas()[["doc_id", "lang"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fetch_docvalue_fields(sf_dir):
+    """docvalue_fields: columnar per-segment gather, no stored-source read."""
+    from opensearch_ray.search.fetch_phase import docvalue_fields
+    s = _searcher(sf_dir)
+    docs = s.term_docs("window")
+    out = docvalue_fields(s, docs.tolist(), ["doc_id", "n_chars"])
+    out = out[["doc_id", "n_chars"]].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fetch_script_fields(sf_dir):
+    """script_fields: computed per-hit columns over fetched stored fields."""
+    from opensearch_ray.search.fetch_phase import script_fields
+    s = _searcher(sf_dir)
+    docs = s.term_docs("merge")
+    out = script_fields(
+        s, docs.tolist(),
+        {"doc_id": lambda t: t.column("doc_id").to_numpy(zero_copy_only=False),
+         "chars_bucket": lambda t: t.column("n_chars").to_numpy(
+             zero_copy_only=False) // 100,
+         "lang_src": lambda t: np.array(
+             [f"{a}:{b}" for a, b in zip(t.column("lang").to_pylist(),
+                                         t.column("source").to_pylist())])},
+        source_columns=["doc_id", "n_chars", "lang", "source"])
+    out = out[["doc_id", "chars_bucket", "lang_src"]]
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["chars_bucket"] = out["chars_bucket"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_sort_field_missing(sf_dir):
+    """field sort with missing _last over a nullable doc-values column
+    (FieldSortBuilder missing placement)."""
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.search.sort_phase import sort_hits
+    s = Searcher(_doc_index_derived(sf_dir), dtype=np.float64)
+    docs = s.term_docs("hash")
+    page = sort_hits(s, docs.tolist(), [
+        {"field": "opt_source", "order": "asc", "missing": "_last"},
+        {"field": "doc_id", "order": "asc"},
+    ], size=15)
+    ids = s.fetch(page["_docid"].tolist(), columns=["doc_id"]).to_pandas()
+    order = {d: i for i, d in enumerate(page["_docid"])}
+    ids = ids.sort_values("_docid", key=lambda c: c.map(order))
+    return pd.DataFrame({
+        "doc_id": ids["doc_id"].values.astype(np.int64),
+        "opt_source": page["sort_0"].values,
+        "rank": np.arange(1, len(page) + 1, dtype=np.int64)})
+
+
+def _q_sort_script_page(sf_dir):
+    """script sort (computed key) + from/size paging."""
+    from opensearch_ray.search.sort_phase import sort_hits
+    s = _searcher(sf_dir)
+    docs = s.term_docs("join")
+    page = sort_hits(s, docs.tolist(), [
+        {"script": lambda t: t.column("n_chars").to_numpy(
+            zero_copy_only=False) % 7, "order": "asc",
+         "source_columns": ["n_chars", "doc_id"]},
+        {"field": "doc_id", "order": "asc"},
+    ], size=20, from_=5)
+    ids = s.fetch(page["_docid"].tolist(), columns=["doc_id"]).to_pandas()
+    order = {d: i for i, d in enumerate(page["_docid"])}
+    ids = ids.sort_values("_docid", key=lambda c: c.map(order))
+    return pd.DataFrame({
+        "doc_id": ids["doc_id"].values.astype(np.int64),
+        "mod7": page["sort_0"].values.astype(np.int64),
+        "rank": np.arange(1, len(page) + 1, dtype=np.int64)})
+
+
+def _q_sort_geo_distance(sf_dir):
+    """geo_distance sort: nearest events to the origin (haversine meters)."""
+    from opensearch_ray.search.sort_phase import geo_distance_sort
+    out = geo_distance_sort(_geo_events(sf_dir), "lat", "lon", (0.0, 0.0),
+                            k=15)
+    return pd.DataFrame({
+        "event_id": out["event_id"].values.astype(np.int64),
+        "dist": _fmt(out["_distance"].values, 1),
+        "rank": np.arange(1, len(out) + 1, dtype=np.int64)})
+
+
 # ----------------------------------------------------------------- contract
 
 def entry() -> Any:
@@ -1875,6 +1969,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_derivative": _q_agg_derivative,
         # sort / top-k / collapse
         "sort_page2": _q_sort_page2,
+        "sort_field_missing": _q_sort_field_missing,
+        "sort_script_page": _q_sort_script_page,
+        "sort_geo_distance": _q_sort_geo_distance,
+        "fetch_source_filter": _q_fetch_source_filter,
+        "fetch_docvalue_fields": _q_fetch_docvalue_fields,
+        "fetch_script_fields": _q_fetch_script_fields,
         "collapse": _q_collapse,
         "function_score": _q_function_score,
         # ingest processors
@@ -2251,6 +2351,79 @@ def oracle_sql() -> dict[str, str]:
         "sort_page2": """
             SELECT event_id, value FROM events
             ORDER BY ts, event_id LIMIT 20 OFFSET 20
+        """,
+        "sort_field_missing": """
+            WITH hit AS (
+              SELECT DISTINCT doc_id FROM documents d,
+                     unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok = 'hash'),
+            opt AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars >= 300 THEN source END AS opt_source
+              FROM documents)
+            SELECT o.doc_id, o.opt_source,
+                   CAST(row_number() OVER (
+                     ORDER BY o.opt_source ASC NULLS LAST, o.doc_id) AS BIGINT)
+                     AS rank
+            FROM opt o JOIN hit h USING (doc_id)
+            ORDER BY o.opt_source ASC NULLS LAST, o.doc_id LIMIT 15
+        """,
+        "sort_script_page": """
+            WITH hit AS (
+              SELECT DISTINCT doc_id FROM documents d,
+                     unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok = 'join'),
+            keyed AS (
+              SELECT d.doc_id, d.n_chars % 7 AS mod7 FROM documents d
+              JOIN hit h USING (doc_id))
+            SELECT doc_id, mod7,
+                   CAST(row_number() OVER (ORDER BY mod7, doc_id) - 5 AS BIGINT)
+                     AS rank
+            FROM keyed ORDER BY mod7, doc_id LIMIT 20 OFFSET 5
+        """,
+        "sort_geo_distance": """
+            WITH pts AS (
+              SELECT event_id,
+                     (user_id % 180) - 89.5 AS lat,
+                     (event_id % 360) - 179.5 AS lon
+              FROM events),
+            d AS (
+              SELECT event_id,
+                     2.0 * 6371008.7714 * asin(sqrt(
+                       pow(sin(radians(lat) / 2.0), 2)
+                       + cos(radians(lat)) * pow(sin(radians(lon) / 2.0), 2)))
+                     AS dist
+              FROM pts)
+            SELECT event_id, printf('%.1f', d.dist) AS dist,
+                   CAST(row_number() OVER (ORDER BY d.dist, event_id)
+                        AS BIGINT) AS rank
+            FROM d ORDER BY d.dist, event_id LIMIT 15
+        """,
+        "fetch_source_filter": """
+            WITH hit AS (
+              SELECT DISTINCT doc_id FROM documents d,
+                     unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok = 'stream')
+            SELECT d.doc_id, d.lang FROM documents d JOIN hit h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "fetch_docvalue_fields": """
+            WITH hit AS (
+              SELECT DISTINCT doc_id FROM documents d,
+                     unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok = 'window')
+            SELECT d.doc_id, d.n_chars FROM documents d JOIN hit h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "fetch_script_fields": """
+            WITH hit AS (
+              SELECT DISTINCT doc_id FROM documents d,
+                     unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok = 'merge')
+            SELECT d.doc_id, d.n_chars // 100 AS chars_bucket,
+                   d.lang || ':' || d.source AS lang_src
+            FROM documents d JOIN hit h USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "collapse": """
             SELECT user_id, event_id, value FROM (

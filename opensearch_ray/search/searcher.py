@@ -1169,11 +1169,13 @@ class Searcher:
         doc-store parquet of only the owning segments (FetchPhase.java)."""
         g = np.asarray(sorted(set(int(d) for d in global_docids)), dtype=np.int64)
         if g.size == 0:
-            # empty but with schema
+            # empty but with schema (footer metadata only, no data read)
             seg0 = self._seg_dir(int(self._seg_ids[0]))
-            t = pq.read_table(os.path.join(seg0, "docs.parquet"), columns=columns)
-            empty = t.slice(0, 0)
-            return empty.append_column("_docid", pa.array([], type=pa.int64()))
+            schema = pq.read_schema(os.path.join(seg0, "docs.parquet"))
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            return schema.empty_table().append_column(
+                "_docid", pa.array([], type=pa.int64()))
         seg_idx = np.searchsorted(self._bases, g, side="right") - 1
         out = []
         for si in np.unique(seg_idx):
@@ -1182,7 +1184,8 @@ class Searcher:
             local = (g[seg_idx == si] - base).tolist()
             t = pq.read_table(
                 os.path.join(self._seg_dir(seg_id), "docs.parquet"),
-                filters=[("docid", "in", local)], columns=None,
+                filters=[("docid", "in", local)],
+                columns=(sorted({*columns, "docid"}) if columns else None),
             )
             gd = pc.add(t.column("docid"), pa.scalar(base, type=pa.int64()))
             t = t.append_column("_docid", gd.cast(pa.int64()))
