@@ -242,6 +242,71 @@ def _sim_sql(similarity: str, body: str, query_terms=None) -> str:
             .replace("{FORMULA}", _SIM_FORMULAS[similarity]) + body)
 
 
+_RANKEVAL_SQL_HEAD = """
+WITH norm_vals(v) AS (VALUES {NORMS}),
+tok AS (
+  SELECT d.doc_id, t.tok AS token
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dlq AS (
+  SELECT dl.doc_id,
+         (SELECT max(v) FROM norm_vals WHERE v <= dl.dl) AS dl_q
+  FROM dl
+),
+qterms(query_id, term) AS (VALUES
+  ('q_hash','hash'), ('q_hash','join'), ('q_ws','window'), ('q_ws','sort')),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (1.2 + 1.0) * tf.tf
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dl_q / c.avgdl)))
+           AS score
+  FROM qterms qt
+  JOIN df  ON df.token = qt.term
+  JOIN tf  ON tf.token = qt.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN consts c
+  GROUP BY qt.query_id, tf.doc_id
+),
+top AS (
+  SELECT query_id, doc_id, rn FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scored) WHERE rn <= 10
+),
+occ AS (SELECT DISTINCT doc_id, token FROM tok),
+rated AS (
+  SELECT 'q_hash' AS query_id, doc_id,
+         CASE WHEN bool_or(token='hash') AND bool_or(token='join') THEN 2
+              WHEN bool_or(token='hash') THEN 1 ELSE 0 END AS rating
+  FROM occ WHERE token IN ('hash','join') GROUP BY doc_id
+  UNION ALL
+  SELECT 'q_ws', doc_id,
+         CASE WHEN bool_or(token='window') AND bool_or(token='sort') THEN 2
+              WHEN bool_or(token='window') THEN 1 ELSE 0 END
+  FROM occ WHERE token IN ('window','sort') GROUP BY doc_id
+)
+"""
+
+
+def _rankeval_sql(metric_body: str) -> str:
+    """Multi-query BM25 ranking + data-derived graded ratings (the
+    _rankeval_requests contract), plus a metric-specific tail."""
+    return (_RANKEVAL_SQL_HEAD
+            .replace("{NORMS}", _norm_values_sql())
+            .replace("{STOP}", _stop_sql()) + metric_body)
+
+
 def _sayt_sql() -> str:
     """DuckDB oracle for multi_match bool_prefix 'hash join qu' over a
     search_as_you_type field (base analyzer = standard, max_shingle_size=3).
@@ -1928,6 +1993,95 @@ def _q_sort_geo_distance(sf_dir):
 
 # ----------------------------------------------------------------- contract
 
+def _q_dsl_search(sf_dir):
+    """Full JSON `_search` request body through the query-DSL executor
+    (search/dsl.py): bool must(match) + filter(range) + must_not(term),
+    _source projection — the reference's actual API surface
+    (SearchSourceBuilder + AbstractQueryBuilder.parseInnerQueryBuilder)."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    body = {"query": {"bool": {
+                "must": [{"match": {"text": _BM25_Q}}],
+                "filter": [{"range": {"n_chars": {"gte": 200}}}],
+                "must_not": [{"term": {"text": "merge"}}]}},
+            "size": 10, "_source": ["lang"]}
+    r = dsl.execute_search(s, body)
+    r["score"] = _fmt(r["score"].values, 4)
+    return r
+
+
+def _q_wrapper_query(sf_dir):
+    """wrapper query (WrapperQueryBuilder.java): base64-encoded JSON query
+    decoded and executed in filter context."""
+    import base64
+    import json as _json
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    inner = {"bool": {"must": [{"term": {"text": "window"}}],
+                      "filter": [{"range": {"n_chars": {"lt": 400}}}]}}
+    q = {"wrapper": {"query": base64.b64encode(
+        _json.dumps(inner).encode()).decode()}}
+    return pd.DataFrame({"doc_id": dsl.query_docs(s, q)})
+
+
+_SEARCH_TPL = (
+    '{"query": {"bool": {"must": [{"match": {"text": "{{qtext}}"}}]'
+    '{{#lang}}, "filter": [{"term": {"lang": "{{lang}}"}}]{{/lang}}}},'
+    ' "size": {{size}}}')
+
+
+def _q_search_template(sf_dir):
+    """Mustache search template (lang-mustache MustacheScriptEngine +
+    TransportSearchTemplateAction): render params into a request body, then
+    execute through the DSL executor. The {{#lang}} section exercises
+    conditional blocks."""
+    from opensearch_ray.search import dsl
+    from opensearch_ray.search.templates import render_search_template
+    s = _searcher(sf_dir)
+    body = render_search_template(
+        _SEARCH_TPL, {"qtext": "window sort", "lang": "en", "size": 10})
+    r = dsl.execute_search(s, body)
+    r["score"] = _fmt(r["score"].values, 4)
+    return r
+
+
+def _rankeval_requests(s):
+    """Two rated requests with data-derived graded ratings: for query terms
+    (a, b), every doc containing a or b is rated — 2 when both present,
+    1 when only a, 0 when only b (unlabeled otherwise)."""
+    def ratings(a, b):
+        da = set(s.term_docs(a).tolist())
+        db = set(s.term_docs(b).tolist())
+        return {d: (2 if (d in da and d in db) else (1 if d in da else 0))
+                for d in da | db}
+    return [
+        {"id": "q_hash", "query_text": "hash join",
+         "ratings": ratings("hash", "join")},
+        {"id": "q_ws", "query_text": "window sort",
+         "ratings": ratings("window", "sort")},
+    ]
+
+
+def _q_rank_eval_precision(sf_dir):
+    """_rank_eval with precision@10 (rank-eval module PrecisionAtK.java:
+    relevant-retrieved / retrieved, unlabeled hits counted)."""
+    from opensearch_ray.rankeval import rank_eval
+    s = _searcher(sf_dir)
+    df = rank_eval(s, _rankeval_requests(s), metric="precision", k=10)
+    df["metric_score"] = _fmt(df["metric_score"].values, 4)
+    return df
+
+
+def _q_rank_eval_ndcg(sf_dir):
+    """_rank_eval with NDCG@10 (DiscountedCumulativeGain.java normalize=true:
+    ideal DCG over all rated docs truncated to the hit-list length)."""
+    from opensearch_ray.rankeval import rank_eval
+    s = _searcher(sf_dir)
+    df = rank_eval(s, _rankeval_requests(s), metric="dcg", k=10)
+    df["metric_score"] = _fmt(df["metric_score"].values, 4)
+    return df
+
+
 def entry() -> Any:
     """Flagship: transcript corpus -> inverted index -> reference query set."""
     from opensearch_ray.pipelines import flagship_pipeline
@@ -2085,6 +2239,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal,
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
+        # JSON DSL executor / templates / rank-eval
+        "dsl_search": _q_dsl_search,
+        "wrapper_query": _q_wrapper_query,
+        "search_template": _q_search_template,
+        "rank_eval_precision": _q_rank_eval_precision,
+        "rank_eval_ndcg": _q_rank_eval_ndcg,
     }
 
 
@@ -3206,4 +3366,61 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
         """,
+        "dsl_search": _bm25_sql("""
+            SELECT sc.doc_id, printf('%.4f', sc.score) AS score, d.lang
+            FROM scored sc JOIN documents d USING (doc_id)
+            WHERE d.n_chars >= 200
+              AND NOT EXISTS (SELECT 1 FROM tok m
+                              WHERE m.doc_id = sc.doc_id
+                                AND m.token = 'merge')
+            ORDER BY sc.score DESC, sc.doc_id LIMIT 10"""),
+        "wrapper_query": """
+            SELECT DISTINCT d.doc_id
+            FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok = 'window' AND d.n_chars < 400
+        """,
+        "search_template": _bm25_sql("""
+            SELECT sc.doc_id, printf('%.4f', sc.score) AS score
+            FROM scored sc JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en'
+            ORDER BY sc.score DESC, sc.doc_id LIMIT 10""",
+            query_terms=["window", "sort"]),
+        "rank_eval_precision": _rankeval_sql("""
+            , perq AS (
+              SELECT t.query_id,
+                     CAST(sum(CASE WHEN r.rating >= 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) AS ms
+              FROM top t LEFT JOIN rated r USING (query_id, doc_id)
+              GROUP BY t.query_id
+            )
+            SELECT query_id, printf('%.4f', ms) AS metric_score FROM perq
+            UNION ALL
+            SELECT '_mean', printf('%.4f', (SELECT avg(ms) FROM perq))"""),
+        "rank_eval_ndcg": _rankeval_sql("""
+            , dcg AS (
+              SELECT t.query_id,
+                     sum(CASE WHEN r.rating IS NULL THEN 0
+                              ELSE (pow(2, r.rating) - 1) / log2(t.rn + 1)
+                         END) AS dcg
+              FROM top t LEFT JOIN rated r USING (query_id, doc_id)
+              GROUP BY t.query_id
+            ),
+            idcg AS (
+              SELECT query_id,
+                     sum((pow(2, rating) - 1) / log2(rn + 1)) AS idcg
+              FROM (SELECT query_id, rating,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY rating DESC) AS rn
+                    FROM rated)
+              WHERE rn <= 10 GROUP BY query_id
+            ),
+            perq AS (
+              SELECT d.query_id,
+                     CASE WHEN i.idcg = 0 THEN 0
+                          ELSE d.dcg / i.idcg END AS ms
+              FROM dcg d JOIN idcg i USING (query_id)
+            )
+            SELECT query_id, printf('%.4f', ms) AS metric_score FROM perq
+            UNION ALL
+            SELECT '_mean', printf('%.4f', (SELECT avg(ms) FROM perq))"""),
     }

@@ -1,0 +1,345 @@
+"""OpenSearch JSON query-DSL executor.
+
+The reference's actual user surface is the JSON ``_search`` request body:
+``server/src/main/java/org/opensearch/index/query/*QueryBuilder.java``
+parsed via ``AbstractQueryBuilder.parseInnerQueryBuilder`` and
+``server/.../search/builder/SearchSourceBuilder.java``. This module accepts
+that body as a Python dict and dispatches each query type onto the engine's
+native primitives (``Searcher`` + ``search/queries.py``), so a user of the
+reference can submit the same request shape here.
+
+Two evaluation contexts, mirroring Lucene/OpenSearch:
+
+- **filter context** (:func:`query_docs`): a query evaluates to the set of
+  matching docids, no scores (``BoolQueryBuilder.filter``, constant-score
+  rewrite). Set algebra over sorted global docid arrays — the same
+  materialization contract as ``Searcher.bool_docs`` (segment-streamed
+  underneath, only result sets surface here).
+- **query context** (:func:`execute_search`): text clauses in positive
+  scoring positions contribute BM25 scores; the full query still gates the
+  hit set. Scores from the engine's exact block-max scorer, filtering by
+  membership — the ``post_filter``/``FilteredCollector`` shape.
+
+Query types handled: match, match_all, match_none, term, terms, range,
+exists, ids, prefix, wildcard, fuzzy, regexp, match_phrase,
+match_phrase_prefix, match_bool_prefix, terms_set, intervals, bool,
+constant_score, wrapper (base64 JSON — WrapperQueryBuilder.java), script
+(Python callable as the Painless stand-in — ScriptQueryBuilder.java),
+span_near/span_or/span_first/span_not.
+"""
+from __future__ import annotations
+
+import base64
+import json
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .searcher import Searcher
+from . import queries as Q
+
+
+def _all_docs(s: Searcher) -> np.ndarray:
+    """match_all in filter context — per-segment aranges (global order)."""
+    parts = [np.arange(seg.doc_count, dtype=np.int64) + s.doc_base(seg.seg_id)
+             for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id)]
+    return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
+def _field_body(body: dict):
+    """{field: spec} -> (field, spec) for single-field query bodies."""
+    (field, spec), = body.items()
+    return field, spec
+
+
+def _match_terms(s: Searcher, spec) -> tuple:
+    """Normalize a match spec -> (terms, operator, msm)."""
+    if isinstance(spec, dict):
+        text = spec.get("query", "")
+        op = spec.get("operator", "or").lower()
+        msm = spec.get("minimum_should_match", 0)
+    else:
+        text, op, msm = str(spec), "or", 0
+    return s.analyzer.tokens(str(text)), op, msm
+
+
+def _intersect(parts: List[np.ndarray]) -> np.ndarray:
+    out = parts[0]
+    for p in parts[1:]:
+        out = np.intersect1d(out, p, assume_unique=True)
+    return out
+
+
+def query_docs(s: Searcher, q: dict, text_field: str = "text") -> np.ndarray:
+    """Evaluate ``q`` in FILTER context -> sorted unique global docids."""
+    if not isinstance(q, dict) or len(q) != 1:
+        raise ValueError(f"query must be a single-key dict, got {q!r}")
+    (kind, body), = q.items()
+
+    if kind == "match_all":
+        return _all_docs(s)
+    if kind == "match_none":  # MatchNoneQueryBuilder.java
+        return np.empty(0, np.int64)
+    if kind == "wrapper":  # WrapperQueryBuilder.java: base64(JSON query)
+        inner = body["query"] if isinstance(body, dict) else body
+        return query_docs(s, json.loads(base64.b64decode(inner)), text_field)
+    if kind == "constant_score":
+        return query_docs(s, body["filter"], text_field)
+    if kind == "bool":
+        return _bool_docs(s, body, text_field)
+    if kind == "script":
+        return _script_docs(s, body)
+    if kind == "ids":
+        return np.sort(Q.ids_docs(s, body["values"],
+                                  body.get("field", "doc_id")))
+    if kind == "exists":
+        return Q.exists_docs(s, body["field"])
+    if kind == "terms_set":
+        field, spec = _field_body(body)
+        return np.sort(Q.terms_set_docs(
+            s, spec["terms"], spec["minimum_should_match_field"]))
+    if kind == "intervals":
+        field, spec = _field_body(body)
+        return np.sort(Q.intervals_docs(s, spec))
+    if kind == "span_near":
+        clauses = [_span_term_value(c) if "span_term" in c else c
+                   for c in body["clauses"]]
+        return np.sort(Q.span_near_clauses_docs(
+            s, clauses, slop=body.get("slop", 0),
+            in_order=body.get("in_order", True)))
+    if kind == "span_or":
+        terms = [_span_term_value(c) for c in body["clauses"]]
+        return np.sort(Q.span_or_docs(s, terms))
+    if kind == "span_first":
+        return np.sort(Q.span_first_docs(
+            s, _span_term_value(body["match"]), body["end"]))
+    if kind == "span_not":
+        return np.sort(Q.span_not_docs(
+            s, _span_term_value(body["include"]),
+            _span_term_value(body["exclude"]),
+            pre=body.get("pre", 0), post=body.get("post", 0)))
+
+    field, spec = _field_body(body)
+    if kind == "match":
+        terms, op, msm = _match_terms(s, spec)
+        if not terms:
+            return np.empty(0, np.int64)
+        if op == "and":
+            return np.sort(s.bool_docs(must=terms))
+        return np.sort(s.bool_docs(should=terms,
+                                   minimum_should_match=msm or 1))
+    if kind == "match_phrase":
+        slop = spec.get("slop", 0) if isinstance(spec, dict) else 0
+        text = spec["query"] if isinstance(spec, dict) else spec
+        return np.sort(s.match_phrase(str(text), slop=slop))
+    if kind == "match_phrase_prefix":
+        text = spec["query"] if isinstance(spec, dict) else spec
+        return np.sort(s.match_phrase_prefix(str(text)))
+    if kind == "match_bool_prefix":
+        text = spec["query"] if isinstance(spec, dict) else spec
+        return np.sort(Q.match_bool_prefix_docs(s, str(text)))
+    if kind == "term":
+        val = spec["value"] if isinstance(spec, dict) else spec
+        if field == text_field:
+            return np.sort(s.term_docs(str(val)))
+        return s.range_docs(field, val)  # scalar spec == doc-values equality
+    if kind == "terms":
+        vals = list(spec)
+        if field == text_field:
+            return np.sort(s.bool_docs(should=[str(v) for v in vals],
+                                       minimum_should_match=1))
+        return s.range_docs(field, vals)
+    if kind == "range":
+        return s.range_docs(field, spec)
+    if kind == "prefix":
+        val = spec["value"] if isinstance(spec, dict) else spec
+        return np.sort(s.prefix_docs(str(val)))
+    if kind == "wildcard":
+        val = spec["value"] if isinstance(spec, dict) else spec
+        return np.sort(s.wildcard_docs(str(val)))
+    if kind == "fuzzy":
+        val = spec["value"] if isinstance(spec, dict) else spec
+        fz = spec.get("fuzziness", 2) if isinstance(spec, dict) else 2
+        return np.sort(s.fuzzy_docs(str(val), max_edits=int(fz)))
+    if kind == "regexp":
+        val = spec["value"] if isinstance(spec, dict) else spec
+        return np.sort(Q.regexp_docs(s, str(val)))
+    raise ValueError(f"unsupported query type: {kind}")
+
+
+def _bool_docs(s: Searcher, body: dict, text_field: str) -> np.ndarray:
+    """Recursive bool set algebra (BoolQueryBuilder.java doRewrite).
+
+    minimum_should_match default: 1 when the bool has should clauses and no
+    must/filter, else 0 (Queries.calculateMinShouldMatch call sites)."""
+    must = [query_docs(s, c, text_field) for c in _aslist(body.get("must"))]
+    filt = [query_docs(s, c, text_field) for c in _aslist(body.get("filter"))]
+    nots = [query_docs(s, c, text_field)
+            for c in _aslist(body.get("must_not"))]
+    shoulds = [query_docs(s, c, text_field)
+               for c in _aslist(body.get("should"))]
+    msm = body.get("minimum_should_match")
+    if msm is None:
+        msm = 1 if shoulds and not (must or filt) else 0
+    if isinstance(msm, str) and msm.endswith("%"):
+        msm = (len(shoulds) * int(msm[:-1])) // 100
+
+    base: Optional[np.ndarray] = None
+    if must or filt:
+        base = _intersect(must + filt)
+    if shoulds:
+        if msm > 0:
+            cat = np.concatenate(shoulds) if shoulds else np.empty(0, np.int64)
+            ids, cnt = np.unique(cat, return_counts=True)
+            ok = ids[cnt >= msm]
+            base = ok if base is None else np.intersect1d(
+                base, ok, assume_unique=True)
+        # msm == 0 with must/filter present: should only boosts, no gating
+    if base is None:
+        base = _all_docs(s) if nots else np.empty(0, np.int64)
+    for n in nots:
+        base = np.setdiff1d(base, n, assume_unique=True)
+    return base
+
+
+def _script_docs(s: Searcher, body: dict) -> np.ndarray:
+    """script query (ScriptQueryBuilder.java) — the Painless stand-in is a
+    Python callable over a per-segment doc-values DataFrame returning a
+    boolean mask (vectorized; one call per segment, never per doc)."""
+    spec = body.get("script", body)
+    fn: Callable[[pd.DataFrame], np.ndarray] = spec["source"]
+    fields: Sequence[str] = spec.get("fields", ())
+    parts: List[np.ndarray] = []
+    for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id):
+        df = pd.DataFrame({f: s.doc_values(seg.seg_id, f) for f in fields})
+        mask = np.asarray(fn(df), dtype=bool)
+        if mask.any():
+            parts.append(np.flatnonzero(mask).astype(np.int64)
+                         + s.doc_base(seg.seg_id))
+    return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
+def _aslist(x) -> list:
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+def _span_term_value(clause: dict) -> str:
+    """{"span_term": {field: value-or-{"value": v}}} -> the term string."""
+    (field, v), = clause["span_term"].items()
+    return str(v["value"] if isinstance(v, dict) else v)
+
+
+def _fetch_aligned(s: Searcher, ids: np.ndarray, columns: List[str]):
+    """Doc-values gather aligned to ``ids`` order (fetch() returns rows
+    sorted by global docid — realign via searchsorted on _docid)."""
+    t = s.fetch(ids, columns=columns)
+    fd = t.column("_docid").to_numpy()
+    pos = np.searchsorted(fd, np.asarray(ids, np.int64))
+    return {c: t.column(c).to_numpy(zero_copy_only=False)[pos]
+            for c in columns}
+
+
+def _score_terms(s: Searcher, q: dict) -> List[str]:
+    """Analyzed terms in POSITIVE scoring positions (match / term /
+    match_phrase on the text field inside must/should or at top level).
+    filter / must_not / constant_score contribute no scores — the
+    query-vs-filter-context split of BooleanClause.Occur."""
+    (kind, body), = q.items()
+    if kind == "match":
+        _, spec = _field_body(body)
+        terms, _, _ = _match_terms(s, spec)
+        return terms
+    if kind in ("match_phrase", "match_phrase_prefix", "match_bool_prefix"):
+        _, spec = _field_body(body)
+        text = spec["query"] if isinstance(spec, dict) else spec
+        return s.analyzer.tokens(str(text))
+    if kind == "term":
+        _, spec = _field_body(body)
+        val = spec["value"] if isinstance(spec, dict) else spec
+        return [str(val)]
+    if kind == "bool":
+        out: List[str] = []
+        for c in _aslist(body.get("must")) + _aslist(body.get("should")):
+            out.extend(_score_terms(s, c))
+        return out
+    if kind == "wrapper":
+        inner = body["query"] if isinstance(body, dict) else body
+        return _score_terms(s, json.loads(base64.b64decode(inner)))
+    return []
+
+
+def execute_search(s: Searcher, body: dict, text_field: str = "text",
+                   id_col: str = "doc_id") -> pd.DataFrame:
+    """Execute a ``_search`` request body -> hits DataFrame.
+
+    Supported body keys: query, from, size, sort (field names or
+    {field: {"order"}} or "_score"), _source (column list projected into the
+    result). Scoring: BM25 over the positive text clauses, gated by the full
+    query's filter-context doc set; pure-filter queries score constant 1.0
+    (or the constant_score boost) with docid-ascending order — matching the
+    reference's constant-score rewrite."""
+    q = body.get("query", {"match_all": {}})
+    docs = query_docs(s, q, text_field)
+    terms = _score_terms(s, q)
+
+    if terms:
+        hits = s.search(" ".join(terms), k=10 ** 9, terms=terms)
+        hit_ids = np.fromiter((h.docid for h in hits), np.int64,
+                              count=len(hits))
+        keep = np.isin(hit_ids, docs, assume_unique=False)
+        ids = hit_ids[keep]
+        scores = np.asarray([h.score for h in hits], np.float64)[keep]
+    else:
+        boost = 1.0
+        (kind, qb), = q.items()
+        if kind == "constant_score" and isinstance(qb, dict):
+            boost = float(qb.get("boost", 1.0))
+        ids, scores = Q.constant_score_docs(s, docs, boost)
+
+    sort = body.get("sort")
+    if sort:
+        ids, scores = _apply_sort(s, ids, scores, sort)
+
+    frm = int(body.get("from", 0))
+    size = int(body.get("size", 10))
+    ids, scores = ids[frm:frm + size], scores[frm:frm + size]
+    out = pd.DataFrame({id_col: ids, "score": scores})
+    src = body.get("_source")
+    if src:
+        for c, vals in _fetch_aligned(s, ids, list(src)).items():
+            out[c] = vals
+    return out
+
+
+def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort):
+    """SearchSourceBuilder.sort: list of field names / {field: {order}} /
+    "_score"; ties broken by docid asc (the implicit _doc tiebreak)."""
+    keys = []
+    for item in _aslist(sort):
+        if isinstance(item, str):
+            field, order = item, "asc" if item != "_score" else "desc"
+        else:
+            (field, spec), = item.items()
+            order = (spec.get("order", "desc" if field == "_score" else "asc")
+                     if isinstance(spec, dict) else spec)
+        if field == "_score":
+            vals = scores
+        else:
+            vals = _fetch_aligned(s, ids, [field])[field]
+        keys.append((vals, order == "desc"))
+    # np.lexsort: last key is primary; docid asc as final tiebreak
+    cols, prim = [ids], []
+    for vals, desc in reversed(keys):
+        v = np.asarray(vals)
+        if desc:
+            if v.dtype.kind in "iufM":
+                v = -v.astype("int64") if v.dtype.kind == "M" else -v
+            else:  # lexicographic desc over objects: rank trick
+                _, inv = np.unique(v, return_inverse=True)
+                v = -inv
+        cols.append(v)
+    order = np.lexsort(cols)
+    return ids[order], scores[order]

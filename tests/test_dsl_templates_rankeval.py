@@ -1,0 +1,179 @@
+"""JSON query-DSL executor (search/dsl.py), Mustache search templates
+(search/templates.py) and the rank-eval module (rankeval.py) — parity against
+native engine calls and hand-computed metric values."""
+
+import base64
+import json
+import math
+
+import numpy as np
+import pytest
+
+from opensearch_ray import rankeval
+from opensearch_ray.search import Searcher, dsl
+from opensearch_ray.search.templates import (render_search_template,
+                                             render_template)
+
+
+@pytest.fixture(scope="module")
+def s(built_index):
+    return Searcher(built_index.index_dir)
+
+
+@pytest.fixture(scope="module")
+def terms3(s):
+    """Three frequent corpus terms (synthetic Zipfian vocabulary — derive
+    from the data rather than assuming English words)."""
+    from collections import Counter
+    full = s.fetch(list(range(min(s.N, 200))),
+                   columns=[s.manifest.text_col])
+    cnt = Counter()
+    for r in full.to_pylist():
+        cnt.update(s.analyzer.tokens(r[s.manifest.text_col] or ""))
+    return [t for t, _ in cnt.most_common(3)]
+
+
+def test_query_docs_leaf_parity(s, terms3):
+    vocab_term = terms3[0]
+    assert (dsl.query_docs(s, {"term": {"text": vocab_term}})
+            == np.sort(s.term_docs(vocab_term))).all()
+    assert dsl.query_docs(s, {"match_none": {}}).size == 0
+    assert dsl.query_docs(s, {"match_all": {}}).size == s.N
+    # range on doc values
+    got = dsl.query_docs(s, {"range": {"turn_idx": {"gte": 3, "lt": 6}}})
+    assert (got == s.range_docs("turn_idx", {"gte": 3, "lt": 6})).all()
+    # exists via the DSL
+    from opensearch_ray.search.queries import exists_docs
+    assert (dsl.query_docs(s, {"exists": {"field": "role"}})
+            == np.sort(exists_docs(s, "role"))).all()
+
+
+def test_bool_algebra_and_msm(s, terms3):
+    a, b, c = terms3
+    da = set(s.term_docs(a).tolist())
+    db = set(s.term_docs(b).tolist())
+    dc = set(s.term_docs(c).tolist())
+    q = {"bool": {"must": [{"term": {"text": a}}],
+                  "must_not": [{"term": {"text": c}}]}}
+    assert dsl.query_docs(s, q).tolist() == sorted(da - dc)
+    # should-only bool defaults to minimum_should_match=1
+    q2 = {"bool": {"should": [{"term": {"text": a}}, {"term": {"text": b}}]}}
+    assert dsl.query_docs(s, q2).tolist() == sorted(da | db)
+    # explicit msm=2
+    q3 = {"bool": {"should": [{"term": {"text": a}}, {"term": {"text": b}},
+                              {"term": {"text": c}}],
+                   "minimum_should_match": 2}}
+    exp = sorted(d for d in da | db | dc
+                 if (d in da) + (d in db) + (d in dc) >= 2)
+    assert dsl.query_docs(s, q3).tolist() == exp
+    # nested bool
+    q4 = {"bool": {"must": [{"bool": {"should": [
+        {"term": {"text": a}}, {"term": {"text": b}}]}}],
+        "filter": [{"range": {"turn_idx": {"lte": 10}}}]}}
+    flt = set(s.range_docs("turn_idx", {"lte": 10}).tolist())
+    assert dsl.query_docs(s, q4).tolist() == sorted((da | db) & flt)
+
+
+def test_wrapper_and_script(s, terms3):
+    inner = {"term": {"text": terms3[0]}}
+    enc = base64.b64encode(json.dumps(inner).encode()).decode()
+    assert (dsl.query_docs(s, {"wrapper": {"query": enc}})
+            == dsl.query_docs(s, inner)).all()
+    got = dsl.query_docs(s, {"script": {"script": {
+        "source": lambda df: df["turn_idx"].values % 2 == 0,
+        "fields": ["turn_idx"]}}})
+    all_ti = np.concatenate([
+        s.doc_values(seg.seg_id, "turn_idx")
+        for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id)])
+    assert got.tolist() == np.flatnonzero(all_ti % 2 == 0).tolist()
+
+
+def test_execute_search_scores_and_filter(s, terms3):
+    qtext = f"{terms3[0]} {terms3[1]}"
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": qtext}}],
+        "filter": [{"range": {"turn_idx": {"gte": 2}}}]}},
+        "size": 7}
+    r = dsl.execute_search(s, body, id_col="docid")
+    hits = s.search(qtext, k=10 ** 9)
+    flt = set(s.range_docs("turn_idx", {"gte": 2}).tolist())
+    exp = [(h.docid, h.score) for h in hits if h.docid in flt][:7]
+    assert list(zip(r.docid.tolist(), r.score.tolist())) == exp
+
+
+def test_execute_search_sort_and_source(s, terms3):
+    body = {"query": {"match": {"text": terms3[0]}},
+            "sort": [{"turn_idx": {"order": "desc"}}], "size": 5,
+            "_source": ["turn_idx"]}
+    r = dsl.execute_search(s, body, id_col="docid")
+    assert (np.diff(r.turn_idx.values) <= 0).all()
+    # _source values must align with the docids after the sort
+    fetched = s.fetch(r.docid.tolist(), columns=["turn_idx"]).to_pydict()
+    by_id = dict(zip(fetched["_docid"], fetched["turn_idx"]))
+    assert [by_id[d] for d in r.docid.tolist()] == r.turn_idx.tolist()
+
+
+def test_constant_score_boost(s, terms3):
+    r = dsl.execute_search(s, {"query": {"constant_score": {
+        "filter": {"term": {"text": terms3[0]}}, "boost": 3.0}}, "size": 4},
+        id_col="docid")
+    assert (r.score == 3.0).all()
+    assert r.docid.is_monotonic_increasing
+
+
+def test_render_template_forms():
+    tpl = ('{"query": {"match": {"text": "{{q}}"}}'
+           '{{#flt}}, "post_filter": {"term": {"lang": "{{flt}}"}}{{/flt}}'
+           ', "size": {{size}}}')
+    b = render_search_template(tpl, {"q": "x y", "flt": "en", "size": 3})
+    assert b == {"query": {"match": {"text": "x y"}},
+                 "post_filter": {"term": {"lang": "en"}}, "size": 3}
+    b2 = render_search_template(tpl, {"q": "z", "flt": None, "size": 1})
+    assert "post_filter" not in b2
+    # inverted sections, triple-stash, toJson, list iteration
+    assert render_template("{{^x}}no-x{{/x}}", {}) == "no-x"
+    assert render_template("{{{v}}}", {"v": 7}) == "7"
+    assert (render_search_template(
+        '{"terms": {{#toJson}}ws{{/toJson}}}', {"ws": ["a", "b"]})
+        == {"terms": ["a", "b"]})
+    assert render_template("[{{#xs}}{{.}},{{/xs}}0]", {"xs": [1, 2]}) \
+        == "[1,2,0]"
+
+
+def test_rankeval_metrics_exact():
+    ratings = {1: 2, 2: 0, 3: 1}
+    assert rankeval.precision_at_k([1, 2, 3, 4], ratings) == 2 / 4
+    assert rankeval.precision_at_k([1, 2, 3, 4], ratings,
+                                   ignore_unlabeled=True) == 2 / 3
+    assert rankeval.precision_at_k([1, 2, 3], ratings,
+                                   relevant_rating_threshold=2) == 1 / 3
+    assert rankeval.recall_at_k([1, 4], ratings) == 1 / 2
+    assert rankeval.mean_reciprocal_rank([2, 4, 3], ratings) == 1 / 3
+    assert rankeval.mean_reciprocal_rank([2, 4], ratings) == 0.0
+    dcg = (3 / math.log2(2)) + (0 / math.log2(3)) + (1 / math.log2(4))
+    assert rankeval.dcg_at_k([1, 2, 3], ratings, normalize=False) \
+        == pytest.approx(dcg, abs=1e-12)
+    idcg = 3 / math.log2(2) + 1 / math.log2(3)
+    assert rankeval.dcg_at_k([1, 2, 3], ratings) \
+        == pytest.approx(dcg / idcg, abs=1e-12)
+    # unlabeled keeps its rank slot but contributes nothing
+    assert rankeval.dcg_at_k([9, 1], {1: 1}, normalize=False) \
+        == pytest.approx(1 / math.log2(3), abs=1e-12)
+    # ERR cascade
+    err = rankeval.expected_reciprocal_rank([1, 3], ratings, max_rating=2)
+    p1 = 3 / 4
+    exp = p1 * 1 + (1 - p1) * (1 / 4) / 2
+    assert err == pytest.approx(exp, abs=1e-12)
+
+
+def test_rank_eval_end_to_end(s, terms3):
+    t = terms3[0]
+    rel = {int(d): 1 for d in s.term_docs(t)[:8]}
+    reqs = [{"id": "q1", "query_text": t, "ratings": rel}]
+    df = rankeval.rank_eval(s, reqs, metric="precision", k=10,
+                            id_col="docid")
+    assert list(df.query_id) == ["q1", "_mean"]
+    ranked = [h.docid for h in s.search(t, k=10)]
+    exp = sum(1 for d in ranked if d in rel) / len(ranked)
+    assert df.metric_score.iloc[0] == pytest.approx(exp)
+    assert df.metric_score.iloc[1] == df.metric_score.iloc[0]
