@@ -1993,6 +1993,61 @@ def _q_sort_geo_distance(sf_dir):
 
 # ----------------------------------------------------------------- contract
 
+def _q_agg_reverse_nested(sf_dir):
+    """reverse_nested: bucket by CHILD l_returnflag, count PARENT orders."""
+    from opensearch_ray.nested import nest_children, reverse_nested_agg
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    nested = nest_children(orders, items, "o_orderkey", "l_orderkey",
+                           ["l_orderkey", "l_returnflag"], list_col="items")
+    out = (reverse_nested_agg(nested, "items", "l_returnflag", "o_orderkey")
+           .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+    return out[["l_returnflag", "doc_count"]]
+
+
+def _q_agg_global(sf_dir):
+    """global agg: query-scoped (l_returnflag='A') vs global avg price."""
+    from opensearch_ray.aggs.bucket import global_agg
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = global_agg(ds, lambda t: pc.equal(t.column("l_returnflag"), "A"),
+                     "l_extendedprice")
+    out["avg"] = _fmt(out["avg"].values, 4)
+    return out
+
+
+def _q_agg_filter(sf_dir):
+    """filter single-bucket agg: doc_count + sum/avg inside the bucket."""
+    from opensearch_ray.aggs.bucket import filter_agg
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = filter_agg(ds, lambda t: pc.equal(t.column("l_returnflag"), "R"),
+                     "l_quantity")
+    out["sum"] = _fmt(out["sum"].values, 2)
+    out["avg"] = _fmt(out["avg"].values, 4)
+    return out
+
+
+def _q_common_terms(sf_dir):
+    """common terms query: 'dup' is low-frequency (df<=100) and gates; the
+    stopword-like 'scan'/'batch' only contribute score on gated docs."""
+    from opensearch_ray.search.features import common_terms_query
+    s = _searcher(sf_dir)
+    out = common_terms_query(s, "dup scan batch", cutoff_df=100, k=10)
+    out = out.rename(columns={"_docid": "doc_id"})
+    out["score"] = _fmt(out["score"].values, 4)
+    return out
+
+
+_GEO_POLY = [(0.1, -44.9), (-29.8, 0.3), (0.2, 45.7), (30.3, 0.1)]
+
+
+def _q_geo_polygon(sf_dir):
+    """geo_polygon filter: events inside a convex quad (CCW vertices)."""
+    from opensearch_ray.aggs.geo import geo_polygon_filter
+    out = geo_polygon_filter(_geo_events(sf_dir), "lat", "lon",
+                             _GEO_POLY).to_pandas()
+    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+
+
 def _q_dsl_search(sf_dir):
     """Full JSON `_search` request body through the query-DSL executor
     (search/dsl.py): bool must(match) + filter(range) + must_not(term),
@@ -2239,6 +2294,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal,
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
+        # round-3 session 2: reference-surface tail
+        "agg_reverse_nested": _q_agg_reverse_nested,
+        "agg_global": _q_agg_global,
+        "agg_filter": _q_agg_filter,
+        "common_terms_query": _q_common_terms,
+        "geo_polygon": _q_geo_polygon,
         # JSON DSL executor / templates / rank-eval
         "dsl_search": _q_dsl_search,
         "wrapper_query": _q_wrapper_query,
@@ -3365,6 +3426,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "agg_reverse_nested": """
+            SELECT l.l_returnflag,
+                   count(DISTINCT o.o_orderkey) AS doc_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+        """,
+        "agg_global": """
+            SELECT 'query' AS bucket, count(*) AS doc_count,
+                   printf('%.4f', sum(l_extendedprice) / count(*)) AS avg
+            FROM lineitem WHERE l_returnflag = 'A'
+            UNION ALL
+            SELECT 'global', count(*),
+                   printf('%.4f', sum(l_extendedprice) / count(*))
+            FROM lineitem
+        """,
+        "agg_filter": """
+            SELECT count(*) AS doc_count,
+                   printf('%.2f', sum(l_quantity)) AS sum,
+                   printf('%.4f', sum(l_quantity) / count(*)) AS avg
+            FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "common_terms_query": _bm25_sql("""
+            , low AS (SELECT qt.term FROM qterms qt
+                      JOIN df ON df.token = qt.term WHERE df.df <= 100),
+            gate AS (SELECT DISTINCT t2.doc_id
+                     FROM tok t2 JOIN low ON t2.token = low.term)
+            SELECT sc.doc_id, printf('%.4f', sc.score) AS score
+            FROM scored sc JOIN gate USING (doc_id)
+            ORDER BY sc.score DESC, sc.doc_id LIMIT 10""",
+            query_terms=["dup", "scan", "batch"]),
+        "geo_polygon": """
+            WITH pts AS (
+              SELECT event_id,
+                     (user_id % 180) - 89.5 AS lat,
+                     (event_id % 360) - 179.5 AS lon
+              FROM events)
+            SELECT event_id FROM pts
+            WHERE (0.3 - (-44.9)) * (lat - 0.1)
+                    - ((-29.8) - 0.1) * (lon - (-44.9)) > 0
+              AND (45.7 - 0.3) * (lat - (-29.8))
+                    - (0.2 - (-29.8)) * (lon - 0.3) > 0
+              AND (0.1 - 45.7) * (lat - 0.2)
+                    - (30.3 - 0.2) * (lon - 45.7) > 0
+              AND ((-44.9) - 0.1) * (lat - 30.3)
+                    - (0.1 - 30.3) * (lon - 0.1) > 0
+            ORDER BY event_id
         """,
         "dsl_search": _bm25_sql("""
             SELECT sc.doc_id, printf('%.4f', sc.score) AS score, d.lang

@@ -537,6 +537,61 @@ def filters_agg(ds: Dataset, filters: Dict[str, Callable[[pa.Table], pa.Array]]
     return merged.set_index("name").loc[names].reset_index()
 
 
+def filter_agg(ds: Dataset, predicate: Callable[[pa.Table], pa.Array],
+               value_col: Optional[str] = None) -> pd.DataFrame:
+    """`filter` single-bucket agg (FilterAggregationBuilder): doc_count of
+    docs matching the predicate, plus sum/avg of ``value_col`` inside the
+    bucket when given — one-row combiner partials, no shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.cast(predicate(t), pa.bool_())
+        n = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        cols = {"doc_count": pa.array([n], pa.int64())}
+        if value_col is not None:
+            v = t.column(value_col).filter(mask)
+            cols["vsum"] = pa.array(
+                [float(pc.sum(v).as_py() or 0.0)], pa.float64())
+        return pa.table(cols)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["doc_count"].sum())
+    row = {"doc_count": n}
+    if value_col is not None:
+        row["sum"] = float(p["vsum"].sum())
+        row["avg"] = row["sum"] / n if n else float("nan")
+    return pd.DataFrame([row])
+
+
+def global_agg(ds: Dataset, scoped: Callable[[pa.Table], pa.Array],
+               value_col: str) -> pd.DataFrame:
+    """`global` agg (GlobalAggregationBuilder): a bucket that ESCAPES the
+    request's query scope — sub-aggs run over ALL docs while sibling aggs
+    stay query-scoped. Returns two rows (bucket = 'query'/'global') with
+    doc_count + avg(value_col), computed in ONE pass (both partials per
+    block; the scoped mask is the request's query as a filter predicate)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.cast(scoped(t), pa.bool_())
+        v = t.column(value_col)
+        vq = v.filter(mask)
+        return pa.table({
+            "nq": pa.array([int(pc.sum(pc.cast(mask, pa.int64())).as_py()
+                                or 0)], pa.int64()),
+            "sq": pa.array([float(pc.sum(vq).as_py() or 0.0)], pa.float64()),
+            "ng": pa.array([t.num_rows], pa.int64()),
+            "sg": pa.array([float(pc.sum(v).as_py() or 0.0)], pa.float64()),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    nq, ng = int(p["nq"].sum()), int(p["ng"].sum())
+    return pd.DataFrame([
+        {"bucket": "query", "doc_count": nq,
+         "avg": float(p["sq"].sum()) / nq if nq else float("nan")},
+        {"bucket": "global", "doc_count": ng,
+         "avg": float(p["sg"].sum()) / ng if ng else float("nan")},
+    ])
+
+
 def missing_agg(ds: Dataset, field: str) -> int:
     """missing: docs with null/empty field."""
     def partial(t: pa.Table) -> pa.Table:

@@ -221,3 +221,31 @@ def geo_centroid_agg(ds: Dataset, lat_col: str, lon_col: str) -> dict:
         return {"lat": None, "lon": None, "count": 0}
     return {"lat": float(p["lat_sum"].sum()) / n,
             "lon": float(p["lon_sum"].sum()) / n, "count": n}
+
+
+def geo_polygon_filter(ds: Dataset, lat_col: str, lon_col: str,
+                       polygon: "list[tuple]") -> Dataset:
+    """geo_polygon query (server/index/query/GeoPolygonQueryBuilder.java):
+    keep rows whose point lies inside the polygon — even-odd ray casting,
+    vectorized over the batch (the loop is over polygon VERTICES, not rows).
+    ``polygon``: [(lat, lon), ...]; closed implicitly. Points exactly on an
+    edge follow the half-open crossing rule (same as Lucene's tangent
+    handling at vertex latitudes)."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        inside = np.zeros(len(lat), dtype=bool)
+        n = len(polygon)
+        for i in range(n):
+            y1, x1 = polygon[i]
+            y2, x2 = polygon[(i + 1) % n]
+            crosses = (y1 > lat) != (y2 > lat)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+            inside ^= crosses & (lon < xint)
+        return t.filter(pa.array(inside))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

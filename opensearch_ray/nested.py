@@ -173,3 +173,31 @@ def nested_flat_agg(ds: Dataset, list_col: str,
         return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def reverse_nested_agg(ds: Dataset, list_col: str, child_key: str,
+                       parent_key: str) -> Dataset:
+    """`reverse_nested` aggregation
+    (server/.../bucket/nested/ReverseNestedAggregator.java): bucket by a
+    CHILD field, then step back out of the nested scope — each bucket's
+    doc_count is the number of PARENT docs with at least one child in the
+    bucket (not the child count the plain nested agg reports).
+
+    Distributed shape: all children of a parent live in that parent's block
+    (the _flatten explode never splits a row), so a per-block
+    (child_key, parent_key) dedup yields GLOBALLY unique pairs; the only
+    shuffle is the final small groupby over child_key partial counts."""
+
+    flat = nested_flat_agg(ds, list_col, parent_cols=[parent_key])
+
+    def parent_partial(t: pa.Table) -> pa.Table:
+        pairs = t.select([child_key, parent_key]).group_by(
+            [child_key, parent_key]).aggregate([])
+        return (pairs.group_by([child_key])
+                .aggregate([([], "count_all")])
+                .rename_columns([child_key, "doc_count"]))
+
+    from ray.data.aggregate import Sum
+    return (flat.map_batches(parent_partial, batch_format="pyarrow")
+            .groupby(child_key)
+            .aggregate(Sum("doc_count", alias_name="doc_count")))

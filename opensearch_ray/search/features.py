@@ -757,6 +757,39 @@ def post_filter_search(searcher: Searcher, query_text: str,
             "aggregations": aggs}
 
 
+def common_terms_query(searcher: Searcher, text: str, cutoff_df: int,
+                       k: int = 10, low_freq_operator: str = "or",
+                       minimum_should_match: int = 1) -> pd.DataFrame:
+    """common terms query (server/index/query/CommonTermsQueryBuilder.java /
+    Lucene CommonTermsQuery): query terms are partitioned by document
+    frequency at ``cutoff_df``. The LOW-frequency group selects the matching
+    docs (``low_freq_operator`` and/or, ``minimum_should_match``); the
+    HIGH-frequency (stopword-like) group never gates but still contributes
+    BM25 score on docs the low group matched. When every term is
+    high-frequency the high group gates by itself (Lucene's fallback)."""
+    terms = list(dict.fromkeys(searcher.analyzer.tokens(text)))
+    if not terms:
+        return pd.DataFrame({"_docid": [], "score": []})
+    stats = searcher.term_stats(terms)
+    low = [t for t in terms if 0 < stats[t][0] <= cutoff_df]
+    high = [t for t in terms if stats[t][0] > cutoff_df]
+    if low:
+        if low_freq_operator == "and":
+            gate = searcher.bool_docs(must=low)
+        else:
+            gate = searcher.bool_docs(
+                should=low, minimum_should_match=minimum_should_match)
+    else:
+        gate = searcher.bool_docs(should=high, minimum_should_match=1)
+    gate_set = np.sort(gate)
+    hits = searcher.search(" ".join(terms), k=10 ** 9, terms=terms)
+    hit_ids = np.fromiter((h.docid for h in hits), np.int64,
+                          count=len(hits))
+    keep = np.isin(hit_ids, gate_set)
+    scores = np.asarray([h.score for h in hits], np.float64)[keep]
+    return pd.DataFrame({"_docid": hit_ids[keep][:k], "score": scores[:k]})
+
+
 def min_score_search(searcher: Searcher, query_text: str, min_score: float,
                      k: int = 10, operator: str = "or") -> pd.DataFrame:
     """min_score (SearchSourceBuilder.minScore): hits scoring below the

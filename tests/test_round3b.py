@@ -1,0 +1,92 @@
+"""Round-3 session-2 operators: reverse_nested / global / filter aggs,
+common_terms query, geo_polygon filter — brute-force parity at sf0.001."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pytest
+import ray
+
+
+@pytest.fixture(scope="module")
+def li(sf_dir):
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+
+
+def test_reverse_nested_agg(sf_dir, li):
+    from opensearch_ray.nested import nest_children, reverse_nested_agg
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderstatus"])
+    items = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                  columns=["l_orderkey", "l_returnflag"])
+    nested = nest_children(orders, items, "o_orderkey", "l_orderkey",
+                           ["l_orderkey", "l_returnflag"], list_col="items")
+    got = (reverse_nested_agg(nested, "items", "l_returnflag", "o_orderkey")
+           .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+    exp = (li.groupby("l_returnflag")["l_orderkey"].nunique()
+           .rename("doc_count").reset_index())
+    pd.testing.assert_frame_equal(
+        got[["l_returnflag", "doc_count"]], exp, check_dtype=False)
+
+
+def test_filter_and_global_agg(sf_dir, li):
+    from opensearch_ray.aggs.bucket import filter_agg, global_agg
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+    f = filter_agg(ds, lambda t: pc.equal(t.column("l_returnflag"), "R"),
+                   "l_quantity")
+    sub = li[li.l_returnflag == "R"]
+    assert f.doc_count.iloc[0] == len(sub)
+    assert f["sum"].iloc[0] == pytest.approx(sub.l_quantity.sum())
+    assert f["avg"].iloc[0] == pytest.approx(sub.l_quantity.mean())
+
+    g = global_agg(ds, lambda t: pc.equal(t.column("l_returnflag"), "R"),
+                   "l_quantity")
+    assert list(g.bucket) == ["query", "global"]
+    assert g.doc_count.tolist() == [len(sub), len(li)]
+    assert g.avg.iloc[1] == pytest.approx(li.l_quantity.mean())
+
+
+def test_common_terms_query(built_index):
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.search.features import common_terms_query
+    s = Searcher(built_index.index_dir)
+    # pick one genuinely rare and one common term from the stats
+    vocab = s._vocab().to_pandas().sort_values("df")
+    rare = vocab.iloc[0]
+    common = vocab.iloc[-1]
+    cutoff = int((rare.df + common.df) // 2)
+    out = common_terms_query(s, f"{rare.term} {common.term}",
+                             cutoff_df=cutoff, k=10 ** 9)
+    gate = set(s.term_docs(rare.term).tolist())
+    assert set(out._docid.tolist()) == gate
+    # scores include the high-freq term's contribution on gated docs
+    hits = {h.docid: h.score
+            for h in s.search(f"{rare.term} {common.term}", k=10 ** 9)}
+    for d, sc in zip(out._docid, out.score):
+        assert sc == hits[d]
+    # all-high-frequency fallback: high group gates by itself
+    out2 = common_terms_query(s, str(common.term), cutoff_df=0, k=10 ** 9)
+    assert set(out2._docid.tolist()) == set(s.term_docs(common.term).tolist())
+
+
+def test_geo_polygon_filter():
+    from opensearch_ray.aggs.geo import geo_polygon_filter
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-60, 60, 4000)
+    lon = rng.uniform(-120, 120, 4000)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "i": np.arange(4000), "lat": lat, "lon": lon}))
+    poly = [(0.1, -44.9), (-29.8, 0.3), (0.2, 45.7), (30.3, 0.1)]
+    got = set(geo_polygon_filter(ds, "lat", "lon", poly)
+              .to_pandas()["i"].tolist())
+    # brute-force half-plane check (convex CCW polygon)
+    inside = np.ones(4000, dtype=bool)
+    n = len(poly)
+    for k in range(n):
+        y1, x1 = poly[k]
+        y2, x2 = poly[(k + 1) % n]
+        inside &= (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) > 0
+    assert got == set(np.flatnonzero(inside).tolist())
+    assert 0 < len(got) < 4000
