@@ -1993,6 +1993,76 @@ def _q_sort_geo_distance(sf_dir):
 
 # ----------------------------------------------------------------- contract
 
+def _q_ip_cidr_term(sf_dir):
+    """ip-field term query with a CIDR mask (10.96.0.0/12)."""
+    from opensearch_ray.mapper import ip_term_filter
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ips = [f"10.{int(u) % 256}.{int(e) % 256}.1"
+               for u, e in zip(uid, eid)]
+        return pa.table({"event_id": t.column("event_id"),
+                         "ip": pa.array(ips, pa.string())})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        derive, batch_format="pyarrow")
+    out = ip_term_filter(ds, "ip", "10.96.0.0/12").to_pandas()
+    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+
+
+def _q_range_field_query(sf_dir):
+    """range FIELD [value, value + user_id%10] vs query range [5, 12] under
+    all three relations (RangeFieldMapper + RangeQueryBuilder.relation)."""
+    from opensearch_ray.mapper import range_field_filter
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": t.column("event_id"),
+                         "lo": pa.array(v, pa.float64()),
+                         "hi": pa.array(v + (u % 10), pa.float64())})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"]
+               ).map_batches(derive, batch_format="pyarrow")
+    parts = []
+    for rel in ("intersects", "within", "contains"):
+        out = range_field_filter(ds, "lo", "hi", 5.0, 12.0, rel).to_pandas()
+        parts.append(pd.DataFrame({"relation": rel,
+                                   "event_id": out["event_id"]}))
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values(["relation", "event_id"]).reset_index(drop=True))
+
+
+def _q_scaled_float_agg(sf_dir):
+    """scaled_float(l_tax, factor=10): stats over the QUANTIZED values —
+    storage is Math.round(v*10) as long, queries see the decoded double."""
+    from opensearch_ray.aggs.metrics import stats_agg
+    from opensearch_ray.mapper import scaled_float_column
+    ds = scaled_float_column(_read(sf_dir, "lineitem", ["l_tax"]),
+                             "l_tax", 10.0)
+    out = stats_agg(ds, "l_tax")
+    for c in ("min", "max", "sum", "avg"):
+        out[c] = _fmt(out[c].values, 4)
+    return out
+
+
+def _q_token_count_range(sf_dir):
+    """token_count field type: analyzed-token count as an integer doc value,
+    range-queried 40..60."""
+    from opensearch_ray.mapper import token_count_column
+    ds = token_count_column(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            "text", analyzer="transcript")
+
+    def filt(t: pa.Table) -> pa.Table:
+        n = t.column("token_count").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((n >= 40) & (n <= 60)))
+
+    out = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return (out[["doc_id", "token_count"]].sort_values("doc_id")
+            .reset_index(drop=True))
+
+
 def _q_agg_reverse_nested(sf_dir):
     """reverse_nested: bucket by CHILD l_returnflag, count PARENT orders."""
     from opensearch_ray.nested import nest_children, reverse_nested_agg
@@ -2295,6 +2365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
         # round-3 session 2: reference-surface tail
+        "ip_cidr_term": _q_ip_cidr_term,
+        "range_field_query": _q_range_field_query,
+        "scaled_float_agg": _q_scaled_float_agg,
+        "token_count_range": _q_token_count_range,
         "agg_reverse_nested": _q_agg_reverse_nested,
         "agg_global": _q_agg_global,
         "agg_filter": _q_agg_filter,
@@ -3426,6 +3500,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "ip_cidr_term": """
+            WITH ips(event_id, b) AS (
+              SELECT event_id, user_id % 256 FROM events)
+            SELECT event_id FROM ips
+            WHERE b BETWEEN 96 AND 111 ORDER BY event_id
+        """,
+        "range_field_query": """
+            WITH r AS (
+              SELECT event_id, value AS lo,
+                     value + (user_id % 10) AS hi
+              FROM events)
+            SELECT 'intersects' AS relation, event_id FROM r
+            WHERE lo <= 12.0 AND hi >= 5.0
+            UNION ALL
+            SELECT 'within', event_id FROM r
+            WHERE lo >= 5.0 AND hi <= 12.0
+            UNION ALL
+            SELECT 'contains', event_id FROM r
+            WHERE lo <= 5.0 AND hi >= 12.0
+            ORDER BY relation, event_id
+        """,
+        "scaled_float_agg": """
+            WITH q AS (SELECT floor(l_tax * 10.0 + 0.5) / 10.0 AS v
+                       FROM lineitem)
+            SELECT count(*) AS count,
+                   printf('%.4f', min(v)) AS min,
+                   printf('%.4f', max(v)) AS max,
+                   printf('%.4f', sum(v)) AS sum,
+                   printf('%.4f', sum(v) / count(*)) AS avg
+            FROM q
+        """,
+        "token_count_range": f"""
+            WITH tok AS (
+              SELECT d.doc_id, t.tok AS token
+              FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}),
+            tc AS (SELECT doc_id, count(*) AS token_count
+                   FROM tok GROUP BY doc_id)
+            SELECT doc_id, token_count FROM tc
+            WHERE token_count BETWEEN 40 AND 60 ORDER BY doc_id
         """,
         "agg_reverse_nested": """
             SELECT l.l_returnflag,

@@ -1,0 +1,161 @@
+"""Field-type semantics beyond plain text/keyword/numeric columns.
+
+Mirrors the reference's mapper layer for the field types whose behavior is
+query-visible (the TYPE defines how values are encoded and which queries
+they answer), re-expressed as vectorized Arrow/numpy transforms:
+
+- **range fields** (``server/index/mapper/RangeFieldMapper.java``,
+  ``RangeType.java``): a per-doc [lo, hi] interval; range queries carry a
+  ``relation`` of intersects / within / contains
+  (``RangeQueryBuilder.relation``).
+- **ip fields** (``server/index/mapper/IpFieldMapper.java``): dotted-quad
+  IPv4; a term query accepts a CIDR mask
+  (``InetAddressPoint.newPrefixQuery``).
+- **scaled_float** (``modules/mapper-extras/.../ScaledFloatFieldMapper.java``):
+  ``long`` storage of ``Math.round(value * scaling_factor)``; queries and
+  aggs see the decoded (quantized) double.
+- **token_count** (``modules/mapper-extras/.../TokenCountFieldMapper.java``):
+  index-time analyzed-token count stored as an integer doc value.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+# ------------------------------------------------------------ range fields
+
+def range_relation_mask(lo: np.ndarray, hi: np.ndarray,
+                        qlo: float, qhi: float,
+                        relation: str = "intersects") -> np.ndarray:
+    """Boolean mask for a range-field query (RangeType.relationQuery):
+
+    - ``intersects`` (default): field range overlaps the query range
+    - ``within``: field range lies entirely inside the query range
+    - ``contains``: field range entirely covers the query range
+
+    Bounds are inclusive on both sides (the reference's default
+    include_lower/include_upper)."""
+    if relation == "intersects":
+        return (lo <= qhi) & (hi >= qlo)
+    if relation == "within":
+        return (lo >= qlo) & (hi <= qhi)
+    if relation == "contains":
+        return (lo <= qlo) & (hi >= qhi)
+    raise ValueError(f"unknown relation: {relation}")
+
+
+def range_field_filter(ds: Dataset, lo_col: str, hi_col: str,
+                       qlo: float, qhi: float,
+                       relation: str = "intersects") -> Dataset:
+    """Filter rows by a range-field query over [lo_col, hi_col]."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        lo = t.column(lo_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        hi = t.column(hi_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return t.filter(pa.array(range_relation_mask(lo, hi, qlo, qhi,
+                                                     relation)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- ip fields
+
+def ipv4_to_uint32(col: pa.ChunkedArray) -> np.ndarray:
+    """Dotted-quad strings -> uint32 keys, fully vectorized (Arrow split +
+    one flatten; no per-string Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(col, ".")
+    flat = pc.cast(parts.flatten(), pa.int64()).to_numpy(
+        zero_copy_only=False).reshape(-1, 4)
+    return ((flat[:, 0].astype(np.uint32) << 24)
+            | (flat[:, 1].astype(np.uint32) << 16)
+            | (flat[:, 2].astype(np.uint32) << 8)
+            | flat[:, 3].astype(np.uint32))
+
+
+def cidr_bounds(cidr: str) -> Tuple[int, int]:
+    """'a.b.c.d/nn' -> inclusive [lo, hi] uint32 bounds
+    (InetAddressPoint.newPrefixQuery's covered range)."""
+    addr, _, bits = cidr.partition("/")
+    bits = int(bits) if bits else 32
+    a, b, c, d = (int(x) for x in addr.split("."))
+    base = (a << 24) | (b << 16) | (c << 8) | d
+    mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+    lo = base & mask
+    return lo, lo | (0xFFFFFFFF >> bits if bits else 0xFFFFFFFF)
+
+
+def ip_term_filter(ds: Dataset, field: str, value: str) -> Dataset:
+    """Term query on an ip field: exact address, or every address under a
+    CIDR mask when ``value`` contains '/' (IpFieldMapper.termQuery)."""
+    lo, hi = cidr_bounds(value)
+
+    def filt(t: pa.Table) -> pa.Table:
+        keys = ipv4_to_uint32(t.column(field))
+        return t.filter(pa.array((keys >= lo) & (keys <= hi)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ scaled_float
+
+def scaled_float_encode(values: np.ndarray, scaling_factor: float
+                        ) -> np.ndarray:
+    """double -> stored long: Math.round(value * factor) (Java semantics:
+    floor(x + 0.5), so .5 rounds toward +inf — NOT banker's rounding)."""
+    return np.floor(np.asarray(values, np.float64) * scaling_factor
+                    + 0.5).astype(np.int64)
+
+
+def scaled_float_decode(stored: np.ndarray, scaling_factor: float
+                        ) -> np.ndarray:
+    return stored.astype(np.float64) / scaling_factor
+
+
+def scaled_float_column(ds: Dataset, col: str, scaling_factor: float,
+                        out_col: Optional[str] = None) -> Dataset:
+    """Round-trip a double column through scaled_float storage — downstream
+    queries/aggs see the quantized values the reference would."""
+    out_col = out_col or col
+
+    def quantize(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        q = scaled_float_decode(scaled_float_encode(v, scaling_factor),
+                                scaling_factor)
+        idx = t.column_names.index(out_col) if out_col in t.column_names \
+            else None
+        arr = pa.array(q, pa.float64())
+        if idx is None:
+            return t.append_column(out_col, arr)
+        return t.set_column(idx, out_col, arr)
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- token_count
+
+def token_count_column(ds: Dataset, text_col: str, analyzer: str = "default",
+                       out_col: str = "token_count") -> Dataset:
+    """Analyzed-token count per doc as an integer column
+    (TokenCountFieldMapper with enable_position_increments=false: the plain
+    token count). Tokenization is batched through analyze_batch."""
+    from .analysis.analyzer import analyze_batch
+
+    def count(t: pa.Table) -> pa.Table:
+        at = analyze_batch(t, text_column=text_col, analyzer=analyzer)
+        toks = at.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        return t.append_column(out_col, pa.array(n.astype(np.int64)))
+
+    return ds.map_batches(count, batch_format="pyarrow")

@@ -1,0 +1,82 @@
+"""Field-type semantics (mapper.py): range fields, ip/CIDR, scaled_float,
+token_count — unit parity against brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from opensearch_ray.mapper import (cidr_bounds, ip_term_filter,
+                                   ipv4_to_uint32, range_field_filter,
+                                   range_relation_mask, scaled_float_column,
+                                   scaled_float_decode, scaled_float_encode,
+                                   token_count_column)
+
+
+def test_range_relation_mask():
+    lo = np.array([0.0, 6.0, 4.0, 13.0, 5.0])
+    hi = np.array([4.0, 11.0, 13.0, 20.0, 12.0])
+    # query [5, 12]
+    assert range_relation_mask(lo, hi, 5, 12, "intersects").tolist() == \
+        [False, True, True, False, True]
+    assert range_relation_mask(lo, hi, 5, 12, "within").tolist() == \
+        [False, True, False, False, True]
+    assert range_relation_mask(lo, hi, 5, 12, "contains").tolist() == \
+        [False, False, True, False, True]
+    with pytest.raises(ValueError):
+        range_relation_mask(lo, hi, 5, 12, "bogus")
+
+
+def test_range_field_filter_ds():
+    df = pd.DataFrame({"i": range(6),
+                       "lo": [0.0, 6.0, 4.0, 13.0, 5.0, 12.0],
+                       "hi": [4.0, 11.0, 13.0, 20.0, 12.0, 12.0]})
+    ds = ray.data.from_pandas(df)
+    got = range_field_filter(ds, "lo", "hi", 5.0, 12.0,
+                             "intersects").to_pandas()
+    assert got["i"].tolist() == [1, 2, 4, 5]
+
+
+def test_ipv4_and_cidr():
+    import pyarrow as pa
+    arr = pa.chunked_array([["0.0.0.1", "10.96.0.0", "255.255.255.255"]])
+    keys = ipv4_to_uint32(arr)
+    assert keys.tolist() == [1, (10 << 24) | (96 << 16), 0xFFFFFFFF]
+    assert cidr_bounds("10.96.0.0/12") == (
+        (10 << 24) | (96 << 16), (10 << 24) | (111 << 16) | 0xFFFF)
+    assert cidr_bounds("1.2.3.4") == ((1 << 24) | (2 << 16) | (3 << 8) | 4,) * 2 \
+        or cidr_bounds("1.2.3.4")[0] == cidr_bounds("1.2.3.4")[1]
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "ip": ["10.95.255.255", "10.96.0.0", "10.111.255.255", "10.112.0.0"],
+        "i": range(4)}))
+    got = ip_term_filter(ds, "ip", "10.96.0.0/12").to_pandas()
+    assert got["i"].tolist() == [1, 2]
+    # exact-address term (no mask)
+    got2 = ip_term_filter(ds, "ip", "10.112.0.0").to_pandas()
+    assert got2["i"].tolist() == [3]
+
+
+def test_scaled_float_java_round():
+    v = np.array([0.05, 0.049999, -0.05, 2.55, 2.649999])
+    enc = scaled_float_encode(v, 10.0)
+    # Math.round = floor(x + 0.5): 0.5 -> 1, -0.5 -> 0 (toward +inf)
+    assert enc.tolist() == [1, 0, 0, 26, 26]
+    dec = scaled_float_decode(enc, 10.0)
+    assert dec.tolist() == [0.1, 0.0, 0.0, 2.6, 2.6]
+    ds = ray.data.from_pandas(pd.DataFrame({"x": v}))
+    got = scaled_float_column(ds, "x", 10.0).to_pandas()["x"].tolist()
+    assert got == dec.tolist()
+
+
+def test_token_count_column(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]).limit(50)
+    out = token_count_column(ds, "text", analyzer="transcript").to_pandas()
+    from opensearch_ray.analysis.analyzer import get_analyzer
+    an = get_analyzer("transcript")
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    exp = {r.doc_id: len(an.tokens(r.text)) for r in docs.itertuples()}
+    for d, n in zip(out.doc_id, out.token_count):
+        assert exp[d] == n
