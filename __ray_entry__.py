@@ -1993,6 +1993,22 @@ def _q_sort_geo_distance(sf_dir):
 
 # ----------------------------------------------------------------- contract
 
+def _q_date_math_range(sf_dir):
+    """Range filter with date-math bounds (JavaDateMathParser): gte rounds
+    down to start-of-day, lte rounds UP to end-of-day (minus 1 ms)."""
+    from opensearch_ray.datemath import date_math_us
+    lo = date_math_us("2024-01-03||+1w/d")
+    hi = date_math_us("2024-01-03||+2w/d", round_up=True)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ts >= lo) & (ts <= hi)))
+
+    out = (_read(sf_dir, "events", ["event_id", "ts"])
+           .map_batches(filt, batch_format="pyarrow").to_pandas())
+    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+
+
 def _q_ip_cidr_term(sf_dir):
     """ip-field term query with a CIDR mask (10.96.0.0/12)."""
     from opensearch_ray.mapper import ip_term_filter
@@ -2365,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
         # round-3 session 2: reference-surface tail
+        "date_math_range": _q_date_math_range,
         "ip_cidr_term": _q_ip_cidr_term,
         "range_field_query": _q_range_field_query,
         "scaled_float_agg": _q_scaled_float_agg,
@@ -3500,6 +3517,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "date_math_range": """
+            SELECT event_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-17 23:59:59.999'
+            ORDER BY event_id
         """,
         "ip_cidr_term": """
             WITH ips(event_id, b) AS (

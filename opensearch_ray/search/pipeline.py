@@ -70,6 +70,40 @@ def script_response(fn: Callable[[List[SearchHit]], List[SearchHit]]
     return p
 
 
+def collapse_response(searcher: Searcher, field: str) -> ResponseProcessor:
+    """collapse response processor (CollapseResponseProcessor.java): keep
+    the best-ranked hit per distinct value of ``field`` (doc values), in
+    original rank order."""
+    def p(req: SearchRequest, hits: List[SearchHit]) -> List[SearchHit]:
+        if not hits:
+            return hits
+        t = searcher.fetch([h.docid for h in hits], columns=[field])
+        val = dict(zip(t.column("_docid").to_pylist(),
+                       t.column(field).to_pylist()))
+        seen, out = set(), []
+        for h in hits:
+            v = val.get(h.docid)
+            if v in seen:
+                continue
+            seen.add(v)
+            out.append(h)
+        return out
+    return p
+
+
+def rename_field(mapping: Dict[str, str]
+                 ) -> Callable[["object"], "object"]:
+    """rename_field response processor (RenameFieldResponseProcessor.java):
+    applies at the FETCH stage — renames columns of the fetched stored-field
+    frame (hits themselves carry only docid/score here)."""
+    def p(frame):
+        return frame.rename_columns(
+            [mapping.get(c, c) for c in frame.column_names]) \
+            if hasattr(frame, "rename_columns") \
+            else frame.rename(columns=mapping)
+    return p
+
+
 @dataclass
 class SearchPipeline:
     request_processors: List[RequestProcessor] = field(default_factory=list)

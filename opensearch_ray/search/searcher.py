@@ -124,17 +124,23 @@ class Searcher:
         - scalar: term equality
         """
         if isinstance(spec, dict):
-            def coerce(x):
+            def coerce(x, round_up=False):
                 if vals.dtype.kind == "M" and isinstance(x, str):
+                    if "||" in x or x.startswith("now"):
+                        # date math (JavaDateMathParser): gt/lte bounds
+                        # round UP to the end of the unit, gte/lt round down
+                        from ..datemath import parse_date_math
+                        return np.datetime64(parse_date_math(
+                            x, round_up=round_up))
                     return np.datetime64(x)
                 return x
             m = np.ones(len(vals), dtype=bool)
             if "gte" in spec:
                 m &= vals >= coerce(spec["gte"])
             if "gt" in spec:
-                m &= vals > coerce(spec["gt"])
+                m &= vals > coerce(spec["gt"], round_up=True)
             if "lte" in spec:
-                m &= vals <= coerce(spec["lte"])
+                m &= vals <= coerce(spec["lte"], round_up=True)
             if "lt" in spec:
                 m &= vals < coerce(spec["lt"])
             return m
