@@ -1993,6 +1993,56 @@ def _q_sort_geo_distance(sf_dir):
 
 # ----------------------------------------------------------------- contract
 
+def _pii_sql() -> str:
+    """Same derived dirty strings + the SAME RE2 patterns as the engine
+    (textstats.pii.PII_PATTERNS), applied in the same order."""
+    from opensearch_ray.textstats.pii import PII_PATTERNS
+    expr = ("printf('id%d email user%d@example.com phone 555-%03d-%04d "
+            "ip 10.%d.%d.7 ssn %d-%d-%d end', event_id, user_id, "
+            "user_id % 1000, event_id % 10000, user_id % 256, "
+            "event_id % 256, 100 + user_id % 900, 10 + event_id % 90, "
+            "1000 + user_id % 9000)")
+    for label, pat in PII_PATTERNS.items():
+        sq = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sq}', '[{label}]', 'g')"
+    return (f"SELECT event_id, {expr} AS text FROM events "
+            "ORDER BY event_id")
+
+
+def _q_repetition_stats(sf_dir):
+    """Gopher-style repetition quality signals per document (map-only)."""
+    from opensearch_ray.textstats.repetition import repetition_stats
+    out = (repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            "text", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out
+
+
+def _q_pii_redact(sf_dir):
+    """PII scrub over deterministically derived dirty text (testdata has no
+    PII by construction — the derivation IS part of the contract; the
+    oracle re-derives the same strings and redacts with SQL regexp_replace
+    using the SAME RE2 patterns)."""
+    from opensearch_ray.textstats.pii import redact_pii
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        txt = [f"id{ei} email user{ui}@example.com "
+               f"phone 555-{ui % 1000:03d}-{ei % 10000:04d} "
+               f"ip 10.{ui % 256}.{ei % 256}.7 "
+               f"ssn {100 + ui % 900}-{10 + ei % 90}-{1000 + ui % 9000} end"
+               for ui, ei in zip(u, e)]
+        return pa.table({"event_id": t.column("event_id"),
+                         "text": pa.array(txt, pa.string())})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        derive, batch_format="pyarrow")
+    out = redact_pii(ds, ["text"]).to_pandas()
+    return (out[["event_id", "text"]].sort_values("event_id")
+            .reset_index(drop=True))
+
+
 def _q_date_math_range(sf_dir):
     """Range filter with date-math bounds (JavaDateMathParser): gte rounds
     down to start-of-day, lte rounds UP to end-of-day (minus 1 ms)."""
@@ -2381,6 +2431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
         # round-3 session 2: reference-surface tail
+        "repetition_stats": _q_repetition_stats,
+        "pii_redact": _q_pii_redact,
         "date_math_range": _q_date_math_range,
         "ip_cidr_term": _q_ip_cidr_term,
         "range_field_query": _q_range_field_query,
@@ -3518,6 +3570,48 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
         """,
+        "repetition_stats": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents)),
+            n AS (SELECT doc_id, count(*) AS n_tokens FROM tok
+                  GROUP BY doc_id),
+            bi AS (
+              SELECT a.doc_id, a.tok || ' ' || b.tok AS g,
+                     count(*) AS cnt
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.p = a.p + 1
+              GROUP BY a.doc_id, g),
+            topbi AS (SELECT doc_id, max(cnt) AS top FROM bi
+                      GROUP BY doc_id),
+            tri AS (
+              SELECT a.doc_id,
+                     a.tok || ' ' || b.tok || ' ' || c.tok AS g,
+                     count(*) AS cnt
+              FROM tok a
+              JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+              JOIN tok c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+              GROUP BY a.doc_id, g),
+            duptri AS (
+              SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                       AS dup
+              FROM tri GROUP BY doc_id)
+            SELECT n.doc_id, n.n_tokens,
+                   CASE WHEN n.n_tokens < 2 THEN 0.0
+                        ELSE CAST(topbi.top AS DOUBLE)
+                             / (n.n_tokens - 1) END AS top_bigram_frac,
+                   CASE WHEN n.n_tokens < 3 THEN 0.0
+                        ELSE CAST(coalesce(duptri.dup, 0) AS DOUBLE)
+                             / (n.n_tokens - 2) END AS dup_trigram_frac
+            FROM n
+            LEFT JOIN topbi USING (doc_id)
+            LEFT JOIN duptri USING (doc_id)
+            ORDER BY n.doc_id
+        """,
+        "pii_redact": _pii_sql(),
         "date_math_range": """
             SELECT event_id FROM events
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'

@@ -1,0 +1,59 @@
+"""Repetition quality signals + PII redaction (textstats.repetition / pii)."""
+
+import pandas as pd
+import pytest
+import ray
+
+from opensearch_ray.textstats.pii import PII_PATTERNS, redact_pii
+from opensearch_ray.textstats.repetition import repetition_stats
+
+
+def _stats(texts):
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"i": range(len(texts)), "text": texts}))
+    return (repetition_stats(ds, "text", "i")
+            .to_pandas().sort_values("i").reset_index(drop=True))
+
+
+def test_repetition_values():
+    out = _stats([
+        "a b a b a b",          # bigrams: ab,ba,ab,ba,ab -> top 'a b' 3/5
+        "x y z w",              # all unique
+        "q q q q q",            # 'q q' 4/4; all trigrams dup 3/3
+        "solo",                 # n<2
+        "",                     # empty
+    ])
+    assert out.n_tokens.tolist() == [6, 4, 5, 1, 0]
+    assert out.top_bigram_frac.tolist() == pytest.approx(
+        [3 / 5, 1 / 3, 1.0, 0.0, 0.0])
+    # doc0 trigrams: aba,bab,aba,bab -> all dup -> 4/4
+    assert out.dup_trigram_frac.tolist() == pytest.approx(
+        [1.0, 0.0, 1.0, 0.0, 0.0])
+
+
+def test_repetition_multispace_tokens():
+    out = _stats(["a  b   a  b"])  # robust to repeated whitespace
+    assert out.n_tokens.iloc[0] == 4
+    assert out.top_bigram_frac.iloc[0] == pytest.approx(2 / 3)
+
+
+def test_pii_redaction():
+    dirty = ("write bob.smith+x@corp.example.org or call (555) 123-4567 "
+             "from 192.168.0.1 ssn 123-45-6789 ok 12.34 end")
+    ds = ray.data.from_pandas(pd.DataFrame({"text": [dirty], "i": [0]}))
+    clean = redact_pii(ds, ["text"]).to_pandas().text.iloc[0]
+    assert "[EMAIL]" in clean and "bob.smith" not in clean
+    assert "[PHONE]" in clean and "123-4567" not in clean
+    assert "[IPV4]" in clean and "192.168.0.1" not in clean
+    assert "[SSN]" in clean and "123-45-6789" not in clean
+    assert "ok 12.34 end" in clean  # plain decimals survive
+
+
+def test_pii_patterns_are_re2_safe():
+    # every pattern must compile under Arrow's RE2 (no backrefs/lookarounds)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    col = pa.chunked_array([["probe text"]])
+    for label, pat in PII_PATTERNS.items():
+        pc.replace_substring_regex(col, pattern=pat,
+                                   replacement=f"[{label}]")
