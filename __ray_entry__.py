@@ -2009,6 +2009,37 @@ def _pii_sql() -> str:
             "ORDER BY event_id")
 
 
+def _q_agg_significant_text_dedup(sf_dir):
+    """significant_text with filter_duplicate_text: exact duplicate texts
+    (keep lowest doc_id) are dropped before fg/bg counting."""
+    from opensearch_ray.aggs import significant_text_agg
+    out = significant_text_agg(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        "text", "doc_id",
+        foreground=lambda t: pc.equal(t.column("lang"), "de"),
+        analyzer="transcript", size=10, filter_duplicate_text=True)
+    out["score"] = _fmt(out["score"], 6)
+    return out[["term", "fg", "bg", "score"]]
+
+
+def _q_agg_composite_sub(sf_dir):
+    """composite with SUB-AGGREGATIONS (sum/avg/max under each bucket) and
+    an after-key cursor — the reference's per-bucket sub-agg tree."""
+    from opensearch_ray.aggs.bucket import composite_agg
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    out = composite_agg(
+        ds, ["l_returnflag", "l_linestatus"], size=3, after=("A", "F"),
+        sub_aggs={"qty_sum": ("sum", "l_quantity"),
+                  "price_avg": ("avg", "l_extendedprice"),
+                  "disc_max": ("max", "l_discount")})
+    out["qty_sum"] = _fmt(out["qty_sum"].values, 2)
+    out["price_avg"] = _fmt(out["price_avg"].values, 4)
+    out["disc_max"] = _fmt(out["disc_max"].values, 2)
+    return out
+
+
 def _q_repetition_stats(sf_dir):
     """Gopher-style repetition quality signals per document (map-only)."""
     from opensearch_ray.textstats.repetition import repetition_stats
@@ -2431,6 +2462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
         # round-3 session 2: reference-surface tail
+        "agg_significant_text_dedup": _q_agg_significant_text_dedup,
+        "agg_composite_sub": _q_agg_composite_sub,
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "date_math_range": _q_date_math_range,
@@ -3569,6 +3602,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "agg_significant_text_dedup": f"""
+            WITH uniq AS (
+              SELECT arg_min(doc_id, doc_id) AS doc_id,
+                     arg_min(lang, doc_id) AS lang, text
+              FROM documents GROUP BY text),
+            doc_tok AS (
+              SELECT DISTINCT d.doc_id, d.lang, t.tok AS term
+              FROM uniq d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {_stop_sql()}),
+            per_term AS (
+              SELECT term,
+                     CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fg,
+                     count(*) AS bg
+              FROM doc_tok GROUP BY term),
+            tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS n_fg,
+                           CAST(sum(bg) AS DOUBLE) AS n_bg FROM per_term),
+            scored AS (
+              SELECT p.term, p.fg, p.bg,
+                     CASE WHEN p.fg / t.n_fg > p.bg / t.n_bg
+                          THEN (p.fg / t.n_fg - p.bg / t.n_bg)
+                               * ((p.fg / t.n_fg)
+                                  / greatest(p.bg / t.n_bg, 1e-9))
+                          ELSE 0.0 END AS score
+              FROM per_term p CROSS JOIN tot t)
+            SELECT term, fg, bg, printf('%.6f', score) AS score
+            FROM scored WHERE score > 0
+            ORDER BY scored.score DESC, term LIMIT 10
+        """,
+        "agg_composite_sub": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS doc_count,
+                   printf('%.2f', sum(l_quantity)) AS qty_sum,
+                   printf('%.4f', sum(l_extendedprice) / count(*))
+                     AS price_avg,
+                   printf('%.2f', max(l_discount)) AS disc_max
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            HAVING (l_returnflag, l_linestatus) > ('A', 'F')
+            ORDER BY l_returnflag, l_linestatus LIMIT 3
         """,
         "repetition_stats": """
             WITH tok AS (

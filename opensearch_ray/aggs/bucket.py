@@ -410,15 +410,27 @@ def _sig_reduce(parts: Dataset, key_col: str, size: int,
 def significant_text_agg(ds: Dataset, text_col: str, id_col: str,
                          foreground: Callable[[pa.Table], pa.Array],
                          analyzer: str = "default",
-                         size: int = 10, heuristic: str = "jlh"
+                         size: int = 10, heuristic: str = "jlh",
+                         filter_duplicate_text: bool = False
                          ) -> pd.DataFrame:
     """significant_text: significance-scored over-represented TERMS of an
     analyzed text field in the foreground docs vs the whole corpus
     (SignificantTextAggregationBuilder). Counts are document frequencies
     (each doc contributes a term once). Tokenization is batched through
     analyze_batch (no per-doc Python tokenize loop) and the final reduce is
-    bounded per-block top-N (driver memory independent of vocabulary size)."""
+    bounded per-block top-N (driver memory independent of vocabulary size).
+
+    ``filter_duplicate_text``: drop exact duplicate texts before counting
+    (keep the lowest-id copy) — the reference option's goal of stopping
+    copy-pasted boilerplate from dominating the statistics
+    (SignificantTextAggregationBuilder#filterDuplicateText; the reference
+    additionally prunes duplicate SEQUENCES via DeDuplicatingTokenFilter —
+    this engine implements the whole-document level, documented subset)."""
     from ..analysis.analyzer import analyze_batch
+
+    if filter_duplicate_text:
+        from ..dedup.exact import dedup_exact
+        ds = dedup_exact(ds, text_col=text_col, id_col=id_col)
 
     def explode(t: pa.Table) -> pa.Table:
         fg_mask = pc.cast(foreground(t), pa.int64())
@@ -604,23 +616,58 @@ def missing_agg(ds: Dataset, field: str) -> int:
 
 
 def composite_agg(ds: Dataset, sources: List[str], size: int = 10,
-                  after: Optional[Tuple] = None) -> pd.DataFrame:
+                  after: Optional[Tuple] = None,
+                  sub_aggs: Optional[Dict[str, Tuple[str, str]]] = None
+                  ) -> pd.DataFrame:
     """composite: paginated multi-source buckets in key order with after-key
     cursor (bucket/composite/CompositeAggregator.java). Scale shape: the
     after-key predicate runs as a DISTRIBUTED lexicographic filter on the
     merged buckets and the page is collected via per-block first-``size``
     partials (exact: after the groupby each key lives in one block), so the
     driver holds n_blocks*size rows — never the full key cardinality
-    (composite exists precisely to page millions of keys)."""
-    parts = _partial_counts(ds, sources)
+    (composite exists precisely to page millions of keys).
+
+    ``sub_aggs``: {out_name: (op, col)} per-bucket metrics, op in
+    sum/avg/min/max — computed as map-side combiner partials merged in the
+    SAME shuffle as doc_count (the reference's sub-aggregation tree under
+    each composite bucket)."""
+    sub_aggs = dict(sub_aggs or {})
+    bad = [o for o, (op, _) in sub_aggs.items()
+           if op not in ("sum", "avg", "min", "max")]
+    if bad:
+        raise ValueError(f"unsupported composite sub-agg op for {bad}")
+    if sub_aggs:
+        # partial columns: one per distinct (pa_op, col); avg rides on sum
+        part_ops = sorted({("sum" if op == "avg" else op, col)
+                           for op, col in sub_aggs.values()})
+
+        def partial(t: pa.Table) -> pa.Table:
+            res = t.group_by(sources).aggregate(
+                [([], "count_all")] + [(col, op) for op, col in part_ops])
+            ren = {"count_all": "doc_count"}
+            for op, col in part_ops:
+                ren[f"{col}_{op}"] = f"{op}_{col}"
+            return res.rename_columns(
+                [ren.get(c, c) for c in res.column_names])
+
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+    else:
+        parts = _partial_counts(ds, sources)
     # high-cardinality keys make partials ~input-sized: consolidate blocks
     # before the groupby shuffle — MANY small map blocks leak the sort's
     # per-partition sub-blocks into the DRIVER process (measured: 1M keys /
     # 64 input blocks -> +284 MB driver RSS; repartitioned -> +8 MB and a
     # faster shuffle). Block count tracks CPU count for sort parallelism.
+    reducers = [Sum("doc_count", alias_name="doc_count")]
+    if sub_aggs:
+        from ray.data.aggregate import Max, Min
+        for op, col in part_ops:
+            name = f"{op}_{col}"
+            red = {"sum": Sum, "min": Min, "max": Max}[op]
+            reducers.append(red(name, alias_name=name))
     merged = (parts.repartition(_shuffle_blocks())
               .groupby(sources)
-              .aggregate(Sum("doc_count", alias_name="doc_count")))
+              .aggregate(*reducers))
     if after is not None:
         af = tuple(after)
 
@@ -643,7 +690,16 @@ def composite_agg(ds: Dataset, sources: List[str], size: int = 10,
 
     tops = merged.map_batches(block_head, batch_format="pandas").to_pandas()
     tops = tops.sort_values(sources, kind="mergesort").head(size)
-    return tops.reset_index(drop=True)
+    tops = tops.reset_index(drop=True)
+    for out_name, (op, col) in sub_aggs.items():
+        if op == "avg":
+            tops[out_name] = tops[f"sum_{col}"] / tops["doc_count"]
+        else:
+            tops[out_name] = tops[f"{op}_{col}"]
+    if sub_aggs:  # drop partial columns not requested by name
+        keep = sources + ["doc_count"] + list(sub_aggs)
+        tops = tops[keep]
+    return tops
 
 
 def auto_date_histogram_agg(ds: Dataset, field: str, target_buckets: int = 10,

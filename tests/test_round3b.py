@@ -90,3 +90,56 @@ def test_geo_polygon_filter():
         inside &= (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) > 0
     assert got == set(np.flatnonzero(inside).tolist())
     assert 0 < len(got) < 4000
+
+
+def test_composite_sub_aggs(sf_dir, li):
+    from opensearch_ray.aggs.bucket import composite_agg
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+    out = composite_agg(
+        ds, ["l_returnflag", "l_linestatus"], size=100,
+        sub_aggs={"qty_sum": ("sum", "l_quantity"),
+                  "price_avg": ("avg", "l_extendedprice"),
+                  "qty_min": ("min", "l_quantity")})
+    exp = (li.groupby(["l_returnflag", "l_linestatus"])
+           .agg(doc_count=("l_quantity", "size"),
+                qty_sum=("l_quantity", "sum"),
+                price_avg=("l_extendedprice", "mean"),
+                qty_min=("l_quantity", "min"))
+           .reset_index())
+    got = out.sort_values(["l_returnflag", "l_linestatus"]
+                          ).reset_index(drop=True)
+    assert got.doc_count.tolist() == exp.doc_count.tolist()
+    assert got.qty_sum.tolist() == pytest.approx(exp.qty_sum.tolist())
+    assert got.price_avg.tolist() == pytest.approx(exp.price_avg.tolist())
+    assert got.qty_min.tolist() == pytest.approx(exp.qty_min.tolist())
+    with pytest.raises(ValueError):
+        composite_agg(ds, ["l_returnflag"],
+                      sub_aggs={"x": ("median", "l_quantity")})
+
+
+def test_significant_text_filter_duplicate(sf_dir):
+    import pyarrow as pa
+    from opensearch_ray.aggs import significant_text_agg
+    df = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["boiler plate spam"] * 5
+                + ["rare gem here", "rare gem here", "plain words"],
+        "lang": ["de"] * 5 + ["de", "en", "en"],
+    })
+    ds = ray.data.from_pandas(df)
+    plain = significant_text_agg(
+        ds, "text", "doc_id",
+        foreground=lambda t: pc.equal(t.column("lang"), "de"),
+        analyzer="whitespace", size=10)
+    dedup = significant_text_agg(
+        ds, "text", "doc_id",
+        foreground=lambda t: pc.equal(t.column("lang"), "de"),
+        analyzer="whitespace", size=10, filter_duplicate_text=True)
+    # duplicates dominate the plain counts; dedup counts each text once
+    assert plain.set_index("term").fg.get("spam", 0) == 5
+    assert dedup.set_index("term").fg.get("spam", 0) <= 1
+    # dedup keeps the LOWEST doc_id copy: 'rare' fg counts doc 5 (de)
+    assert dedup.set_index("term").fg.get("rare", 0) == 1
