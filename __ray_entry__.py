@@ -1715,6 +1715,17 @@ def _q_highlight(sf_dir):
     return highlight(s, "hash", k=10).rename(columns={"_docid": "doc_id"})
 
 
+def _q_highlight_fvh(sf_dir):
+    """fvh highlighter: match-cluster fragments + phrase-aware tagging —
+    rows-only (fragment scoring not SQL)."""
+    s = _searcher(sf_dir)
+    from opensearch_ray.search.features import highlight_fvh
+    out = highlight_fvh(s, "hash join", k=10, number_of_fragments=2,
+                        fragment_char_size=80,
+                        matched_fields=["english_stop"])
+    return out.rename(columns={"_docid": "doc_id"})
+
+
 def _q_highlight_unified(sf_dir):
     """unified highlighter (reference default): passage-scored fragments,
     all term occurrences tagged — rows-only (passage scoring not SQL)."""
@@ -2437,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_multi_query": _q_span_multi,
         "field_masking_span": _q_field_masking_span,
         "highlight_unified": _q_highlight_unified,
+        "highlight_fvh": _q_highlight_fvh,
         "agg_ip_range": _q_agg_ip_range,
         "geo_distance_query": _q_geo_distance_query,
         "geo_bounding_box": _q_geo_bounding_box,

@@ -191,6 +191,95 @@ def highlight_unified(searcher: Searcher, query_text: str, k: int = 10,
     return df.sort_values("_docid", key=lambda s: s.map(order)).reset_index(drop=True)
 
 
+def highlight_fvh(searcher: Searcher, query_text: str, k: int = 10,
+                  number_of_fragments: int = 1,
+                  fragment_char_size: int = 100,
+                  phrase: bool = False,
+                  matched_fields: Optional[List[str]] = None,
+                  pre_tag: str = "<em>", post_tag: str = "</em>"
+                  ) -> pd.DataFrame:
+    """fvh (fast-vector) highlighter semantics
+    (search/fetch/subphase/highlight/FastVectorHighlighter.java wrapping
+    Lucene's FieldPhraseList/FieldFragList):
+
+    - fragments are built AROUND match clusters (term-vector offsets), not
+      sentence passages: each fragment is a ±window centered on a run of
+      nearby matches, ranked by Σ idf over the matches it covers
+    - ``phrase=True``: only positions where the FULL phrase occurs match —
+      the whole phrase span is tagged as one unit (FieldPhraseList's
+      WeightedPhraseInfo), stray single-term occurrences are ignored
+    - ``matched_fields``: extra analyzer names whose token streams over the
+      SAME stored text contribute additional match terms (the
+      matched_fields option: combine e.g. exact + stemmed subfields into
+      one highlight)."""
+    import re as _re
+
+    terms = list(dict.fromkeys(searcher.analyzer.tokens(query_text)))
+    hits = searcher.search(query_text, k=k)
+    if not hits or not terms:
+        return pd.DataFrame({"_docid": [], "snippet": []})
+    match_terms = set(terms)
+    if matched_fields:
+        from ..analysis.analyzer import get_analyzer
+        for name in matched_fields:
+            match_terms.update(get_analyzer(name).tokens(query_text))
+    stats = searcher.term_stats(sorted(match_terms))
+    N = max(searcher.N, 1)
+    idf = {t: float(np.log(1 + (N - stats[t][0] + 0.5) / (stats[t][0] + 0.5)))
+           for t in match_terms}
+
+    if phrase:
+        pat = r"\b" + r"\W+".join(_re.escape(t) for t in terms) + r"\b"
+    else:
+        pat = r"\b(?:" + "|".join(
+            _re.escape(t) for t in
+            sorted(match_terms, key=len, reverse=True)) + r")\b"
+    rx = _re.compile(pat, _re.IGNORECASE)
+
+    fetched = searcher.fetch([h.docid for h in hits])
+    text_col = searcher.manifest.text_col
+    out_ids, out_snips = [], []
+    for r in fetched.to_pylist():
+        text = r[text_col] or ""
+        matches = [(m.start(), m.end(), m.group(0)) for m in
+                   rx.finditer(text)]
+        if not matches:
+            out_ids.append(r["_docid"])
+            out_snips.append(text[:fragment_char_size])
+            continue
+        # cluster matches whose gap fits one fragment window
+        clusters: List[List[tuple]] = [[matches[0]]]
+        for m in matches[1:]:
+            if m[0] - clusters[-1][0][0] < fragment_char_size:
+                clusters[-1].append(m)
+            else:
+                clusters.append([m])
+
+        def cluster_score(cl) -> float:
+            if phrase:  # whole-phrase weight = Σ idf of its terms per occ
+                return len(cl) * sum(idf.get(t, 0.0) for t in terms)
+            return sum(idf.get(m[2].lower(), 0.0) for m in cl)
+
+        ranked = sorted(enumerate(clusters),
+                        key=lambda ic: (-cluster_score(ic[1]), ic[0]))
+        chosen = sorted(ranked[:number_of_fragments], key=lambda ic: ic[0])
+        snips = []
+        for _, cl in chosen:
+            s0, e0 = cl[0][0], cl[-1][1]
+            pad = max(0, (fragment_char_size - (e0 - s0)) // 2)
+            lo = max(0, s0 - pad)
+            hi = min(len(text), e0 + pad)
+            frag = text[lo:hi]
+            snips.append(rx.sub(
+                lambda m: pre_tag + m.group(0) + post_tag, frag).strip())
+        out_ids.append(r["_docid"])
+        out_snips.append(" ... ".join(snips))
+    order = {h.docid: i for i, h in enumerate(hits)}
+    df = pd.DataFrame({"_docid": out_ids, "snippet": out_snips})
+    return df.sort_values("_docid",
+                          key=lambda s: s.map(order)).reset_index(drop=True)
+
+
 def _levenshtein(a: str, b: str, maxd: int = 2) -> int:
     """Bounded edit distance (classic DP with early exit)."""
     if abs(len(a) - len(b)) > maxd:

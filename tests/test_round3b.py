@@ -143,3 +143,27 @@ def test_significant_text_filter_duplicate(sf_dir):
     assert dedup.set_index("term").fg.get("spam", 0) <= 1
     # dedup keeps the LOWEST doc_id copy: 'rare' fg counts doc 5 (de)
     assert dedup.set_index("term").fg.get("rare", 0) == 1
+
+
+def test_highlight_fvh(built_index):
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.search.features import highlight_fvh
+    s = Searcher(built_index.index_dir)
+    vocab = s._vocab().to_pandas().sort_values("df")
+    a, b = str(vocab.iloc[-1].term), str(vocab.iloc[-2].term)
+    out = highlight_fvh(s, f"{a} {b}", k=5, number_of_fragments=2,
+                        fragment_char_size=60)
+    assert len(out) == 5
+    assert out.snippet.str.contains("<em>").all()
+    # every tagged token is a query term
+    import re
+    for sn in out.snippet:
+        for m in re.finditer(r"<em>(.*?)</em>", sn):
+            assert m.group(1).lower() in (a, b)
+    # phrase mode: tags only full-phrase spans (or falls back untagged)
+    ph = highlight_fvh(s, f"{a} {b}", k=5, phrase=True,
+                       fragment_char_size=60)
+    for sn in ph.snippet:
+        for m in re.finditer(r"<em>(.*?)</em>", sn):
+            toks = re.split(r"\W+", m.group(1).lower())
+            assert toks == [a, b]
