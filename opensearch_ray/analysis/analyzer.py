@@ -121,11 +121,54 @@ def make_language_analyzer(lang: str) -> Analyzer:
     from .lang import LANG_STOPWORDS, english_possessive_strip, make_stemmer
     from .token_filters import make_stemmer_filter, per_token
 
+    from .lang import (greek_lower, irish_lower, persian_normalize)
+    from .token_filters import cjk_bigram_filter
+
+    tokenizer = standard_tokenizer
     if lang == "english":
         filters = (TOKEN_FILTERS["lowercase"],
                    per_token(english_possessive_strip),
                    make_stop_filter(ENGLISH_STOP_WORDS),
                    make_stemmer_filter("english"))
+    elif lang == "cjk":
+        # CjkAnalyzerProvider: standard tokens -> han bigrams -> stop
+        filters = (cjk_bigram_filter, TOKEN_FILTERS["lowercase"],
+                   make_stop_filter(LANG_STOPWORDS["cjk"]))
+    elif lang == "chinese":
+        # ChineseAnalyzerProvider is an alias of standard+english stop
+        # (the legacy ChineseAnalyzer was removed upstream)
+        filters = (TOKEN_FILTERS["lowercase"],
+                   make_stop_filter(ENGLISH_STOP_WORDS))
+    elif lang == "thai":
+        from .tokenizers import thai_tokenizer
+        tokenizer = thai_tokenizer
+        filters = (TOKEN_FILTERS["lowercase"],
+                   make_stop_filter(LANG_STOPWORDS["thai"]))
+    elif lang == "persian":
+        # PersianAnalyzerProvider: normalization, stop, NO stemmer
+        filters = (TOKEN_FILTERS["lowercase"],
+                   per_token(persian_normalize),
+                   make_stop_filter(LANG_STOPWORDS["persian"]))
+    elif lang in ("hindi", "bengali"):
+        from .tokenizers import indic_tokenizer
+        tokenizer = indic_tokenizer
+        filters = (TOKEN_FILTERS["lowercase"],
+                   make_stop_filter(LANG_STOPWORDS[lang]),
+                   make_stemmer_filter(lang))
+    elif lang == "greek":
+        filters = (per_token(greek_lower),
+                   make_stop_filter(LANG_STOPWORDS["greek"]),
+                   make_stemmer_filter("greek"))
+    elif lang == "irish":
+        # strip initial-mutation prefixes BEFORE tokenizing (the standard
+        # tokenizer would split "t-uisce" and leak a lone "t")
+        from .char_filters import make_pattern_replace
+        char_filters = (make_pattern_replace(r"\b([tn])-", ""),)
+        filters = (per_token(irish_lower),
+                   make_stop_filter(LANG_STOPWORDS["irish"]),
+                   make_stemmer_filter("irish"))
+        return Analyzer(tokenizer=tokenizer, char_filters=char_filters,
+                        token_filters=filters, name=lang)
     else:
         pre = ()
         if lang in ("french", "italian", "catalan"):
@@ -133,7 +176,7 @@ def make_language_analyzer(lang: str) -> Analyzer:
         filters = ((TOKEN_FILTERS["lowercase"],) + pre
                    + (make_stop_filter(LANG_STOPWORDS[lang]),
                       make_stemmer_filter(lang)))
-    return Analyzer(tokenizer=standard_tokenizer, token_filters=filters,
+    return Analyzer(tokenizer=tokenizer, token_filters=filters,
                     name=lang)
 
 
@@ -152,7 +195,11 @@ ANALYZERS = {
 for _lang in ("english", "german", "french", "spanish", "italian",
               "portuguese", "brazilian", "dutch", "russian", "swedish",
               "norwegian", "danish", "finnish", "hungarian", "czech",
-              "romanian", "bulgarian", "indonesian", "turkish", "catalan"):
+              "romanian", "bulgarian", "indonesian", "turkish", "catalan",
+              # round-3 tail: the remaining CommonAnalysisModulePlugin set
+              "arabic", "persian", "sorani", "hindi", "bengali", "greek",
+              "armenian", "basque", "estonian", "galician", "irish",
+              "latvian", "lithuanian", "cjk", "chinese", "thai"):
     ANALYZERS[_lang] = make_language_analyzer(_lang)
 
 

@@ -410,6 +410,175 @@ def catalan_light_stem(w: str) -> str:
     return w
 
 
+# ------------------------------------------------ round-3 tail languages
+# Normalizer + light-stemmer approximations for the non-Latin-script and
+# remaining analyzers of CommonAnalysisModulePlugin.java:204-244. Same
+# fidelity contract as the rest of this module: documented rule SUBSETS of
+# the Lucene filters (ArabicNormalizationFilter, GreekStemmer, ...), not
+# bit-compatible ports.
+
+_AR_DIACRITICS = re.compile("[ً-ْٰـ]")  # harakat+tatweel
+
+
+def arabic_normalize(w: str) -> str:
+    """ArabicNormalizationFilter: strip tatweel/diacritics, unify alef
+    forms, teh marbuta -> heh, alef maksura -> yeh."""
+    w = _AR_DIACRITICS.sub("", w)
+    w = (w.replace("آ", "ا").replace("أ", "ا")
+          .replace("إ", "ا")              # آ أ إ -> ا
+          .replace("ة", "ه")              # ة -> ه
+          .replace("ى", "ي"))             # ى -> ي
+    return w
+
+
+def arabic_light_stem(w: str) -> str:
+    """ArabicStemmer (light10 style): strip واـ/الـ prefixes and common
+    suffixes."""
+    w = arabic_normalize(w)
+    for pre in ("وال", "بال",
+                "كال", "فال",
+                "ال", "و"):
+        if w.startswith(pre) and len(w) - len(pre) >= 2:
+            w = w[len(pre):]
+            break
+    for suf in ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي"):
+        if w.endswith(suf) and len(w) - len(suf) >= 2:
+            w = w[:-len(suf)]
+            break
+    return w
+
+
+def persian_normalize(w: str) -> str:
+    """PersianNormalizationFilter: arabic yeh/kaf -> farsi forms, strip
+    heh-ye, zwnj -> removed."""
+    return (w.replace("ي", "ی").replace("ك", "ک")
+             .replace("ة", "ه").replace("‌", ""))
+
+
+def sorani_light_stem(w: str) -> str:
+    """SoraniStemmer subset: strip common Kurdish suffixes."""
+    for suf in ("ەکان", "ەکە",
+                "ان", "ە", "ی"):
+        if w.endswith(suf) and len(w) - len(suf) >= 2:
+            return w[:-len(suf)]
+    return w
+
+
+def hindi_normalize(w: str) -> str:
+    """HindiNormalizer subset: drop nukta, unify anusvara variants."""
+    return w.replace("़", "").replace("ँ", "ं")
+
+
+def hindi_light_stem(w: str) -> str:
+    """HindiStemmer: strip the common case/number suffixes."""
+    w = hindi_normalize(w)
+    for suf in ("ों", "ें", "ां",
+                "ओं", "ईं",
+                "ा", "ी", "ीं", "े", "ो",
+                "ु", "ू", "ै", "ं"):
+        if w.endswith(suf) and len(w) - len(suf) >= 2:
+            return w[:-len(suf)]
+    return w
+
+
+def bengali_light_stem(w: str) -> str:
+    """BengaliStemmer subset: strip common inflection suffixes."""
+    for suf in ("গুলো", "গুলি",
+                "ের", "রা", "ে", "র",
+                "া", "ি", "ী"):
+        if w.endswith(suf) and len(w) - len(suf) >= 2:
+            return w[:-len(suf)]
+    return w
+
+
+_GREEK_ACCENTS = str.maketrans("άέήίόύώΐΰϊϋ", "αεηιουωιυιυ")
+
+
+def greek_lower(w: str) -> str:
+    """GreekLowerCaseFilter: lowercase + final sigma + accent folding."""
+    return w.lower().replace("ς", "σ").translate(_GREEK_ACCENTS)
+
+
+def greek_light_stem(w: str) -> str:
+    """GreekStemmer subset: strip frequent noun/adjective endings."""
+    w = greek_lower(w)
+    for suf in ("ματων", "ματα", "ουσα", "ουμε", "ετε",
+                "ουν", "ους", "ων", "ου", "ος", "ες", "ας", "ης", "οι",
+                "αι", "α", "η", "ο", "ι"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[:-len(suf)]
+    return w
+
+
+def armenian_light_stem(w: str) -> str:
+    for suf in ("ություն", "ների", "ներ", "երի", "եր", "ում", "ի", "ը"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[:-len(suf)]
+    return w
+
+
+def basque_light_stem(w: str) -> str:
+    for suf in ("etako", "etan", "aren", "ekin", "ari", "ak", "en",
+                "an", "a", "k"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[:-len(suf)]
+    return w
+
+
+def estonian_light_stem(w: str) -> str:
+    for suf in ("dele", "dest", "desse", "tele", "test", "sse", "ste",
+                "del", "ga", "ks", "le", "lt", "st", "te", "de", "d",
+                "t", "s"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[:-len(suf)]
+    return w
+
+
+def galician_light_stem(w: str) -> str:
+    for suf in ("acions", "acion", "mente", "cion", "ns", "es", "os",
+                "as", "a", "o", "e"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[:-len(suf)]
+    return w
+
+
+def irish_lower(w: str) -> str:
+    """IrishLowerCaseFilter: strip initial mutation prefixes (t-, n-) and
+    the pre-vowel t/n before lowercasing."""
+    if len(w) > 2 and w[1] == "-" and w[0] in "tn":
+        w = w[2:]
+    elif len(w) > 1 and w[0] in "tn" and w[1] in "AEIOUÁÉÍÓÚ":
+        w = w[1:]
+    return w.lower()
+
+
+def irish_light_stem(w: str) -> str:
+    for suf in ("acha", "anna", "aibh", "air", "anna", "acht", "adh",
+                "ai", "a", "e", "i"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[:-len(suf)]
+    return w
+
+
+def latvian_light_stem(w: str) -> str:
+    for suf in ("iem", "ajam", "ajai", "am", "as", "ai", "us", "os",
+                "es", "em", "a", "e", "i", "u", "s"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[:-len(suf)]
+    return w
+
+
+def lithuanian_light_stem(w: str) -> str:
+    for suf in ("iams", "uose", "ams", "ais", "oms", "ose", "as", "is",
+                "ys", "us", "ai", "os", "ui", "a", "e", "i", "o", "u",
+                "s"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[:-len(suf)]
+    return w
+
+
 LIGHT_STEMMERS: dict = {
     "german": german_light_stem,
     "french": french_light_stem,
@@ -430,7 +599,81 @@ LIGHT_STEMMERS: dict = {
     "indonesian": indonesian_light_stem,
     "turkish": turkish_light_stem,
     "catalan": catalan_light_stem,
+    "arabic": arabic_light_stem,
+    "sorani": sorani_light_stem,
+    "hindi": hindi_light_stem,
+    "bengali": bengali_light_stem,
+    "greek": greek_light_stem,
+    "armenian": armenian_light_stem,
+    "basque": basque_light_stem,
+    "estonian": estonian_light_stem,
+    "galician": galician_light_stem,
+    "irish": irish_light_stem,
+    "latvian": latvian_light_stem,
+    "lithuanian": lithuanian_light_stem,
 }
+
+# compact Lucene-stop-set subsets for the tail languages
+ARABIC_STOP = frozenset("""من في على و ان الى عن مع هذا هذه ذلك التي الذي
+كان كانت هو هي ما لا لم لن قد كل بعد قبل بين او اذا ثم حتى لكن منذ عند
+""".split())
+
+PERSIAN_STOP = frozenset("""و در به از که این را با است برای آن یک خود تا
+بر هم نیز اما یا اگر هر ما من او شما آنها بود شد می های ها
+""".split())
+
+SORANI_STOP = frozenset("""و لە بە بۆ کە ئەم ئەو لەگەڵ هەر بەڵام ئەگەر
+""".split())
+
+HINDI_STOP = frozenset("""के का की है में और से को पर यह वह ने कि जो भी नहीं
+तो था थी थे हैं हो ही एक अपने इस उस कुछ
+""".split())
+
+BENGALI_STOP = frozenset("""এবং ও এর যে এই সে তার করে না হয় থেকে জন্য একটি
+আমি তুমি তিনি কি কিন্তু বা আছে ছিল হবে
+""".split())
+
+GREEK_STOP = frozenset("""ο η το οι τα του της των τον την και κι κ ειμαι
+εισαι ειναι ειμαστε ειστε στο στον στη στην μα αλλα απο για προσ με σε ωσ
+παρα αντι κατα τι που ποιοσ ποια ποιο να δεν μην επι ενω εαν αν οτι
+""".split())
+
+ARMENIAN_STOP = frozenset("""և ու այս այդ այն է են էր եմ ես enk որ ինչ
+բայց կամ նաև համար մեջ վրա
+""".split())
+
+BASQUE_STOP = frozenset("""eta edo da dira zen ziren du dute bat batzuk
+hau hori hura ere ez bai baina zer nor non
+""".split())
+
+ESTONIAN_STOP = frozenset("""ja on ei et see ta mis kui aga ka oli ole ma
+sa me te nad oma või siis veel
+""".split())
+
+GALICIAN_STOP = frozenset("""a o as os un unha e de do da dos das en que non
+se por para con como mais pero ao aos
+""".split())
+
+IRISH_STOP = frozenset("""agus an na is ar le i go do mo a ag ach bhí tá
+sé sí mé tú siad ní nach seo sin
+""".split())
+
+LATVIAN_STOP = frozenset("""un ir es tu viņš viņa mēs jūs no uz ar par ka
+kas bet vai ja šis tas bija būt
+""".split())
+
+LITHUANIAN_STOP = frozenset("""ir yra aš tu jis ji mes jūs iš į su apie kad
+kas bet ar jei šis tas buvo būti
+""".split())
+
+CJK_STOP = frozenset("""a and are as at be but by for if in into is it no
+not of on or such that the their then there these they this to was will
+with www
+""".split())
+
+THAI_STOP = frozenset("""ที่ การ และ ใน ของ มี ไม่ ให้ ได้ ว่า เป็น จะ กับ
+แต่ หรือ ก็ นี้ นั้น
+""".split())
 
 LANG_STOPWORDS: dict = {
     "german": GERMAN_STOP,
@@ -452,6 +695,21 @@ LANG_STOPWORDS: dict = {
     "indonesian": INDONESIAN_STOP,
     "turkish": TURKISH_STOP,
     "catalan": CATALAN_STOP,
+    "arabic": ARABIC_STOP,
+    "persian": PERSIAN_STOP,
+    "sorani": SORANI_STOP,
+    "hindi": HINDI_STOP,
+    "bengali": BENGALI_STOP,
+    "greek": GREEK_STOP,
+    "armenian": ARMENIAN_STOP,
+    "basque": BASQUE_STOP,
+    "estonian": ESTONIAN_STOP,
+    "galician": GALICIAN_STOP,
+    "irish": IRISH_STOP,
+    "latvian": LATVIAN_STOP,
+    "lithuanian": LITHUANIAN_STOP,
+    "cjk": CJK_STOP,
+    "thai": THAI_STOP,
 }
 
 

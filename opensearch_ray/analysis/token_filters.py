@@ -101,6 +101,35 @@ def make_stop_filter(stopwords: Iterable[str] = ENGLISH_STOP_WORDS,
 stop_filter = make_stop_filter()
 
 
+def _is_han(t: str) -> bool:
+    return len(t) == 1 and ("㐀" <= t <= "鿿"
+                            or "豈" <= t <= "﫿")
+
+
+def cjk_bigram_filter(tokens: List[str], positions: List[int]) -> TokenStream:
+    """``cjk_bigram`` (CJKBigramFilter): adjacent single-ideograph tokens
+    (as the standard tokenizer emits them) become overlapping bigrams;
+    isolated ideographs stay unigrams; non-CJK tokens pass through."""
+    out_t: List[str] = []
+    out_p: List[int] = []
+    n = len(tokens)
+    for i, (t, p) in enumerate(zip(tokens, positions)):
+        if not _is_han(t):
+            out_t.append(t)
+            out_p.append(p)
+            continue
+        nxt = (i + 1 < n and _is_han(tokens[i + 1])
+               and positions[i + 1] == p + 1)
+        prv = (i > 0 and _is_han(tokens[i - 1]) and positions[i - 1] == p - 1)
+        if nxt:
+            out_t.append(t + tokens[i + 1])
+            out_p.append(p)
+        elif not prv:  # isolated ideograph -> unigram
+            out_t.append(t)
+            out_p.append(p)
+    return out_t, out_p
+
+
 # ------------------------------------------------------------- length / keep
 
 def make_length_filter(min_len: int = 0, max_len: int = 2 ** 31 - 1) -> TokenFilter:

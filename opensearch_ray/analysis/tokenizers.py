@@ -217,6 +217,19 @@ def classic_tokenizer(text: str) -> List[str]:
 
 _THAI_RUN = re.compile(rf"[฀-๿]+|[^\W{_CJK}฀-๿]+")
 
+# Indic scripts: Python's \w excludes combining vowel signs (Mn/Mc), which
+# would split every word at its matras — treat whole Devanagari..Sinhala
+# block runs as tokens instead (same run-level approximation as thai)
+_INDIC = "ऀ-෿"
+_INDIC_RUN = re.compile(rf"[{_INDIC}]+|[^\W{_CJK}{_INDIC}]+")
+
+
+def indic_tokenizer(text: str) -> List[str]:
+    """Script-run tokenizer for Devanagari/Bengali/…: keeps combining vowel
+    signs attached to their word (the standard tokenizer's \\w class breaks
+    at Mn marks); non-Indic text follows standard word rules."""
+    return _split_long(_INDIC_RUN.findall(text), MAX_TOKEN_LENGTH)
+
 
 def thai_tokenizer(text: str) -> List[str]:
     """``thai`` — documented approximation: Thai codepoint runs become single

@@ -220,3 +220,39 @@ def test_language_analyzers_extended():
     assert sw.tokens("flickorna")[0] == sw.tokens("flickor")[0]
     idn = get_analyzer("indonesian")
     assert idn.tokens("membaca")[0] == idn.tokens("baca")[0]
+
+
+def test_round3_language_analyzers_goldens():
+    """Tail languages of CommonAnalysisModulePlugin.java:204-244 (documented
+    light approximations — see analysis.lang docstring)."""
+    from opensearch_ray.analysis.analyzer import get_analyzer
+    cases = {
+        "arabic": ("الكتاب والمكتبة", ["كتاب", "مكتب"]),
+        "persian": ("كتاب‌ها و این", ["کتاب"]),
+        "greek": ("Οι ωραίες θάλασσες", ["ωραιεσ", "θαλασσεσ"]),
+        "hindi": ("किताबों और लड़के", ["किताब", "लडक"]),
+        "bengali": ("বইগুলো এবং ছেলের", ["বই", "ছেল"]),
+        "irish": ("an t-uisce agus na tithe", ["uisc", "tith"]),
+        "latvian": ("grāmatas un mājas", ["grāmat", "māj"]),
+        "cjk": ("据报道 today 中文分词",
+                ["据报", "报道", "today", "中文", "文分", "分词"]),
+        "chinese": ("the 中文 test", ["中", "文", "test"]),
+        "thai": ("การทดสอบ hello ที่ดี", ["การทดสอบ", "hello", "ที่ดี"]),
+        "estonian": ("raamatud ja majad", ["raamatu", "maja"]),
+        "lithuanian": ("knygos ir namai", ["knyg", "nam"]),
+    }
+    for lang, (text, want) in cases.items():
+        got = get_analyzer(lang).tokens(text)
+        assert got == want, f"{lang}: {got} != {want}"
+
+
+def test_cjk_bigram_isolated_and_positions():
+    from opensearch_ray.analysis.token_filters import cjk_bigram_filter
+    # isolated ideograph stays a unigram; runs become overlapping bigrams
+    toks, pos = cjk_bigram_filter(
+        ["中", "ok", "文", "分", "词"], [0, 1, 2, 3, 4])
+    assert toks == ["中", "ok", "文分", "分词"]
+    assert pos == [0, 1, 2, 3]
+    # position gap (e.g. after a stop filter) breaks the bigram chain
+    toks2, _ = cjk_bigram_filter(["中", "文"], [0, 2])
+    assert toks2 == ["中", "文"]
