@@ -2020,6 +2020,40 @@ def _pii_sql() -> str:
             "ORDER BY event_id")
 
 
+def _q_agg_terms_order(sf_dir):
+    """terms agg ordered by a sub-agg metric (BucketOrder.aggregation):
+    top shipdates... keys by sum(l_quantity) descending."""
+    from opensearch_ray.aggs import terms_agg
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = terms_agg(ds, "l_returnflag", size=3, sum_col="l_quantity",
+                    order=("sum", "desc"))
+    out = out.rename(columns={"sum_l_quantity": "qty_sum"})
+    out["qty_sum"] = _fmt(out["qty_sum"].values, 2)
+    return out[["l_returnflag", "doc_count", "qty_sum"]]
+
+
+def _q_field_caps(sf_dir):
+    """_field_caps: per-field type + searchable/aggregatable capabilities."""
+    from opensearch_ray.search.dsl import field_caps
+    return field_caps(_searcher(sf_dir))
+
+
+def _q_validate_query(sf_dir):
+    """_validate/query: parse-only validation (no execution)."""
+    from opensearch_ray.search.dsl import validate_query
+    s = _searcher(sf_dir)
+    cases = {
+        "good_bool": {"bool": {"must": [{"match": {"text": "hash"}}],
+                               "filter": [{"range": {"n_chars":
+                                                     {"gte": 1}}}]}},
+        "unknown_kind": {"fuzzy_matchy": {"text": "x"}},
+        "multi_field_term": {"term": {"a": 1, "b": 2}},
+    }
+    rows = [{"check_name": k, "valid": validate_query(s, q)["valid"]}
+            for k, q in cases.items()]
+    return pd.DataFrame(rows).sort_values("check_name").reset_index(drop=True)
+
+
 def _q_agg_significant_text_dedup(sf_dir):
     """significant_text with filter_duplicate_text: exact duplicate texts
     (keep lowest doc_id) are dropped before fg/bg counting."""
@@ -2474,6 +2508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
         # round-3 session 2: reference-surface tail
+        "agg_terms_order": _q_agg_terms_order,
+        "field_caps": _q_field_caps,
+        "validate_query": _q_validate_query,
         "agg_significant_text_dedup": _q_agg_significant_text_dedup,
         "agg_composite_sub": _q_agg_composite_sub,
         "repetition_stats": _q_repetition_stats,
@@ -3614,6 +3651,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "agg_terms_order": """
+            SELECT l_returnflag, count(*) AS doc_count,
+                   printf('%.2f', sum(l_quantity)) AS qty_sum
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY sum(l_quantity) DESC, l_returnflag LIMIT 3
+        """,
+        "field_caps": """
+            SELECT * FROM (VALUES
+              ('doc_id',  'long',    TRUE, TRUE),
+              ('lang',    'keyword', TRUE, TRUE),
+              ('n_chars', 'long',    TRUE, TRUE),
+              ('source',  'keyword', TRUE, TRUE),
+              ('text',    'text',    TRUE, FALSE))
+              AS t(field, type, searchable, aggregatable)
+            ORDER BY field
+        """,
+        "validate_query": """
+            SELECT * FROM (VALUES
+              ('good_bool', TRUE),
+              ('multi_field_term', FALSE),
+              ('unknown_kind', FALSE)) AS t(check_name, valid)
+            ORDER BY check_name
         """,
         "agg_significant_text_dedup": f"""
             WITH uniq AS (

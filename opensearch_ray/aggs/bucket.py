@@ -48,35 +48,55 @@ def _shuffle_blocks() -> int:
 
 
 def _topn_buckets(merged: Dataset, count_col: str, key_fields: List[str],
-                  size: int) -> pd.DataFrame:
+                  size: int, ascending: bool = False) -> pd.DataFrame:
     """Bounded final reduce: per-BLOCK top-``size`` partials (exact after the
     global groupby — every key's total lives in exactly one block) followed
     by a driver merge of only n_blocks*size rows. The driver never holds the
     full key cardinality (the shard_size/TermsAggregator concern)."""
     def block_top(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values([count_col] + key_fields,
-                              ascending=[False] + [True] * len(key_fields),
+                              ascending=[ascending] + [True] * len(key_fields),
                               kind="mergesort").head(size)
 
     tops = merged.map_batches(block_top, batch_format="pandas").to_pandas()
     tops = tops.sort_values([count_col] + key_fields,
-                            ascending=[False] + [True] * len(key_fields),
+                            ascending=[ascending] + [True] * len(key_fields),
                             kind="mergesort")
     return tops.head(size).reset_index(drop=True)
 
 
 def terms_agg(ds: Dataset, field: str, size: int = 10,
-              sum_col: Optional[str] = None) -> pd.DataFrame:
+              sum_col: Optional[str] = None,
+              order: Optional[Tuple[str, str]] = None) -> pd.DataFrame:
     """terms: top-N keys by doc_count (desc), key asc tie-break — the
     reference's order (InternalTerms reduce + BucketOrder.count(false)).
     Exact at any cardinality: the post-groupby reduce is per-block top-N
-    partials + a bounded driver merge, not a full-cardinality to_pandas."""
+    partials + a bounded driver merge, not a full-cardinality to_pandas.
+
+    ``order``: BucketOrder options — ("_count", "asc"/"desc") (default
+    desc), ("_key", "asc"/"desc") (BucketOrder.key), or ("sum", ...) to
+    order by the sum_col metric (BucketOrder.aggregation). Key-ordered and
+    metric-ordered variants keep the same bounded per-block reduce."""
     parts = _partial_counts(ds, [field], {"s": sum_col} if sum_col else None)
     aggs = [Sum("doc_count", alias_name="doc_count")]
     if sum_col:
         aggs.append(Sum(f"sum_{sum_col}", alias_name=f"sum_{sum_col}"))
     merged = parts.groupby(field).aggregate(*aggs)
-    return _topn_buckets(merged, "doc_count", [field], size)
+    by, direction = order or ("_count", "desc")
+    asc = direction == "asc"
+    if by == "_count":
+        return _topn_buckets(merged, "doc_count", [field], size, asc)
+    if by == "_key":
+        def block_top(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(field, ascending=asc,
+                                  kind="mergesort").head(size)
+        tops = (merged.map_batches(block_top, batch_format="pandas")
+                .to_pandas().sort_values(field, ascending=asc,
+                                         kind="mergesort"))
+        return tops.head(size).reset_index(drop=True)
+    if by == "sum" and sum_col:
+        return _topn_buckets(merged, f"sum_{sum_col}", [field], size, asc)
+    raise ValueError(f"unsupported terms order: {order}")
 
 
 def multi_terms_agg(ds: Dataset, fields: List[str], size: int = 10) -> pd.DataFrame:

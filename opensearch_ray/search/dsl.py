@@ -314,6 +314,76 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     return out
 
 
+_KNOWN_KINDS = frozenset([
+    "match_all", "match_none", "wrapper", "constant_score", "bool",
+    "script", "ids", "exists", "terms_set", "intervals", "span_near",
+    "span_or", "span_first", "span_not", "match", "match_phrase",
+    "match_phrase_prefix", "match_bool_prefix", "term", "terms", "range",
+    "prefix", "wildcard", "fuzzy", "regexp"])
+
+
+def validate_query(s: Searcher, q: dict) -> dict:
+    """The `_validate/query` API (server/action/admin/indices/validate/
+    query/TransportValidateQueryAction.java): parse/rewrite the query
+    WITHOUT executing it; returns {"valid": bool, "error": str|None}."""
+    try:
+        _validate_walk(q)
+    except Exception as e:  # noqa: BLE001 — the API reports, never raises
+        return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+    return {"valid": True, "error": None}
+
+
+def _validate_walk(q) -> None:
+    if not isinstance(q, dict) or len(q) != 1:
+        raise ValueError(f"query must be a single-key dict, got {q!r}")
+    (kind, body), = q.items()
+    if kind not in _KNOWN_KINDS:
+        raise ValueError(f"unknown query type: {kind}")
+    if kind == "bool":
+        for sec in ("must", "filter", "should", "must_not"):
+            for c in _aslist(body.get(sec)):
+                _validate_walk(c)
+    elif kind == "constant_score":
+        _validate_walk(body["filter"])
+    elif kind == "wrapper":
+        inner = body["query"] if isinstance(body, dict) else body
+        _validate_walk(json.loads(base64.b64decode(inner)))
+    elif kind in ("match_all", "match_none", "script", "ids", "exists",
+                  "span_near", "span_or", "span_first", "span_not"):
+        pass  # structural bodies, checked at execution
+    else:
+        _field_body(body)  # raises on multi-field bodies
+
+
+_ARROW_CAPS = (("timestamp", "date"), ("string", "keyword"),
+               ("large_string", "keyword"), ("bool", "boolean"),
+               ("double", "double"), ("float", "float"),
+               ("int64", "long"), ("int32", "integer"))
+
+
+def field_caps(s: Searcher, text_field: str = "text") -> pd.DataFrame:
+    """The `_field_caps` API (server/action/fieldcaps/
+    TransportFieldCapabilitiesAction.java): per-field type + capabilities.
+    Types map from the doc-store Arrow schema; the indexed text field is
+    searchable-not-aggregatable, doc-values fields are both."""
+    import pyarrow.parquet as pq
+    import os
+    seg0 = s._seg_dir(int(s._seg_ids[0]))
+    schema = pq.read_schema(os.path.join(seg0, "docs.parquet"))
+    rows = []
+    for f in schema:
+        if f.name in ("docid", "dl", "norm"):  # index internals (≈ _norms)
+            continue
+        t = str(f.type)
+        mapped = next((m for a, m in _ARROW_CAPS if t.startswith(a)), t)
+        is_text = f.name == text_field
+        rows.append({"field": f.name,
+                     "type": "text" if is_text else mapped,
+                     "searchable": True,
+                     "aggregatable": not is_text})
+    return pd.DataFrame(rows).sort_values("field").reset_index(drop=True)
+
+
 def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort):
     """SearchSourceBuilder.sort: list of field names / {field: {order}} /
     "_score"; ties broken by docid asc (the implicit _doc tiebreak)."""

@@ -167,3 +167,35 @@ def test_highlight_fvh(built_index):
         for m in re.finditer(r"<em>(.*?)</em>", sn):
             toks = re.split(r"\W+", m.group(1).lower())
             assert toks == [a, b]
+
+
+def test_terms_agg_order_variants(sf_dir, li):
+    from opensearch_ray.aggs import terms_agg
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+    by_key = terms_agg(ds, "l_returnflag", size=2, order=("_key", "desc"))
+    keys = sorted(li.l_returnflag.unique(), reverse=True)[:2]
+    assert by_key.l_returnflag.tolist() == keys
+    by_sum = terms_agg(ds, "l_returnflag", size=3, sum_col="l_quantity",
+                       order=("sum", "desc"))
+    exp = (li.groupby("l_returnflag").l_quantity.sum()
+           .sort_values(ascending=False))
+    assert by_sum.l_returnflag.tolist() == exp.index.tolist()
+    asc = terms_agg(ds, "l_returnflag", size=3, order=("_count", "asc"))
+    cnt = li.l_returnflag.value_counts()
+    assert cnt[asc.l_returnflag.iloc[0]] == cnt.min()
+    with pytest.raises(ValueError):
+        terms_agg(ds, "l_returnflag", order=("sum", "desc"))  # no sum_col
+
+
+def test_field_caps_and_validate(built_index):
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.search.dsl import field_caps, validate_query
+    s = Searcher(built_index.index_dir)
+    caps = field_caps(s)
+    assert "docid" not in caps.field.tolist()
+    row = caps.set_index("field").loc[s.manifest.text_col]
+    assert row.type == "text" and row.searchable and not row.aggregatable
+    assert validate_query(s, {"match": {"text": "x"}})["valid"]
+    bad = validate_query(s, {"nope": {}})
+    assert not bad["valid"] and "unknown query type" in bad["error"]
