@@ -275,7 +275,70 @@ def _dot_expander(field: str) -> Processor:
     return p
 
 
+def _remove_by_pattern(field_pattern: str) -> Processor:
+    """remove_by_pattern (RemoveByPatternProcessor): drop every column whose
+    name matches the glob (*/? wildcards)."""
+    import fnmatch
+
+    def p(df):
+        drop = [c for c in df.columns if fnmatch.fnmatch(c, field_pattern)]
+        return df.drop(columns=drop)
+    return p
+
+
+def _date_index_name(field: str, index_name_prefix: str = "",
+                     date_rounding: str = "M",
+                     target_field: str = "_index") -> Processor:
+    """date_index_name (DateIndexNameProcessor): route each doc to a
+    time-partitioned index name — prefix + timestamp rounded to
+    y/M/w/d/h/m/s. The batch engine's analogue of time-based routing is a
+    partition column for write_parquet(partition_cols=...)."""
+    fmt = {"y": "%Y", "M": "%Y-%m", "d": "%Y-%m-%d", "h": "%Y-%m-%d-%H",
+           "m": "%Y-%m-%d-%H-%M", "s": "%Y-%m-%d-%H-%M-%S",
+           "w": "%G-w%V"}[date_rounding]
+
+    def p(df):
+        ts = pd.to_datetime(df[field])
+        df[target_field] = index_name_prefix + ts.dt.strftime(fmt)
+        return df
+    return p
+
+
+def _community_id(src_ip: str, src_port: str, dst_ip: str, dst_port: str,
+                  iana_number: str = None, seed: int = 0,
+                  target_field: str = "community_id") -> Processor:
+    """community_id (CommunityIdProcessor): the Community ID v1 flow hash —
+    '1:' + base64(sha1(seed . ordered 5-tuple)) with the endpoint pair
+    ordered so both flow directions hash identically."""
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    def p(df):
+        proto = (df[iana_number].astype(int).to_numpy() if iana_number
+                 else [6] * len(df))
+        out = []
+        for sip, sp, dip, dp, pr in zip(df[src_ip], df[src_port],
+                                        df[dst_ip], df[dst_port], proto):
+            a = socket.inet_aton(sip) + struct.pack("!H", int(sp))
+            b = socket.inet_aton(dip) + struct.pack("!H", int(dp))
+            if a > b:
+                a, b = b, a
+            h = hashlib.sha1()
+            h.update(struct.pack("!H", seed))
+            h.update(a[:4] + b[:4] + struct.pack("BB", int(pr), 0)
+                     + a[4:] + b[4:])
+            out.append("1:" + base64.b64encode(h.digest()).decode())
+        df[target_field] = out
+        return df
+    return p
+
+
 PROCESSORS: Dict[str, Callable[..., Processor]] = {
+    "remove_by_pattern": _remove_by_pattern,
+    "date_index_name": _date_index_name,
+    "community_id": _community_id,
     "set": _set, "copy": _copy, "rename": _rename, "remove": _remove,
     "lowercase": _lowercase, "uppercase": _uppercase, "trim": _trim,
     "gsub": _gsub, "split": _split, "join": _join, "convert": _convert,

@@ -299,9 +299,23 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
             boost = float(qb.get("boost", 1.0))
         ids, scores = Q.constant_score_docs(s, docs, boost)
 
+    derived = body.get("derived") or {}
+
+    def resolve(field: str, want_ids: np.ndarray) -> np.ndarray:
+        """Column values aligned to want_ids — stored field or derived
+        field (DerivedFieldMapper: query-time script over stored fields;
+        the Painless stand-in is a vectorized Python callable)."""
+        if field in derived:
+            spec = derived[field].get("script", derived[field])
+            fn = spec["source"]
+            cols = list(spec.get("fields", ()))
+            vals = _fetch_aligned(s, want_ids, cols)
+            return np.asarray(fn(pd.DataFrame(vals)))
+        return _fetch_aligned(s, want_ids, [field])[field]
+
     sort = body.get("sort")
     if sort:
-        ids, scores = _apply_sort(s, ids, scores, sort)
+        ids, scores = _apply_sort(s, ids, scores, sort, resolve)
 
     frm = int(body.get("from", 0))
     size = int(body.get("size", 10))
@@ -309,8 +323,8 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     out = pd.DataFrame({id_col: ids, "score": scores})
     src = body.get("_source")
     if src:
-        for c, vals in _fetch_aligned(s, ids, list(src)).items():
-            out[c] = vals
+        for c in src:
+            out[c] = resolve(c, ids)
     return out
 
 
@@ -384,7 +398,8 @@ def field_caps(s: Searcher, text_field: str = "text") -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("field").reset_index(drop=True)
 
 
-def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort):
+def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort,
+                resolve=None):
     """SearchSourceBuilder.sort: list of field names / {field: {order}} /
     "_score"; ties broken by docid asc (the implicit _doc tiebreak)."""
     keys = []
@@ -397,6 +412,8 @@ def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort):
                      if isinstance(spec, dict) else spec)
         if field == "_score":
             vals = scores
+        elif resolve is not None:
+            vals = resolve(field, ids)
         else:
             vals = _fetch_aligned(s, ids, [field])[field]
         keys.append((vals, order == "desc"))

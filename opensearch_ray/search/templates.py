@@ -95,3 +95,15 @@ def render_search_template(source: str, params: Dict[str, Any]) -> dict:
     """Render + parse into a ``_search`` request-body dict
     (TransportSearchTemplateAction.convert)."""
     return json.loads(render_template(source, params))
+
+
+def msearch_template(searcher, requests, text_field: str = "text",
+                     id_col: str = "doc_id") -> list:
+    """`_msearch/template` (MultiSearchTemplateAction): render each
+    (source, params) pair and execute the batch; one result frame per
+    request, in request order."""
+    from . import dsl
+    return [dsl.execute_search(searcher,
+                               render_search_template(src, params),
+                               text_field=text_field, id_col=id_col)
+            for src, params in requests]

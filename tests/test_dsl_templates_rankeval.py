@@ -177,3 +177,26 @@ def test_rank_eval_end_to_end(s, terms3):
     exp = sum(1 for d in ranked if d in rel) / len(ranked)
     assert df.metric_score.iloc[0] == pytest.approx(exp)
     assert df.metric_score.iloc[1] == df.metric_score.iloc[0]
+
+
+def test_derived_fields_sort_and_source(s, terms3):
+    body = {"query": {"match": {"text": terms3[0]}},
+            "derived": {"ti2": {"script": {
+                "source": lambda df: df["turn_idx"].values * 2,
+                "fields": ["turn_idx"]}}},
+            "sort": [{"ti2": {"order": "desc"}}],
+            "_source": ["ti2", "turn_idx"], "size": 5}
+    r = dsl.execute_search(s, body, id_col="docid")
+    assert (r.ti2.values == r.turn_idx.values * 2).all()
+    assert (np.diff(r.ti2.values) <= 0).all()
+
+
+def test_msearch_template(s, terms3):
+    from opensearch_ray.search.templates import msearch_template
+    tpl = '{"query": {"match": {"text": "{{q}}"}}, "size": {{n}}}'
+    out = msearch_template(s, [(tpl, {"q": terms3[0], "n": 3}),
+                               (tpl, {"q": terms3[1], "n": 2})],
+                           id_col="docid")
+    assert len(out) == 2 and len(out[0]) == 3 and len(out[1]) == 2
+    exp = [h.docid for h in s.search(terms3[0], k=3)]
+    assert out[0].docid.tolist() == exp

@@ -182,3 +182,33 @@ def test_geoip_processor_stub():
             .map_batches(GeoIpProcessor, batch_format="pandas", concurrency=2)
             .to_pandas().sort_values("id"))
     assert out["geo_city"].tolist() == out2["geo_city"].tolist()
+
+
+def test_remove_by_pattern_and_date_index_name():
+    import pandas as pd
+    from opensearch_ray.ingest.processors import PROCESSORS
+    df = pd.DataFrame({"keep": [1], "tmp_a": [2], "tmp_b": [3],
+                       "ts": ["2024-03-15T10:00:00"]})
+    out = PROCESSORS["remove_by_pattern"]("tmp_*")(df.copy())
+    assert sorted(out.columns) == ["keep", "ts"]
+    out2 = PROCESSORS["date_index_name"](
+        "ts", index_name_prefix="events-", date_rounding="M")(df.copy())
+    assert out2["_index"].iloc[0] == "events-2024-03"
+    out3 = PROCESSORS["date_index_name"]("ts", date_rounding="d")(df.copy())
+    assert out3["_index"].iloc[0] == "2024-03-15"
+
+
+def test_community_id_direction_invariant():
+    import pandas as pd
+    from opensearch_ray.ingest.processors import PROCESSORS
+    fwd = pd.DataFrame({"sip": ["10.0.0.1"], "sp": [5000],
+                        "dip": ["10.0.0.2"], "dp": [80]})
+    rev = pd.DataFrame({"sip": ["10.0.0.2"], "sp": [80],
+                        "dip": ["10.0.0.1"], "dp": [5000]})
+    proc = PROCESSORS["community_id"]("sip", "sp", "dip", "dp")
+    a = proc(fwd.copy()).community_id.iloc[0]
+    b = proc(rev.copy()).community_id.iloc[0]
+    assert a == b and a.startswith("1:")
+    other = pd.DataFrame({"sip": ["10.0.0.1"], "sp": [5001],
+                          "dip": ["10.0.0.2"], "dp": [80]})
+    assert proc(other.copy()).community_id.iloc[0] != a
