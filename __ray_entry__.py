@@ -2020,6 +2020,39 @@ def _pii_sql() -> str:
             "ORDER BY event_id")
 
 
+def _q_dsl_request_aggs(sf_dir):
+    """Full request: query + aggs tree (terms/stats/global>avg) +
+    post_filter — aggregations over ALL matches, hits narrowed afterwards.
+    Long-format (agg, key, value) rows for the oracle compare."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    body = {"query": {"match": {"text": "hash join"}},
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}},
+                     "chars": {"stats": {"field": "n_chars"}},
+                     "everything": {"global": {},
+                                    "aggs": {"avg_chars":
+                                             {"avg":
+                                              {"field": "n_chars"}}}}},
+            "post_filter": {"term": {"lang": "en"}},
+            "size": 5}
+    r = dsl.execute_request(s, body)
+    rows = []
+    for b in r["aggregations"]["by_lang"]["buckets"]:
+        rows.append(("by_lang", str(b["key"]), str(b["doc_count"])))
+    st = r["aggregations"]["chars"]
+    rows.append(("chars", "count", str(st["count"])))
+    for k in ("min", "max", "sum", "avg"):
+        rows.append(("chars", k, _fmt([st[k]], 4)[0]))
+    g = r["aggregations"]["everything"]
+    rows.append(("global", "doc_count", str(g["doc_count"])))
+    rows.append(("global.avg_chars", "value",
+                 _fmt([g["avg_chars"]["value"]], 4)[0]))
+    for rank, did in enumerate(r["hits"]["doc_id"], 1):
+        rows.append(("hit", str(rank), str(did)))
+    return (pd.DataFrame(rows, columns=["agg", "key", "value"])
+            .sort_values(["agg", "key"]).reset_index(drop=True))
+
+
 def _q_agg_terms_order(sf_dir):
     """terms agg ordered by a sub-agg metric (BucketOrder.aggregation):
     top shipdates... keys by sum(l_quantity) descending."""
@@ -2508,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
         # round-3 session 2: reference-surface tail
+        "dsl_request_aggs": _q_dsl_request_aggs,
         "agg_terms_order": _q_agg_terms_order,
         "field_caps": _q_field_caps,
         "validate_query": _q_validate_query,
@@ -3652,6 +3686,39 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
         """,
+        "dsl_request_aggs": _bm25_sql("""
+            , m AS (SELECT DISTINCT doc_id FROM tok
+                    WHERE token IN ('hash', 'join'))
+            SELECT 'by_lang' AS agg, d.lang AS key,
+                   CAST(count(*) AS VARCHAR) AS value
+            FROM documents d JOIN m USING (doc_id) GROUP BY d.lang
+            UNION ALL
+            SELECT 'chars', 'count', CAST(count(*) AS VARCHAR)
+            FROM documents d JOIN m USING (doc_id)
+            UNION ALL
+            SELECT 'chars', u.k, printf('%.4f', u.v) FROM (
+              SELECT unnest(['min','max','sum','avg']) AS k,
+                     unnest([CAST(min(n_chars) AS DOUBLE),
+                             CAST(max(n_chars) AS DOUBLE),
+                             CAST(sum(n_chars) AS DOUBLE),
+                             sum(n_chars) / CAST(count(*) AS DOUBLE)]) AS v
+              FROM documents d JOIN m USING (doc_id)) u
+            UNION ALL
+            SELECT 'global', 'doc_count',
+                   CAST((SELECT count(*) FROM documents) AS VARCHAR)
+            UNION ALL
+            SELECT 'global.avg_chars', 'value',
+                   printf('%.4f', (SELECT sum(n_chars)
+                                   / CAST(count(*) AS DOUBLE)
+                                   FROM documents))
+            UNION ALL
+            SELECT 'hit', CAST(rn AS VARCHAR), CAST(doc_id AS VARCHAR)
+            FROM (SELECT sc.doc_id,
+                         row_number() OVER (ORDER BY sc.score DESC,
+                                            sc.doc_id) AS rn
+                  FROM scored sc JOIN documents d USING (doc_id)
+                  WHERE d.lang = 'en') WHERE rn <= 5""",
+            query_terms=["hash", "join"]),
         "agg_terms_order": """
             SELECT l_returnflag, count(*) AS doc_count,
                    printf('%.2f', sum(l_quantity)) AS qty_sum

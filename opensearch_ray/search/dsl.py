@@ -328,6 +328,104 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     return out
 
 
+def _gather_values(s: Searcher, docs: np.ndarray, field: str) -> np.ndarray:
+    """Doc-values gather for a sorted global docid set (per-segment
+    vectorized take — the aggregation-phase doc-values read)."""
+    if docs.size == 0:
+        return np.empty(0, object)
+    seg_idx = np.searchsorted(s._bases, docs, side="right") - 1
+    vals = []
+    for si in np.unique(seg_idx):
+        seg_id = int(s._seg_ids[si])
+        local = docs[seg_idx == si] - int(s._bases[si])
+        vals.append(s.doc_values(seg_id, field)[local])
+    return np.concatenate(vals)
+
+
+def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
+                 text_field: str = "text") -> dict:
+    """The request-body ``aggs`` tree over a matched doc set
+    (SearchSourceBuilder.aggregation → AggregatorFactories): terms,
+    avg/sum/min/max/value_count/stats, missing, filter (with sub-aggs),
+    global (escapes the query scope, sub-aggs over ALL docs)."""
+    out: dict = {}
+    for name, spec in aggs.items():
+        sub = spec.get("aggs", {})
+        kinds = [k for k in spec if k != "aggs"]
+        if len(kinds) != 1:
+            raise ValueError(f"agg {name!r} needs exactly one type")
+        kind = kinds[0]
+        body = spec[kind]
+        if kind == "global":
+            g = _all_docs(s)
+            out[name] = {"doc_count": int(g.size),
+                         **execute_aggs(s, g, sub, text_field)}
+            continue
+        if kind == "filter":
+            f = np.intersect1d(docs, query_docs(s, body, text_field),
+                               assume_unique=True)
+            out[name] = {"doc_count": int(f.size),
+                         **execute_aggs(s, f, sub, text_field)}
+            continue
+        field = body["field"]
+        if kind == "terms":
+            v = _gather_values(s, docs, field)
+            uniq, counts = np.unique(v, return_counts=True)
+            order = np.lexsort((uniq, -counts))[:body.get("size", 10)]
+            out[name] = {"buckets": [
+                {"key": uniq[i].item() if hasattr(uniq[i], "item")
+                 else uniq[i], "doc_count": int(counts[i])}
+                for i in order]}
+            continue
+        if kind == "missing":
+            v = _gather_values(s, docs, field)
+            if v.dtype == object:
+                n = sum(1 for x in v if x is None or x == "")
+            else:
+                n = int(np.isnan(v).sum()) if v.dtype.kind == "f" else 0
+            out[name] = {"doc_count": n}
+            continue
+        v = _gather_values(s, docs, field).astype(np.float64)
+        if kind == "avg":
+            out[name] = {"value": float(v.mean()) if v.size else None}
+        elif kind == "sum":
+            out[name] = {"value": float(v.sum())}
+        elif kind == "min":
+            out[name] = {"value": float(v.min()) if v.size else None}
+        elif kind == "max":
+            out[name] = {"value": float(v.max()) if v.size else None}
+        elif kind == "value_count":
+            out[name] = {"value": int(v.size)}
+        elif kind == "stats":
+            out[name] = {"count": int(v.size), "min": float(v.min()),
+                         "max": float(v.max()), "sum": float(v.sum()),
+                         "avg": float(v.mean())} if v.size else \
+                {"count": 0, "min": None, "max": None, "sum": 0.0,
+                 "avg": None}
+        else:
+            raise ValueError(f"unsupported agg type: {kind}")
+    return out
+
+
+def execute_request(s: Searcher, body: dict, text_field: str = "text",
+                    id_col: str = "doc_id") -> dict:
+    """Full request: hits + aggregations (+post_filter). Aggregations run
+    over ALL query matches; post_filter then narrows only the HITS — the
+    FilteredCollector distinction the post_filter option exists for."""
+    q = body.get("query", {"match_all": {}})
+    docs = query_docs(s, q, text_field)
+    aggs = execute_aggs(s, docs, body.get("aggs", {}), text_field)
+    hits_body = dict(body)
+    pf = body.get("post_filter")
+    if pf is not None:
+        inner = {"bool": {"must": [q], "filter": [pf]}}
+        hits_body["query"] = inner
+    hits = execute_search(s, hits_body, text_field=text_field,
+                          id_col=id_col)
+    return {"hits": hits, "aggregations": aggs,
+            "total": int(docs.size)}
+
+
 _KNOWN_KINDS = frozenset([
     "match_all", "match_none", "wrapper", "constant_score", "bool",
     "script", "ids", "exists", "terms_set", "intervals", "span_near",

@@ -200,3 +200,38 @@ def test_msearch_template(s, terms3):
     assert len(out) == 2 and len(out[0]) == 3 and len(out[1]) == 2
     exp = [h.docid for h in s.search(terms3[0], k=3)]
     assert out[0].docid.tolist() == exp
+
+
+def test_execute_request_aggs_and_post_filter(s, terms3):
+    a = terms3[0]
+    body = {"query": {"match": {"text": a}},
+            "aggs": {"by_role": {"terms": {"field": "role", "size": 10}},
+                     "ti": {"stats": {"field": "turn_idx"}},
+                     "g": {"global": {},
+                           "aggs": {"n": {"value_count":
+                                          {"field": "turn_idx"}}}}},
+            "post_filter": {"range": {"turn_idx": {"gte": 1}}},
+            "size": 5}
+    r = dsl.execute_request(s, body, id_col="docid")
+    docs = np.sort(s.term_docs(a))
+    assert r["total"] == docs.size
+    # aggregations cover ALL matches (pre-post_filter)
+    total_buckets = sum(b["doc_count"]
+                        for b in r["aggregations"]["by_role"]["buckets"])
+    assert total_buckets == docs.size
+    assert r["aggregations"]["ti"]["count"] == docs.size
+    # global escapes the query scope entirely
+    assert r["aggregations"]["g"]["doc_count"] == s.N
+    assert r["aggregations"]["g"]["n"]["value"] == s.N
+    # hits ARE post-filtered
+    flt = set(s.range_docs("turn_idx", {"gte": 1}).tolist())
+    assert all(d in flt for d in r["hits"]["docid"])
+    # filter agg with sub-agg
+    r2 = dsl.execute_request(s, {
+        "query": {"match_all": {}},
+        "aggs": {"f": {"filter": {"range": {"turn_idx": {"lt": 2}}},
+                       "aggs": {"mx": {"max": {"field": "turn_idx"}}}}},
+        "size": 0}, id_col="docid")
+    sub = s.range_docs("turn_idx", {"lt": 2})
+    assert r2["aggregations"]["f"]["doc_count"] == sub.size
+    assert r2["aggregations"]["f"]["mx"]["value"] <= 1
