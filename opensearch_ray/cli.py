@@ -63,6 +63,22 @@ def cmd_search(args):
                          ensure_ascii=False, indent=1))
 
 
+def cmd_dsl(args):
+    """Execute a JSON `_search` request body (stdin or --body) — the
+    reference's request surface at the command line."""
+    import sys
+    from .search import Searcher
+    from .search.dsl import execute_request
+    body = json.loads(args.body if args.body else sys.stdin.read())
+    s = Searcher(args.index)
+    r = execute_request(s, body, text_field=s.manifest.text_col,
+                        id_col="docid")
+    out = {"total": r["total"],
+           "hits": r["hits"].to_dict(orient="records"),
+           "aggregations": r["aggregations"]}
+    print(json.dumps(out, ensure_ascii=False, indent=1, default=str))
+
+
 def cmd_count(args):
     from .search import Searcher
     print(Searcher(args.index).count(args.query, operator=args.operator))
@@ -125,6 +141,12 @@ def main(argv=None):
     s.add_argument("--fetch", action="store_true")
     s.add_argument("--explain", action="store_true")
     s.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser("dsl")
+    d.add_argument("index")
+    d.add_argument("--body", default=None,
+                   help="JSON request body (default: read stdin)")
+    d.set_defaults(fn=cmd_dsl)
 
     c = sub.add_parser("count")
     c.add_argument("index")

@@ -298,18 +298,32 @@ def _levenshtein(a: str, b: str, maxd: int = 2) -> int:
 
 
 def term_suggest(searcher: Searcher, text: str, max_edits: int = 2,
-                 size: int = 5) -> pd.DataFrame:
+                 size: int = 5, suggest_mode: str = "always"
+                 ) -> pd.DataFrame:
     """Term suggester: vocabulary terms within ``max_edits`` of each input
     token, ordered by (distance asc, df desc, term asc) — ref
-    search/suggest/term/TermSuggester semantics (suggest_mode=always)."""
+    search/suggest/term/TermSuggester + SuggestMode:
+
+    - ``always``: suggest for every input token
+    - ``missing``: only for tokens absent from the index (df == 0)
+    - ``popular``: only suggestions with df GREATER than the input token's
+    """
+    if suggest_mode not in ("always", "missing", "popular"):
+        raise ValueError(f"unknown suggest_mode: {suggest_mode}")
     vocab_tbl = searcher._vocab()  # aggregated (term, df) dictionary
     vocab = vocab_tbl.column("term").to_pylist()
     dfs = vocab_tbl.column("df").to_pylist()
+    df_of = dict(zip(vocab, dfs))
     rows = []
     for tok in searcher.analyzer.tokens(text):
+        tok_df = int(df_of.get(tok, 0))
+        if suggest_mode == "missing" and tok_df > 0:
+            continue
         cands = []
         for term, df in zip(vocab, dfs):
             if term == tok:
+                continue
+            if suggest_mode == "popular" and df <= tok_df:
                 continue
             d = _levenshtein(tok, term, max_edits)
             if d <= max_edits:
@@ -318,7 +332,8 @@ def term_suggest(searcher: Searcher, text: str, max_edits: int = 2,
         for rank, (d, negdf, term) in enumerate(cands[:size], 1):
             rows.append({"input": tok, "suggestion": term, "distance": d,
                          "df": -negdf, "rank": rank})
-    return pd.DataFrame(rows, columns=["input", "suggestion", "distance", "df", "rank"])
+    return pd.DataFrame(rows, columns=["input", "suggestion", "distance",
+                                       "df", "rank"])
 
 
 def search_after_page(searcher: Searcher, query_text: str, page_size: int,

@@ -199,3 +199,22 @@ def test_field_caps_and_validate(built_index):
     assert validate_query(s, {"match": {"text": "x"}})["valid"]
     bad = validate_query(s, {"nope": {}})
     assert not bad["valid"] and "unknown query type" in bad["error"]
+
+
+def test_term_suggest_modes(built_index):
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.search.features import term_suggest
+    s = Searcher(built_index.index_dir)
+    vocab = s._vocab().to_pandas().sort_values("df")
+    common = str(vocab.iloc[-1].term)
+    missing_tok = common[:-1] + "zz"  # not in the vocabulary
+    # missing mode: present tokens produce nothing, absent tokens do
+    out = term_suggest(s, f"{common} {missing_tok}", suggest_mode="missing")
+    assert common not in set(out["input"])
+    # popular mode: every suggestion's df exceeds the input token's df
+    mid = str(vocab.iloc[len(vocab) // 2].term)
+    pop = term_suggest(s, mid, suggest_mode="popular", max_edits=2, size=20)
+    mid_df = int(vocab.set_index("term").df[mid])
+    assert (pop.df > mid_df).all()
+    with pytest.raises(ValueError):
+        term_suggest(s, "x", suggest_mode="bogus")
