@@ -861,6 +861,22 @@ def _q_ann_lsh(sf_dir):
     return lsh_topk(_read(sf_dir, "embeddings"), np.asarray(q, np.float32), k=10)
 
 
+def _q_ann_pq(sf_dir):
+    """PQ+ADC ANN: 8-byte codes per 64-dim vector, asymmetric-distance
+    top-10 (rows-only; ranking is quantized, recall tested in pytest)."""
+    import pyarrow.parquet as pq
+    from opensearch_ray.similarity.pq import pq_encode, pq_topk, pq_train
+    ds = _read(sf_dir, "embeddings")
+    books = pq_train(ds, m=8, sample_size=2048)
+    codes = pq_encode(ds, books)
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      filters=[("vec_id", "=", 0)]
+                      ).column("embedding").to_pylist()[0]
+    out = pq_topk(codes, books, np.asarray(q, np.float32), k=10)
+    out["score"] = _fmt(out["score"].values, 4)
+    return out[["vec_id", "score", "rank"]]
+
+
 def _q_ann_ivf(sf_dir):
     import pyarrow.parquet as pq
     import shutil
@@ -2532,6 +2548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embed_dedup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "cardinality_hll": _q_cardinality_hll,
         "percentiles_tdigest": _q_percentiles_tdigest,
         "agg_percentile_ranks": _q_agg_percentile_ranks,

@@ -218,3 +218,29 @@ def test_term_suggest_modes(built_index):
     assert (pop.df > mid_df).all()
     with pytest.raises(ValueError):
         term_suggest(s, "x", suggest_mode="bogus")
+
+
+def test_pq_ann_recall(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from opensearch_ray.similarity.ann import brute_force_topk
+    from opensearch_ray.similarity.pq import pq_encode, pq_topk, pq_train
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(ds, m=8, sample_size=2048)
+    assert books.shape[0] == 8 and books.shape[2] == 8
+    codes = pq_encode(ds, books).materialize()
+    # codes are exactly 8 bytes per vector
+    row = codes.take(1)[0]
+    assert len(row["pq_code"]) == 8
+    embs = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    hits = 0
+    for vid in (0, 7, 42):
+        q = np.asarray(embs.column("embedding")[vid].as_py(), np.float32)
+        approx = pq_topk(codes, books, q, k=10)
+        assert approx.vec_id.iloc[0] == vid  # self is always nearest
+        exact = brute_force_topk(ds, q[None, :], k=30)
+        hits += len(set(approx.vec_id) & set(exact.vec_id))
+    assert hits / 30 >= 0.8  # recall@10-in-exact-top30 across 3 queries
+    # determinism: same seed -> identical codebooks
+    books2 = pq_train(ds, m=8, sample_size=2048)
+    assert (books == books2).all()
