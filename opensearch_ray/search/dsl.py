@@ -412,18 +412,64 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
     """Full request: hits + aggregations (+post_filter). Aggregations run
     over ALL query matches; post_filter then narrows only the HITS — the
     FilteredCollector distinction the post_filter option exists for."""
+    import time as _time
+    prof: dict = {}
+    t0 = _time.perf_counter()
     q = body.get("query", {"match_all": {}})
     docs = query_docs(s, q, text_field)
+    prof["query_ms"] = (_time.perf_counter() - t0) * 1e3
+    t0 = _time.perf_counter()
     aggs = execute_aggs(s, docs, body.get("aggs", {}), text_field)
+    prof["aggregations_ms"] = (_time.perf_counter() - t0) * 1e3
+    t0 = _time.perf_counter()
     hits_body = dict(body)
     pf = body.get("post_filter")
     if pf is not None:
         inner = {"bool": {"must": [q], "filter": [pf]}}
         hits_body["query"] = inner
-    hits = execute_search(s, hits_body, text_field=text_field,
-                          id_col=id_col)
-    return {"hits": hits, "aggregations": aggs,
-            "total": int(docs.size)}
+    collapse = body.get("collapse")
+    if collapse is not None:
+        # collapse happens before from/size paging: fetch wide, dedupe by
+        # the collapse key in rank order, then page (CollapseContext)
+        wide = dict(hits_body)
+        frm = int(body.get("from", 0))
+        size = int(body.get("size", 10))
+        wide["from"], wide["size"] = 0, 10 ** 9
+        all_hits = execute_search(s, wide, text_field=text_field,
+                                  id_col=id_col)
+        field = collapse["field"]
+        keys = _fetch_aligned(s, all_hits[id_col].to_numpy(), [field])[field]
+        all_hits[field] = keys
+        hits = (all_hits.drop_duplicates(subset=[field], keep="first")
+                .iloc[frm:frm + size].reset_index(drop=True))
+    else:
+        hits = execute_search(s, hits_body, text_field=text_field,
+                              id_col=id_col)
+
+    hl = body.get("highlight")
+    if hl is not None and len(hits):
+        # unified-highlighter default (SearchModule.java:910-912); tag the
+        # positive scoring terms of the query
+        from .features import highlight_unified
+        terms = _score_terms(s, q)
+        frags = highlight_unified(
+            s, " ".join(terms) if terms else "", k=10 ** 9,
+            number_of_fragments=hl.get("number_of_fragments", 1),
+            fragment_char_size=hl.get("fragment_size", 100),
+            pre_tag=(hl.get("pre_tags") or ["<em>"])[0],
+            post_tag=(hl.get("post_tags") or ["</em>"])[0])
+        snip = dict(zip(frags["_docid"], frags["snippet"]))
+        hits = hits.copy()
+        hits["highlight"] = [snip.get(d) for d in hits[id_col]]
+
+    prof["fetch_ms"] = (_time.perf_counter() - t0) * 1e3
+    out = {"hits": hits, "aggregations": aggs, "total": int(docs.size)}
+    if body.get("profile"):
+        # the `profile: true` option (search/profile/Profilers.java) —
+        # phase-level wall times; per-Lucene-collector detail has no
+        # analogue here
+        out["profile"] = prof
+    return out
 
 
 _KNOWN_KINDS = frozenset([

@@ -235,3 +235,30 @@ def test_execute_request_aggs_and_post_filter(s, terms3):
     sub = s.range_docs("turn_idx", {"lt": 2})
     assert r2["aggregations"]["f"]["doc_count"] == sub.size
     assert r2["aggregations"]["f"]["mx"]["value"] <= 1
+
+
+def test_execute_request_collapse_and_highlight(s, terms3):
+    a = terms3[0]
+    r = dsl.execute_request(s, {
+        "query": {"match": {"text": a}},
+        "collapse": {"field": "role"},
+        "highlight": {"fragment_size": 60},
+        "size": 10}, id_col="docid")
+    h = r["hits"]
+    # one hit per collapse-key value, best-ranked kept
+    assert h["role"].is_unique
+    native = [x.docid for x in s.search(a, k=10 ** 9)]
+    # first collapsed hit is the global best hit
+    assert h.docid.iloc[0] == native[0]
+    # highlights tag the query term
+    assert h.highlight.str.contains("<em>").all()
+
+
+def test_execute_request_profile(s, terms3):
+    r = dsl.execute_request(s, {"query": {"match": {"text": terms3[0]}},
+                                "profile": True, "size": 1}, id_col="docid")
+    assert set(r["profile"]) == {"query_ms", "aggregations_ms", "fetch_ms"}
+    assert all(v >= 0 for v in r["profile"].values())
+    r2 = dsl.execute_request(s, {"query": {"match_all": {}}, "size": 1},
+                             id_col="docid")
+    assert "profile" not in r2
