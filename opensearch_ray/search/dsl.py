@@ -185,6 +185,8 @@ def _bool_docs(s: Searcher, body: dict, text_field: str) -> np.ndarray:
     if isinstance(msm, str) and msm.endswith("%"):
         msm = (len(shoulds) * int(msm[:-1])) // 100
 
+    if not (must or filt or shoulds or nots):
+        return _all_docs(s)  # clause-less bool == match_all (Lucene rewrite)
     base: Optional[np.ndarray] = None
     if must or filt:
         base = _intersect(must + filt)
