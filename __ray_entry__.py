@@ -2184,6 +2184,15 @@ def _q_date_math_range(sf_dir):
     return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
 
 
+def _q_wildcard_field(sf_dir):
+    """wildcard FIELD query over keyword doc values: source matching
+    'src1?' (src10..src19), one vectorized RE2 scan per segment."""
+    from opensearch_ray.mapper import wildcard_field_docs
+    s = _searcher(sf_dir)
+    docs = wildcard_field_docs(s, "source", "src1?")
+    return pd.DataFrame({"doc_id": np.sort(docs)})
+
+
 def _q_ip_cidr_term(sf_dir):
     """ip-field term query with a CIDR mask (10.96.0.0/12)."""
     from opensearch_ray.mapper import ip_term_filter
@@ -2567,6 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "date_math_range": _q_date_math_range,
+        "wildcard_field_query": _q_wildcard_field,
         "ip_cidr_term": _q_ip_cidr_term,
         "range_field_query": _q_range_field_query,
         "scaled_float_agg": _q_scaled_float_agg,
@@ -3847,6 +3857,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
               AND ts <= TIMESTAMP '2024-01-17 23:59:59.999'
             ORDER BY event_id
+        """,
+        "wildcard_field_query": """
+            SELECT doc_id FROM documents
+            WHERE source LIKE 'src1_' ORDER BY doc_id
         """,
         "ip_cidr_term": """
             WITH ips(event_id, b) AS (

@@ -141,6 +141,45 @@ def scaled_float_column(ds: Dataset, col: str, scaling_factor: float,
     return ds.map_batches(quantize, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------- wildcard field
+
+def wildcard_pattern_to_regex(pattern: str) -> str:
+    """``*``/``?`` wildcard -> anchored regex (WildcardQuery semantics on a
+    whole keyword value)."""
+    import re as _re
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^(?:" + "".join(out) + ")$"
+
+
+def wildcard_field_docs(s, field: str, pattern: str):
+    """wildcard FIELD query (server/index/mapper/WildcardFieldMapper.java):
+    match whole keyword values against a ``*``/``?`` pattern. The reference
+    accelerates with an ngram sub-index; here each segment's doc values are
+    scanned with ONE vectorized Arrow RE2 match per segment — same
+    complexity class on a column scan, no per-row Python."""
+    import numpy as np
+    rx = wildcard_pattern_to_regex(pattern)
+    parts = []
+    for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id):
+        vals = s.doc_values(seg.seg_id, field)
+        arr = pa.array(vals, pa.string())
+        mask = pc.match_substring_regex(arr, rx).to_numpy(
+            zero_copy_only=False)
+        mask = np.asarray(mask, dtype=bool)
+        if mask.any():
+            parts.append(np.flatnonzero(mask).astype(np.int64)
+                         + s.doc_base(seg.seg_id))
+    import numpy as _np
+    return _np.concatenate(parts) if parts else _np.empty(0, _np.int64)
+
+
 # ------------------------------------------------------------- token_count
 
 def token_count_column(ds: Dataset, text_col: str, analyzer: str = "default",

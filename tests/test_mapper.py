@@ -80,3 +80,23 @@ def test_token_count_column(sf_dir):
     exp = {r.doc_id: len(an.tokens(r.text)) for r in docs.itertuples()}
     for d, n in zip(out.doc_id, out.token_count):
         assert exp[d] == n
+
+
+def test_wildcard_field_docs(built_index):
+    from opensearch_ray.mapper import (wildcard_field_docs,
+                                       wildcard_pattern_to_regex)
+    from opensearch_ray.search import Searcher
+    import re
+    assert re.match(wildcard_pattern_to_regex("a*c?"), "abbcx")
+    assert not re.match(wildcard_pattern_to_regex("a*c?"), "abbc")
+    assert re.match(wildcard_pattern_to_regex("a.b"), "a.b")
+    assert not re.match(wildcard_pattern_to_regex("a.b"), "axb")
+    s = Searcher(built_index.index_dir)
+    got = set(wildcard_field_docs(s, "role", "us*").tolist())
+    vals = {}
+    for seg in s.manifest.segments:
+        dv = s.doc_values(seg.seg_id, "role")
+        for i, v in enumerate(dv):
+            vals[i + s.doc_base(seg.seg_id)] = v
+    want = {d for d, v in vals.items() if str(v).startswith("us")}
+    assert got == want
