@@ -2184,6 +2184,54 @@ def _q_date_math_range(sf_dir):
     return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
 
 
+def _doc_index_vec(sf_dir: str) -> str:
+    """Index over documents JOINED with their embedding (vec_id == doc_id),
+    cached in /tmp — the knn-query surface: a list<float> doc-values column
+    next to the indexed text."""
+    from opensearch_ray import __version__
+    from opensearch_ray.index.build import build_index
+    key = hashlib.md5(f"{sf_dir}:{__version__}:vec1".encode()).hexdigest()[:10]
+    root = f"/tmp/osray_docidx_vec_{key}"
+    idx = os.path.join(root, "idx")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        import pyarrow.parquet as _pq
+        corpus = os.path.join(root, "corpus")
+        os.makedirs(corpus, exist_ok=True)
+        docs = _pq.read_table(os.path.join(sf_dir, "documents.parquet")
+                              ).sort_by("doc_id")
+        embs = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"]
+                              ).sort_by("vec_id")
+        # Arrow joins reject list<float> payloads — align by sorted id
+        did = docs.column("doc_id").to_numpy()
+        vid = embs.column("vec_id").to_numpy()
+        pos = np.searchsorted(vid, did)
+        emb_col = embs.column("embedding").combine_chunks().take(
+            pa.array(pos))
+        joined = docs.append_column("embedding", emb_col)
+        _pq.write_table(joined, os.path.join(corpus, "part-0.parquet"))
+        build_index(corpus, idx, analyzer="transcript", text_col="text",
+                    sort_cols=("doc_id",), num_buckets=4)
+    return idx
+
+
+def _q_knn_query(sf_dir):
+    """knn query through the DSL: exact cosine top-10 over the embedding
+    doc-values column (float64, oracle-comparable)."""
+    import pyarrow.parquet as _pq
+    from opensearch_ray.search import Searcher, dsl
+    s = Searcher(_doc_index_vec(sf_dir), dtype=np.float64)
+    qv = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        filters=[("vec_id", "=", 3)]
+                        ).column("embedding").to_pylist()[0]
+    out = dsl.execute_search(
+        s, {"query": {"knn": {"embedding": {"vector": qv, "k": 10}}},
+            "size": 10})
+    out["score"] = _fmt(out["score"].values, 4)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "score", "rank"]]
+
+
 def _q_wildcard_field(sf_dir):
     """wildcard FIELD query over keyword doc values: source matching
     'src1?' (src10..src19), one vectorized RE2 scan per segment."""
@@ -2576,6 +2624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "date_math_range": _q_date_math_range,
+        "knn_query": _q_knn_query,
         "wildcard_field_query": _q_wildcard_field,
         "ip_cidr_term": _q_ip_cidr_term,
         "range_field_query": _q_range_field_query,
@@ -3857,6 +3906,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
               AND ts <= TIMESTAMP '2024-01-17 23:59:59.999'
             ORDER BY event_id
+        """,
+        "knn_query": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 3),
+            sims AS (
+              SELECT vec_id AS doc_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) AS sim
+              FROM embeddings)
+            SELECT doc_id, printf('%.4f', sim) AS score,
+                   CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM sims ORDER BY sim DESC, doc_id LIMIT 10
         """,
         "wildcard_field_query": """
             SELECT doc_id FROM documents

@@ -284,6 +284,20 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     (or the constant_score boost) with docid-ascending order — matching the
     reference's constant-score rewrite."""
     q = body.get("query", {"match_all": {}})
+    if isinstance(q, dict) and len(q) == 1 and "knn" in q:
+        (field, spec), = q["knn"].items()
+        kk = int(spec.get("k", body.get("size", 10)))
+        ids, scores = knn_docs_scores(s, field, spec["vector"], kk)
+        frm = int(body.get("from", 0))
+        size = int(body.get("size", kk))
+        out = pd.DataFrame({id_col: ids[frm:frm + size],
+                            "score": scores[frm:frm + size]})
+        src = body.get("_source")
+        if src:
+            for c, vals in _fetch_aligned(
+                    s, out[id_col].to_numpy(), list(src)).items():
+                out[c] = vals
+        return out
     docs = query_docs(s, q, text_field)
     terms = _score_terms(s, q)
 
@@ -328,6 +342,31 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
         for c in src:
             out[c] = resolve(c, ids)
     return out
+
+
+def knn_docs_scores(s: Searcher, field: str, vector, k: int = 10):
+    """knn query (the k-NN plugin's query type; OpenSearch `"query":
+    {"knn": {field: {"vector": [...], "k": N}}}`): exact cosine top-k over
+    a list<float> doc-values column — per-segment vectorized matmul
+    partials, global (score desc, docid asc) merge. Float64 scoring (the
+    oracle-comparable mode; ANN variants live in similarity/)."""
+    q = np.asarray(vector, np.float64)
+    q = q / max(np.linalg.norm(q), 1e-300)
+    cand_ids: List[np.ndarray] = []
+    cand_sc: List[np.ndarray] = []
+    for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id):
+        vals = s.doc_values(seg.seg_id, field)
+        V = np.stack([np.asarray(v, np.float64) for v in vals])
+        norms = np.linalg.norm(V, axis=1)
+        sc = (V @ q) / np.maximum(norms, 1e-300)
+        ids = np.arange(len(sc), dtype=np.int64) + s.doc_base(seg.seg_id)
+        top = np.lexsort((ids, -sc))[:k]
+        cand_ids.append(ids[top])
+        cand_sc.append(sc[top])
+    ids = np.concatenate(cand_ids)
+    sc = np.concatenate(cand_sc)
+    order = np.lexsort((ids, -sc))[:k]
+    return ids[order], sc[order]
 
 
 def _gather_values(s: Searcher, docs: np.ndarray, field: str) -> np.ndarray:

@@ -262,3 +262,35 @@ def test_execute_request_profile(s, terms3):
     r2 = dsl.execute_request(s, {"query": {"match_all": {}}, "size": 1},
                              id_col="docid")
     assert "profile" not in r2
+
+
+def test_knn_query_exact(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from opensearch_ray.index.build import build_index
+    from opensearch_ray.search import Searcher
+    rng = np.random.default_rng(5)
+    n, d = 40, 16
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(pa.table({
+        "conv_id": [f"c{i:03d}" for i in range(n)],
+        "turn_idx": pa.array([0] * n, pa.int32()),
+        "text": ["some text here"] * n,
+        "vec": pa.array([list(map(float, v)) for v in V],
+                        pa.list_(pa.float32())),
+    }), str(corpus / "p.parquet"))
+    m = build_index(str(corpus), str(tmp_path / "idx"),
+                    analyzer="whitespace", num_buckets=2)
+    s = Searcher(m.index_dir)
+    q = V[7]
+    r = dsl.execute_search(
+        s, {"query": {"knn": {"vec": {"vector": list(map(float, q)),
+                                      "k": 5}}}}, id_col="docid")
+    Vn = V.astype(np.float64)
+    sims = (Vn @ q.astype(np.float64)) / (
+        np.linalg.norm(Vn, axis=1) * np.linalg.norm(q.astype(np.float64)))
+    order = np.lexsort((np.arange(n), -sims))[:5]
+    assert r.docid.tolist() == order.tolist()
+    assert r.score.values == pytest.approx(sims[order], abs=1e-9)
