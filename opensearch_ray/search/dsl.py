@@ -469,20 +469,28 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
         inner = {"bool": {"must": [q], "filter": [pf]}}
         hits_body["query"] = inner
     collapse = body.get("collapse")
-    if collapse is not None:
-        # collapse happens before from/size paging: fetch wide, dedupe by
-        # the collapse key in rank order, then page (CollapseContext)
+    rescore = body.get("rescore")
+    if collapse is not None or rescore is not None:
+        # wide-list options run before from/size paging
         wide = dict(hits_body)
         frm = int(body.get("from", 0))
         size = int(body.get("size", 10))
         wide["from"], wide["size"] = 0, 10 ** 9
         all_hits = execute_search(s, wide, text_field=text_field,
                                   id_col=id_col)
-        field = collapse["field"]
-        keys = _fetch_aligned(s, all_hits[id_col].to_numpy(), [field])[field]
-        all_hits[field] = keys
-        hits = (all_hits.drop_duplicates(subset=[field], keep="first")
-                .iloc[frm:frm + size].reset_index(drop=True))
+        if rescore is not None:
+            all_hits = _apply_rescore(s, all_hits, rescore, text_field,
+                                      id_col)
+        if collapse is not None:
+            # dedupe by the collapse key in rank order (CollapseContext)
+            field = collapse["field"]
+            keys = _fetch_aligned(s, all_hits[id_col].to_numpy(),
+                                  [field])[field]
+            all_hits = all_hits.copy()
+            all_hits[field] = keys
+            all_hits = all_hits.drop_duplicates(subset=[field],
+                                                keep="first")
+        hits = all_hits.iloc[frm:frm + size].reset_index(drop=True)
     else:
         hits = execute_search(s, hits_body, text_field=text_field,
                               id_col=id_col)
@@ -511,6 +519,34 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
         # analogue here
         out["profile"] = prof
     return out
+
+
+def _apply_rescore(s: Searcher, hits: pd.DataFrame, rescore: dict,
+                   text_field: str, id_col: str) -> pd.DataFrame:
+    """QueryRescorer (search/rescore/QueryRescorer.java, score_mode total):
+    re-rank the top ``window_size`` hits with
+    qw*primary + rw*rescore_query_score; docs outside the window keep their
+    original order below the rescored block. The rescore query's score is
+    its BM25 text score gated on the query's full match set (so a
+    match_phrase rescore only boosts true phrase matches)."""
+    spec = rescore["query"]
+    window = int(rescore.get("window_size", 10))
+    rq = spec["rescore_query"]
+    qw = float(spec.get("query_weight", 1.0))
+    rw = float(spec.get("rescore_query_weight", 1.0))
+    gate = set(query_docs(s, rq, text_field).tolist())
+    rterms = _score_terms(s, rq)
+    rscore: dict = {}
+    if rterms:
+        for h in s.search(" ".join(rterms), k=10 ** 9, terms=rterms):
+            rscore[h.docid] = h.score
+    head = hits.iloc[:window].copy()
+    sec = np.array([rscore.get(d, 0.0) if d in gate else 0.0
+                    for d in head[id_col]])
+    head["score"] = qw * head["score"].to_numpy() + rw * sec
+    head = head.sort_values(["score", id_col], ascending=[False, True],
+                            kind="mergesort")
+    return pd.concat([head, hits.iloc[window:]], ignore_index=True)
 
 
 _KNOWN_KINDS = frozenset([

@@ -294,3 +294,25 @@ def test_knn_query_exact(tmp_path):
     order = np.lexsort((np.arange(n), -sims))[:5]
     assert r.docid.tolist() == order.tolist()
     assert r.score.values == pytest.approx(sims[order], abs=1e-9)
+
+
+def test_execute_request_rescore(s, terms3):
+    a, b = terms3[0], terms3[1]
+    base = dsl.execute_request(
+        s, {"query": {"match": {"text": f"{a} {b}"}}, "size": 10},
+        id_col="docid")["hits"]
+    r = dsl.execute_request(
+        s, {"query": {"match": {"text": f"{a} {b}"}},
+            "rescore": {"window_size": 10, "query": {
+                "rescore_query": {"match_phrase": {"text": f"{a} {b}"}},
+                "query_weight": 1.0, "rescore_query_weight": 5.0}},
+            "size": 10}, id_col="docid")["hits"]
+    assert set(r.docid) == set(base.docid)  # same window, reordered
+    phrase = set(s.match_phrase(f"{a} {b}").tolist())
+    if phrase & set(base.docid):
+        # every true phrase match in the window outranks non-matches
+        ranks = {d: i for i, d in enumerate(r.docid)}
+        in_w = [d for d in base.docid if d in phrase]
+        out_w = [d for d in base.docid if d not in phrase]
+        if in_w and out_w:
+            assert max(ranks[d] for d in in_w) < min(ranks[d] for d in out_w)
