@@ -513,11 +513,43 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
 
     prof["fetch_ms"] = (_time.perf_counter() - t0) * 1e3
     out = {"hits": hits, "aggregations": aggs, "total": int(docs.size)}
+    sugg = body.get("suggest")
+    if sugg:
+        out["suggest"] = _apply_suggest(s, sugg)
     if body.get("profile"):
         # the `profile: true` option (search/profile/Profilers.java) —
         # phase-level wall times; per-Lucene-collector detail has no
         # analogue here
         out["profile"] = prof
+    return out
+
+
+def _apply_suggest(s: Searcher, sugg: dict) -> dict:
+    """Request-body ``suggest`` section (SearchSourceBuilder.suggest):
+    named term / phrase / completion suggesters over this index."""
+    from . import features
+    out = {}
+    for name, spec in sugg.items():
+        text = spec.get("text", "")
+        if "term" in spec:
+            t = spec["term"]
+            df = features.term_suggest(
+                s, text, max_edits=t.get("max_edits", 2),
+                size=t.get("size", 5),
+                suggest_mode=t.get("suggest_mode", "always"))
+            out[name] = df.to_dict(orient="records")
+        elif "phrase" in spec:
+            p = spec["phrase"]
+            df = features.phrase_suggest(s, text, size=p.get("size", 5))
+            out[name] = df.to_dict(orient="records")
+        elif "completion" in spec:
+            c = spec["completion"]
+            comp = s.complete(spec.get("prefix", text),
+                              size=c.get("size", 5))
+            out[name] = (comp.to_dict(orient="records")
+                         if hasattr(comp, "to_dict") else comp)
+        else:
+            raise ValueError(f"unknown suggester in {name!r}")
     return out
 
 

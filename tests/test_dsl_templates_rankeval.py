@@ -316,3 +316,20 @@ def test_execute_request_rescore(s, terms3):
         out_w = [d for d in base.docid if d not in phrase]
         if in_w and out_w:
             assert max(ranks[d] for d in in_w) < min(ranks[d] for d in out_w)
+
+
+def test_execute_request_suggest(s, terms3):
+    t = terms3[0]
+    typo = t[:-1] + ("x" if t[-1] != "x" else "q")
+    r = dsl.execute_request(s, {
+        "query": {"match_none": {}},
+        "suggest": {
+            "fix": {"text": typo, "term": {"size": 3,
+                                           "suggest_mode": "missing"}},
+            "auto": {"prefix": t[:3], "completion": {"size": 4}},
+        }, "size": 0}, id_col="docid")
+    assert "fix" in r["suggest"] and "auto" in r["suggest"]
+    fixes = [x["suggestion"] for x in r["suggest"]["fix"]]
+    assert t in fixes  # the real term is suggested for its typo
+    comp = r["suggest"]["auto"]
+    assert comp == s.complete(t[:3], size=4).to_dict(orient="records")
