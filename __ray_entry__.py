@@ -2069,6 +2069,20 @@ def _q_dsl_request_aggs(sf_dir):
             .sort_values(["agg", "key"]).reset_index(drop=True))
 
 
+def _q_agg_percentiles_hdr_price(sf_dir):
+    """HDR percentiles over CONTINUOUS values (l_extendedprice, digits=3) —
+    non-identity quantization, oracle-exact: the SQL reproduces the
+    mantissa-bit mask via exact power-of-two scaling (v/2^(e-10) is an
+    exact IEEE op) with a guarded floor(log2) exponent."""
+    from opensearch_ray.aggs.metrics import hdr_percentiles
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    out = hdr_percentiles(ds, "l_extendedprice", qs=(25, 50, 75, 99),
+                          digits=3)
+    for c in out.columns:
+        out[c] = _fmt(out[c].values, 6)
+    return out
+
+
 def _q_agg_terms_order(sf_dir):
     """terms agg ordered by a sub-agg metric (BucketOrder.aggregation):
     top shipdates... keys by sum(l_quantity) descending."""
@@ -2616,6 +2630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_data_pipeline": _q_training_data_pipeline,
         # round-3 session 2: reference-surface tail
         "dsl_request_aggs": _q_dsl_request_aggs,
+        "agg_percentiles_hdr_price": _q_agg_percentiles_hdr_price,
         "agg_terms_order": _q_agg_terms_order,
         "field_caps": _q_field_caps,
         "validate_query": _q_validate_query,
@@ -3795,6 +3810,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored sc JOIN documents d USING (doc_id)
                   WHERE d.lang = 'en') WHERE rn <= 5""",
             query_terms=["hash", "join"]),
+        "agg_percentiles_hdr_price": """
+            WITH e0t AS (
+              SELECT l_extendedprice AS x,
+                     CAST(floor(log2(l_extendedprice)) AS BIGINT) AS e0
+              FROM lineitem),
+            et AS (
+              SELECT x, CASE WHEN pow(2, e0) > x THEN e0 - 1
+                             WHEN pow(2, e0 + 1) <= x THEN e0 + 1
+                             ELSE e0 END AS e
+              FROM e0t),
+            q AS (
+              SELECT floor(x / pow(2, e - 10)) * pow(2, e - 10) AS v
+              FROM et),
+            ranked AS (
+              SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                     count(*) OVER () AS n
+              FROM q)
+            SELECT
+              printf('%.6f', max(CASE WHEN rn = CAST(greatest(1.0,
+                ceil(25.0 / 100.0 * n)) AS BIGINT) THEN v END)) AS p25,
+              printf('%.6f', max(CASE WHEN rn = CAST(greatest(1.0,
+                ceil(50.0 / 100.0 * n)) AS BIGINT) THEN v END)) AS p50,
+              printf('%.6f', max(CASE WHEN rn = CAST(greatest(1.0,
+                ceil(75.0 / 100.0 * n)) AS BIGINT) THEN v END)) AS p75,
+              printf('%.6f', max(CASE WHEN rn = CAST(greatest(1.0,
+                ceil(99.0 / 100.0 * n)) AS BIGINT) THEN v END)) AS p99
+            FROM ranked
+        """,
         "agg_terms_order": """
             SELECT l_returnflag, count(*) AS doc_count,
                    printf('%.2f', sum(l_quantity)) AS qty_sum

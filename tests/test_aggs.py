@@ -374,3 +374,15 @@ def test_bucket_family_pipeline_aggs():
     # nearest-rank: round(p/100*(n-1)) over sorted [2,4,9,9]
     p = percentiles_bucket(b, "doc_count", percents=[0.0, 50.0, 100.0])
     assert list(p["value"]) == [2.0, 9.0, 9.0]  # round(0.5*3)=round(1.5)=2
+
+
+def test_hdr_quantize_relative_error_continuous():
+    import numpy as np
+    from opensearch_ray.aggs.metrics import _hdr_quantize
+    rng = np.random.default_rng(3)
+    v = rng.uniform(0.001, 1e6, 20000)
+    for digits in (1, 2, 3):
+        q = _hdr_quantize(v, digits)
+        rel = np.abs(v - q) / v
+        assert rel.max() <= 10.0 ** (-digits)
+        assert (q <= v).all()  # mask truncates toward zero
