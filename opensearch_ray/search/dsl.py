@@ -383,6 +383,20 @@ def _gather_values(s: Searcher, docs: np.ndarray, field: str) -> np.ndarray:
     return np.concatenate(vals)
 
 
+def _iter_seg_values(s: Searcher, docs: np.ndarray, field: str):
+    """Per-segment doc-values slices for a sorted docid set — the
+    streaming shape for aggregations: each yield is ONE segment's matched
+    values, so reducers hold per-segment partials (bounded by key
+    cardinality), never the full matched value array."""
+    if docs.size == 0:
+        return
+    seg_idx = np.searchsorted(s._bases, docs, side="right") - 1
+    for si in np.unique(seg_idx):
+        seg_id = int(s._seg_ids[si])
+        local = docs[seg_idx == si] - int(s._bases[si])
+        yield s.doc_values(seg_id, field)[local]
+
+
 def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
                  text_field: str = "text") -> dict:
     """The request-body ``aggs`` tree over a matched doc set
@@ -409,40 +423,53 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
                          **execute_aggs(s, f, sub, text_field)}
             continue
         field = body["field"]
+        # every agg below folds PER-SEGMENT partials (terms: per-segment
+        # unique+counts; metrics: scalar accumulators) — driver memory is
+        # bounded by key cardinality / O(1), never by matched-doc count
         if kind == "terms":
-            v = _gather_values(s, docs, field)
-            uniq, counts = np.unique(v, return_counts=True)
-            order = np.lexsort((uniq, -counts))[:body.get("size", 10)]
+            acc: dict = {}
+            for v in _iter_seg_values(s, docs, field):
+                uniq, counts = np.unique(v, return_counts=True)
+                for u, c in zip(uniq.tolist(), counts.tolist()):
+                    acc[u] = acc.get(u, 0) + int(c)
+            top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
             out[name] = {"buckets": [
-                {"key": uniq[i].item() if hasattr(uniq[i], "item")
-                 else uniq[i], "doc_count": int(counts[i])}
-                for i in order]}
+                {"key": u, "doc_count": c}
+                for u, c in top[:body.get("size", 10)]]}
             continue
         if kind == "missing":
-            v = _gather_values(s, docs, field)
-            if v.dtype == object:
-                n = sum(1 for x in v if x is None or x == "")
-            else:
-                n = int(np.isnan(v).sum()) if v.dtype.kind == "f" else 0
+            n = 0
+            for v in _iter_seg_values(s, docs, field):
+                if v.dtype == object:
+                    n += sum(1 for x in v if x is None or x == "")
+                elif v.dtype.kind == "f":
+                    n += int(np.isnan(v).sum())
             out[name] = {"doc_count": n}
             continue
-        v = _gather_values(s, docs, field).astype(np.float64)
+        cnt, tot = 0, 0.0
+        mn, mx = np.inf, -np.inf
+        for v in _iter_seg_values(s, docs, field):
+            v = v.astype(np.float64)
+            cnt += int(v.size)
+            tot += float(v.sum())
+            if v.size:
+                mn = min(mn, float(v.min()))
+                mx = max(mx, float(v.max()))
         if kind == "avg":
-            out[name] = {"value": float(v.mean()) if v.size else None}
+            out[name] = {"value": tot / cnt if cnt else None}
         elif kind == "sum":
-            out[name] = {"value": float(v.sum())}
+            out[name] = {"value": tot}
         elif kind == "min":
-            out[name] = {"value": float(v.min()) if v.size else None}
+            out[name] = {"value": mn if cnt else None}
         elif kind == "max":
-            out[name] = {"value": float(v.max()) if v.size else None}
+            out[name] = {"value": mx if cnt else None}
         elif kind == "value_count":
-            out[name] = {"value": int(v.size)}
+            out[name] = {"value": cnt}
         elif kind == "stats":
-            out[name] = {"count": int(v.size), "min": float(v.min()),
-                         "max": float(v.max()), "sum": float(v.sum()),
-                         "avg": float(v.mean())} if v.size else \
-                {"count": 0, "min": None, "max": None, "sum": 0.0,
-                 "avg": None}
+            out[name] = ({"count": cnt, "min": mn, "max": mx, "sum": tot,
+                          "avg": tot / cnt} if cnt else
+                         {"count": 0, "min": None, "max": None,
+                          "sum": 0.0, "avg": None})
         else:
             raise ValueError(f"unsupported agg type: {kind}")
     return out
