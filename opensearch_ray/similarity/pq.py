@@ -122,7 +122,15 @@ def pq_topk(codes: Dataset, codebooks: np.ndarray, query_vec: np.ndarray,
         raw = t.column("pq_code").combine_chunks() \
             if isinstance(t.column("pq_code"), pa.ChunkedArray) \
             else t.column("pq_code")
-        buf = np.frombuffer(b"".join(raw.to_pylist()), np.uint8)
+        # fixed-width codes -> zero-copy view of the binary data buffer
+        # (offsets are strictly m apart); fallback joins if ever ragged
+        off = np.frombuffer(raw.buffers()[1], np.int32)[
+            raw.offset:raw.offset + len(raw) + 1]
+        if len(off) > 1 and (np.diff(off) == m).all():
+            data = np.frombuffer(raw.buffers()[2], np.uint8)
+            buf = data[off[0]:off[-1]]
+        else:
+            buf = np.frombuffer(b"".join(raw.to_pylist()), np.uint8)
         C = buf.reshape(-1, m)
         scores = table[np.arange(m), C].sum(1)  # gather-sum, no row loop
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
