@@ -2369,6 +2369,22 @@ def _q_common_terms(sf_dir):
     return out
 
 
+def _q_geo_shape(sf_dir):
+    """geo_shape envelope query with intersects AND disjoint relations
+    (point docs: the two partitions of the corpus)."""
+    from opensearch_ray.aggs.geo import geo_shape_filter
+    shape = {"type": "envelope",
+             "coordinates": [[-60.3, 35.7], [20.1, -25.9]]}
+    parts = []
+    for rel in ("intersects", "disjoint"):
+        out = geo_shape_filter(_geo_events(sf_dir), "lat", "lon",
+                               shape, relation=rel).to_pandas()
+        parts.append(pd.DataFrame({"relation": rel,
+                                   "event_id": out["event_id"]}))
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values(["relation", "event_id"]).reset_index(drop=True))
+
+
 _GEO_POLY = [(0.1, -44.9), (-29.8, 0.3), (0.2, 45.7), (30.3, 0.1)]
 
 
@@ -2650,6 +2666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_filter": _q_agg_filter,
         "common_terms_query": _q_common_terms,
         "geo_polygon": _q_geo_polygon,
+        "geo_shape_query": _q_geo_shape,
         # JSON DSL executor / templates / rank-eval
         "dsl_search": _q_dsl_search,
         "wrapper_query": _q_wrapper_query,
@@ -4055,6 +4072,23 @@ def oracle_sql() -> dict[str, str]:
               AND ((-44.9) - 0.1) * (lat - 30.3)
                     - (0.1 - 30.3) * (lon - 0.1) > 0
             ORDER BY event_id
+        """,
+        "geo_shape_query": """
+            WITH pts AS (
+              SELECT event_id,
+                     (user_id % 180) - 89.5 AS lat,
+                     (event_id % 360) - 179.5 AS lon
+              FROM events),
+            flags AS (
+              SELECT event_id,
+                     (lat <= 35.7 AND lat >= -25.9
+                      AND lon >= -60.3 AND lon <= 20.1) AS inside
+              FROM pts)
+            SELECT 'intersects' AS relation, event_id FROM flags
+            WHERE inside
+            UNION ALL
+            SELECT 'disjoint', event_id FROM flags WHERE NOT inside
+            ORDER BY relation, event_id
         """,
         "dsl_search": _bm25_sql("""
             SELECT sc.doc_id, printf('%.4f', sc.score) AS score, d.lang

@@ -223,6 +223,72 @@ def geo_centroid_agg(ds: Dataset, lat_col: str, lon_col: str) -> dict:
             "lon": float(p["lon_sum"].sum()) / n, "count": n}
 
 
+def _point_in_polygon_mask(lat: np.ndarray, lon: np.ndarray,
+                           polygon: "list[tuple]") -> np.ndarray:
+    """Even-odd ray casting, vectorized over rows (vertex loop only)."""
+    inside = np.zeros(len(lat), dtype=bool)
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        crosses = (y1 > lat) != (y2 > lat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        inside ^= crosses & (lon < xint)
+    return inside
+
+
+def geo_shape_filter(ds: Dataset, lat_col: str, lon_col: str, shape: dict,
+                     relation: str = "intersects") -> Dataset:
+    """geo_shape query (server/index/query/GeoShapeQueryBuilder.java) for
+    POINT documents against an ``envelope`` or ``polygon`` query shape with
+    the four ShapeRelation values. For point docs, ``intersects`` ==
+    ``within`` (a point intersects iff it lies inside), ``disjoint`` is the
+    complement, and ``contains`` (doc geometry contains the query shape)
+    can only hold for a degenerate point-sized shape.
+
+    ``shape``: {"type": "envelope", "coordinates": [[lon_w, lat_n],
+    [lon_e, lat_s]]} (GeoJSON-style, the reference's envelope order) or
+    {"type": "polygon", "coordinates": [[[lon, lat], ...]]}."""
+    typ = shape["type"].lower()
+    rel = relation.lower()
+    if rel not in ("intersects", "within", "disjoint", "contains"):
+        raise ValueError(f"unknown relation: {relation}")
+
+    def inside_mask(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+        if typ == "envelope":
+            (x_w, y_n), (x_e, y_s) = shape["coordinates"]
+            return ((lat <= y_n) & (lat >= y_s)
+                    & (lon >= x_w) & (lon <= x_e))
+        if typ == "polygon":
+            ring = [(y, x) for x, y in shape["coordinates"][0]]
+            return _point_in_polygon_mask(lat, lon, ring)
+        raise ValueError(f"unsupported shape type: {typ}")
+
+    def filt(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        m = inside_mask(lat, lon)
+        if rel == "disjoint":
+            m = ~m
+        elif rel == "contains":
+            if typ == "envelope":
+                (x_w, y_n), (x_e, y_s) = shape["coordinates"]
+                pt = (x_w, y_n) if (x_w == x_e and y_n == y_s) else None
+            else:
+                pts = {tuple(p) for p in shape["coordinates"][0]}
+                pt = next(iter(pts)) if len(pts) == 1 else None
+            if pt is None:
+                m = np.zeros(len(lat), bool)
+            else:
+                m = (lat == pt[1]) & (lon == pt[0])
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def geo_polygon_filter(ds: Dataset, lat_col: str, lon_col: str,
                        polygon: "list[tuple]") -> Dataset:
     """geo_polygon query (server/index/query/GeoPolygonQueryBuilder.java):

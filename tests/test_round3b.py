@@ -244,3 +244,33 @@ def test_pq_ann_recall(sf_dir):
     # determinism: same seed -> identical codebooks
     books2 = pq_train(ds, m=8, sample_size=2048)
     assert (books == books2).all()
+
+
+def test_geo_shape_relations():
+    from opensearch_ray.aggs.geo import geo_shape_filter
+    df = pd.DataFrame({"i": range(4),
+                       "lat": [0.0, 50.0, -30.0, 35.7],
+                       "lon": [0.0, 0.0, 0.0, -60.3]})
+    ds = ray.data.from_pandas(df)
+    env = {"type": "envelope", "coordinates": [[-60.3, 35.7], [20.1, -25.9]]}
+    inter = set(geo_shape_filter(ds, "lat", "lon", env).to_pandas()["i"])
+    assert inter == {0, 3}  # boundary inclusive
+    disj = set(geo_shape_filter(ds, "lat", "lon", env,
+                                relation="disjoint").to_pandas()["i"])
+    assert disj == {1, 2}
+    within = set(geo_shape_filter(ds, "lat", "lon", env,
+                                  relation="within").to_pandas()["i"])
+    assert within == inter  # point docs: within == intersects
+    # polygon shape routed through ray casting
+    poly = {"type": "polygon",
+            "coordinates": [[[-10.0, -10.0], [10.0, -10.0],
+                             [10.0, 10.0], [-10.0, 10.0]]]}
+    got = set(geo_shape_filter(ds, "lat", "lon", poly).to_pandas()["i"])
+    assert got == {0}
+    # contains: only a degenerate point shape can be contained by a point
+    pt = {"type": "envelope", "coordinates": [[0.0, 0.0], [0.0, 0.0]]}
+    cont = set(geo_shape_filter(ds, "lat", "lon", pt,
+                                relation="contains").to_pandas()["i"])
+    assert cont == {0}
+    assert geo_shape_filter(ds, "lat", "lon", env,
+                            relation="contains").count() == 0
