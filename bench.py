@@ -179,6 +179,23 @@ def run_bench() -> dict:
     timings["queries_per_sec"] = round(len(lat) / sum(lat), 1)
     timings["query_cold_p50_ms"] = round(statistics.median(cold) * 1000, 2)
 
+    # --- JSON-DSL executor overhead: same match queries submitted as full
+    # request bodies (bool must + range filter) through execute_search
+    from opensearch_ray.search import dsl as _dsl
+    dlat = []
+    for _ in range(3):
+        for q in qs:
+            body = {"query": {"bool": {
+                "must": [{"match": {s.manifest.text_col:
+                                    q["query_text"]}}],
+                "filter": [{"range": {"turn_idx": {"gte": 0}}}]}},
+                "size": q["k"]}
+            tq = time.perf_counter()
+            _dsl.execute_search(s, body, text_field=s.manifest.text_col,
+                                id_col="docid")
+            dlat.append(time.perf_counter() - tq)
+    timings["dsl_query_p50_ms"] = round(statistics.median(dlat) * 1000, 2)
+
     # --- distributed query path: shard fan-out actors (SearchCluster)
     from opensearch_ray.search import SearchCluster
     cluster = SearchCluster(idx, num_executors=4)

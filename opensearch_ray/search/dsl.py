@@ -168,6 +168,49 @@ def query_docs(s: Searcher, q: dict, text_field: str = "text") -> np.ndarray:
     raise ValueError(f"unsupported query type: {kind}")
 
 
+def _fast_path(s: Searcher, q: dict, text_field: str):
+    """Detect request shapes the searcher answers natively with block-max
+    top-k + pre-heap doc-values filters (no full-corpus scoring): a plain
+    match, or a bool whose ONLY clauses are one scoring match (must) plus
+    doc-values term/range filters. Returns (query_text, terms, operator,
+    filters) or None."""
+    (kind, body), = q.items()
+    if kind == "match":
+        field, spec = _field_body(body)
+        if field != text_field:
+            return None
+        terms, op, msm = _match_terms(s, spec)
+        if not terms or msm:
+            return None
+        return " ".join(terms), terms, op, None
+    if kind != "bool":
+        return None
+    if body.get("should") or body.get("must_not") \
+            or body.get("minimum_should_match"):
+        return None
+    must = _aslist(body.get("must"))
+    if len(must) != 1 or "match" not in must[0]:
+        return None
+    inner = _fast_path(s, must[0], text_field)
+    if inner is None:
+        return None
+    filters: dict = {}
+    for c in _aslist(body.get("filter")):
+        (fk, fb), = c.items()
+        if fk not in ("range", "term", "terms"):
+            return None
+        field, spec = _field_body(fb)
+        if field == text_field or field in filters:
+            return None
+        if fk == "term" and isinstance(spec, dict):
+            spec = spec["value"]
+        if fk == "terms":
+            spec = list(spec)
+        filters[field] = spec
+    qtext, terms, op, _ = inner
+    return qtext, terms, op, (filters or None)
+
+
 def _bool_docs(s: Searcher, body: dict, text_field: str) -> np.ndarray:
     """Recursive bool set algebra (BoolQueryBuilder.java doRewrite).
 
@@ -298,6 +341,25 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
                     s, out[id_col].to_numpy(), list(src)).items():
                 out[c] = vals
         return out
+    fast = _fast_path(s, q, text_field)
+    if fast is not None:
+        frm = int(body.get("from", 0))
+        size = int(body.get("size", 10))
+        qtext, terms, op, filters = fast
+        if not body.get("sort"):
+            hits = s.search(qtext, k=frm + size, terms=terms, operator=op,
+                            filters=filters)
+            ids = np.fromiter((h.docid for h in hits), np.int64,
+                              count=len(hits))[frm:]
+            scores = np.asarray([h.score for h in hits],
+                                np.float64)[frm:frm + size]
+            out = pd.DataFrame({id_col: ids, "score": scores})
+            src = body.get("_source")
+            if src:
+                for c, vals in _fetch_aligned(s, ids, list(src)).items():
+                    out[c] = vals
+            return out
+
     docs = query_docs(s, q, text_field)
     terms = _score_terms(s, q)
 
