@@ -333,3 +333,23 @@ def test_execute_request_suggest(s, terms3):
     assert t in fixes  # the real term is suggested for its typo
     comp = r["suggest"]["auto"]
     assert comp == s.complete(t[:3], size=4).to_dict(orient="records")
+
+
+def test_fast_path_equals_general_path(s, terms3):
+    a, b = terms3[0], terms3[1]
+    fast_body = {"query": {"bool": {
+        "must": [{"match": {"text": f"{a} {b}"}}],
+        "filter": [{"range": {"turn_idx": {"gte": 1}}}]}}, "size": 8}
+    # an impossible must_not forces the general (set-algebra) path while
+    # leaving the result set unchanged
+    slow_body = {"query": {"bool": {
+        "must": [{"match": {"text": f"{a} {b}"}}],
+        "filter": [{"range": {"turn_idx": {"gte": 1}}}],
+        "must_not": [{"term": {"text": "zzzznotaterm"}}]}}, "size": 8}
+    from opensearch_ray.search.dsl import _fast_path
+    assert _fast_path(s, fast_body["query"], "text") is not None
+    assert _fast_path(s, slow_body["query"], "text") is None
+    f = dsl.execute_search(s, fast_body, id_col="docid")
+    g = dsl.execute_search(s, slow_body, id_col="docid")
+    assert f.docid.tolist() == g.docid.tolist()
+    assert f.score.tolist() == g.score.tolist()
