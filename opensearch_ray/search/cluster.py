@@ -106,6 +106,20 @@ class QueryExecutor:
         terms = self.searcher.analyzer.tokens(query_text)
         return self.searcher.term_stats(terms)
 
+    def execute_dsl(self, body: dict, text_field: str):
+        """This shard's top hits for a JSON-DSL request body (query/filters
+        only — sort/collapse/rescore are coordinator concerns). Scores are
+        GLOBAL (term stats come from the index-level stats shards), so the
+        coordinator's (score desc, docid asc) merge is exact."""
+        from .dsl import execute_search
+        shard = dict(body)
+        shard["from"], shard["size"] = 0, (int(body.get("from", 0))
+                                           + int(body.get("size", 10)))
+        shard.pop("_source", None)  # fetch phase happens at the coordinator
+        hits = execute_search(self.searcher, shard, text_field=text_field,
+                              id_col="_docid")
+        return list(zip(hits["_docid"].tolist(), hits["score"].tolist()))
+
 
 class SearchCluster:
     """Driver-side handle: fan out a query to E executors, k-way merge."""
@@ -207,6 +221,26 @@ class SearchCluster:
         for qi, (_, k, _) in enumerate(requests):
             out.append(self._merge_hits([pe[qi] for pe in per_exec], k))
         return out
+
+    def execute_search(self, body: dict, text_field: str = "text",
+                       id_col: str = "doc_id"):
+        """Distributed JSON-DSL search (the `_search` body through the
+        shard fan-out): every executor runs the body on its segment group,
+        the coordinator merges by (score desc, docid asc) and pages —
+        query_then_fetch for the DSL surface. Bodies with sort / collapse /
+        rescore are not distributed here (single-searcher concerns)."""
+        import pandas as pd
+        for key in ("sort", "collapse", "rescore"):
+            if body.get(key):
+                raise ValueError(f"{key} is not supported on the cluster "
+                                 "DSL path")
+        partials = ray.get([e.execute_dsl.remote(body, text_field)
+                            for e in self.executors])
+        frm = int(body.get("from", 0))
+        size = int(body.get("size", 10))
+        merged = self._merge_hits(partials, frm + size)[frm:]
+        return pd.DataFrame({id_col: [h.docid for h in merged],
+                             "score": [h.score for h in merged]})
 
     def shutdown(self):
         for e in self.executors:

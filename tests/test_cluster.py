@@ -74,3 +74,32 @@ def test_cluster_msearch(built_index, cluster):
         want = local.search(q, k=k, operator=op)
         assert [(h.docid, h.score) for h in hits] == [
             (h.docid, h.score) for h in want], q
+
+
+def test_cluster_dsl_parity(built_index, cluster):
+    from opensearch_ray.search import dsl
+    local = Searcher(built_index.index_dir)
+    # derive two frequent terms from the corpus
+    from collections import Counter
+    cnt = Counter()
+    full = local.fetch(list(range(min(local.N, 150))), columns=["text"])
+    for r in full.to_pylist():
+        cnt.update(local.analyzer.tokens(r["text"] or ""))
+    a, b = [t for t, _ in cnt.most_common(2)]
+    bodies = [
+        {"query": {"match": {"text": f"{a} {b}"}}, "size": 12},
+        {"query": {"bool": {"must": [{"match": {"text": a}}],
+                            "filter": [{"range":
+                                        {"turn_idx": {"gte": 1}}}]}},
+         "from": 2, "size": 6},
+        {"query": {"constant_score": {"filter": {"term": {"text": b}},
+                                      "boost": 2.0}}, "size": 5},
+    ]
+    for body in bodies:
+        want = dsl.execute_search(local, body, id_col="doc_id")
+        got = cluster.execute_search(dict(body))
+        assert got.doc_id.tolist() == want.doc_id.tolist(), body
+        assert got.score.tolist() == pytest.approx(want.score.tolist())
+    with pytest.raises(ValueError):
+        cluster.execute_search({"query": {"match": {"text": a}},
+                                "sort": [{"turn_idx": "asc"}]})
