@@ -138,6 +138,8 @@ class SearchCluster:
         self.executors = [
             QueryExecutor.remote(index_dir, g, dtype_str) for g in groups if g
         ]
+        self._index_dir = index_dir
+        self._fetcher: Optional[Searcher] = None  # lazy fetch-phase reader
 
     @staticmethod
     def _merge_hits(partials, k: int) -> List[SearchHit]:
@@ -239,8 +241,21 @@ class SearchCluster:
         frm = int(body.get("from", 0))
         size = int(body.get("size", 10))
         merged = self._merge_hits(partials, frm + size)[frm:]
-        return pd.DataFrame({id_col: [h.docid for h in merged],
-                             "score": [h.score for h in merged]})
+        out = pd.DataFrame({id_col: [h.docid for h in merged],
+                            "score": [h.score for h in merged]})
+        src = body.get("_source")
+        if src and len(out):
+            # fetch phase at the coordinator (query_then_fetch's second
+            # round-trip) — reads only the owning segments' doc stores
+            import numpy as np
+            from .dsl import _fetch_aligned
+            if self._fetcher is None:
+                self._fetcher = Searcher(self._index_dir)
+            for c, vals in _fetch_aligned(
+                    self._fetcher, out[id_col].to_numpy(np.int64),
+                    list(src)).items():
+                out[c] = vals
+        return out
 
     def shutdown(self):
         for e in self.executors:

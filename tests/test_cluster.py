@@ -103,3 +103,10 @@ def test_cluster_dsl_parity(built_index, cluster):
     with pytest.raises(ValueError):
         cluster.execute_search({"query": {"match": {"text": a}},
                                 "sort": [{"turn_idx": "asc"}]})
+    # coordinator fetch phase (_source)
+    r = cluster.execute_search({"query": {"match": {"text": a}},
+                                "size": 4, "_source": ["turn_idx"]})
+    want = dsl.execute_search(local, {"query": {"match": {"text": a}},
+                                      "size": 4, "_source": ["turn_idx"]},
+                              id_col="doc_id")
+    assert r.turn_idx.tolist() == want.turn_idx.tolist()
