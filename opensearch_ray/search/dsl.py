@@ -242,7 +242,24 @@ def _bool_docs(s: Searcher, body: dict, text_field: str) -> np.ndarray:
                 base, ok, assume_unique=True)
         # msm == 0 with must/filter present: should only boosts, no gating
     if base is None:
-        base = _all_docs(s) if nots else np.empty(0, np.int64)
+        if not nots:
+            return np.empty(0, np.int64)
+        # must_not-only bool: per-segment complement — peak extra memory is
+        # ONE segment's arange, never a global arange(N) (the result set
+        # itself is inherently O(matches), same contract as bool_docs)
+        excl = np.unique(np.concatenate(nots)) if nots else \
+            np.empty(0, np.int64)
+        parts = []
+        for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id):
+            base_id = s.doc_base(seg.seg_id)
+            local = np.arange(seg.doc_count, dtype=np.int64) + base_id
+            lo = np.searchsorted(excl, base_id)
+            hi = np.searchsorted(excl, base_id + seg.doc_count)
+            keep = np.setdiff1d(local, excl[lo:hi], assume_unique=True)
+            if keep.size:
+                parts.append(keep)
+        return (np.concatenate(parts) if parts
+                else np.empty(0, np.int64))
     for n in nots:
         base = np.setdiff1d(base, n, assume_unique=True)
     return base
