@@ -877,6 +877,26 @@ def _q_ann_pq(sf_dir):
     return out[["vec_id", "score", "rank"]]
 
 
+def _q_ann_ivfpq(sf_dir):
+    """IVF-PQ (IVFADC): coarse cells prune I/O to nprobe dirs, PQ codes
+    bound memory to 8 bytes/vector — rows-only (quantized ranking)."""
+    import shutil
+    from opensearch_ray.similarity.ivfpq import IvfPqIndex
+    import pyarrow.parquet as pq
+    d = f"/tmp/osray_ivfpq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not os.path.exists(os.path.join(d, "ivfpq_meta.json")):
+        shutil.rmtree(d, ignore_errors=True)
+        IvfPqIndex.build(_read(sf_dir, "embeddings"), d, n_cells=8,
+                         sample_size=2048)
+    idx = IvfPqIndex(d)
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      filters=[("vec_id", "=", 0)]
+                      ).column("embedding").to_pylist()[0]
+    out = idx.search(np.asarray(q, np.float32), k=10, nprobe=4)
+    out["score"] = _fmt(out["score"].values, 4)
+    return out[["vec_id", "score", "rank"]]
+
+
 def _q_ann_ivf(sf_dir):
     import pyarrow.parquet as pq
     import shutil
@@ -2636,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "cardinality_hll": _q_cardinality_hll,
         "percentiles_tdigest": _q_percentiles_tdigest,
         "agg_percentile_ranks": _q_agg_percentile_ranks,

