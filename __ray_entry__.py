@@ -1680,7 +1680,8 @@ def _q_geo_distance_query(sf_dir):
     from opensearch_ray.aggs.geo import geo_distance_filter
     out = geo_distance_filter(_geo_events(sf_dir), "lat", "lon",
                               (0.0, 0.0), 7_000_000.0).to_pandas()
-    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+    return (_typed(out, {"event_id": "int64"})
+            .sort_values("event_id").reset_index(drop=True))
 
 
 def _q_geo_bounding_box(sf_dir):
@@ -1688,7 +1689,8 @@ def _q_geo_bounding_box(sf_dir):
     from opensearch_ray.aggs.geo import geo_bounding_box_filter
     out = geo_bounding_box_filter(_geo_events(sf_dir), "lat", "lon",
                                   (40.0, -50.0), (-40.0, 50.0)).to_pandas()
-    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+    return (_typed(out, {"event_id": "int64"})
+            .sort_values("event_id").reset_index(drop=True))
 
 
 def _q_agg_geotile_grid(sf_dir):
@@ -2215,7 +2217,17 @@ def _q_date_math_range(sf_dir):
 
     out = (_read(sf_dir, "events", ["event_id", "ts"])
            .map_batches(filt, batch_format="pyarrow").to_pandas())
-    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+    return (_typed(out, {"event_id": "int64"})
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _typed(df, schema):
+    """Empty Ray results lose their schema in to_pandas() — project to the
+    declared columns, synthesizing a typed empty frame when needed."""
+    if len(df) == 0 or not set(schema) <= set(df.columns):
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in schema.items()})
+    return df[list(schema)]
 
 
 def _doc_index_vec(sf_dir: str) -> str:
@@ -2290,7 +2302,8 @@ def _q_ip_cidr_term(sf_dir):
     ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
         derive, batch_format="pyarrow")
     out = ip_term_filter(ds, "ip", "10.96.0.0/12").to_pandas()
-    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+    return (_typed(out, {"event_id": "int64"})
+            .sort_values("event_id").reset_index(drop=True))
 
 
 def _q_range_field_query(sf_dir):
@@ -2309,7 +2322,9 @@ def _q_range_field_query(sf_dir):
                ).map_batches(derive, batch_format="pyarrow")
     parts = []
     for rel in ("intersects", "within", "contains"):
-        out = range_field_filter(ds, "lo", "hi", 5.0, 12.0, rel).to_pandas()
+        out = _typed(range_field_filter(ds, "lo", "hi", 5.0, 12.0,
+                                        rel).to_pandas(),
+                     {"event_id": "int64"})
         parts.append(pd.DataFrame({"relation": rel,
                                    "event_id": out["event_id"]}))
     return (pd.concat(parts, ignore_index=True)
@@ -2397,8 +2412,9 @@ def _q_geo_shape(sf_dir):
              "coordinates": [[-60.3, 35.7], [20.1, -25.9]]}
     parts = []
     for rel in ("intersects", "disjoint"):
-        out = geo_shape_filter(_geo_events(sf_dir), "lat", "lon",
-                               shape, relation=rel).to_pandas()
+        out = _typed(geo_shape_filter(_geo_events(sf_dir), "lat", "lon",
+                                      shape, relation=rel).to_pandas(),
+                     {"event_id": "int64"})
         parts.append(pd.DataFrame({"relation": rel,
                                    "event_id": out["event_id"]}))
     return (pd.concat(parts, ignore_index=True)
@@ -2413,7 +2429,8 @@ def _q_geo_polygon(sf_dir):
     from opensearch_ray.aggs.geo import geo_polygon_filter
     out = geo_polygon_filter(_geo_events(sf_dir), "lat", "lon",
                              _GEO_POLY).to_pandas()
-    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+    return (_typed(out, {"event_id": "int64"})
+            .sort_values("event_id").reset_index(drop=True))
 
 
 def _q_dsl_search(sf_dir):
