@@ -100,3 +100,45 @@ def test_wildcard_field_docs(built_index):
             vals[i + s.doc_base(seg.seg_id)] = v
     want = {d for d, v in vals.items() if str(v).startswith("us")}
     assert got == want
+
+
+def test_range_relation_properties():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(lo=st.floats(-100, 100), w=st.floats(0, 50),
+           qlo=st.floats(-100, 100), qw=st.floats(0, 50))
+    def check(lo, w, qlo, qw):
+        import numpy as np
+        from opensearch_ray.mapper import range_relation_mask
+        hi, qhi = lo + w, qlo + qw
+        a = np.array([lo]); b = np.array([hi])
+        inter = range_relation_mask(a, b, qlo, qhi, "intersects")[0]
+        within = range_relation_mask(a, b, qlo, qhi, "within")[0]
+        contains = range_relation_mask(a, b, qlo, qhi, "contains")[0]
+        # within and contains each imply intersects
+        assert not within or inter
+        assert not contains or inter
+        # brute-force ground truth
+        assert inter == (lo <= qhi and hi >= qlo)
+        assert within == (lo >= qlo and hi <= qhi)
+        assert contains == (lo <= qlo and hi >= qhi)
+
+    check()
+
+
+def test_cidr_contains_its_network_and_broadcast():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(a=st.integers(0, 255), b=st.integers(0, 255),
+           c=st.integers(0, 255), d=st.integers(0, 255),
+           bits=st.integers(0, 32))
+    def check(a, b, c, d, bits):
+        from opensearch_ray.mapper import cidr_bounds
+        lo, hi = cidr_bounds(f"{a}.{b}.{c}.{d}/{bits}")
+        addr = (a << 24) | (b << 16) | (c << 8) | d
+        assert lo <= addr <= hi
+        assert hi - lo == (2 ** (32 - bits)) - 1
+
+    check()
