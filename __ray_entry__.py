@@ -4002,7 +4002,7 @@ def oracle_sql() -> dict[str, str]:
         "date_math_range": """
             SELECT event_id FROM events
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-              AND ts <= TIMESTAMP '2024-01-17 23:59:59.999'
+              AND ts <= TIMESTAMP '2024-01-17 23:59:59.999999'
             ORDER BY event_id
         """,
         "knn_query": """

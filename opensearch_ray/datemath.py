@@ -101,8 +101,12 @@ def parse_date_math(expr: str, now: Optional[_dt.datetime] = None,
         if op == "/":
             if num:
                 raise ValueError("rounding takes no count")
+            # round-up subtracts ONE unit of the engine's comparison
+            # resolution (microseconds — timestamps compare at us here,
+            # unlike the reference's ms), so docs in the last 999us of the
+            # rounded unit stay inside lte/gt bounds
             lo = _round_down(dt, unit)
-            dt = _step_up(lo, unit) - _dt.timedelta(microseconds=1000) \
+            dt = _step_up(lo, unit) - _dt.timedelta(microseconds=1) \
                 if round_up else lo
             continue
         n = int(num or 1) * (1 if op == "+" else -1)
@@ -121,6 +125,9 @@ def date_math_us(expr: str, now: Optional[_dt.datetime] = None,
                  round_up: bool = False) -> np.int64:
     """Expression -> microseconds since epoch (the engine's timestamp64[us]
     comparison key — see graft-env-pitfalls on us-vs-ns resolutions)."""
+    import calendar
     dt = parse_date_math(expr, now=now, round_up=round_up)
-    return np.int64(int(dt.replace(tzinfo=_dt.timezone.utc).timestamp()
-                        * 1_000_000))
+    # integer arithmetic: float seconds can't represent .999999 exactly, so
+    # timestamp()*1e6 truncates the round-up bounds 1us low
+    return np.int64(calendar.timegm(dt.timetuple()) * 1_000_000
+                    + dt.microsecond)

@@ -13,9 +13,12 @@ aggs-on-hits, count) runs per shard + a bounded coordinator merge — each
 shard's partial is exact over its own segments, so the merge is exact:
 - filters: applied inside each shard's segment scoring (non-scoring context)
 - search_after: each shard returns its page strictly after the cursor
-  (SearchAfterBuilder semantics); coordinator re-merges
+  (SearchAfterBuilder semantics, pushed into the collector as a rank
+  filter so the per-shard heap stays O(page)); coordinator re-merges
 - field sort: per-shard top-k by doc values, merge on (value, docid)
-- terms agg on hits: per-shard complete key counts, coordinator sums
+- terms agg on hits: per-shard top-shard_size partials (size*1.5+10
+  over-fetch, TermsAggregatorFactory discipline) + doc_count_error bound;
+  coordinator reduce is O(E x shard_size), not field cardinality
 - scroll: cursor loop over search_after — the executors' fixed segment set
   IS the point-in-time (PIT/CreatePitAction analogue: actor state pins the
   view for the scroll's lifetime)
@@ -70,14 +73,13 @@ class QueryExecutor:
                      after: Tuple[float, int], operator: str = "or",
                      filters: Optional[dict] = None):
         """This shard's next page strictly after the (score, docid) cursor.
-        Exhaustive per shard (a collector-threshold cut in a real deep page);
-        exact by construction."""
-        hits = self.searcher.search(query_text, k=10**9, operator=operator,
-                                    filters=filters)
-        key = (-after[0], after[1])
-        out = [(h.docid, h.score) for h in hits
-               if (-h.score, h.docid) > key]
-        return out[:page_size]
+        The cursor is pushed into the collector (search(after=...)), so the
+        per-shard heap is O(page_size) at any depth — never the shard's
+        full match list."""
+        hits = self.searcher.search(query_text, k=page_size,
+                                    operator=operator, filters=filters,
+                                    after=after)
+        return [(h.docid, h.score) for h in hits]
 
     def search_sorted(self, query_text: str, sort_field: str, k: int,
                       ascending: bool, operator: str = "or",
@@ -88,12 +90,20 @@ class QueryExecutor:
         return list(zip(df["_docid"].tolist(), df[sort_field].tolist()))
 
     def terms_agg_on_hits(self, query_text: str, field: str,
-                          operator: str = "or"):
-        # size=unbounded per shard: a shard's counts are COMPLETE for its
-        # segments, so the coordinator's sum-then-top is exact
-        df = self.searcher.terms_agg_on_hits(query_text, field, size=10**9,
+                          shard_size: int, operator: str = "or"):
+        """This shard's top-``shard_size`` key counts plus the smallest
+        count it still included — the per-shard over-fetch discipline of
+        TermsAggregatorFactory (shard_size default size*1.5+10): the
+        coordinator reduce is bounded by E x shard_size keys instead of the
+        field's global cardinality, and the last-included count bounds the
+        doc_count_error for keys a shard did NOT report."""
+        df = self.searcher.terms_agg_on_hits(query_text, field,
+                                             size=shard_size,
                                              operator=operator)
-        return list(zip(df[field].tolist(), df["doc_count"].tolist()))
+        # a shard that returned fewer than shard_size keys is COMPLETE —
+        # nothing was cut, so it contributes no error
+        worst = int(df["doc_count"].iloc[-1]) if len(df) >= shard_size else 0
+        return list(zip(df[field].tolist(), df["doc_count"].tolist())), worst
 
     def count(self, query_text: str, operator: str = "or") -> int:
         return self.searcher.count(query_text, operator=operator)
@@ -130,7 +140,16 @@ class SearchCluster:
 
         manifest = load_manifest(index_dir)
         seg_ids = sorted(s.seg_id for s in manifest.segments)
-        num_executors = max(1, min(num_executors, len(seg_ids)))
+        # sizing rule: executors are 1-CPU actors pinned for the cluster's
+        # lifetime — never reserve every CPU of a small session (a pool of
+        # concurrency >= num_cpus starves concurrent Ray Data stages and
+        # deadlocks pipelines; see CLAUDE.md invariant). Keep >= 2 CPUs of
+        # headroom for driver-side Dataset stages.
+        try:
+            avail = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:  # not initialised yet — Ray Data will init lazily
+            avail = 4
+        num_executors = max(1, min(num_executors, len(seg_ids), avail - 2))
         groups: List[List[int]] = [[] for _ in range(num_executors)]
         for i, sid in enumerate(seg_ids):
             groups[i % num_executors].append(sid)
@@ -194,19 +213,39 @@ class SearchCluster:
         return df.head(k).reset_index(drop=True)
 
     def terms_agg_on_hits(self, query_text: str, field: str, size: int = 10,
-                          operator: str = "or"):
+                          operator: str = "or",
+                          shard_size: Optional[int] = None,
+                          return_error: bool = False):
+        """Distributed terms agg over query hits with the reference's
+        shard_size discipline (TermsAggregatorFactory: default
+        size*1.5+10): every shard returns its top-shard_size partial, the
+        coordinator sums — reduce memory is O(E x shard_size), not the
+        field's global cardinality. ``return_error=True`` additionally
+        returns the per-key doc_count_error_upper_bound (the sum of the
+        last-included counts of shards that didn't report the key —
+        InternalTerms.doCountError semantics)."""
         import pandas as pd
-        partials = ray.get([e.terms_agg_on_hits.remote(query_text, field,
-                                                       operator)
-                            for e in self.executors])
+        if shard_size is None:
+            shard_size = int(size * 1.5 + 10)
+        partials = ray.get([
+            e.terms_agg_on_hits.remote(query_text, field, shard_size,
+                                       operator)
+            for e in self.executors])
         acc: Dict[object, int] = {}
-        for p in partials:
-            for key, n in p:
+        for rows, _worst in partials:
+            for key, n in rows:
                 acc[key] = acc.get(key, 0) + int(n)
         df = pd.DataFrame({field: list(acc), "doc_count": list(acc.values())})
         df = df.sort_values(["doc_count", field], ascending=[False, True],
                             kind="mergesort").head(size)
-        return df.reset_index(drop=True)
+        df = df.reset_index(drop=True)
+        if return_error:
+            worst_of = [w for _, w in partials]
+            seen_of = [{k for k, _ in rows} for rows, _ in partials]
+            df["doc_count_error_upper_bound"] = [
+                sum(w for w, sn in zip(worst_of, seen_of) if key not in sn)
+                for key in df[field]]
+        return df
 
     def count(self, query_text: str, operator: str = "or") -> int:
         return int(sum(ray.get([e.count.remote(query_text, operator)

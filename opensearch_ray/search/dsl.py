@@ -381,12 +381,15 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     terms = _score_terms(s, q)
 
     if terms:
-        hits = s.search(" ".join(terms), k=10 ** 9, terms=terms)
-        hit_ids = np.fromiter((h.docid for h in hits), np.int64,
-                              count=len(hits))
-        keep = np.isin(hit_ids, docs, assume_unique=False)
-        ids = hit_ids[keep]
-        scores = np.asarray([h.score for h in hits], np.float64)[keep]
+        # score exactly the filter-context matches (score_docs is value-
+        # identical to the exhaustive scorer) — memory O(len(docs)), never
+        # O(every doc matching any scoring term)
+        sc = s.score_docs(docs, terms)
+        m = sc > 0  # docs matching no scoring term drop out (same hit set
+        #             as the intersect-with-exhaustive-hits path)
+        ids, scores = docs[m], sc[m]
+        order = np.lexsort((ids, -scores))
+        ids, scores = ids[order], scores[order]
     else:
         boost = 1.0
         (kind, qb), = q.items()
@@ -577,25 +580,41 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
     collapse = body.get("collapse")
     rescore = body.get("rescore")
     if collapse is not None or rescore is not None:
-        # wide-list options run before from/size paging
-        wide = dict(hits_body)
+        # bounded wide-list options: rescore touches only its window_size
+        # (QueryRescorer), collapse over-fetches and widens geometrically
+        # until the page has enough DISTINCT groups — heap is O(needed),
+        # never O(total matches)
         frm = int(body.get("from", 0))
         size = int(body.get("size", 10))
-        wide["from"], wide["size"] = 0, 10 ** 9
-        all_hits = execute_search(s, wide, text_field=text_field,
-                                  id_col=id_col)
-        if rescore is not None:
-            all_hits = _apply_rescore(s, all_hits, rescore, text_field,
-                                      id_col)
+        need = frm + size
+        window = (int(rescore.get("window_size", 10))
+                  if rescore is not None else 0)
+        k0 = max(need, window)
         if collapse is not None:
-            # dedupe by the collapse key in rank order (CollapseContext)
-            field = collapse["field"]
-            keys = _fetch_aligned(s, all_hits[id_col].to_numpy(),
-                                  [field])[field]
-            all_hits = all_hits.copy()
-            all_hits[field] = keys
-            all_hits = all_hits.drop_duplicates(subset=[field],
-                                                keep="first")
+            k0 = max(k0, need * 3 + 10)
+        wide = dict(hits_body)
+        wide["from"] = 0
+        while True:
+            wide["size"] = k0
+            all_hits = execute_search(s, wide, text_field=text_field,
+                                      id_col=id_col)
+            n_returned = len(all_hits)
+            if rescore is not None:
+                all_hits = _apply_rescore(s, all_hits, rescore, text_field,
+                                          id_col)
+            if collapse is not None:
+                # dedupe by the collapse key in rank order (CollapseContext)
+                field = collapse["field"]
+                keys = _fetch_aligned(s, all_hits[id_col].to_numpy(),
+                                      [field])[field]
+                all_hits = all_hits.copy()
+                all_hits[field] = keys
+                all_hits = all_hits.drop_duplicates(subset=[field],
+                                                    keep="first")
+                if len(all_hits) < need and n_returned >= k0:
+                    k0 *= 4  # more groups may exist beyond the window
+                    continue
+            break
         hits = all_hits.iloc[frm:frm + size].reset_index(drop=True)
     else:
         hits = execute_search(s, hits_body, text_field=text_field,
@@ -604,11 +623,13 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
     hl = body.get("highlight")
     if hl is not None and len(hits):
         # unified-highlighter default (SearchModule.java:910-912); tag the
-        # positive scoring terms of the query
+        # positive scoring terms of the query — over the RETURNED PAGE's
+        # docs only (HighlightPhase runs in the fetch phase on the page)
         from .features import highlight_unified
         terms = _score_terms(s, q)
         frags = highlight_unified(
-            s, " ".join(terms) if terms else "", k=10 ** 9,
+            s, " ".join(terms) if terms else "",
+            docids=hits[id_col].to_numpy(np.int64),
             number_of_fragments=hl.get("number_of_fragments", 1),
             fragment_char_size=hl.get("fragment_size", 100),
             pre_tag=(hl.get("pre_tags") or ["<em>"])[0],
@@ -672,15 +693,18 @@ def _apply_rescore(s: Searcher, hits: pd.DataFrame, rescore: dict,
     rq = spec["rescore_query"]
     qw = float(spec.get("query_weight", 1.0))
     rw = float(spec.get("rescore_query_weight", 1.0))
-    gate = set(query_docs(s, rq, text_field).tolist())
-    rterms = _score_terms(s, rq)
-    rscore: dict = {}
-    if rterms:
-        for h in s.search(" ".join(rterms), k=10 ** 9, terms=rterms):
-            rscore[h.docid] = h.score
     head = hits.iloc[:window].copy()
-    sec = np.array([rscore.get(d, 0.0) if d in gate else 0.0
-                    for d in head[id_col]])
+    head_ids = head[id_col].to_numpy(np.int64)
+    # rescore-query scores for the WINDOW docs only (QueryRescorer bounds
+    # all work to window_size) — score_docs + a filter-context gate probe
+    gate = np.sort(query_docs(s, rq, text_field))
+    rterms = _score_terms(s, rq)
+    sec = (s.score_docs(head_ids, rterms) if rterms
+           else np.zeros(head_ids.size, np.float64))
+    pos = np.searchsorted(gate, head_ids)
+    in_gate = (pos < gate.size)
+    in_gate[in_gate] = gate[pos[in_gate]] == head_ids[in_gate]
+    sec = np.where(in_gate, sec, 0.0)
     head["score"] = qw * head["score"].to_numpy() + rw * sec
     head = head.sort_values(["score", id_col], ascending=[False, True],
                             kind="mergesort")
@@ -777,12 +801,25 @@ def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort,
             vals = _fetch_aligned(s, ids, [field])[field]
         keys.append((vals, order == "desc"))
     # np.lexsort: last key is primary; docid asc as final tiebreak
-    cols, prim = [ids], []
+    cols = [ids]
     for vals, desc in reversed(keys):
         v = np.asarray(vals)
         if desc:
             if v.dtype.kind in "iufM":
-                v = -v.astype("int64") if v.dtype.kind == "M" else -v
+                # negate through float64 with explicit null handling
+                # (sort_phase._sort_key discipline): in-place integer
+                # negation wraps unsigned doc values, overflows int64 min,
+                # and explodes on NaT (INT64_MIN)
+                if v.dtype.kind == "M":
+                    null = np.isnat(v)
+                    f = v.astype("datetime64[ns]").astype(np.int64) \
+                        .astype(np.float64)
+                else:
+                    f = v.astype(np.float64)
+                    null = np.isnan(f)
+                f = -f
+                f[null] = np.inf  # missing sorts last (_last default)
+                v = f
             else:  # lexicographic desc over objects: rank trick
                 _, inv = np.unique(v, return_inverse=True)
                 v = -inv

@@ -116,8 +116,8 @@ def highlight(searcher: Searcher, query_text: str, k: int = 10,
 def highlight_unified(searcher: Searcher, query_text: str, k: int = 10,
                       number_of_fragments: int = 1,
                       fragment_char_size: int = 100,
-                      pre_tag: str = "<em>", post_tag: str = "</em>"
-                      ) -> pd.DataFrame:
+                      pre_tag: str = "<em>", post_tag: str = "</em>",
+                      docids=None) -> pd.DataFrame:
     """Unified-highlighter semantics (the reference default —
     SearchModule.java:910-912, search/fetch/subphase/highlight/
     UnifiedHighlighter): break the stored text into passages, score each
@@ -128,11 +128,17 @@ def highlight_unified(searcher: Searcher, query_text: str, k: int = 10,
     default), falling back to ~fragment_char_size word-boundary windows for
     unpunctuated text. Passage score = Σ over unique matched terms of
     idf(term) * (1 + ln(1 + tf_in_passage)) — the PassageScorer shape
-    (idf-weighted, tf-dampened) without its proximity pivot."""
+    (idf-weighted, tf-dampened) without its proximity pivot.
+
+    ``docids``: highlight exactly these docs (the fetch-phase shape — the
+    caller already has its page) instead of re-running the search."""
     import re as _re
 
     terms = list(dict.fromkeys(searcher.analyzer.tokens(query_text)))
-    hits = searcher.search(query_text, k=k)
+    if docids is not None:
+        hits = [SearchHit(int(d), 0.0) for d in docids]
+    else:
+        hits = searcher.search(query_text, k=k)
     if not hits or not terms:
         return pd.DataFrame({"_docid": [], "snippet": []})
     stats = searcher.term_stats(terms)
@@ -339,21 +345,10 @@ def term_suggest(searcher: Searcher, text: str, max_edits: int = 2,
 def search_after_page(searcher: Searcher, query_text: str, page_size: int,
                       after: Optional[Tuple[float, int]] = None) -> List[SearchHit]:
     """Cursor pagination over (score desc, docid asc): return the next page
-    strictly after the (score, docid) cursor."""
-    # fetch enough to pass the cursor; exact-but-simple: oversample
-    over = page_size
-    while True:
-        hits = searcher.search(query_text, k=over + page_size)
-        if after is None:
-            return hits[:page_size]
-        key = (-after[0], after[1])
-        out = [h for h in hits if (-h.score, h.docid) > key]
-        # grow the window until a FULL page is available or the hit list is
-        # exhausted — returning on the first non-empty `out` would silently
-        # short-change pages whose cursor lands mid-window
-        if len(out) >= page_size or len(hits) < over + page_size:
-            return out[:page_size]
-        over *= 4
+    strictly after the (score, docid) cursor. The cursor is pushed into the
+    collector (search(after=...)), so the heap stays O(page_size) at any
+    depth — no oversampling rescan."""
+    return searcher.search(query_text, k=page_size, after=after)
 
 
 # ------------------------------------------------------------ function_score
@@ -555,19 +550,27 @@ def dis_max(searcher: Searcher, queries: List[Tuple[str, str]],
     tie_breaker * Σ(other matching subqueries). ``queries`` = [(text, operator)]."""
     import numpy as np
 
-    per_q = [searcher.search(q, k=10**9, operator=op) for q, op in queries]
+    # per-subquery doc SET + score_docs — O(matches) numpy arrays, never a
+    # Python hit list over the whole corpus (the k=10^9 path this replaces)
+    per_q = []
+    for qtext, op in queries:
+        toks = searcher.analyzer.tokens(qtext)
+        uniq = list(dict.fromkeys(toks))
+        if not uniq:
+            per_q.append((np.empty(0, np.int64), np.empty(0, np.float64)))
+            continue
+        d = (searcher.bool_docs(must=uniq) if op == "and"
+             else searcher.bool_docs(should=uniq))
+        d = np.sort(d)
+        per_q.append((d, searcher.score_docs(d, toks)))
     all_ids = np.unique(np.concatenate(
-        [np.array([h.docid for h in hs], dtype=np.int64) for hs in per_q if hs]
-        or [np.empty(0, np.int64)]))
+        [d for d, _ in per_q if d.size] or [np.empty(0, np.int64)]))
     if all_ids.size == 0:
         return []
     mat = np.zeros((len(per_q), all_ids.size), dtype=np.float64)
-    for i, hs in enumerate(per_q):
-        if not hs:
-            continue
-        ids = np.array([h.docid for h in hs], dtype=np.int64)
-        sc = np.array([h.score for h in hs], dtype=np.float64)
-        mat[i, np.searchsorted(all_ids, ids)] = sc
+    for i, (ids, sc) in enumerate(per_q):
+        if ids.size:
+            mat[i, np.searchsorted(all_ids, ids)] = sc
     mx = mat.max(axis=0)
     total = mx + tie_breaker * (mat.sum(axis=0) - mx)
     order = np.lexsort((all_ids, -total))[:k]
@@ -582,15 +585,22 @@ def boosting_query(searcher: Searcher, positive: str, negative: str,
     DEMOTED by multiplying with ``negative_boost`` (not excluded)."""
     import numpy as np
 
-    hits = searcher.search(positive, k=10**9, operator=operator)
-    if not hits:
+    pos_toks = searcher.analyzer.tokens(positive)
+    uniq = list(dict.fromkeys(pos_toks))
+    if not uniq:
         return []
+    docs = np.sort(searcher.bool_docs(must=uniq) if operator == "and"
+                   else searcher.bool_docs(should=uniq))
+    if docs.size == 0:
+        return []
+    scores = searcher.score_docs(docs, pos_toks)
     neg_terms = list(dict.fromkeys(searcher.analyzer.tokens(negative)))
-    neg = set(searcher.bool_docs(should=neg_terms).tolist()) if neg_terms else set()
-    scored = [(h.docid, h.score * negative_boost if h.docid in neg else h.score)
-              for h in hits]
-    scored.sort(key=lambda t: (-t[1], t[0]))
-    return [SearchHit(d, s) for d, s in scored[:k]]
+    if neg_terms:
+        neg = np.sort(searcher.bool_docs(should=neg_terms))
+        demote = np.isin(docs, neg, assume_unique=True)
+        scores = np.where(demote, scores * negative_boost, scores)
+    order = np.lexsort((docs, -scores))[:k]
+    return [SearchHit(int(docs[i]), float(scores[i])) for i in order]
 
 
 # --------------------------------------------------------- query_string
@@ -743,13 +753,11 @@ def query_string(searcher: Searcher, q: str, k: Optional[int] = None
             continue
         pos_terms.extend(searcher.analyzer.tokens(t))
     pos_terms = list(dict.fromkeys(pos_terms))
-    score_of = {}
-    if pos_terms:
-        for h in searcher.search(" ".join(pos_terms), k=10**9):
-            score_of[h.docid] = h.score
+    scores = (searcher.score_docs(np.sort(docs), pos_terms) if pos_terms
+              else np.zeros(docs.size, np.float64))
     out = pd.DataFrame({
-        "doc_id": docs.astype(np.int64),
-        "score": [float(score_of.get(int(d), 0.0)) for d in docs],
+        "doc_id": np.sort(docs).astype(np.int64),
+        "score": scores,
     })
     out = out.sort_values(["score", "doc_id"], ascending=[False, True],
                           kind="mergesort").reset_index(drop=True)
@@ -841,23 +849,32 @@ def post_filter_search(searcher: Searcher, query_text: str,
     AFTERWARDS — the one observable difference from a bool.filter clause.
 
     Returns {"hits": DataFrame(_docid, score), "aggregations":
-    DataFrame(key, doc_count)}. The agg here fetches stored fields for every
-    match (fine for the oracle surface; a distributed variant would run the
-    terms agg over doc values per segment)."""
-    hits = searcher.search(query_text, k=10**9, operator=operator)
-    if not hits:
+    DataFrame(key, doc_count)}. Aggs and the filter mask read per-segment
+    DOC VALUES (never a stored-field fetch of every match); hits score via
+    score_docs over the filtered set — memory O(matches) numpy, no
+    corpus-sized Python hit list."""
+    from .sort_phase import gather_doc_values
+
+    terms = list(dict.fromkeys(searcher.analyzer.tokens(query_text)))
+    docs = np.sort(searcher.bool_docs(must=terms) if operator == "and"
+                   else searcher.bool_docs(should=terms)) if terms else \
+        np.empty(0, np.int64)
+    if docs.size == 0:
         return {"hits": pd.DataFrame({"_docid": [], "score": []}),
                 "aggregations": pd.DataFrame({"key": [], "doc_count": []})}
-    fetched = searcher.fetch([h.docid for h in hits]).to_pandas()
-    aggs = (fetched.groupby(agg_field).size().rename("doc_count")
-            .rename_axis("key").reset_index().sort_values("key")
-            .reset_index(drop=True))
-    mask = np.ones(len(fetched), dtype=bool)
+    keys = gather_doc_values(searcher, docs, agg_field)
+    uniq, counts = np.unique(keys, return_counts=True)
+    aggs = pd.DataFrame({"key": uniq, "doc_count": counts.astype(np.int64)})
+    mask = np.ones(docs.size, dtype=bool)
     for col, spec in post_filter.items():
-        mask &= Searcher._spec_mask(fetched[col].to_numpy(), spec)
-    keep = set(fetched.loc[mask, "_docid"].tolist())
-    flt = [(h.docid, h.score) for h in hits if h.docid in keep][:k]
-    return {"hits": pd.DataFrame(flt, columns=["_docid", "score"]),
+        mask &= Searcher._spec_mask(gather_doc_values(searcher, docs, col),
+                                    spec)
+    flt_docs = docs[mask]
+    scores = searcher.score_docs(flt_docs,
+                                 searcher.analyzer.tokens(query_text))
+    order = np.lexsort((flt_docs, -scores))[:k]
+    return {"hits": pd.DataFrame({"_docid": flt_docs[order],
+                                  "score": scores[order]}),
             "aggregations": aggs}
 
 
@@ -885,21 +902,21 @@ def common_terms_query(searcher: Searcher, text: str, cutoff_df: int,
                 should=low, minimum_should_match=minimum_should_match)
     else:
         gate = searcher.bool_docs(should=high, minimum_should_match=1)
-    gate_set = np.sort(gate)
-    hits = searcher.search(" ".join(terms), k=10 ** 9, terms=terms)
-    hit_ids = np.fromiter((h.docid for h in hits), np.int64,
-                          count=len(hits))
-    keep = np.isin(hit_ids, gate_set)
-    scores = np.asarray([h.score for h in hits], np.float64)[keep]
-    return pd.DataFrame({"_docid": hit_ids[keep][:k], "score": scores[:k]})
+    gate_sorted = np.sort(gate)
+    scores = searcher.score_docs(gate_sorted, terms)
+    order = np.lexsort((gate_sorted, -scores))[:k]
+    return pd.DataFrame({"_docid": gate_sorted[order],
+                         "score": scores[order]})
 
 
 def min_score_search(searcher: Searcher, query_text: str, min_score: float,
                      k: int = 10, operator: str = "or") -> pd.DataFrame:
     """min_score (SearchSourceBuilder.minScore): hits scoring below the
-    cutoff are dropped before pagination."""
-    hits = searcher.search(query_text, k=10**9, operator=operator)
-    kept = [(h.docid, h.score) for h in hits if h.score >= min_score][:k]
+    cutoff are dropped before pagination. Qualifying hits are a PREFIX of
+    the (score desc, docid asc) ranking, so the top-k heap suffices — no
+    exhaustive hit materialization."""
+    hits = searcher.search(query_text, k=k, operator=operator)
+    kept = [(h.docid, h.score) for h in hits if h.score >= min_score]
     return pd.DataFrame(kept, columns=["_docid", "score"])
 
 

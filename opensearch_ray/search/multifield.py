@@ -78,26 +78,30 @@ class MultiFieldSearcher:
         indexed field. Exact (unpruned) per-field scoring feeds the combine,
         so ranks match the reference's DisjunctionMaxQuery collection."""
         boosts = field_boosts or {f: 1.0 for f in self.fields}
-        per_field: Dict[str, List[SearchHit]] = {}
+        # per-field doc SET + score_docs (bounded numpy arrays) — replaces
+        # the exhaustive k=10^9 per-field hit lists
+        per_field: Dict[str, tuple] = {}
         for f, boost in boosts.items():
-            hits = self.searchers[f].search(query_text, k=10**9,
-                                            operator=operator)
-            per_field[f] = [(h.docid, boost * h.score) for h in hits]
-        # combine per docid
+            sr = self.searchers[f]
+            toks = sr.analyzer.tokens(query_text)
+            uniq = list(dict.fromkeys(toks))
+            if not uniq:
+                per_field[f] = (np.empty(0, np.int64),
+                                np.empty(0, np.float64))
+                continue
+            d = np.sort(sr.bool_docs(must=uniq) if operator == "and"
+                        else sr.bool_docs(should=uniq))
+            per_field[f] = (d, boost * sr.score_docs(d, toks))
         all_ids = np.unique(np.concatenate(
-            [np.array([d for d, _ in hs], dtype=np.int64)
-             for hs in per_field.values() if hs] or
+            [d for d, _ in per_field.values() if d.size] or
             [np.empty(0, np.int64)]))
         if all_ids.size == 0:
             return []
         mat = np.zeros((len(boosts), all_ids.size), dtype=np.float64)
         for i, f in enumerate(boosts):
-            hs = per_field[f]
-            if not hs:
-                continue
-            ids = np.array([d for d, _ in hs], dtype=np.int64)
-            sc = np.array([s for _, s in hs], dtype=np.float64)
-            mat[i, np.searchsorted(all_ids, ids)] = sc
+            ids, sc = per_field[f]
+            if ids.size:
+                mat[i, np.searchsorted(all_ids, ids)] = sc
         if match_type == "most_fields":
             total = mat.sum(axis=0)
         else:  # best_fields: dis_max + tie_breaker

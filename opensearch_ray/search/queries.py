@@ -588,26 +588,40 @@ def simple_query_string_docs(s: Searcher, query: str,
         return leaf(t), neg
 
     def parse_expr() -> np.ndarray:
+        # Lucene SimpleQueryParser: a `-` clause becomes MUST_NOT on the
+        # ENCLOSING BooleanQuery regardless of the connective — so 'a -b'
+        # (default OR) is a AND NOT b, never union(a, complement(b)).
+        # Positives combine with the connectives; negatives subtract at the
+        # end of the level. A level with ONLY negated clauses complements
+        # against match_all (the leading-negation case).
         nonlocal pos
-        acc, acc_neg = parse_clause()
-        if acc_neg:
-            acc = np.setdiff1d(universe(), acc, assume_unique=True)
+        acc: Optional[np.ndarray] = None
+        negs: List[np.ndarray] = []
+        first = True
         while pos < len(toks) and toks[pos] != ')':
             op = default_operator
-            if toks[pos] == '+':
-                op, pos = "and", pos + 1
-            elif toks[pos] == '|':
-                op, pos = "or", pos + 1
-            if pos >= len(toks) or toks[pos] == ')':
-                break
+            if not first:
+                if toks[pos] == '+':
+                    op, pos = "and", pos + 1
+                elif toks[pos] == '|':
+                    op, pos = "or", pos + 1
+                if pos >= len(toks) or toks[pos] == ')':
+                    break
             d, neg = parse_clause()
-            if op == "and":
-                acc = (np.setdiff1d(acc, d, assume_unique=True) if neg
-                       else np.intersect1d(acc, d, assume_unique=True))
+            first = False
+            if neg:
+                negs.append(d)
+                continue
+            if acc is None:
+                acc = d
+            elif op == "and":
+                acc = np.intersect1d(acc, d, assume_unique=True)
             else:
-                if neg:
-                    d = np.setdiff1d(universe(), d, assume_unique=True)
                 acc = np.union1d(acc, d)
+        if acc is None:
+            acc = universe() if negs else np.empty(0, np.int64)
+        for nd in negs:
+            acc = np.setdiff1d(acc, nd, assume_unique=True)
         return acc
 
     return parse_expr()

@@ -184,12 +184,11 @@ class SaytSearcher:
             field = self.root if n == 1 else self.sub[f"{n}gram"]
             complete, last = ftoks[:-1], ftoks[-1]
             if complete:
-                hits = field.search(None, k=10 ** 9, terms=complete)
-                if hits:
-                    clause_docs.append(
-                        np.array([h.docid for h in hits], np.int64))
-                    clause_scores.append(
-                        np.array([h.score for h in hits], np.float64))
+                d = np.sort(field.bool_docs(
+                    should=list(dict.fromkeys(complete))))
+                if d.size:
+                    clause_docs.append(d)
+                    clause_scores.append(field.score_docs(d, complete))
             d, s = self._prefix_clause(field, last)
             if d.size:
                 clause_docs.append(d)

@@ -290,7 +290,9 @@ class Searcher:
     def search(self, query_text: str, k: int = 10, operator: str = "or",
                filters: Optional[Dict[str, object]] = None,
                allowed_segs: Optional[set] = None,
-               terms: Optional[Sequence[str]] = None) -> List[SearchHit]:
+               terms: Optional[Sequence[str]] = None,
+               docs: Optional[np.ndarray] = None,
+               after: Optional[Tuple[float, int]] = None) -> List[SearchHit]:
         """Match-query semantics: analyze text, OR (default, ref
         MatchQueryBuilder.java:88) or AND over terms, BM25-scored top-k.
 
@@ -306,7 +308,15 @@ class Searcher:
 
         ``terms``: pre-analyzed terms bypassing the index analyzer (the
         TermQuery-list entry point; search_as_you_type scores explicit
-        shingle terms this way)."""
+        shingle terms this way).
+
+        ``docs``: SORTED global-docid allowlist — the filter-context gate
+        for arbitrary DSL filters (bool/ids/script/...); candidates outside
+        it are dropped before the top-k heap, like ``filters``.
+
+        ``after``: (score, docid) cursor — collect only hits STRICTLY after
+        it in (score desc, docid asc) order (SearchAfterBuilder). The heap
+        stays O(k) for deep pages instead of materializing every match."""
         if k <= 0:
             return []
         terms = (list(terms) if terms is not None
@@ -407,6 +417,19 @@ class Searcher:
             counts = np.zeros(len(udocs), np.int64)
             np.add.at(counts, inv, np.ones(len(docs_cat), np.int64))
 
+            if docs is not None and udocs.size:
+                # allowlist gate BEFORE the pruning/non-essential work —
+                # disallowed candidates never cost block decodes
+                lo = int(np.searchsorted(docs, base))
+                hi = int(np.searchsorted(docs, base + int(norms.size)))
+                allow_local = docs[lo:hi] - base
+                pos_a = np.searchsorted(allow_local, udocs)
+                ok = pos_a < allow_local.size
+                ok[ok] = allow_local[pos_a[ok]] == udocs[ok]
+                udocs, scores, counts = udocs[ok], scores[ok], counts[ok]
+                if udocs.size == 0:
+                    continue
+
             # --- candidate filter before touching non-essential entries
             if theta is not None and ness_set:
                 # tiny relative epsilon guards float32-vs-float64 rounding at
@@ -452,6 +475,16 @@ class Searcher:
 
             gdocs = udocs + base
             seg_scores = scores.astype(self.dtype)
+            if after is not None and gdocs.size:
+                # keep only hits ranked strictly after the cursor; θ from
+                # the heap stays a valid lower bound (pruning drops only
+                # docs that can't reach the kth BELOW-cursor score)
+                a_s, a_d = self.dtype(after[0]), int(after[1])
+                keep_a = (seg_scores < a_s) | ((seg_scores == a_s)
+                                               & (gdocs > a_d))
+                gdocs, seg_scores = gdocs[keep_a], seg_scores[keep_a]
+                if gdocs.size == 0:
+                    continue
             topk_docs = np.concatenate((topk_docs, gdocs))
             topk_scores = np.concatenate((topk_scores, seg_scores))
             if topk_docs.size > k:
@@ -462,6 +495,74 @@ class Searcher:
 
         ordm = np.lexsort((topk_docs, -topk_scores.astype(np.float64)))[:k]
         return [SearchHit(int(topk_docs[i]), float(topk_scores[i])) for i in ordm]
+
+    def score_docs(self, docs: np.ndarray, terms: Sequence[str]
+                   ) -> np.ndarray:
+        """BM25 scores for the GIVEN global docids (any order) — the bounded
+        "score exactly these docs" primitive behind the DSL general path,
+        rescore windows and deep pages: memory O(len(docs)), never O(total
+        matches). Docs matching no term score 0.0.
+
+        Values are identical to :meth:`search` hit scores — same float32
+        per-term contributions accumulated in float64 in live-term order,
+        one final dtype cast (the k=10^9 exhaustive path this replaces).
+        Postings I/O is block-pruned: only chunks' blocks overlapping the
+        wanted docids are decoded (skip-pointer binary search)."""
+        docs = np.asarray(docs, dtype=np.int64)
+        out = np.zeros(docs.size, np.float64)
+        if docs.size == 0 or not self.N:
+            return out
+        order = np.argsort(docs, kind="stable")
+        sdocs = docs[order]
+        mult = Counter(terms)
+        uniq = list(mult.keys())
+        stats = self.term_stats(uniq)
+        live = [t for t in uniq if stats[t][0] > 0]
+        if not live:
+            return out
+        post = self.postings(live)
+        weight = {t: term_weight(bm25_idf(stats[t][0], self.N, self.dtype),
+                                 mult[t], self.params, self.dtype)
+                  for t in live}
+        acc = np.zeros(sdocs.size, np.float64)
+        seg_idx = np.searchsorted(self._bases, sdocs, side="right") - 1
+        for si in np.unique(seg_idx):
+            seg_id = int(self._seg_ids[si])
+            base = int(self._bases[si])
+            m = seg_idx == si
+            local = sdocs[m] - base
+            norms = self.norms(seg_id)
+            seg_acc = np.zeros(local.size, np.float64)
+            for t in live:
+                tbl = post[t]
+                if tbl.num_rows == 0:
+                    continue
+                for row in tbl.to_pylist():
+                    if int(row["seg_id"]) != seg_id:
+                        continue
+                    hit = self._dec_cache.get((t, seg_id, int(row["chunk"])))
+                    if hit is not None:
+                        docids, tfs = hit
+                    else:
+                        skip_docs = np.asarray(row["skip_docs"], np.int64)
+                        if skip_docs.size == 0:
+                            continue
+                        bids = np.unique(np.searchsorted(skip_docs, local))
+                        bids = bids[bids < len(skip_docs)]
+                        docids, tfs = self._decode_blocks(row, bids)
+                    if len(docids) == 0:
+                        continue
+                    pos = np.clip(np.searchsorted(docids, local), 0,
+                                  len(docids) - 1)
+                    match = docids[pos] == local
+                    if match.any():
+                        sc = score_postings(tfs[pos[match]],
+                                            norms[local[match]],
+                                            weight[t], self.norm_cache)
+                        seg_acc[match] += sc.astype(np.float64)
+            acc[m] = seg_acc
+        out[order] = acc.astype(self.dtype).astype(np.float64)
+        return out
 
     def _vocab(self) -> "pa.Table":
         """The FULL global term dictionary (term, df) — only the queries with

@@ -11,11 +11,11 @@ from opensearch_ray.datemath import date_math_us, parse_date_math
 def test_date_math_absolute_anchor():
     assert parse_date_math("2024-01-03||+1w/d") == dt.datetime(2024, 1, 10)
     assert parse_date_math("2024-01-03||+2w/d", round_up=True) == \
-        dt.datetime(2024, 1, 17, 23, 59, 59, 999000)
+        dt.datetime(2024, 1, 17, 23, 59, 59, 999999)
     assert parse_date_math("2024-03-15T10:20:30||-90m/h") == \
         dt.datetime(2024, 3, 15, 8, 0, 0)
     assert parse_date_math("2024-03-15||/M", round_up=True) == \
-        dt.datetime(2024, 3, 31, 23, 59, 59, 999000)
+        dt.datetime(2024, 3, 31, 23, 59, 59, 999999)
 
 
 def test_date_math_now_and_calendar_units():
