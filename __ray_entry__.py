@@ -1594,6 +1594,152 @@ def _q_nested_agg(sf_dir):
     return out[["o_orderstatus", "item_count", "qty_sum"]].reset_index(drop=True)
 
 
+def _pj_dataset(sf_dir):
+    """The parent-join `join` field shape (ParentJoinFieldMapper): orders
+    (parents) and lineitems (children) in ONE dataset, discriminated by
+    `rel`, joined on `join_key` (children carry their parent's key — the
+    reference's routing value)."""
+    def tag_order(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "join_key": t.column("o_orderkey"),
+            "rel": pa.array(np.full(t.num_rows, "order"), pa.string()),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "o_totalprice": t.column("o_totalprice"),
+            "l_quantity": pa.nulls(t.num_rows, pa.float64()),
+            "l_linenumber": pa.nulls(t.num_rows, pa.int32()),
+        })
+
+    def tag_item(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "join_key": t.column("l_orderkey"),
+            "rel": pa.array(np.full(t.num_rows, "lineitem"), pa.string()),
+            "o_orderstatus": pa.nulls(t.num_rows, pa.string()),
+            "o_totalprice": pa.nulls(t.num_rows, pa.float64()),
+            "l_quantity": t.column("l_quantity"),
+            "l_linenumber": t.column("l_linenumber"),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(tag_order, batch_format="pyarrow")
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_quantity", "l_linenumber"]) \
+        .map_batches(tag_item, batch_format="pyarrow")
+    return orders.union(items)
+
+
+def _q_has_child(sf_dir):
+    """has_child: orders with >= 2 lineitems of quantity >= 45
+    (HasChildQueryBuilder min_children)."""
+    from opensearch_ray.parent_join import has_child_filter
+    out = has_child_filter(
+        _pj_dataset(sf_dir), "rel", "order", "lineitem", "join_key",
+        lambda c: pc.greater_equal(c.column("l_quantity"), 45.0),
+        min_children=2)
+    df = out.to_pandas()[["join_key"]].rename(
+        columns={"join_key": "o_orderkey"})
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _q_has_child_score(sf_dir):
+    """has_child score_mode=sum: parent score = Σ matching-child
+    l_quantity (ScoreMode.Sum of ParentJoinQueryBuilder)."""
+    from opensearch_ray.parent_join import has_child_filter
+    out = has_child_filter(
+        _pj_dataset(sf_dir), "rel", "order", "lineitem", "join_key",
+        lambda c: pc.greater_equal(c.column("l_quantity"), 45.0),
+        min_children=1, score_mode="sum",
+        child_score_fn=lambda c: c.column("l_quantity")
+        .to_numpy(zero_copy_only=False))
+    df = out.to_pandas()[["join_key", "_score"]].rename(
+        columns={"join_key": "o_orderkey", "_score": "score"})
+    df = df.sort_values("o_orderkey").reset_index(drop=True)
+    df["score"] = _fmt(df["score"], 2)
+    return df
+
+
+def _q_has_parent(sf_dir):
+    """has_parent: lineitems whose order is status F with totalprice >
+    200k (HasParentQueryBuilder, constant-score filter context)."""
+    from opensearch_ray.parent_join import has_parent_filter
+    out = has_parent_filter(
+        _pj_dataset(sf_dir), "rel", "order", "lineitem", "join_key",
+        lambda p: pc.and_(
+            pc.equal(p.column("o_orderstatus"), pa.scalar("F")),
+            pc.greater(p.column("o_totalprice"), 200000.0)))
+    df = out.to_pandas()[["join_key", "l_linenumber"]].rename(
+        columns={"join_key": "l_orderkey"})
+    df["l_linenumber"] = df["l_linenumber"].astype(np.int64)
+    return df.sort_values(["l_orderkey", "l_linenumber"]) \
+        .reset_index(drop=True)
+
+
+def _q_parent_id(sf_dir):
+    """parent_id: the children of ONE parent (the smallest lineitem-bearing
+    orderkey) — ParentIdQueryBuilder, map-only."""
+    from opensearch_ray.parent_join import parent_id_filter
+    pv = int(_read(sf_dir, "lineitem", ["l_orderkey"]).min("l_orderkey"))
+    out = parent_id_filter(_pj_dataset(sf_dir), "rel", "lineitem",
+                           "join_key", pv)
+    df = out.to_pandas()[["join_key", "l_linenumber", "l_quantity"]].rename(
+        columns={"join_key": "l_orderkey"})
+    df["l_linenumber"] = df["l_linenumber"].astype(np.int64)
+    df["l_quantity"] = _fmt(df["l_quantity"], 1)
+    return df.sort_values(["l_linenumber", "l_quantity"]) \
+        .reset_index(drop=True)
+
+
+def _q_has_child_inner_hits(sf_dir):
+    """inner_hits on has_child: per qualifying parent (>= 2 matching
+    children), the top-3 matching children ranked by l_linenumber
+    (InnerHitsPhase; filter-context score order reduces to the sort key)."""
+    from opensearch_ray.parent_join import has_child_inner_hits
+    out = has_child_inner_hits(
+        _pj_dataset(sf_dir), "rel", "order", "lineitem", "join_key",
+        lambda c: pc.greater_equal(c.column("l_quantity"), 45.0),
+        inner_sort_col="l_linenumber", size=3, min_children=2)
+    df = out.to_pandas()[["join_key", "l_linenumber", "_inner_rank"]].rename(
+        columns={"join_key": "o_orderkey", "_inner_rank": "inner_rank"})
+    df["l_linenumber"] = df["l_linenumber"].astype(np.int64)
+    return df.sort_values(["o_orderkey", "inner_rank", "l_linenumber"]) \
+        .reset_index(drop=True)
+
+
+def _q_nested_inner_hits(sf_dir):
+    """inner_hits on a nested query: first 2 matching children per parent
+    in l_linenumber order."""
+    from opensearch_ray.nested import nest_children, nested_inner_hits
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    nested = nest_children(orders, items, "o_orderkey", "l_orderkey",
+                           ["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_discount"], list_col="items")
+    out = nested_inner_hits(
+        nested, "items",
+        lambda c: pc.and_(pc.greater(c.column("l_quantity"), 45.0),
+                          pc.greater(c.column("l_discount"), 0.05)),
+        parent_cols=["o_orderkey"], size=2, sort_col="l_linenumber")
+    df = out.to_pandas()[["o_orderkey", "l_linenumber", "_inner_rank"]] \
+        .rename(columns={"_inner_rank": "inner_rank"})
+    df["l_linenumber"] = df["l_linenumber"].astype(np.int64)
+    return df.sort_values(["o_orderkey", "inner_rank", "l_linenumber"]) \
+        .reset_index(drop=True)
+
+
+def _q_collapse_inner_hits(sf_dir):
+    """collapse + inner_hits: top-5 langs by their best BM25 hit, each
+    expanded to its top-3 members (110_field_collapsing.yml shape)."""
+    s = _searcher(sf_dir)
+    from opensearch_ray.search.features import collapse_inner_hits
+    out = collapse_inner_hits(s, _BM25_Q, "lang", k=5, inner_size=3)
+    out["score"] = _fmt(out["score"], 4)
+    out = out.rename(columns={"_docid": "doc_id",
+                              "_inner_rank": "inner_rank"})
+    return out[["lang", "doc_id", "score", "inner_rank"]] \
+        .sort_values(["lang", "inner_rank"]).reset_index(drop=True)
+
+
 def _q_percolate(sf_dir):
     """Percolator: three registered queries matched against every document."""
     from opensearch_ray.percolator import Percolator
@@ -2630,6 +2776,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_geo_bounds": _q_agg_geo_bounds,
         "nested_query": _q_nested_query,
         "nested_agg": _q_nested_agg,
+        "has_child_query": _q_has_child,
+        "has_child_score": _q_has_child_score,
+        "has_parent_query": _q_has_parent,
+        "parent_id_query": _q_parent_id,
+        "has_child_inner_hits": _q_has_child_inner_hits,
+        "nested_inner_hits": _q_nested_inner_hits,
+        "collapse_inner_hits": _q_collapse_inner_hits,
         "percolate": _q_percolate,
         "agg_geo_distance": _q_agg_geo_distance,
         "agg_geo_centroid": _q_agg_geo_centroid,
@@ -3330,6 +3483,74 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_quantity > 45.0 AND l_discount > 0.05
             ORDER BY o_orderkey
         """,
+        "has_child_query": """
+            SELECT o_orderkey FROM orders
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_quantity >= 45.0
+            GROUP BY o_orderkey HAVING count(*) >= 2
+            ORDER BY o_orderkey
+        """,
+        "has_child_score": """
+            SELECT o_orderkey, printf('%.2f', sum(l_quantity)) AS score
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_quantity >= 45.0
+            GROUP BY o_orderkey ORDER BY o_orderkey
+        """,
+        "has_parent_query": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "parent_id_query": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   printf('%.1f', l_quantity) AS l_quantity
+            FROM lineitem
+            WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+            ORDER BY l_linenumber, l_quantity
+        """,
+        "has_child_inner_hits": """
+            WITH m AS (
+              SELECT l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber) AS rnk,
+                     count(*) OVER (PARTITION BY l_orderkey) AS cnt
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_quantity >= 45.0)
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(rnk AS BIGINT) AS inner_rank
+            FROM m WHERE cnt >= 2 AND rnk <= 3
+            ORDER BY o_orderkey, inner_rank, l_linenumber
+        """,
+        "nested_inner_hits": """
+            WITH m AS (
+              SELECT o_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY l_linenumber) AS rnk
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE l_quantity > 45.0 AND l_discount > 0.05)
+            SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(rnk AS BIGINT) AS inner_rank
+            FROM m WHERE rnk <= 2
+            ORDER BY o_orderkey, inner_rank, l_linenumber
+        """,
+        "collapse_inner_hits": _bm25_sql("""
+            , keyed AS (
+              SELECT sc.doc_id, sc.score, d.lang,
+                     row_number() OVER (PARTITION BY d.lang
+                                        ORDER BY sc.score DESC, sc.doc_id)
+                       AS inner_rank
+              FROM scored sc JOIN documents d USING (doc_id)),
+            topg AS (
+              SELECT lang FROM keyed WHERE inner_rank = 1
+              ORDER BY score DESC, doc_id LIMIT 5)
+            SELECT k.lang, k.doc_id, printf('%.4f', k.score) AS score,
+                   CAST(k.inner_rank AS BIGINT) AS inner_rank
+            FROM keyed k JOIN topg USING (lang)
+            WHERE k.inner_rank <= 3
+            ORDER BY k.lang, k.inner_rank
+        """),
         "nested_agg": """
             SELECT o_orderstatus, count(*) AS item_count,
                    printf('%.2f', sum(l_quantity)) AS qty_sum

@@ -175,6 +175,68 @@ def nested_flat_agg(ds: Dataset, list_col: str,
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def nested_inner_hits(ds: Dataset, list_col: str,
+                      predicate: Callable[[pa.Table], pa.Array],
+                      parent_cols: Sequence[str], size: int = 3,
+                      sort_col: Optional[str] = None) -> Dataset:
+    """inner_hits on a `nested` query (NestedQueryBuilder.innerHit;
+    search/fetch/subphase/InnerHitsPhase.java, InnerHitBuilder
+    DEFAULT_SIZE=3): for every parent with >= 1 matching child, the top
+    ``size`` MATCHING children — in list order by default (the indexed doc
+    order, the reference's _doc tiebreak in filter context) or ordered by
+    a child field when ``sort_col`` is given (InnerHitBuilder.setSort).
+
+    Exploded layout: one row per inner hit = the child struct fields +
+    ``parent_cols`` + ``_inner_rank`` (1-based within the parent) — group by
+    the parent key downstream to reassemble hits.hits[n].inner_hits."""
+
+    def inner(t: pa.Table) -> pa.Table:
+        child_tbl, offsets = _flatten(t, list_col)
+        names = child_tbl.column_names
+
+        def empty() -> pa.Table:
+            cols = {n: child_tbl.column(n).slice(0, 0) for n in names}
+            for c in parent_cols:
+                cols[c] = t.column(c).slice(0, 0)
+            cols["_inner_rank"] = pa.array([], pa.int64())
+            return pa.table(cols)
+
+        if child_tbl.num_rows == 0:
+            return empty()
+        m = pc.fill_null(pc.cast(predicate(child_tbl), pa.bool_()),
+                         False).to_numpy(zero_copy_only=False).astype(bool)
+        if not m.any():
+            return empty()
+        parent_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                              np.diff(offsets))
+        midx = np.flatnonzero(m)
+        keys = parent_of[midx]
+        if sort_col is not None:
+            vals = child_tbl.column(sort_col) \
+                .to_numpy(zero_copy_only=False)[midx]
+            order = np.lexsort((vals, keys))
+        else:
+            order = np.arange(midx.size)  # list order IS doc order
+        keys_s = keys[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], keys_s[1:] != keys_s[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [keys_s.size])))
+        rank = np.arange(keys_s.size, dtype=np.int64) - np.repeat(
+            starts, seg_len)
+        keep = rank < size
+        idx = midx[order[keep]]
+        out = {n: child_tbl.column(n).take(pa.array(idx)) for n in names}
+        for c in parent_cols:
+            col = t.column(c)
+            col = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            out[c] = col.take(pa.array(parent_of[idx]))
+        out["_inner_rank"] = pa.array(rank[keep] + 1)
+        return pa.table(out)
+
+    return ds.map_batches(inner, batch_format="pyarrow")
+
+
 def reverse_nested_agg(ds: Dataset, list_col: str, child_key: str,
                        parent_key: str) -> Dataset:
     """`reverse_nested` aggregation

@@ -69,6 +69,46 @@ def collapse_search(searcher: Searcher, query_text: str, collapse_field: str,
     return best.head(k)[[collapse_field, "_docid", "score"]].reset_index(drop=True)
 
 
+def collapse_inner_hits(searcher: Searcher, query_text: str,
+                        collapse_field: str, k: int = 10,
+                        inner_size: int = 3,
+                        operator: str = "or") -> pd.DataFrame:
+    """collapse + inner_hits (CollapseBuilder.setInnerHits;
+    search/fetch/subphase/InnerHitsPhase.java; conformance
+    rest-api-spec/test/search/110_field_collapsing.yml asserts
+    hits.hits.0.inner_hits): the top-``k`` collapse GROUPS ordered by their
+    best hit (score desc, docid asc), each expanded to its top
+    ``inner_size`` members by the same order.
+
+    Exploded layout — (collapse key, _docid, score, _inner_rank), one row
+    per inner hit; rank 1 is the group's representative hit. Bounded: doc
+    set + score_docs numpy arrays, never per-doc Python."""
+    from .sort_phase import gather_doc_values
+
+    terms = list(dict.fromkeys(searcher.analyzer.tokens(query_text)))
+    empty = pd.DataFrame({collapse_field: [], "_docid": [], "score": [],
+                          "_inner_rank": []})
+    if not terms:
+        return empty
+    docs = np.sort(searcher.bool_docs(must=terms) if operator == "and"
+                   else searcher.bool_docs(should=terms))
+    if docs.size == 0:
+        return empty
+    scores = searcher.score_docs(docs, searcher.analyzer.tokens(query_text))
+    keys = gather_doc_values(searcher, docs, collapse_field)
+    order = np.lexsort((docs, -scores))
+    docs, scores, keys = docs[order], scores[order], keys[order]
+    df = pd.DataFrame({collapse_field: keys, "_docid": docs,
+                       "score": scores})
+    # rank-order grouping: first occurrence of a key = the group's best hit
+    df["_inner_rank"] = df.groupby(collapse_field, sort=False).cumcount() + 1
+    top_keys = df.drop_duplicates(subset=[collapse_field],
+                                  keep="first").head(k)[collapse_field]
+    df = df[df[collapse_field].isin(set(top_keys))
+            & (df["_inner_rank"] <= inner_size)]
+    return df.reset_index(drop=True)
+
+
 def highlight(searcher: Searcher, query_text: str, k: int = 10,
               fragment_size: int = 60, pre_tag: str = "<em>",
               post_tag: str = "</em>") -> pd.DataFrame:
