@@ -2506,6 +2506,39 @@ def _q_token_count_range(sf_dir):
             .reset_index(drop=True))
 
 
+def _q_match_only_text(sf_dir):
+    """match_only_text field type: index_options=DOCS + no norms, so each
+    matched term contributes exactly boost*idf (tf and length factors
+    collapse to 1) — score = Σ idf over matched query terms."""
+    from opensearch_ray.mapper import match_only_text_query
+    s = _searcher(sf_dir)
+    docs, scores = match_only_text_query(s, _BM25_Q)
+    return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                         "score": _fmt(scores, 4)})
+
+
+def _q_constant_keyword(sf_dir):
+    """constant_keyword: a term query equal to the mapping value rewrites
+    to match_all WITHOUT reading data; any other value to match_none."""
+    from opensearch_ray.mapper import constant_keyword_filter
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    hit = constant_keyword_filter(ds, "corpus", "corpus").to_pandas()
+    miss = constant_keyword_filter(_read(sf_dir, "documents", ["doc_id"]),
+                                   "corpus", "other")
+    assert miss.count() == 0
+    return hit.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_flat_object_term(sf_dir):
+    """flat_object over events.props JSON: term query on the dynamic leaf
+    path `k` (keyword semantics, no explicit mapping)."""
+    from opensearch_ray.mapper import flat_object_term_filter
+    out = flat_object_term_filter(
+        _read(sf_dir, "events", ["event_id", "props"]),
+        "props", "k", "69").to_pandas()
+    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+
+
 def _q_agg_reverse_nested(sf_dir):
     """reverse_nested: bucket by CHILD l_returnflag, count PARENT orders."""
     from opensearch_ray.nested import nest_children, reverse_nested_agg
@@ -2852,6 +2885,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_field_query": _q_range_field_query,
         "scaled_float_agg": _q_scaled_float_agg,
         "token_count_range": _q_token_count_range,
+        "match_only_text_query": _q_match_only_text,
+        "constant_keyword_term": _q_constant_keyword,
+        "flat_object_term": _q_flat_object_term,
         "agg_reverse_nested": _q_agg_reverse_nested,
         "agg_global": _q_agg_global,
         "agg_filter": _q_agg_filter,
@@ -4284,6 +4320,30 @@ def oracle_sql() -> dict[str, str]:
                    FROM tok GROUP BY doc_id)
             SELECT doc_id, token_count FROM tc
             WHERE token_count BETWEEN 40 AND 60 ORDER BY doc_id
+        """,
+        "match_only_text_query": f"""
+            WITH tok AS (
+              SELECT DISTINCT d.doc_id, t.tok AS token
+              FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}),
+            df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+            qterms(term) AS (VALUES ('hash'), ('join'), ('stream')),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT tok.doc_id,
+                   printf('%.4f', SUM(ln(1 + (n.n_docs - df.df + 0.5)
+                                           / (df.df + 0.5)))) AS score
+            FROM tok JOIN qterms q ON tok.token = q.term
+            JOIN df ON df.token = tok.token CROSS JOIN n
+            GROUP BY tok.doc_id ORDER BY tok.doc_id
+        """,
+        "constant_keyword_term": """
+            SELECT doc_id FROM documents ORDER BY doc_id
+        """,
+        "flat_object_term": """
+            SELECT event_id FROM events
+            WHERE json_extract_string(props, '$.k') = '69'
+            ORDER BY event_id
         """,
         "agg_reverse_nested": """
             SELECT l.l_returnflag,

@@ -198,3 +198,118 @@ def token_count_column(ds: Dataset, text_col: str, analyzer: str = "default",
         return t.append_column(out_col, pa.array(n.astype(np.int64)))
 
     return ds.map_batches(count, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- match_only_text
+
+def match_only_text_query(s, text: str):
+    """match_only_text (server/index/mapper/MatchOnlyTextFieldMapper.java,
+    IndicesModule.java:164-176 — the log-use-case text type): indexed with
+    index_options=DOCS, no norms, no positions. Scoring consequences in
+    BM25Similarity: tf is constant 1 and the omitted norm makes the length
+    factor 1, so each matched term contributes
+
+        boost * idf * (k1+1) * 1 / (1 + k1)  ==  boost * idf
+
+    i.e. the doc score is Σ idf over the matched query terms. Phrase
+    queries on this type re-analyze _source (the engine's existing
+    text-verify fallback IS that path — Searcher._match_phrase_textverify).
+
+    Runs over the regular index (a superset: freqs/norms present but
+    IGNORED, matching the reference where the same query on both types
+    differs only by these constants). Returns (sorted docids, scores) with
+    the engine's (score desc, docid asc)-comparable float64 scores."""
+    from .search.bm25 import bm25_idf
+
+    terms = list(dict.fromkeys(s.analyzer.tokens(text)))
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    stats = s.term_stats(terms)
+    live = [t for t in terms if stats[t][0] > 0]
+    docs = np.sort(s.bool_docs(should=live)) if live else \
+        np.empty(0, np.int64)
+    scores = np.zeros(docs.size, np.float64)
+    for t in live:
+        d = s.term_docs(t)
+        pos = np.searchsorted(docs, d)
+        scores[pos] += float(bm25_idf(stats[t][0], s.N, np.float64))
+    return docs, scores
+
+
+# -------------------------------------------------------- constant_keyword
+
+def constant_keyword_filter(ds: Dataset, mapping_value: str, query_value,
+                            query_kind: str = "term") -> Dataset:
+    """constant_keyword (ConstantKeywordFieldMapper): every doc of the
+    index carries the SAME mapping-declared value, so queries resolve
+    against the MAPPING without touching data: a matching term/wildcard
+    rewrites to match_all, anything else to match_none. term + wildcard
+    kinds (the query rewrites ConstantKeywordFieldType implements)."""
+    if query_kind == "term":
+        hit = query_value == mapping_value
+    elif query_kind == "wildcard":
+        import re as _re
+        hit = _re.fullmatch(wildcard_pattern_to_regex(str(query_value))
+                            .strip("^$"), mapping_value) is not None
+    else:
+        raise ValueError(f"unsupported query kind: {query_kind}")
+    if hit:
+        return ds  # match_all rewrite: zero data read
+    return ds.filter(lambda _row: False)
+
+
+# ------------------------------------------------------------- flat_object
+
+def flat_object_paths(t: pa.Table, json_col: str) -> pa.Table:
+    """Flatten a JSON-object column into (row index, path, leaf-value)
+    rows — FlatObjectFieldMapper's index shape: every leaf under the field
+    is searchable by its dotted path WITHOUT explicit mapping; all leaf
+    values are indexed as KEYWORD strings (the reference's contract)."""
+    import json as _json
+
+    idx, paths, vals = [], [], []
+
+    def walk(prefix: str, obj, i: int) -> None:
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                walk(f"{prefix}.{k}" if prefix else k, v, i)
+        elif isinstance(obj, list):
+            for v in obj:  # arrays index each element under the same path
+                walk(prefix, v, i)
+        elif obj is not None:
+            idx.append(i)
+            paths.append(prefix)
+            # keyword semantics: JSON scalars stringify (json.dumps-style
+            # for bools to match the reference's lowercase true/false)
+            vals.append(_json.dumps(obj) if isinstance(obj, bool)
+                        else str(obj))
+
+    for i, raw in enumerate(t.column(json_col).to_pylist()):
+        if not raw:
+            continue
+        try:
+            walk("", _json.loads(raw) if isinstance(raw, str) else raw, i)
+        except (ValueError, TypeError):
+            continue
+    return pa.table({"_row": pa.array(idx, pa.int64()),
+                     "path": pa.array(paths, pa.string()),
+                     "value": pa.array(vals, pa.string())})
+
+
+def flat_object_term_filter(ds: Dataset, json_col: str, path: str,
+                            value: str) -> Dataset:
+    """flat_object term query: rows whose JSON object has ``value`` at the
+    dotted leaf ``path`` (FlatObjectFieldType.termQuery over the
+    path=value keyword pairs). Map-only: each batch flattens and filters
+    in place — at scale the flattened (path, value) table is written once
+    at ingest and this becomes a plain keyword filter."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        flat = flat_object_paths(t, json_col)
+        m = pc.and_(pc.equal(flat.column("path"), pa.scalar(path)),
+                    pc.equal(flat.column("value"), pa.scalar(str(value))))
+        rows = np.unique(flat.filter(m).column("_row")
+                         .to_numpy(zero_copy_only=False))
+        return t.take(pa.array(rows))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

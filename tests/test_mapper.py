@@ -142,3 +142,55 @@ def test_cidr_contains_its_network_and_broadcast():
         assert hi - lo == (2 ** (32 - bits)) - 1
 
     check()
+
+
+def test_constant_keyword_rewrites():
+    import pyarrow as pa
+    import ray
+    from opensearch_ray.mapper import constant_keyword_filter
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2, 3])}))
+    assert constant_keyword_filter(ds, "env-prod", "env-prod").count() == 3
+    assert constant_keyword_filter(ds, "env-prod", "env-dev").count() == 0
+    assert constant_keyword_filter(ds, "env-prod", "env-*",
+                                   query_kind="wildcard").count() == 3
+    assert constant_keyword_filter(ds, "env-prod", "dev-*",
+                                   query_kind="wildcard").count() == 0
+
+
+def test_flat_object_paths_and_term():
+    import pyarrow as pa
+    import ray
+    from opensearch_ray.mapper import flat_object_paths, flat_object_term_filter
+    t = pa.table({"id": pa.array([1, 2, 3]),
+                  "j": pa.array(['{"a": {"b": 1}, "c": ["x", "y"]}',
+                                 '{"a": {"b": 2}}', None])})
+    flat = flat_object_paths(t, "j")
+    rows = sorted(zip(flat["_row"].to_pylist(), flat["path"].to_pylist(),
+                      flat["value"].to_pylist()))
+    assert rows == [(0, "a.b", "1"), (0, "c", "x"), (0, "c", "y"),
+                    (1, "a.b", "2")]
+    ds = ray.data.from_arrow(t)
+    out = flat_object_term_filter(ds, "j", "a.b", "2").to_pandas()
+    assert list(out["id"]) == [2]
+    out2 = flat_object_term_filter(ds, "j", "c", "y").to_pandas()
+    assert list(out2["id"]) == [1]
+
+
+def test_match_only_text_score_is_sum_of_idf(built_index):
+    import numpy as np
+    from opensearch_ray.mapper import match_only_text_query
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.search.bm25 import bm25_idf
+    s = Searcher(built_index.index_dir)
+    docs, scores = match_only_text_query(s, "bace cedi")
+    assert docs.size > 0
+    stats = s.term_stats(["bace", "cedi"])
+    i1 = float(bm25_idf(stats["bace"][0], s.N, np.float64))
+    i2 = float(bm25_idf(stats["cedi"][0], s.N, np.float64))
+    both = np.intersect1d(s.term_docs("bace"), s.term_docs("cedi"))
+    only1 = np.setdiff1d(s.term_docs("bace"), both)
+    got = dict(zip(docs.tolist(), scores.tolist()))
+    if both.size:
+        assert abs(got[int(both[0])] - (i1 + i2)) < 1e-12
+    if only1.size:
+        assert abs(got[int(only1[0])] - i1) < 1e-12
