@@ -2539,6 +2539,30 @@ def _q_flat_object_term(sf_dir):
     return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
 
 
+def _completion_index(sf_dir, with_context: bool):
+    from opensearch_ray.search.completion import CompletionIndex
+    cols = ["text", "lang"] if with_context else ["text"]
+    return CompletionIndex.build(
+        _read(sf_dir, "documents", cols), "text",
+        context_col="lang" if with_context else None,
+        analyzer="transcript")
+
+
+def _q_completion_context(sf_dir):
+    """completion suggester with category contexts: suggestions filtered
+    to docs whose lang context is en or de, weights summed over the
+    surviving contexts (ContextMappings category filter)."""
+    ci = _completion_index(sf_dir, with_context=True)
+    return ci.complete("s", size=5, contexts=["en", "de"])
+
+
+def _q_completion_fuzzy(sf_dir):
+    """fuzzy completion (FuzzyOptions): 'strem' matches terms whose prefix
+    is within 1 edit — finds 'stream' despite the typo."""
+    ci = _completion_index(sf_dir, with_context=False)
+    return ci.complete("strem", size=5, fuzzy_edits=1)
+
+
 def _q_agg_reverse_nested(sf_dir):
     """reverse_nested: bucket by CHILD l_returnflag, count PARENT orders."""
     from opensearch_ray.nested import nest_children, reverse_nested_agg
@@ -2888,6 +2912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_only_text_query": _q_match_only_text,
         "constant_keyword_term": _q_constant_keyword,
         "flat_object_term": _q_flat_object_term,
+        "completion_suggest_context": _q_completion_context,
+        "completion_suggest_fuzzy": _q_completion_fuzzy,
         "agg_reverse_nested": _q_agg_reverse_nested,
         "agg_global": _q_agg_global,
         "agg_filter": _q_agg_filter,
@@ -4339,6 +4365,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "constant_keyword_term": """
             SELECT doc_id FROM documents ORDER BY doc_id
+        """,
+        "completion_suggest_context": f"""
+            WITH tok AS (
+              SELECT DISTINCT d.doc_id, d.lang, t.tok AS term
+              FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}),
+            f AS (SELECT term, count(*) AS df FROM tok
+                  WHERE lang IN ('en', 'de') AND term LIKE 's%'
+                  GROUP BY term)
+            SELECT term AS suggestion, df,
+                   CAST(row_number() OVER (ORDER BY df DESC, term)
+                        AS BIGINT) AS rank
+            FROM f ORDER BY df DESC, term LIMIT 5
+        """,
+        "completion_suggest_fuzzy": f"""
+            WITH tok AS (
+              SELECT DISTINCT d.doc_id, t.tok AS term
+              FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}),
+            f AS (SELECT term, count(*) AS df FROM tok
+                  WHERE length(term) >= 4 AND (
+                        levenshtein('strem', substr(term, 1, 4)) <= 1
+                     OR levenshtein('strem', substr(term, 1, 5)) <= 1
+                     OR levenshtein('strem', substr(term, 1, 6)) <= 1)
+                  GROUP BY term)
+            SELECT term AS suggestion, df,
+                   CAST(row_number() OVER (ORDER BY df DESC, term)
+                        AS BIGINT) AS rank
+            FROM f ORDER BY df DESC, term LIMIT 5
         """,
         "flat_object_term": """
             SELECT event_id FROM events

@@ -129,3 +129,28 @@ def test_collapse_inner_hits(built_index):
         g = g.sort_values("_inner_rank")
         assert list(g["_inner_rank"]) == list(range(1, len(g) + 1))
         assert (np.diff(g["score"].to_numpy()) <= 1e-12).all()
+
+
+def test_completion_contexts_and_fuzzy():
+    import pyarrow as pa
+    import ray
+    from opensearch_ray.search.completion import CompletionIndex
+    t = pa.table({
+        "text": pa.array(["stream stream window", "stream merge",
+                          "window stress", "stripe stream"]),
+        "cat": pa.array(["a", "a", "b", "b"])})
+    ci = CompletionIndex.build(ray.data.from_arrow(t), "text", "cat",
+                               analyzer="standard")
+    # context filter: only cat=a docs count
+    out = ci.complete("st", size=5, contexts=["a"])
+    assert list(zip(out["suggestion"], out["df"])) == [("stream", 2)]
+    # both contexts: stream df=3 (distinct docs), stress 1, stripe 1
+    out2 = ci.complete("st", size=5, contexts=["a", "b"])
+    assert list(zip(out2["suggestion"], out2["df"])) == [
+        ("stream", 3), ("stress", 1), ("stripe", 1)]
+    # fuzzy: 'strem' (typo) still finds stream; exact prefix finds nothing
+    assert ci.complete("strem", size=5).empty
+    fz = ci.complete("strem", size=5, fuzzy_edits=1)
+    assert "stream" in list(fz["suggestion"])
+    # short inputs stay exact (min_fuzzy_length)
+    assert ci.complete("xy", size=5, fuzzy_edits=1).empty
