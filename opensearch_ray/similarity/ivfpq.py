@@ -37,6 +37,48 @@ from .ivf import _kmeans
 from .pq import _norm_rows, pq_topk, pq_train
 
 
+_COARSE_SAMPLE_CAP = 1 << 20  # driver-materialized training cap (vectors)
+
+
+def _streaming_spherical_kmeans(sample_ds, vec_col: str, k: int,
+                                seed: int = 17, iters: int = 4
+                                ) -> np.ndarray:
+    """Spherical k-means over a sample too large to materialize on the
+    driver: exact Lloyd iterations computed STREAMING — each pass scans
+    the (id-sorted, hence deterministic) sample with ``iter_batches``,
+    assigns per chunk (vectorized matmul) and folds global per-centroid
+    sum/count accumulators; driver memory is O(k x dim), never the sample.
+    Init = the first k sample vectors in id order (deterministic)."""
+    C = None
+    init_rows: list = []
+    for it in range(iters + 1):
+        if C is None:
+            # pass 0: collect the deterministic init prefix only
+            for b in sample_ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=8192):
+                init_rows.extend(b.column(vec_col).to_pylist())
+                if len(init_rows) >= k:
+                    break
+            X0 = _norm_rows(np.stack(init_rows[:k]).astype(np.float32))
+            C = X0.copy()
+            del init_rows, X0
+            continue
+        dim = C.shape[1]
+        sums = np.zeros((k, dim), np.float64)
+        counts = np.zeros(k, np.int64)
+        for b in sample_ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=8192):
+            V = _norm_rows(np.stack(
+                b.column(vec_col).to_pylist()).astype(np.float32))
+            assign = (V @ C.T).argmax(axis=1)
+            np.add.at(sums, assign, V.astype(np.float64))
+            np.add.at(counts, assign, 1)
+        nz = counts > 0
+        C[nz] = _norm_rows(
+            (sums[nz] / counts[nz, None]).astype(np.float32))
+    return C
+
+
 class IvfPqIndex:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -55,16 +97,29 @@ class IvfPqIndex:
         if n_cells is None:
             n_cells = int(min(65536, max(4, round(n ** 0.5))))
         # coarse quantizer: spherical k-means on a hash-stable sample
-        stride = max(1, n // max(sample_size, 40 * n_cells))
+        need = max(sample_size, 40 * n_cells)
+        stride = max(1, n // need)
 
         def pick(t: pa.Table) -> pa.Table:
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
             return t.filter(pa.array(ids % stride == 0))
 
-        sample = (ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-                  .sort_values(id_col))
-        X = np.stack(sample[vec_col].to_numpy()).astype(np.float32)
-        C = _kmeans(X, n_cells, seed=seed)
+        if need <= _COARSE_SAMPLE_CAP:
+            sample = (ds.map_batches(pick, batch_format="pyarrow")
+                      .to_pandas().sort_values(id_col))
+            X = np.stack(sample[vec_col].to_numpy()).astype(np.float32)
+            C = _kmeans(X, n_cells, seed=seed)
+        else:
+            # faiss-style 40*k training vectors would exceed the driver
+            # heap at the top cell counts (40 x 65536 ≈ 2.6 M vectors) —
+            # stream exact Lloyd iterations instead: per-chunk assignment
+            # + global sum/count accumulators, memory O(k x dim)
+            # materialize once: iter_batches per Lloyd pass would otherwise
+            # recompute the pick+sort lineage every epoch
+            C = _streaming_spherical_kmeans(
+                ds.map_batches(pick, batch_format="pyarrow")
+                .sort(id_col).materialize(),
+                vec_col, n_cells, seed=seed)
         books = pq_train(ds, vec_col=vec_col, m=m, ks=ks,
                          sample_size=sample_size, seed=seed, id_col=id_col)
         c_ref = ray.put(C)
@@ -84,11 +139,12 @@ class IvfPqIndex:
                 d2 = ((S * S).sum(1, keepdims=True) - 2.0 * (S @ bk[j].T)
                       + (bk[j] * bk[j]).sum(1))
                 codes[:, j] = d2.argmin(1).astype(np.uint8)
-            flat = codes.tobytes()
+            packed = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(mm), len(V),
+                [None, pa.py_buffer(codes.tobytes())])
             return nometa(pa.table({
                 id_col: t.column(id_col),
-                "pq_code": pa.array([flat[i * mm:(i + 1) * mm]
-                                     for i in range(len(V))], pa.binary()),
+                "pq_code": packed,
                 "_cell": pa.array(cell),
             }))
 

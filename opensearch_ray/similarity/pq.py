@@ -95,12 +95,11 @@ def pq_encode(ds: Dataset, codebooks: np.ndarray,
                   - 2.0 * (S @ codebooks[j].T)
                   + (codebooks[j] * codebooks[j]).sum(1))
             codes[:, j] = d2.argmin(1).astype(np.uint8)
-        return pa.table({
-            id_col: t.column(id_col),
-            "pq_code": pa.array(list(codes.tobytes()[i * m:(i + 1) * m]
-                                     for i in range(len(X))),
-                                pa.binary()),
-        })
+        # zero-copy fixed-width code column (the minhash._pack_sigs
+        # pattern) — no per-row Python bytes objects
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), len(X), [None, pa.py_buffer(codes.tobytes())])
+        return pa.table({id_col: t.column(id_col), "pq_code": packed})
 
     return ds.map_batches(encode, batch_format="pyarrow")
 
@@ -122,15 +121,20 @@ def pq_topk(codes: Dataset, codebooks: np.ndarray, query_vec: np.ndarray,
         raw = t.column("pq_code").combine_chunks() \
             if isinstance(t.column("pq_code"), pa.ChunkedArray) \
             else t.column("pq_code")
-        # fixed-width codes -> zero-copy view of the binary data buffer
-        # (offsets are strictly m apart); fallback joins if ever ragged
-        off = np.frombuffer(raw.buffers()[1], np.int32)[
-            raw.offset:raw.offset + len(raw) + 1]
-        if len(off) > 1 and (np.diff(off) == m).all():
-            data = np.frombuffer(raw.buffers()[2], np.uint8)
-            buf = data[off[0]:off[-1]]
+        if pa.types.is_fixed_size_binary(raw.type):
+            # fixed_size_binary: [validity, data] buffers, no offsets —
+            # a straight zero-copy view sliced by the array offset
+            data = np.frombuffer(raw.buffers()[1], np.uint8)
+            buf = data[raw.offset * m:(raw.offset + len(raw)) * m]
         else:
-            buf = np.frombuffer(b"".join(raw.to_pylist()), np.uint8)
+            # variable binary with strictly m-apart offsets (older codes)
+            off = np.frombuffer(raw.buffers()[1], np.int32)[
+                raw.offset:raw.offset + len(raw) + 1]
+            if len(off) > 1 and (np.diff(off) == m).all():
+                data = np.frombuffer(raw.buffers()[2], np.uint8)
+                buf = data[off[0]:off[-1]]
+            else:
+                buf = np.frombuffer(b"".join(raw.to_pylist()), np.uint8)
         C = buf.reshape(-1, m)
         scores = table[np.arange(m), C].sum(1)  # gather-sum, no row loop
         ids = t.column(id_col).to_numpy(zero_copy_only=False)

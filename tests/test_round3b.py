@@ -295,3 +295,43 @@ def test_ivfpq_recall(sf_dir, tmp_path):
     assert set(part.vec_id) <= set(full.vec_id) | set(exact.vec_id) | \
         set(part.vec_id)  # sanity: no crash, sane ids
     assert (part.score.values[:-1] >= part.score.values[1:]).all()
+
+
+def test_pq_codes_are_fixed_size_binary(sf_dir):
+    """pq_encode emits zero-copy fixed_size_binary(m) codes; pq_topk decodes
+    both the fixed-width and the legacy variable-binary layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from opensearch_ray.similarity.pq import pq_encode, pq_topk, pq_train
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(ds, m=8, sample_size=256)
+    codes = pq_encode(ds, books)
+    tbl = codes.take_batch(16, batch_format="pyarrow")
+    assert pa.types.is_fixed_size_binary(tbl.column("pq_code").type)
+    assert tbl.column("pq_code").type.byte_width == 8
+    q = np.asarray(ds.take(1)[0]["embedding"], np.float32)
+    out = pq_topk(codes, books, q, k=5)
+    assert len(out) == 5 and out["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_streaming_coarse_kmeans_matches_shape(sf_dir, tmp_path):
+    """Forcing the >cap branch: streaming Lloyd trains (k, dim) unit-norm
+    centroids and the built index searches fine."""
+    import numpy as np
+    import ray
+    import opensearch_ray.similarity.ivfpq as iv
+    old = iv._COARSE_SAMPLE_CAP
+    iv._COARSE_SAMPLE_CAP = 10
+    try:
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        idx = iv.IvfPqIndex.build(ds, str(tmp_path / "ivfpq_s"),
+                                  n_cells=6, m=8, sample_size=64)
+        C = idx.centroids
+        assert C.shape[0] == 6
+        assert np.allclose(np.linalg.norm(C, axis=1), 1.0, atol=1e-5)
+        q = np.asarray(ds.take(1)[0]["embedding"], np.float32)
+        out = idx.search(q, k=5, nprobe=3)
+        assert len(out) == 5
+    finally:
+        iv._COARSE_SAMPLE_CAP = old
