@@ -208,8 +208,68 @@ def run_bench() -> dict:
             cluster.search(q["query_text"], k=q["k"])
             clat.append(time.perf_counter() - tq)
         timings["cluster_query_p50_ms"] = round(statistics.median(clat) * 1000, 2)
+
+        # high-cardinality distributed terms agg (conv_id ~ n_turns/25
+        # distinct keys): shard_size-bounded partials — the coordinator
+        # reduce holds E x shard_size keys, so driver RSS stays flat
+        import resource as _res
+        rss0 = _res.getrusage(_res.RUSAGE_SELF).ru_maxrss
+        tq = time.perf_counter()
+        cluster.terms_agg_on_hits(qs[0]["query_text"], "conv_id", size=10)
+        timings["cluster_terms_agg_hicard_sec"] = round(
+            time.perf_counter() - tq, 3)
+        timings["cluster_terms_agg_coord_rss_delta_mb"] = round(
+            (_res.getrusage(_res.RUSAGE_SELF).ru_maxrss - rss0) / 1024, 1)
     finally:
         cluster.shutdown()
+
+    # --- round-4 bounded deep paths: deep-page p50 (cursor pushed into the
+    # collector, heap O(page)) and collapse / rescore request p50 (bounded
+    # to window/over-fetch) measured on the FULL index and a HALF index —
+    # the latency ratio shows the request cost does not track match count
+    # the way the old k=10^9 materialization did (heap memory is O(page) by
+    # construction either way).
+    if not os.environ.get("OSRAY_BENCH_NO_DEEP"):
+        from opensearch_ray.search.dsl import execute_request as _exec_req
+        half_files = sorted(_glob.glob(os.path.join(corpus, "*.parquet")))
+        half_files = half_files[: max(1, n_files // 2)]
+        idx_half = f"/tmp/osray_bench_idx_half_{os.getpid()}"
+        build_index(half_files, idx_half, analyzer="transcript",
+                    hot_df_threshold=max(1000, n_turns // 40))
+        for tag, ss in (("full", s), ("half", Searcher(idx_half))):
+            deep, creq, rreq = [], [], []
+            for q in qs:
+                pre = ss.search(q["query_text"], k=2000)
+                cur = ((pre[-1].score, pre[-1].docid) if pre else (0.0, -1))
+                tq = time.perf_counter()
+                ss.search(q["query_text"], k=100, after=cur)
+                deep.append(time.perf_counter() - tq)
+                body_c = {"query": {"match": {ss.manifest.text_col:
+                                              q["query_text"]}},
+                          "collapse": {"field": "role"}, "size": 3}
+                tq = time.perf_counter()
+                _exec_req(ss, body_c, text_field=ss.manifest.text_col,
+                          id_col="docid")
+                creq.append(time.perf_counter() - tq)
+                first = q["query_text"].split()[0]
+                body_r = {"query": {"match": {ss.manifest.text_col:
+                                              q["query_text"]}},
+                          "rescore": {"window_size": 50, "query": {
+                              "rescore_query": {"match": {
+                                  ss.manifest.text_col: first}},
+                              "rescore_query_weight": 2.0}},
+                          "size": 10}
+                tq = time.perf_counter()
+                _exec_req(ss, body_r, text_field=ss.manifest.text_col,
+                          id_col="docid")
+                rreq.append(time.perf_counter() - tq)
+            timings[f"deep_page_p50_ms_{tag}"] = round(
+                statistics.median(deep) * 1000, 2)
+            timings[f"collapse_req_p50_ms_{tag}"] = round(
+                statistics.median(creq) * 1000, 2)
+            timings[f"rescore_req_p50_ms_{tag}"] = round(
+                statistics.median(rreq) * 1000, 2)
+        _shutil.rmtree(idx_half, ignore_errors=True)
 
     # --- secondary pipelines over the sf tables
     import ray.data as rd
