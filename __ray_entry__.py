@@ -1081,6 +1081,34 @@ def _q_agg_moving_avg(sf_dir):
     return out[["month", "doc_count", "mov_avg"]]
 
 
+def _q_agg_moving_avg_ewma(sf_dir):
+    """moving_avg model=ewma (EwmaModel, alpha=0.5): forward exponential
+    smoothing over the trailing 3-bucket window."""
+    from opensearch_ray.aggs import date_histogram_agg
+    from opensearch_ray.aggs.pipeline import moving_avg_model
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    out = moving_avg_model(out, "doc_count", window=3, model="ewma",
+                           alpha=0.5, out="mov_ewma")
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    out["mov_ewma"] = _fmt(out["mov_ewma"], 4)
+    return out[["month", "doc_count", "mov_ewma"]]
+
+
+def _q_agg_moving_avg_linear(sf_dir):
+    """moving_avg model=linear (LinearModel): linearly increasing weights
+    toward the most recent bucket."""
+    from opensearch_ray.aggs import date_histogram_agg
+    from opensearch_ray.aggs.pipeline import moving_avg_model
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    out = moving_avg_model(out, "doc_count", window=3, model="linear",
+                           out="mov_linear")
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    out["mov_linear"] = _fmt(out["mov_linear"], 4)
+    return out[["month", "doc_count", "mov_linear"]]
+
+
 def _q_agg_serial_diff(sf_dir):
     from opensearch_ray.aggs import date_histogram_agg, serial_diff
     out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
@@ -2808,6 +2836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_lookup": _q_terms_lookup,
         "search_after": _q_search_after,
         "agg_moving_avg": _q_agg_moving_avg,
+        "agg_moving_avg_ewma": _q_agg_moving_avg_ewma,
+        "agg_moving_avg_linear": _q_agg_moving_avg_linear,
         "agg_serial_diff": _q_agg_serial_diff,
         "agg_rare_terms": _q_agg_rare_terms,
         "agg_filters": _q_agg_filters,
@@ -3428,6 +3458,41 @@ def oracle_sql() -> dict[str, str]:
                    printf('%.4f', avg(doc_count) OVER (ORDER BY month
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mov_avg
             FROM m ORDER BY month
+        """,
+        "agg_moving_avg_ewma": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1),
+            w AS (SELECT month, doc_count,
+                         array_agg(CAST(doc_count AS DOUBLE)) OVER (
+                           ORDER BY month
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS l
+                  FROM m)
+            SELECT month, doc_count,
+                   printf('%.4f', list_reduce(l, (a, x) -> x*0.5 + a*0.5))
+                     AS mov_ewma
+            FROM w ORDER BY month
+        """,
+        "agg_moving_avg_linear": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1),
+            w AS (SELECT month, doc_count,
+                         array_agg(CAST(doc_count AS DOUBLE)) OVER (
+                           ORDER BY month
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS l
+                  FROM m)
+            SELECT month, doc_count,
+                   printf('%.4f',
+                          list_sum(list_transform(l, (x, i) -> x*i))
+                          / list_sum(list_transform(
+                                l, (x, i) -> CAST(i AS DOUBLE))))
+                     AS mov_linear
+            FROM w ORDER BY month
         """,
         "agg_serial_diff": """
             WITH m AS (

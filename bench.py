@@ -378,7 +378,8 @@ def run_scaling() -> dict:
     """
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   OSRAY_BENCH_TURNS=str(SCALING_TURNS))
+                   OSRAY_BENCH_TURNS=str(SCALING_TURNS),
+                   OSRAY_BENCH_NO_DEEP="1")  # identical protocol to r2/r3
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -414,7 +415,7 @@ def run_weak_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    OSRAY_BENCH_TURNS=str(per_cpu * ncpu),
-                   OSRAY_BENCH_NO_MINHASH="1")
+                   OSRAY_BENCH_NO_MINHASH="1", OSRAY_BENCH_NO_DEEP="1")
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))

@@ -39,6 +39,101 @@ def moving_fn(buckets: pd.DataFrame, metric: str, window: int,
     return b
 
 
+def _mavg_simple(w: np.ndarray, **_) -> float:
+    return float(np.mean(w))
+
+
+def _mavg_linear(w: np.ndarray, **_) -> float:
+    """LinearModel: linearly increasing weights toward the most recent."""
+    k = np.arange(1, len(w) + 1, dtype=np.float64)
+    return float((w * k).sum() / k.sum())
+
+
+def _mavg_ewma(w: np.ndarray, alpha: float = 0.3, **_) -> float:
+    """EwmaModel: forward exponential smoothing, avg0 = first value."""
+    avg = float(w[0])
+    for v in w[1:]:
+        avg = float(v) * alpha + avg * (1.0 - alpha)
+    return avg
+
+
+def _mavg_holt(w: np.ndarray, alpha: float = 0.3, beta: float = 0.1, **_
+               ) -> float:
+    """HoltLinearModel: double exponential smoothing (level + trend),
+    classic init level=w0, trend=w1-w0; returns the one-step forecast
+    level+trend (on an exactly linear window this continues the line)."""
+    if len(w) < 2:
+        return float(w[0])
+    s, b = float(w[0]), float(w[1]) - float(w[0])
+    for v in w[1:]:
+        s_new = alpha * float(v) + (1.0 - alpha) * (s + b)
+        b = beta * (s_new - s) + (1.0 - beta) * b
+        s = s_new
+    return s + b
+
+
+def _mavg_holt_winters(w: np.ndarray, alpha: float = 0.3, beta: float = 0.1,
+                       gamma: float = 0.3, period: int = 1,
+                       multiplicative: bool = False, **_) -> float:
+    """HoltWintersModel: triple exponential smoothing with seasonality
+    ``period`` (additive default; ``multiplicative`` per the reference's
+    mult variant with its pad guard against zeros). Needs >= 2 full
+    seasons, like the reference (it throws; we fall back to holt)."""
+    m = int(period)
+    if m < 2 or len(w) < 2 * m:
+        return _mavg_holt(w, alpha=alpha, beta=beta)
+    w = np.asarray(w, np.float64)
+    if multiplicative:
+        w = w + 1e-10 * (w == 0)  # the reference's zero padding
+    level = float(w[:m].mean())
+    trend = float((w[m:2 * m].mean() - w[:m].mean()) / m)
+    season = (w[:m] / level).tolist() if multiplicative else \
+        (w[:m] - level).tolist()
+    for t in range(m, len(w)):
+        v = float(w[t])
+        si = t % m
+        if multiplicative:
+            new_level = alpha * (v / season[si]) \
+                + (1 - alpha) * (level + trend)
+        else:
+            new_level = alpha * (v - season[si]) \
+                + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        season[si] = (gamma * (v / new_level)
+                      + (1 - gamma) * season[si]) if multiplicative else \
+            (gamma * (v - new_level) + (1 - gamma) * season[si])
+        level = new_level
+    si = len(w) % m
+    return (level + trend) * season[si] if multiplicative else \
+        level + trend + season[si]
+
+
+_MAVG_MODELS = {"simple": _mavg_simple, "linear": _mavg_linear,
+                "ewma": _mavg_ewma, "holt": _mavg_holt,
+                "holt_winters": _mavg_holt_winters}
+
+
+def moving_avg_model(buckets: pd.DataFrame, metric: str, window: int,
+                     model: str = "simple", out: str = "moving_avg",
+                     **settings) -> pd.DataFrame:
+    """moving_avg with the reference's model family
+    (search/aggregations/pipeline/MovAvgModel.java + SimpleModel /
+    LinearModel / EwmaModel / HoltLinearModel / HoltWintersModel):
+    per bucket, the model evaluates the trailing inclusive window
+    (min_periods=1, same convention as :func:`moving_fn`). Settings:
+    alpha, beta, gamma, period, multiplicative."""
+    if model not in _MAVG_MODELS:
+        raise ValueError(f"unknown moving_avg model: {model}")
+    fn = _MAVG_MODELS[model]
+    b = buckets.copy()
+    vals = b[metric].to_numpy(np.float64)
+    out_v = np.empty(len(vals), np.float64)
+    for i in range(len(vals)):
+        out_v[i] = fn(vals[max(0, i - window + 1):i + 1], **settings)
+    b[out] = out_v
+    return b
+
+
 def serial_diff(buckets: pd.DataFrame, metric: str, lag: int = 1,
                 out: str = "serial_diff") -> pd.DataFrame:
     b = buckets.copy()

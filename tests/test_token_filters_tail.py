@@ -122,3 +122,35 @@ def test_lowercase_lang():
     assert run(gr, ["ΟΔΟΣ"])[0] == ["οδοσ"]
     default = TOKEN_FILTERS["lowercase_lang"]()
     assert run(default, ["ABC"])[0] == ["abc"]
+
+
+# ---------------------------------------------------- moving_avg models
+
+def test_moving_avg_models():
+    import numpy as np
+    import pandas as pd
+    from opensearch_ray.aggs.pipeline import moving_avg_model
+
+    b = pd.DataFrame({"key": range(6), "v": [1.0, 2, 3, 4, 5, 6]})
+    simple = moving_avg_model(b, "v", window=3, model="simple")
+    assert simple["moving_avg"].tolist() == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
+    lin = moving_avg_model(b, "v", window=3, model="linear")
+    # window [2,3,4]: (2*1+3*2+4*3)/6 = 20/6
+    assert abs(lin["moving_avg"][3] - 20 / 6) < 1e-12
+    ew = moving_avg_model(b, "v", window=3, model="ewma", alpha=0.5)
+    # [2,3,4]: ((2*.5... avg=2 -> 3*.5+2*.5=2.5 -> 4*.5+2.5*.5=3.25
+    assert abs(ew["moving_avg"][3] - 3.25) < 1e-12
+    # holt on an exactly linear series forecasts the NEXT point exactly
+    ho = moving_avg_model(b, "v", window=4, model="holt",
+                          alpha=0.4, beta=0.2)
+    assert abs(ho["moving_avg"][5] - 7.0) < 1e-9
+    # holt_winters additive on a pure periodic series forecasts the next
+    # seasonal value exactly (gamma fixed point)
+    per = [10.0, 20.0, 30.0] * 4
+    bp = pd.DataFrame({"v": per})
+    hw = moving_avg_model(bp, "v", window=12, model="holt_winters",
+                          alpha=0.3, beta=0.1, gamma=0.3, period=3)
+    assert abs(hw["moving_avg"][11] - 10.0) < 1e-6  # next = season slot 0
+    # short window falls back to holt (reference throws; we degrade)
+    hw2 = moving_avg_model(b, "v", window=3, model="holt_winters", period=3)
+    assert np.isfinite(hw2["moving_avg"]).all()
