@@ -1081,6 +1081,40 @@ def _q_agg_moving_avg(sf_dir):
     return out[["month", "doc_count", "mov_avg"]]
 
 
+def _q_geo_shape_docs(sf_dir):
+    """geo_shape over SHAPE-VALUED docs: each event becomes a GeoJSON box
+    polygon (lat±3, lon±3); intersects/within/disjoint run against a 40x40
+    envelope, contains against a 2x2 one — all four ShapeRelation values
+    through the generic polygon geometry engine."""
+    import json as _json
+    from opensearch_ray.aggs.geo import geo_shape_docs_filter
+
+    def boxify(t: pa.Table) -> pa.Table:
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        shapes = [_json.dumps({"type": "Polygon", "coordinates": [[
+            [x - 3, y - 3], [x + 3, y - 3], [x + 3, y + 3],
+            [x - 3, y + 3], [x - 3, y - 3]]]})
+            for y, x in zip(lat.tolist(), lon.tolist())]
+        return pa.table({"event_id": t.column("event_id"),
+                         "shape": pa.array(shapes, pa.string())})
+
+    ds = _geo_events(sf_dir).map_batches(boxify, batch_format="pyarrow")
+    env_big = {"type": "envelope", "coordinates": [[-20.0, 20.0],
+                                                   [20.0, -20.0]]}
+    env_small = {"type": "envelope", "coordinates": [[-1.0, 1.0],
+                                                     [1.0, -1.0]]}
+    parts = []
+    for rel, env in (("intersects", env_big), ("within", env_big),
+                     ("contains", env_small)):
+        out = geo_shape_docs_filter(ds, "shape", env, rel).to_pandas()
+        ids = (out["event_id"].astype(np.int64) if len(out)
+               else pd.Series([], dtype=np.int64))
+        parts.append(pd.DataFrame({"relation": rel, "event_id": ids}))
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values(["relation", "event_id"]).reset_index(drop=True))
+
+
 def _q_agg_moving_avg_ewma(sf_dir):
     """moving_avg model=ewma (EwmaModel, alpha=0.5): forward exponential
     smoothing over the trailing 3-bucket window."""
@@ -2838,6 +2872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_moving_avg": _q_agg_moving_avg,
         "agg_moving_avg_ewma": _q_agg_moving_avg_ewma,
         "agg_moving_avg_linear": _q_agg_moving_avg_linear,
+        "geo_shape_docs": _q_geo_shape_docs,
         "agg_serial_diff": _q_agg_serial_diff,
         "agg_rare_terms": _q_agg_rare_terms,
         "agg_filters": _q_agg_filters,
@@ -3458,6 +3493,25 @@ def oracle_sql() -> dict[str, str]:
                    printf('%.4f', avg(doc_count) OVER (ORDER BY month
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mov_avg
             FROM m ORDER BY month
+        """,
+        "geo_shape_docs": """
+            WITH g AS (SELECT event_id,
+                         CAST(user_id % 180 AS DOUBLE) - 89.5 AS lat,
+                         CAST(event_id % 360 AS DOUBLE) - 179.5 AS lon
+                       FROM events)
+            SELECT * FROM (
+              SELECT 'intersects' AS relation, event_id FROM g
+              WHERE lon - 3 <= 20 AND lon + 3 >= -20
+                AND lat - 3 <= 20 AND lat + 3 >= -20
+              UNION ALL
+              SELECT 'within', event_id FROM g
+              WHERE lon - 3 >= -20 AND lon + 3 <= 20
+                AND lat - 3 >= -20 AND lat + 3 <= 20
+              UNION ALL
+              SELECT 'contains', event_id FROM g
+              WHERE lon - 3 <= -1 AND lon + 3 >= 1
+                AND lat - 3 <= -1 AND lat + 3 >= 1
+            ) ORDER BY relation, event_id
         """,
         "agg_moving_avg_ewma": """
             WITH m AS (

@@ -315,3 +315,130 @@ def geo_polygon_filter(ds: Dataset, lat_col: str, lon_col: str,
         return t.filter(pa.array(inside))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------- geo_shape over SHAPE docs
+
+def _ring_xy(coords) -> np.ndarray:
+    """GeoJSON ring [[lon, lat], ...] -> (k, 2) float array, closed."""
+    r = np.asarray(coords, np.float64)
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def _edges(ring: np.ndarray) -> tuple:
+    return ring[:-1], ring[1:]  # (k,2) starts, (k,2) ends
+
+
+def _cross(o, a, b):
+    return ((a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1])
+            - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0]))
+
+
+def _seg_hits(a0, a1, b0, b1) -> tuple:
+    """All-pairs segment relation between edge sets A (n) and B (m):
+    returns (any_contact, any_proper_crossing). Contact includes touches
+    and collinear overlap; proper = interiors cross. Vectorized n x m."""
+    A0 = a0[:, None, :]
+    A1 = a1[:, None, :]
+    B0 = b0[None, :, :]
+    B1 = b1[None, :, :]
+    d1 = _cross(B0, B1, A0)
+    d2 = _cross(B0, B1, A1)
+    d3 = _cross(A0, A1, B0)
+    d4 = _cross(A0, A1, B1)
+    proper = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+              & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0))
+
+    def on_seg(p, s0, s1):
+        return ((np.minimum(s0[..., 0], s1[..., 0]) <= p[..., 0])
+                & (p[..., 0] <= np.maximum(s0[..., 0], s1[..., 0]))
+                & (np.minimum(s0[..., 1], s1[..., 1]) <= p[..., 1])
+                & (p[..., 1] <= np.maximum(s0[..., 1], s1[..., 1])))
+
+    touch = (((d1 == 0) & on_seg(A0, B0, B1))
+             | ((d2 == 0) & on_seg(A1, B0, B1))
+             | ((d3 == 0) & on_seg(B0, A0, A1))
+             | ((d4 == 0) & on_seg(B1, A0, A1)))
+    crossing = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)))
+    return bool((crossing | touch).any()), bool(proper.any())
+
+
+def _pip_pts(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd PIP for (n,2) lon/lat points against a closed ring."""
+    return _point_in_polygon_mask(pts[:, 1], pts[:, 0],
+                                  [(y, x) for x, y in ring[:-1]])
+
+
+def _query_ring(shape: dict) -> np.ndarray:
+    typ = shape["type"].lower()
+    if typ == "envelope":
+        (x_w, y_n), (x_e, y_s) = shape["coordinates"]
+        return _ring_xy([[x_w, y_s], [x_e, y_s], [x_e, y_n], [x_w, y_n]])
+    if typ == "polygon":
+        return _ring_xy(shape["coordinates"][0])
+    raise ValueError(f"unsupported query shape: {typ}")
+
+
+def _relate_doc(geom: dict, q_ring: np.ndarray) -> tuple:
+    """(intersects, within, contains) of one doc geometry vs the query
+    ring. Simple (non-self-intersecting) geometries, outer rings only —
+    holes and dateline/pole wrapping are out of scope (documented; the
+    reference handles the dateline via its quadtree decomposition)."""
+    typ = geom["type"].lower()
+    q0, q1 = _edges(q_ring)
+    if typ == "point":
+        p = np.asarray([geom["coordinates"]], np.float64)
+        inside = bool(_pip_pts(p, q_ring)[0])
+        return inside, inside, False
+    if typ == "linestring":
+        pts = np.asarray(geom["coordinates"], np.float64)
+        d0, d1 = pts[:-1], pts[1:]
+        contact, proper = _seg_hits(d0, d1, q0, q1)
+        v_in = _pip_pts(pts, q_ring)
+        return (contact or bool(v_in.any()),
+                bool(v_in.all()) and not proper, False)
+    if typ == "polygon":
+        ring = _ring_xy(geom["coordinates"][0])
+        d0, d1 = _edges(ring)
+        contact, proper = _seg_hits(d0, d1, q0, q1)
+        doc_v_in = _pip_pts(ring[:-1], q_ring)
+        q_v_in = _pip_pts(q_ring[:-1], ring)
+        intersects = contact or bool(doc_v_in.any()) or bool(q_v_in.any())
+        within = bool(doc_v_in.all()) and not proper
+        contains = bool(q_v_in.all()) and not proper
+        return intersects, within, contains
+    raise ValueError(f"unsupported doc geometry: {typ}")
+
+
+def geo_shape_docs_filter(ds: Dataset, shape_col: str, query_shape: dict,
+                          relation: str = "intersects") -> Dataset:
+    """geo_shape query over SHAPE-VALUED documents
+    (modules/geo/.../GeoShapeFieldMapper.java + GeoShapeQueryBuilder):
+    ``shape_col`` holds GeoJSON geometries (dict or JSON string) of type
+    Point / LineString / Polygon; the query shape is an envelope or
+    polygon; all four ShapeRelation values. Map-only — each batch parses
+    and relates its own geometries (edge tests are vectorized all-pairs
+    numpy per doc; vertex counts are small). The point-doc fast path stays
+    in :func:`geo_shape_filter`."""
+    rel = relation.lower()
+    if rel not in ("intersects", "within", "disjoint", "contains"):
+        raise ValueError(f"unknown relation: {relation}")
+    q_ring = _query_ring(query_shape)
+
+    def filt(t: pa.Table) -> pa.Table:
+        import json as _json
+        raw = t.column(shape_col).to_pylist()
+        keep = np.zeros(len(raw), bool)
+        for i, g in enumerate(raw):
+            if g is None:
+                continue
+            if isinstance(g, str):
+                g = _json.loads(g)
+            inter, within, contains = _relate_doc(g, q_ring)
+            keep[i] = {"intersects": inter, "disjoint": not inter,
+                       "within": within, "contains": contains}[rel]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

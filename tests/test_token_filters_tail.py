@@ -154,3 +154,46 @@ def test_moving_avg_models():
     # short window falls back to holt (reference throws; we degrade)
     hw2 = moving_avg_model(b, "v", window=3, model="holt_winters", period=3)
     assert np.isfinite(hw2["moving_avg"]).all()
+
+
+# ------------------------------------------------ geo_shape shape docs
+
+def test_geo_shape_docs_geometries():
+    import json
+    import pyarrow as pa
+    import ray
+    from opensearch_ray.aggs.geo import geo_shape_docs_filter
+
+    shapes = {
+        "tri_in": {"type": "Polygon",
+                   "coordinates": [[[1, 1], [3, 1], [2, 3], [1, 1]]]},
+        "tri_cross": {"type": "Polygon",
+                      "coordinates": [[[8, 8], [14, 8], [11, 14], [8, 8]]]},
+        "tri_out": {"type": "Polygon",
+                    "coordinates": [[[30, 30], [32, 30], [31, 32],
+                                     [30, 30]]]},
+        "big_box": {"type": "Polygon",
+                    "coordinates": [[[-5, -5], [15, -5], [15, 15],
+                                     [-5, 15], [-5, -5]]]},
+        "line_cross": {"type": "LineString",
+                       "coordinates": [[-5, 5], [25, 5]]},
+        "line_in": {"type": "LineString", "coordinates": [[1, 1], [4, 4]]},
+        "pt_in": {"type": "Point", "coordinates": [2, 2]},
+        "pt_out": {"type": "Point", "coordinates": [40, 40]},
+    }
+    t = pa.table({"id": pa.array(list(shapes)),
+                  "shape": pa.array([json.dumps(v)
+                                     for v in shapes.values()])})
+    ds = ray.data.from_arrow(t)
+    q = {"type": "envelope", "coordinates": [[0.0, 10.0], [10.0, 0.0]]}
+
+    def ids(rel):
+        return sorted(geo_shape_docs_filter(ds, "shape", q, rel)
+                      .to_pandas()["id"])
+
+    assert ids("intersects") == sorted(
+        ["tri_in", "tri_cross", "big_box", "line_cross", "line_in",
+         "pt_in"])
+    assert ids("within") == sorted(["tri_in", "line_in", "pt_in"])
+    assert ids("contains") == ["big_box"]
+    assert ids("disjoint") == sorted(["tri_out", "pt_out"])
