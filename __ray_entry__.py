@@ -2715,6 +2715,38 @@ def _q_dsl_search(sf_dir):
     return r
 
 
+def _q_dsl_search_after_score(sf_dir):
+    """Request-body `search_after` with the implicit (_score desc, _doc
+    asc) order: page 1 yields the [last_score, last_docid] cursor, page 2
+    rides the collector's after= floor on the DSL fast path (O(k) heap at
+    any depth). Reference: search/searchafter/SearchAfterBuilder.java."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    body = {"query": {"match": {"text": _BM25_Q}}, "size": 10}
+    p1 = dsl.execute_search(s, body)
+    cursor = [float(p1["score"].iloc[-1]), int(p1["doc_id"].iloc[-1])]
+    p2 = dsl.execute_search(s, {**body, "search_after": cursor})
+    p2["score"] = _fmt(p2["score"].values, 4)
+    return p2
+
+
+def _q_dsl_search_after_sort(sf_dir):
+    """Request-body `search_after` under an explicit field sort
+    (n_chars desc, _doc asc tiebreak): the general path's sort-tuple
+    strictly-after mask. Reference: SearchAfterBuilder.java +
+    sort/FieldSortBuilder.java."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    body = {"query": {"match": {"text": _BM25_Q}},
+            "sort": [{"n_chars": "desc"}, {"_doc": "asc"}],
+            "size": 10, "_source": ["n_chars"]}
+    p1 = dsl.execute_search(s, body)
+    cursor = [int(p1["n_chars"].iloc[-1]), int(p1["doc_id"].iloc[-1])]
+    p2 = dsl.execute_search(s, {**body, "search_after": cursor})
+    p2["score"] = _fmt(p2["score"].values, 4)
+    return p2
+
+
 def _q_wrapper_query(sf_dir):
     """wrapper query (WrapperQueryBuilder.java): base64-encoded JSON query
     decoded and executed in filter context."""
@@ -2987,6 +3019,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_shape_query": _q_geo_shape,
         # JSON DSL executor / templates / rank-eval
         "dsl_search": _q_dsl_search,
+        "dsl_search_after_score": _q_dsl_search_after_score,
+        "dsl_search_after_sort": _q_dsl_search_after_sort,
         "wrapper_query": _q_wrapper_query,
         "search_template": _q_search_template,
         "rank_eval_precision": _q_rank_eval_precision,
@@ -4593,6 +4627,16 @@ def oracle_sql() -> dict[str, str]:
                               WHERE m.doc_id = sc.doc_id
                                 AND m.token = 'merge')
             ORDER BY sc.score DESC, sc.doc_id LIMIT 10"""),
+        "dsl_search_after_score": _bm25_sql("""
+            SELECT sc.doc_id, printf('%.4f', sc.score) AS score
+            FROM scored sc
+            ORDER BY sc.score DESC, sc.doc_id
+            LIMIT 10 OFFSET 10"""),
+        "dsl_search_after_sort": _bm25_sql("""
+            SELECT sc.doc_id, printf('%.4f', sc.score) AS score, d.n_chars
+            FROM scored sc JOIN documents d USING (doc_id)
+            ORDER BY d.n_chars DESC, sc.doc_id
+            LIMIT 10 OFFSET 10"""),
         "wrapper_query": """
             SELECT DISTINCT d.doc_id
             FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)

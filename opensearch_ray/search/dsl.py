@@ -338,8 +338,9 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     """Execute a ``_search`` request body -> hits DataFrame.
 
     Supported body keys: query, from, size, sort (field names or
-    {field: {"order"}} or "_score"), _source (column list projected into the
-    result). Scoring: BM25 over the positive text clauses, gated by the full
+    {field: {"order"}} or "_score"/"_doc"), search_after (sort-tuple cursor;
+    score-ordered cursors ride the collector's after= floor on the fast
+    path), _source (column list projected into the result). Scoring: BM25 over the positive text clauses, gated by the full
     query's filter-context doc set; pure-filter queries score constant 1.0
     (or the constant_score boost) with docid-ascending order — matching the
     reference's constant-score rewrite."""
@@ -364,8 +365,16 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
         size = int(body.get("size", 10))
         qtext, terms, op, filters = fast
         if not body.get("sort"):
+            after = None
+            after_b = body.get("search_after")
+            if after_b is not None:
+                # score-ordered cursor [last_score] or [last_score,
+                # last_docid] -> the collector-level after= floor: O(k)
+                # heap at any page depth, never a ranked-prefix replay
+                after = (float(after_b[0]),
+                         int(after_b[1]) if len(after_b) > 1 else 2 ** 62)
             hits = s.search(qtext, k=frm + size, terms=terms, operator=op,
-                            filters=filters)
+                            filters=filters, after=after)
             ids = np.fromiter((h.docid for h in hits), np.int64,
                               count=len(hits))[frm:]
             scores = np.asarray([h.score for h in hits],
@@ -414,6 +423,19 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     sort = body.get("sort")
     if sort:
         ids, scores = _apply_sort(s, ids, scores, sort, resolve)
+
+    after_b = body.get("search_after")
+    if after_b is not None:
+        if sort:
+            specs, cur = _parse_sort(sort), after_b
+        else:
+            # implicit order is (_score desc, docid asc); a 1-value cursor
+            # means "strictly below this score" (docid sentinel past max)
+            specs = [("_score", True), ("_doc", False)]
+            cur = (list(after_b) if len(after_b) > 1
+                   else [after_b[0], 2 ** 62])
+        m = _search_after_mask(s, ids, scores, specs, resolve, cur)
+        ids, scores = ids[m], scores[m]
 
     frm = int(body.get("from", 0))
     size = int(body.get("size", 10))
@@ -781,11 +803,11 @@ def field_caps(s: Searcher, text_field: str = "text") -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("field").reset_index(drop=True)
 
 
-def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort,
-                resolve=None):
-    """SearchSourceBuilder.sort: list of field names / {field: {order}} /
-    "_score"; ties broken by docid asc (the implicit _doc tiebreak)."""
-    keys = []
+def _parse_sort(sort) -> List[tuple]:
+    """SearchSourceBuilder.sort items -> [(field, desc)] with the
+    reference's per-field order defaults (_score desc, everything else
+    asc)."""
+    specs = []
     for item in _aslist(sort):
         if isinstance(item, str):
             field, order = item, "asc" if item != "_score" else "desc"
@@ -793,13 +815,29 @@ def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort,
             (field, spec), = item.items()
             order = (spec.get("order", "desc" if field == "_score" else "asc")
                      if isinstance(spec, dict) else spec)
-        if field == "_score":
-            vals = scores
-        elif resolve is not None:
-            vals = resolve(field, ids)
-        else:
-            vals = _fetch_aligned(s, ids, [field])[field]
-        keys.append((vals, order == "desc"))
+        specs.append((field, order == "desc"))
+    return specs
+
+
+def _sort_values(s: Searcher, ids: np.ndarray, scores: np.ndarray,
+                 field: str, resolve=None) -> np.ndarray:
+    """One sort key's values aligned to ids (_score / _doc pseudo-fields,
+    stored or derived fields via resolve)."""
+    if field == "_score":
+        return scores
+    if field == "_doc":
+        return ids
+    if resolve is not None:
+        return resolve(field, ids)
+    return _fetch_aligned(s, ids, [field])[field]
+
+
+def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort,
+                resolve=None):
+    """SearchSourceBuilder.sort: list of field names / {field: {order}} /
+    "_score"; ties broken by docid asc (the implicit _doc tiebreak)."""
+    keys = [(_sort_values(s, ids, scores, field, resolve), desc)
+            for field, desc in _parse_sort(sort)]
     # np.lexsort: last key is primary; docid asc as final tiebreak
     cols = [ids]
     for vals, desc in reversed(keys):
@@ -826,3 +864,57 @@ def _apply_sort(s: Searcher, ids: np.ndarray, scores: np.ndarray, sort,
         cols.append(v)
     order = np.lexsort(cols)
     return ids[order], scores[order]
+
+
+def _after_key_masks(vals, desc: bool, cursor_val):
+    """(strictly-after, tied) masks of one sort key against the cursor
+    value. Missing values sort LAST in both orders (the reference's
+    ``missing: _last`` default), so a missing row ranks after any concrete
+    cursor value, and a missing cursor value ties only with missing rows.
+
+    Reference: search/searchafter/SearchAfterBuilder.java — the collector
+    resumes strictly past the cursor's sort tuple."""
+    v = np.asarray(vals)
+    if v.dtype.kind == "M":
+        null = np.isnat(v)
+        f = v.astype("datetime64[ns]").astype(np.int64).astype(np.float64)
+        c = np.datetime64(cursor_val)
+        cf = float(np.datetime64(c, "ns").astype(np.int64))
+    elif v.dtype.kind in "iuf":
+        f = v.astype(np.float64)
+        null = np.isnan(f)
+        cf = float(cursor_val)
+    else:
+        null = pd.isna(v)
+        if cursor_val is None:
+            # missing cursor key: nothing sorts after it; only missing ties
+            return np.zeros(v.size, bool), null
+        vv = np.where(null, cursor_val, v)
+        gt = (vv < cursor_val) if desc else (vv > cursor_val)
+        return (gt & ~null) | null, (vv == cursor_val) & ~null
+    if desc:
+        f, cf = -f, -cf
+    f[null] = np.inf
+    return f > cf, f == cf
+
+
+def _search_after_mask(s: Searcher, ids: np.ndarray, scores: np.ndarray,
+                       specs: List[tuple], resolve, cursor) -> np.ndarray:
+    """Row mask for hits whose sort tuple is STRICTLY after the cursor
+    (lexicographic over the request's sort keys). Rows tying the cursor on
+    every key are excluded — same duplicate/skip semantics as the
+    reference, which is why real requests end the sort with a unique
+    tiebreak field."""
+    cursor = list(cursor)
+    if len(cursor) != len(specs):
+        raise ValueError(
+            f"search_after has {len(cursor)} values but sort has "
+            f"{len(specs)} keys")
+    gt = np.zeros(ids.size, bool)
+    eq = np.ones(ids.size, bool)
+    for (field, desc), c in zip(specs, cursor):
+        vals = _sort_values(s, ids, scores, field, resolve)
+        g, e = _after_key_masks(vals, desc, c)
+        gt |= eq & g
+        eq &= e
+    return gt

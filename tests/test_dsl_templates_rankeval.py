@@ -353,3 +353,38 @@ def test_fast_path_equals_general_path(s, terms3):
     g = dsl.execute_search(s, slow_body, id_col="docid")
     assert f.docid.tolist() == g.docid.tolist()
     assert f.score.tolist() == g.score.tolist()
+
+
+def test_search_after_score_paging(s, terms3):
+    """Request-body search_after, implicit (_score desc, _doc asc) order:
+    page 2 via the collector after= floor must equal the contiguous slice
+    of a single deep request (SearchAfterBuilder.java semantics)."""
+    qtext = f"{terms3[0]} {terms3[1]}"
+    body = {"query": {"match": {"text": qtext}}, "size": 5}
+    full = dsl.execute_search(s, {**body, "size": 15}, id_col="docid")
+    p1 = dsl.execute_search(s, body, id_col="docid")
+    cur = [float(p1.score.iloc[-1]), int(p1.docid.iloc[-1])]
+    p2 = dsl.execute_search(s, {**body, "search_after": cur}, id_col="docid")
+    assert p2.docid.tolist() == full.docid.tolist()[5:10]
+    assert p2.score.tolist() == full.score.tolist()[5:10]
+    # score-only cursor: strictly below the cursor score (ties excluded)
+    p2b = dsl.execute_search(s, {**body, "search_after": [cur[0]]},
+                             id_col="docid")
+    assert (p2b.score < cur[0]).all()
+
+
+def test_search_after_sorted_paging(s, terms3):
+    """search_after under an explicit field sort (general path): the
+    sort-tuple strictly-after mask resumes exactly where page 1 ended."""
+    body = {"query": {"match": {"text": terms3[0]}},
+            "sort": [{"turn_idx": {"order": "desc"}}, {"_doc": "asc"}],
+            "size": 5, "_source": ["turn_idx"]}
+    full = dsl.execute_search(s, {**body, "size": 15}, id_col="docid")
+    p1 = dsl.execute_search(s, body, id_col="docid")
+    cur = [int(p1.turn_idx.iloc[-1]), int(p1.docid.iloc[-1])]
+    p2 = dsl.execute_search(s, {**body, "search_after": cur}, id_col="docid")
+    assert p2.docid.tolist() == full.docid.tolist()[5:10]
+    assert p2.turn_idx.tolist() == full.turn_idx.tolist()[5:10]
+    # cursor arity must match the sort arity
+    with pytest.raises(ValueError):
+        dsl.execute_search(s, {**body, "search_after": [1]}, id_col="docid")
