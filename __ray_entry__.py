@@ -784,6 +784,32 @@ def _q_ingest_grok(sf_dir):
     return out[["event_id", "evt", "type", "value"]]
 
 
+def _q_dedup_cluster_keep_best(sf_dir):
+    """Near-dup CLUSTERS with keep-best survivors: exact distinct-token
+    Jaccard edges (shared-token blocking 2<=df<=100, threshold 0.5) ->
+    hash-to-min connected components (Rastogi et al. ICDE'13) ->
+    per-component argmax(n_chars, tie doc_id asc). Oracle: DuckDB
+    recursive CTE over the identical edge definition. The MinHash
+    variant (dedup_minhash_clusters) is the sketched scale path."""
+    from opensearch_ray.dedup.cluster import (connected_components,
+                                              keep_best, token_jaccard_edges)
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    edges = token_jaccard_edges(docs, max_df=100, threshold=0.5)
+    comp = connected_components(edges)
+    kb = keep_best(docs, comp, quality_col="n_chars")
+    return kb.to_pandas().sort_values("component").reset_index(drop=True)
+
+
+def _q_dedup_minhash_clusters(sf_dir):
+    """MinHash-LSH near-dup clusters + keep-best — the sketched scale
+    path of dedup_cluster_keep_best (rows-only: LSH banding is not
+    SQL-expressible)."""
+    from opensearch_ray.dedup.cluster import near_dup_clusters
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    kb = near_dup_clusters(docs, threshold=0.6)
+    return kb.to_pandas().sort_values("component").reset_index(drop=True)
+
+
 def _q_dedup_exact(sf_dir):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     from opensearch_ray.dedup import content_hashes
@@ -2873,6 +2899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_kv": _q_ingest_grok,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
+        "dedup_cluster_keep_best": _q_dedup_cluster_keep_best,
+        "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "token_count": _q_token_count,
         "quality_scores": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -3390,6 +3418,54 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "dedup_cluster_keep_best": f"""
+            WITH RECURSIVE tok AS (
+              SELECT DISTINCT d.doc_id, t.tok AS token
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+            ),
+            grp AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+            cand AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM tok a JOIN tok b USING (token) JOIN grp USING (token)
+              WHERE a.doc_id < b.doc_id AND grp.df BETWEEN 2 AND 100
+              GROUP BY 1, 2
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT c.u, c.v, count(*) AS i
+              FROM cand c
+              JOIN tok ta ON ta.doc_id = c.u
+              JOIN tok tb ON tb.doc_id = c.v AND tb.token = ta.token
+              GROUP BY c.u, c.v
+            ),
+            edges AS (
+              SELECT i.u, i.v
+              FROM inter i JOIN sz su ON su.doc_id = i.u
+                           JOIN sz sv ON sv.doc_id = i.v
+              WHERE CAST(i.i AS DOUBLE) / (su.n + sv.n - i.i) >= 0.5
+            ),
+            nodes AS (SELECT u AS node FROM edges
+                      UNION SELECT v FROM edges),
+            reach(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT CASE WHEN e.u = r.node THEN e.v ELSE e.u END, r.lab
+              FROM reach r JOIN edges e ON e.u = r.node OR e.v = r.node
+            ),
+            comp AS (SELECT node AS doc_id, min(lab) AS component
+                     FROM reach GROUP BY node),
+            ranked AS (
+              SELECT c.component, c.doc_id,
+                     row_number() OVER (PARTITION BY c.component
+                                        ORDER BY d.n_chars DESC, c.doc_id)
+                       AS rk,
+                     count(*) OVER (PARTITION BY c.component) AS n_members
+              FROM comp c JOIN documents d USING (doc_id)
+            )
+            SELECT component, doc_id AS keep_id, n_members
+            FROM ranked WHERE rk = 1 ORDER BY component
         """,
         "token_count": """
             SELECT doc_id,

@@ -157,3 +157,56 @@ def test_ivf_sample_scales_with_cells(sf_dir, tmp_path):
     idx = IvfIndex.build(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), d,
                          n_cells=60, sample_size=32, seed=17)
     assert len(idx.centroids) == 60
+
+
+def test_connected_components_hash_to_min():
+    """Path, pair, and 4-cycle-with-tail components resolve to the
+    component-min label in O(log diameter) rounds; only edge endpoints
+    appear (isolated nodes never shuffle)."""
+    from opensearch_ray.dedup.cluster import connected_components
+    edges = pa.table({"a": [2, 3, 10, 20, 21, 20, 22, 7],
+                      "b": [1, 2, 11, 21, 22, 22, 23, 6]})
+    comp = (connected_components(rd.from_arrow(edges)).to_pandas()
+            .sort_values("node"))
+    got = dict(zip(comp["node"], comp["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 6: 6, 7: 6,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_keep_best_representatives():
+    """Per component: max quality wins, ties break to the LOWEST id."""
+    from opensearch_ray.dedup.cluster import (connected_components,
+                                              keep_best)
+    edges = pa.table({"a": [2, 3, 10], "b": [1, 2, 11]})
+    docs = pa.table({"doc_id": [1, 2, 3, 10, 11],
+                     "n_chars": [5, 9, 7, 3, 3]})
+    comp = connected_components(rd.from_arrow(edges))
+    kb = (keep_best(rd.from_arrow(docs), comp).to_pandas()
+          .sort_values("component").reset_index(drop=True))
+    assert kb["component"].tolist() == [1, 10]
+    assert kb["keep_id"].tolist() == [2, 10]   # 9 wins; 3==3 tie -> id 10
+    assert kb["n_members"].tolist() == [3, 2]
+
+
+def test_token_jaccard_edges_and_clusters(near_dup_ds):
+    """Exact distinct-token Jaccard edges over the planted corpus: the
+    exact-dup pair scores 1.0, the near-dup pair clears 0.5, and the
+    cluster keeps the longest member (tie -> lowest id)."""
+    from opensearch_ray.dedup.cluster import (connected_components,
+                                              keep_best,
+                                              token_jaccard_edges)
+    e = (token_jaccard_edges(near_dup_ds, max_df=10, threshold=0.5)
+         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pairs = set(zip(e["a"], e["b"]))
+    assert (0, 1) in pairs and e[(e.a == 0) & (e.b == 1)]["jaccard"].iloc[0] == 1.0
+    assert (0, 2) in pairs and (1, 2) in pairs
+    docs = near_dup_ds.map_batches(
+        lambda t: t.append_column(
+            "n_chars", pa.array([len(x) for x in t.column("text").to_pylist()],
+                                pa.int64())), batch_format="pyarrow")
+    kb = (keep_best(docs, connected_components(
+        token_jaccard_edges(near_dup_ds, max_df=10, threshold=0.5)))
+        .to_pandas().sort_values("component").reset_index(drop=True))
+    assert kb["component"].tolist() == [0]
+    assert kb["n_members"].tolist() == [3]
+    assert kb["keep_id"].tolist() == [2]  # "tomorrow" variant is longest
