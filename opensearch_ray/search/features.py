@@ -356,24 +356,23 @@ def term_suggest(searcher: Searcher, text: str, max_edits: int = 2,
     """
     if suggest_mode not in ("always", "missing", "popular"):
         raise ValueError(f"unknown suggest_mode: {suggest_mode}")
-    vocab_tbl = searcher._vocab()  # aggregated (term, df) dictionary
-    vocab = vocab_tbl.column("term").to_pylist()
-    dfs = vocab_tbl.column("df").to_pylist()
-    df_of = dict(zip(vocab, dfs))
     rows = []
     for tok in searcher.analyzer.tokens(text):
-        tok_df = int(df_of.get(tok, 0))
+        # exact-df pinpoint read ([tok, tok+"\x00") prunes to one term)
+        v0 = searcher._vocab_range(tok, tok + "\x00")
+        tok_df = int(v0.column("df")[0].as_py()) if v0.num_rows else 0
         if suggest_mode == "missing" and tok_df > 0:
             continue
+        ctbl = searcher.fuzzy_candidates(tok, max_edits)  # streamed band
         cands = []
-        for term, df in zip(vocab, dfs):
+        for term, df, d in zip(ctbl.column("term").to_pylist(),
+                               ctbl.column("df").to_pylist(),
+                               ctbl.column("distance").to_pylist()):
             if term == tok:
                 continue
             if suggest_mode == "popular" and df <= tok_df:
                 continue
-            d = _levenshtein(tok, term, max_edits)
-            if d <= max_edits:
-                cands.append((d, -df, term))
+            cands.append((int(d), -int(df), term))
         cands.sort()
         for rank, (d, negdf, term) in enumerate(cands[:size], 1):
             rows.append({"input": tok, "suggestion": term, "distance": d,
@@ -540,17 +539,14 @@ def phrase_suggest(searcher: Searcher, text: str, size: int = 5,
     toks = searcher.analyzer.tokens(text)
     if not toks:
         return pd.DataFrame({"phrase": [], "score": [], "rank": []})
-    vocab_tbl = searcher._vocab()
-    vocab = vocab_tbl.column("term").to_pylist()
-    dfs = vocab_tbl.column("df").to_pylist()
     cand_of: List[List[str]] = []
     for tok in toks:
-        cands = []
-        for term, df in zip(vocab, dfs):
-            d = _levenshtein(tok, term, max_edits)
-            if d <= max_edits:
-                cands.append((d, -df, term))
-        cands.sort()
+        ctbl = searcher.fuzzy_candidates(tok, max_edits)  # streamed band
+        cands = sorted(
+            (int(d), -int(df), term)
+            for term, df, d in zip(ctbl.column("term").to_pylist(),
+                                   ctbl.column("df").to_pylist(),
+                                   ctbl.column("distance").to_pylist()))
         cand_of.append([t for _, _, t in cands[:candidates_per_term]]
                        or [tok])
     model = bigram_model(searcher)

@@ -606,6 +606,71 @@ class Searcher:
             cache[key] = tbl
         return cache[key]
 
+    def _vocab_scan(self, batch_fn, cache_key=None) -> "pa.Table":
+        """Stream the stats shards through ``batch_fn`` (pa.Table ->
+        filtered pa.Table of surviving (term, df) rows) WITHOUT
+        materializing the term dictionary — the terms-enum + automaton
+        walk (Lucene FilteredTermsEnum): peak memory is one 64k-term
+        batch plus the survivors, at any vocabulary size. Salted terms
+        have partial rows across shards; survivors are re-aggregated at
+        the end (matching is term-local, so partial rows match
+        consistently). Results are LRU-cached under ``cache_key`` —
+        repeated expansions of the same pattern don't re-scan."""
+        cache = getattr(self, "_vocab_scan_cache", None)
+        if cache is None:
+            cache = self._vocab_scan_cache = {}
+        if cache_key is not None and cache_key in cache:
+            return cache[cache_key]
+        if hasattr(self, "_vocab_tbl"):  # full dict already resident
+            parts = [batch_fn(self._vocab_tbl)]
+        else:
+            import pyarrow.dataset as pads
+            dset = pads.dataset(self._stats_dir)
+            parts = []
+            for b in dset.to_batches(columns=["term", "df"],
+                                     batch_size=1 << 16):
+                t = batch_fn(pa.Table.from_batches([b]))
+                if t.num_rows:
+                    parts.append(t)
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            out = pa.table({"term": pa.array([], pa.string()),
+                            "df": pa.array([], pa.int64())})
+        else:
+            out = (pa.concat_tables(parts).group_by(["term"])
+                   .aggregate([("df", "sum")])
+                   .rename_columns(["term", "df"]).sort_by("term"))
+        if cache_key is not None:
+            if len(cache) >= 64:
+                cache.clear()
+            cache[cache_key] = out
+        return out
+
+    def fuzzy_candidates(self, term: str, max_edits: int = 2) -> "pa.Table":
+        """(term, df, distance) for vocabulary terms within ``max_edits``
+        — the FuzzyQuery / TermSuggester candidate enumeration as a
+        streamed banded scan: per batch, a vectorized utf8_length band
+        (|len(t)-len(q)| <= max_edits is necessary) prunes before the
+        bounded Levenshtein DP runs on the survivors."""
+        from .features import _levenshtein
+
+        def band_fn(t: "pa.Table") -> "pa.Table":
+            lens = pc.utf8_length(t.column("term"))
+            band = pc.and_(
+                pc.greater_equal(lens, pa.scalar(len(term) - max_edits)),
+                pc.less_equal(lens, pa.scalar(len(term) + max_edits)))
+            t = t.filter(band)
+            if t.num_rows == 0:
+                return t
+            keep = [_levenshtein(term, x, max_edits) <= max_edits
+                    for x in t.column("term").to_pylist()]
+            return t.filter(pa.array(keep))
+
+        v = self._vocab_scan(band_fn, cache_key=("fz", term, max_edits))
+        dist = [_levenshtein(term, x, max_edits)
+                for x in v.column("term").to_pylist()]
+        return v.append_column("distance", pa.array(dist, pa.int64()))
+
     @staticmethod
     def _prefix_bounds(prefix: str) -> Tuple[str, str]:
         """[lo, hi) term range covering every string with ``prefix``."""
@@ -625,24 +690,24 @@ class Searcher:
         rx = ("^" + _re.escape(pattern)
               .replace(r"\*", ".*").replace(r"\?", ".") + "$")
         lit = _re.split(r"[*?]", pattern, maxsplit=1)[0]
-        v = (self._vocab_range(*self._prefix_bounds(lit)) if lit
-             else self._vocab())
-        m = pc.match_substring_regex(v.column("term"), rx)
-        return v.filter(m).column("term").to_pylist()  # already term-sorted
+        if lit:
+            v = self._vocab_range(*self._prefix_bounds(lit))
+            m = pc.match_substring_regex(v.column("term"), rx)
+            return v.filter(m).column("term").to_pylist()  # term-sorted
+        # no literal prefix: stream the dict against the automaton instead
+        # of materializing it (the carried full-vocab fallback, removed)
+        v = self._vocab_scan(
+            lambda t: t.filter(pc.match_substring_regex(t.column("term"),
+                                                        rx)),
+            cache_key=("wc", rx))
+        return v.column("term").to_pylist()
 
     def expand_fuzzy(self, term: str, max_edits: int = 2) -> List[str]:
-        """Vocabulary terms within ``max_edits``. Candidate pruning is
-        vectorized (utf8_length band — |len(t)-len(q)| <= max_edits is a
-        necessary condition); the bounded Levenshtein DP runs only on the
-        surviving band (the terms-enum + automaton shape, FuzzyQuery)."""
-        from .features import _levenshtein
-        v = self._vocab()
-        lens = pc.utf8_length(v.column("term"))
-        band = pc.and_(pc.greater_equal(lens, pa.scalar(len(term) - max_edits)),
-                       pc.less_equal(lens, pa.scalar(len(term) + max_edits)))
-        cands = v.filter(band).column("term").to_pylist()
-        return sorted(t for t in cands
-                      if _levenshtein(term, t, max_edits) <= max_edits)
+        """Vocabulary terms within ``max_edits`` via the STREAMED banded
+        scan (fuzzy_candidates) — the terms dict is never materialized
+        (the terms-enum + automaton shape, FuzzyQuery)."""
+        return self.fuzzy_candidates(term, max_edits) \
+            .column("term").to_pylist()  # _vocab_scan output is term-sorted
 
     def complete(self, prefix: str, size: int = 5):
         """Completion suggester: terms with the prefix ordered by document
