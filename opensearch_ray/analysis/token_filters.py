@@ -1159,6 +1159,220 @@ def make_lowercase_filter(language: Optional[str] = None) -> TokenFilter:
     return lowercase_filter
 
 
+# ------------------------------------------------- round-4b filter tail
+# CommonAnalysisModulePlugin.java:251-340 — the language-stem filters, the
+# remaining normalizers, and the stream-shape filters. Language stems
+# delegate to the light stemmers in analysis/lang.py (the same documented
+# approximations the language analyzers use).
+
+def _lang_stem_filter(stem_fn) -> TokenFilter:
+    return per_token(lambda t: stem_fn(t) or None)
+
+
+def arabic_stem_filter(tokens, positions):
+    """arabic_stem (ArabicStemTokenFilterFactory): normalize + light stem."""
+    from .lang import arabic_light_stem
+    return _lang_stem_filter(arabic_light_stem)(tokens, positions)
+
+
+def brazilian_stem_filter(tokens, positions):
+    """brazilian_stem (BrazilianStemTokenFilterFactory): approximated with
+    the Portuguese light stemmer (Brazilian Portuguese shares the suffix
+    system; Lucene's BrazilianStemmer is a heavier variant — documented
+    approximation, same discipline as the language analyzers)."""
+    from .lang import portuguese_light_stem
+    return _lang_stem_filter(portuguese_light_stem)(tokens, positions)
+
+
+def czech_stem_filter(tokens, positions):
+    """czech_stem (CzechStemTokenFilterFactory)."""
+    from .lang import czech_light_stem
+    return _lang_stem_filter(czech_light_stem)(tokens, positions)
+
+
+def dutch_stem_filter(tokens, positions):
+    """dutch_stem (DutchStemTokenFilterFactory)."""
+    from .lang import dutch_light_stem
+    return _lang_stem_filter(dutch_light_stem)(tokens, positions)
+
+
+def french_stem_filter(tokens, positions):
+    """french_stem (FrenchStemTokenFilterFactory)."""
+    from .lang import french_light_stem
+    return _lang_stem_filter(french_light_stem)(tokens, positions)
+
+
+def german_stem_filter(tokens, positions):
+    """german_stem (GermanStemTokenFilterFactory)."""
+    from .lang import german_light_stem
+    return _lang_stem_filter(german_light_stem)(tokens, positions)
+
+
+def russian_stem_filter(tokens, positions):
+    """russian_stem (RussianStemTokenFilterFactory)."""
+    from .lang import russian_light_stem
+    return _lang_stem_filter(russian_light_stem)(tokens, positions)
+
+
+def bengali_normalization_filter(tokens: List[str], positions: List[int]
+                                 ) -> TokenStream:
+    """bengali_normalization (BengaliNormalizer subset): nukta
+    decomposition-fold (NFD, drop U+09BC, NFC) — the assimilation rules
+    beyond nukta are out of scope, documented."""
+    def one(t: str) -> str:
+        return unicodedata.normalize(
+            "NFC", "".join(ch for ch in unicodedata.normalize("NFD", t)
+                           if ch != "়"))
+    return [one(t) for t in tokens], positions
+
+
+_DEVANAGARI_NUKTA = {  # base + U+093C -> precomposed (NFC excludes these)
+    "\u0915": "\u0958", "\u0916": "\u0959", "\u0917": "\u095a",
+    "\u091c": "\u095b", "\u0921": "\u095c", "\u0922": "\u095d",
+    "\u092b": "\u095e", "\u092f": "\u095f", "\u0928": "\u0929",
+    "\u0930": "\u0931", "\u0933": "\u0934"}
+
+
+def indic_normalization_filter(tokens: List[str], positions: List[int]
+                               ) -> TokenStream:
+    """indic_normalization (IndicNormalizer subset): NFC plus the
+    Devanagari base+nukta compositions Unicode EXCLUDES from NFC (the
+    core of Lucene's per-script composition tables; other scripts'
+    tables are out of scope, documented)."""
+    def one(t: str) -> str:
+        t = unicodedata.normalize("NFC", t)
+        out = []
+        for ch in t:
+            if ch == "़" and out and out[-1] in _DEVANAGARI_NUKTA:
+                out[-1] = _DEVANAGARI_NUKTA[out[-1]]
+            else:
+                out.append(ch)
+        return "".join(out)
+    return [one(t) for t in tokens], positions
+
+
+def sorani_normalization_filter(tokens: List[str], positions: List[int]
+                                ) -> TokenStream:
+    """sorani_normalization (SoraniNormalizer subset): Arabic Kaf -> Keheh,
+    Yeh/Alef-Maksura -> Farsi Yeh, Heh at word end -> Ae, strip tatweel /
+    ZWNJ / Arabic harakat."""
+    tr = str.maketrans({"ك": "ک", "ي": "ی",
+                        "ى": "ی"})
+
+    def one(t: str) -> Optional[str]:
+        t = t.translate(tr)
+        t = "".join(ch for ch in t
+                    if ch not in ("ـ", "‌")
+                    and not ("ً" <= ch <= "ٞ"))
+        if t.endswith("ه"):  # final Heh -> Ae (the Sorani vowel)
+            t = t[:-1] + "ە"
+        return t or None
+    return per_token(one)(tokens, positions)
+
+
+def serbian_normalization_filter(tokens: List[str], positions: List[int]
+                                 ) -> TokenStream:
+    """serbian_normalization (SerbianNormalizationFilter, "bald" Latin):
+    Cyrillic -> Latin transliteration and diacritic folding (đ/ђ -> dj,
+    ž/ж -> z, ć/ћ -> c, č/ч -> c, š/ш -> s, џ -> dz, љ -> lj, њ -> nj)."""
+    m = {"а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj",
+         "е": "e", "ж": "z", "з": "z", "и": "i", "ј": "j", "к": "k",
+         "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o",
+         "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "c", "у": "u",
+         "ф": "f", "х": "h", "ц": "c", "ч": "c", "џ": "dz", "ш": "s",
+         "đ": "dj", "ž": "z", "ć": "c", "č": "c", "š": "s"}
+
+    def one(t: str) -> str:
+        return "".join(m.get(ch, m.get(ch.lower(), ch)) for ch in t)
+    return [one(t) for t in tokens], positions
+
+
+def keyword_repeat_filter(tokens: List[str], positions: List[int]
+                          ) -> TokenStream:
+    """keyword_repeat (KeywordRepeatFilter): emit every token TWICE at the
+    same position (one copy keyword-marked in Lucene so a downstream
+    stemmer leaves it alone). Attribute-free stand-in: pair it with
+    make_keyword_repeat_filter(chain) for the stemmed+original effect, or
+    follow with remove_duplicates as in the reference pipelines."""
+    out_t: List[str] = []
+    out_p: List[int] = []
+    for t, p in zip(tokens, positions):
+        out_t += [t, t]
+        out_p += [p, p]
+    return out_t, out_p
+
+
+def make_keyword_repeat_filter(chain: Optional[List[TokenFilter]] = None
+                               ) -> TokenFilter:
+    """keyword_repeat + downstream chain, end-to-end: emits the ORIGINAL
+    token and the chain's output at the same position (exactly what
+    keyword_repeat -> stemmer -> remove_duplicates produces in the
+    reference — the keyword-marked copy bypasses the stemmer)."""
+    if not chain:
+        return keyword_repeat_filter
+
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        ct, cp = list(tokens), list(positions)
+        for f in chain:
+            ct, cp = f(ct, cp)
+        stemmed = dict(zip(cp, ct))  # chain output by position
+        out_t: List[str] = []
+        out_p: List[int] = []
+        for t, p in zip(tokens, positions):
+            out_t.append(t)
+            out_p.append(p)
+            s = stemmed.get(p)
+            if s is not None and s != t:
+                out_t.append(s)
+                out_p.append(p)
+        return out_t, out_p
+    return filt
+
+
+def make_delimited_term_freq_filter(delimiter: str = "|") -> TokenFilter:
+    """delimited_term_freq (DelimitedTermFrequencyTokenFilter): split
+    ``token|N`` and repeat the token N times AT THE SAME POSITION — the
+    index's tf for the term comes out exactly N (the reference sets a
+    termFrequency attribute; occurrence-count indexing makes repetition
+    the equivalent), documented stream-shape approximation."""
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t: List[str] = []
+        out_p: List[int] = []
+        for t, p in zip(tokens, positions):
+            term, _, freq = t.partition(delimiter)
+            if not term:
+                continue
+            n = int(freq) if freq.isdigit() and int(freq) > 0 else 1
+            out_t += [term] * n
+            out_p += [p] * n
+        return out_t, out_p
+    return filt
+
+
+def type_as_payload_filter(tokens: List[str], positions: List[int]
+                           ) -> TokenStream:
+    """type_as_payload (TypeAsPayloadTokenFilter): copies the token-type
+    attribute into the payload attribute. Neither attribute has storage
+    here (same contract as delimited_payload's payload drop), and the
+    observable token stream is unchanged — identity, registered for
+    pipeline compatibility."""
+    return tokens, positions
+
+
+def make_concatenate_graph_filter(token_separator: str = " ",
+                                  max_graph_expansions: int = 100
+                                  ) -> TokenFilter:
+    """concatenate_graph (ConcatenateGraphFilter): concatenate the whole
+    stream into ONE token joined by ``token_separator`` (these streams are
+    already flat, so the single linear path is the graph's only path)."""
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        if not tokens:
+            return [], []
+        return ([token_separator.join(tokens)],
+                [positions[0] if positions else 0])
+    return filt
+
+
 TOKEN_FILTERS = {
     "lowercase": lowercase_filter,
     "uppercase": uppercase_filter,
@@ -1213,4 +1427,22 @@ TOKEN_FILTERS = {
     "keyword_marker": make_keyword_marker_filter,
     "dictionary_decompounder": make_dictionary_decompounder_filter,
     "lowercase_lang": make_lowercase_filter,
+    # round-4b tail
+    "cjk_bigram": cjk_bigram_filter,
+    "arabic_stem": arabic_stem_filter,
+    "brazilian_stem": brazilian_stem_filter,
+    "czech_stem": czech_stem_filter,
+    "dutch_stem": dutch_stem_filter,
+    "french_stem": french_stem_filter,
+    "german_stem": german_stem_filter,
+    "russian_stem": russian_stem_filter,
+    "bengali_normalization": bengali_normalization_filter,
+    "indic_normalization": indic_normalization_filter,
+    "sorani_normalization": sorani_normalization_filter,
+    "serbian_normalization": serbian_normalization_filter,
+    "keyword_repeat": keyword_repeat_filter,
+    "keyword_repeat_with": make_keyword_repeat_filter,
+    "delimited_term_freq": make_delimited_term_freq_filter,
+    "type_as_payload": type_as_payload_filter,
+    "concatenate_graph": make_concatenate_graph_filter,
 }

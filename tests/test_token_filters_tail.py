@@ -197,3 +197,72 @@ def test_geo_shape_docs_geometries():
     assert ids("within") == sorted(["tri_in", "line_in", "pt_in"])
     assert ids("contains") == ["big_box"]
     assert ids("disjoint") == sorted(["tri_out", "pt_out"])
+
+
+# ------------------------------------------------- round-4b filter tail
+
+def test_language_stem_filters_delegate():
+    assert run(TOKEN_FILTERS["german_stem"], ["häusern"])[0] == \
+        run(TOKEN_FILTERS["stemmer"]("german"), ["häusern"])[0]
+    assert run(TOKEN_FILTERS["french_stem"], ["chevaux"])[0] == \
+        run(TOKEN_FILTERS["stemmer"]("french"), ["chevaux"])[0]
+    for name in ("arabic_stem", "brazilian_stem", "czech_stem",
+                 "dutch_stem", "russian_stem"):
+        t, p = run(TOKEN_FILTERS[name], ["abc"])
+        assert p == [0] and len(t) == 1
+
+
+def test_serbian_normalization():
+    f = TOKEN_FILTERS["serbian_normalization"]
+    assert run(f, ["ђак"]) == (["djak"], [0])          # Cyrillic -> bald
+    assert run(f, ["džak", "čaša"])[0] == ["dzak", "casa"]
+    assert run(f, ["šuma"])[0] == ["suma"]
+
+
+def test_sorani_normalization():
+    f = TOKEN_FILTERS["sorani_normalization"]
+    # Arabic Kaf/Yeh fold to Keheh/Farsi Yeh; final Heh -> Ae
+    assert run(f, ["كتيب"])[0] == ["کتیب"]
+    assert run(f, ["ماله"])[0] == ["مالە"]
+    # tatweel stripped
+    assert run(f, ["كـتيب"])[0] == ["کتیب"]
+
+
+def test_bengali_indic_normalization():
+    # nukta forms fold to the base letter (split AND precomposed RRA)
+    f = TOKEN_FILTERS["bengali_normalization"]
+    assert run(f, ["\u09a1\u09bc"])[0] == ["\u09a1"]
+    assert run(f, ["\u09dc"])[0] == ["\u09a1"]
+    # indic: split nukta form composes canonically (NFC:
+    # U+0915 + U+093C -> U+0958 QA)
+    g = TOKEN_FILTERS["indic_normalization"]
+    assert run(g, ["\u0915\u093c"])[0] == ["\u0958"]
+
+
+def test_keyword_repeat_and_remove_duplicates():
+    t, p = run(TOKEN_FILTERS["keyword_repeat"], ["dogs", "ran"])
+    assert t == ["dogs", "dogs", "ran", "ran"] and p == [0, 0, 1, 1]
+    # the reference pipeline shape: keyword_repeat -> stemmer -> dedup
+    f = TOKEN_FILTERS["keyword_repeat_with"]([porter_stem_filter])
+    t, p = run(f, ["dogs", "run"])
+    assert t == ["dogs", "dog", "run"] and p == [0, 0, 1]
+
+
+def test_delimited_term_freq():
+    f = TOKEN_FILTERS["delimited_term_freq"]()
+    t, p = run(f, ["apple|3", "pear"])
+    assert t == ["apple", "apple", "apple", "pear"] and p == [0, 0, 0, 1]
+
+
+def test_concatenate_graph_and_type_as_payload():
+    f = TOKEN_FILTERS["concatenate_graph"]()
+    assert run(f, ["the", "quick", "fox"]) == (["the quick fox"], [0])
+    g = TOKEN_FILTERS["concatenate_graph"]("-")
+    assert run(g, ["a", "b"]) == (["a-b"], [0])
+    assert run(TOKEN_FILTERS["type_as_payload"], ["x", "y"]) == \
+        (["x", "y"], [0, 1])
+
+
+def test_cjk_bigram_registered():
+    t, p = run(TOKEN_FILTERS["cjk_bigram"], ["日", "本", "語"], [0, 1, 2])
+    assert "日本" in t and "本語" in t
