@@ -957,8 +957,8 @@ def make_dictionary_decompounder_filter(word_list: Iterable[str],
     """dictionary_decompounder (DictionaryCompoundWordTokenFilter): emit
     dictionary subwords found inside long tokens AT THE SAME POSITION, the
     original token kept first — the Lucene sliding-window algorithm.
-    (hyphenation_decompounder needs an XML hyphenation FSM resource — not
-    shippable here; the dictionary variant is the implementable half.)"""
+    (hyphenation_decompounder is the point-aligned variant below — Liang's
+    algorithm with inline TeX patterns replacing the XML grammar file.)"""
     words = set(word_list)
 
     def filt(tokens: List[str], positions: List[int]) -> TokenStream:
@@ -982,6 +982,99 @@ def make_dictionary_decompounder_filter(word_list: Iterable[str],
                 if only_longest_match and best:
                     out_t.append(best)
                     out_p.append(p)
+        return out_t, out_p
+    return filt
+
+
+def _liang_points(word: str, patterns: dict) -> List[int]:
+    """Hyphenation points for ``word`` under Liang's pattern algorithm
+    (TeX82 / Knuth-Liang, public domain — the algorithm inside the
+    reference's XML hyphenation grammars): wrap the word in '.', slide
+    every pattern over it, take the MAX priority digit per inter-letter
+    gap; odd final values are break points. ``patterns`` maps the
+    pattern's letters to its per-gap digit list."""
+    w = "." + word.lower() + "."
+    vals = [0] * (len(w) + 1)
+    for i in range(len(w)):
+        for j in range(i + 1, min(len(w), i + 12) + 1):
+            pat = patterns.get(w[i:j])
+            if pat:
+                for k, d in enumerate(pat):
+                    if d > vals[i + k]:
+                        vals[i + k] = d
+    # vals index g = gap BEFORE w[g]; word letter m sits at w[m+1]
+    return [g - 1 for g in range(2, len(w) - 1)
+            if vals[g] % 2 == 1]
+
+
+def _parse_tex_patterns(pats: Iterable[str]) -> dict:
+    """TeX pattern strings ('hy3ph', '.he2n') -> {letters: digit-per-gap}."""
+    out = {}
+    for p in pats:
+        letters = []
+        digits = [0]
+        for ch in p:
+            if ch.isdigit():
+                digits[-1] = int(ch)
+            else:
+                letters.append(ch)
+                digits.append(0)
+        out["".join(letters)] = digits
+    return out
+
+
+def make_hyphenation_decompounder_filter(patterns: Iterable[str],
+                                         word_list: Optional[Iterable[str]]
+                                         = None,
+                                         min_word_size: int = 5,
+                                         min_subword_size: int = 2,
+                                         max_subword_size: int = 15,
+                                         only_longest_match: bool = False
+                                         ) -> TokenFilter:
+    """hyphenation_decompounder (HyphenationCompoundWordTokenFilter): split
+    compounds at Knuth-Liang hyphenation points; with a ``word_list``,
+    keep only point-aligned substrings that are dictionary words (the
+    reference's recommended mode), else emit the segments between
+    consecutive points. The reference loads the patterns from an OFFO XML
+    grammar — not shippable here, so TeX-style pattern STRINGS are passed
+    inline (same algorithm, caller-supplied data; documented)."""
+    pats = _parse_tex_patterns(patterns)
+    words = set(w.lower() for w in word_list) if word_list else None
+
+    def filt(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t, out_p = [], []
+        for t, p in zip(tokens, positions):
+            out_t.append(t)
+            out_p.append(p)
+            if len(t) < min_word_size:
+                continue
+            pts = _liang_points(t, pats)
+            bounds = [0] + pts + [len(t)]
+            if words is not None:
+                # candidate = any substring between two break boundaries
+                for ai in range(len(bounds) - 1):
+                    best = None
+                    for bi in range(ai + 1, len(bounds)):
+                        sub = t[bounds[ai]:bounds[bi]]
+                        if not (min_subword_size <= len(sub)
+                                <= max_subword_size) or sub == t:
+                            continue
+                        if sub.lower() in words:
+                            if only_longest_match:
+                                best = sub
+                            else:
+                                out_t.append(sub)
+                                out_p.append(p)
+                    if only_longest_match and best:
+                        out_t.append(best)
+                        out_p.append(p)
+            else:
+                for ai in range(len(bounds) - 1):
+                    sub = t[bounds[ai]:bounds[ai + 1]]
+                    if (min_subword_size <= len(sub) <= max_subword_size
+                            and sub != t):
+                        out_t.append(sub)
+                        out_p.append(p)
         return out_t, out_p
     return filt
 
@@ -1445,4 +1538,5 @@ TOKEN_FILTERS = {
     "delimited_term_freq": make_delimited_term_freq_filter,
     "type_as_payload": type_as_payload_filter,
     "concatenate_graph": make_concatenate_graph_filter,
+    "hyphenation_decompounder": make_hyphenation_decompounder_filter,
 }

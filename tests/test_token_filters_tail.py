@@ -266,3 +266,25 @@ def test_concatenate_graph_and_type_as_payload():
 def test_cjk_bigram_registered():
     t, p = run(TOKEN_FILTERS["cjk_bigram"], ["日", "本", "語"], [0, 1, 2])
     assert "日本" in t and "本語" in t
+
+
+def test_hyphenation_decompounder():
+    """Knuth-Liang pattern hyphenation (TeX82): the canonical
+    'hyphenation' example breaks hy-phen-ation; the decompounder splits
+    compounds at the points (dictionary-checked and raw-segment modes)."""
+    from opensearch_ray.analysis.token_filters import (_liang_points,
+                                                       _parse_tex_patterns)
+    pats = _parse_tex_patterns(["hy3ph", "he2n", "hena4", "hen5at", "ina",
+                                "n2at", "1tio", "2io", "o2n"])
+    assert _liang_points("hyphenation", pats) == [2, 6]
+    f = TOKEN_FILTERS["hyphenation_decompounder"](
+        ["e1t"], word_list=["kaffee", "tasse"])
+    assert run(f, ["kaffeetasse"]) == \
+        (["kaffeetasse", "kaffee", "tasse"], [0, 0, 0])
+    # no dictionary: emit the segments between consecutive points
+    g = TOKEN_FILTERS["hyphenation_decompounder"](["e1t"])
+    assert run(g, ["kaffeetasse"]) == \
+        (["kaffeetasse", "kaffee", "tasse"], [0, 0, 0])
+    # min_word_size gates short tokens entirely
+    h = TOKEN_FILTERS["hyphenation_decompounder"](["e1t"], min_word_size=20)
+    assert run(h, ["kaffeetasse"]) == (["kaffeetasse"], [0])
