@@ -331,6 +331,36 @@ def run_bench() -> dict:
         timings["minhash_1m_driver_rss_delta_mb"] = round(
             (rss1 - rss0) / 1024, 1)
 
+        # --- near-dup CLUSTERS over the verified pairs: hash-to-min
+        # connected components + keep-best — the cluster/keep-best dedup
+        # stage at 1M-doc scale (components stay distributed; the driver
+        # holds only the final component count).
+        from opensearch_ray.dedup.cluster import (connected_components,
+                                                  keep_best)
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.perf_counter()
+        pairs_ds = rd.from_arrow(_pa.Table.from_pandas(
+            pairs[["a", "b"]], preserve_index=False)
+            .replace_schema_metadata(None))
+        comp = connected_components(pairs_ds)
+
+        def add_len(t: "_pa.Table") -> "_pa.Table":
+            import pyarrow.compute as _pc
+            return t.append_column(
+                "n_chars",
+                _pc.utf8_length(t.column("text")).cast(_pa.int64()))
+
+        docs_q = (rd.read_parquet(mh_corpus,
+                                  columns=["conv_id", "turn_idx", "text"])
+                  .map_batches(add_id, batch_format="pyarrow")
+                  .map_batches(add_len, batch_format="pyarrow"))
+        kb = keep_best(docs_q, comp, id_col="mh_id", quality_col="n_chars")
+        timings["cluster_1m_components"] = int(kb.count())
+        timings["cluster_1m_sec"] = round(time.perf_counter() - t0, 3)
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        timings["cluster_1m_driver_rss_delta_mb"] = round(
+            (rss1 - rss0) / 1024, 1)
+
         # --- composite agg over 1M distinct (conv_id, turn_idx) keys: the
         # high-cardinality paging proof — after-key filter is distributed
         # and the reduce is per-block bounded, so driver RSS stays flat.
