@@ -129,15 +129,25 @@ def keep_best(docs: Dataset, components: Dataset, id_col: str = "doc_id",
     """One survivor per component: highest ``quality_col`` (ties -> lowest
     id — deterministic). -> Dataset[(component, keep_id, n_members)].
 
-    Shape: the quality column is attached to the (node, component)
-    membership by a co-partitioned bucket join (hash(node) % B — one
-    shuffle, vectorized searchsorted inside each bucket), then one
-    groupby-component reduction; at 100-TB scale both legs move only the
-    membership rows, never documents.
+    Shape: the member-id set (bounded by 2x the verified pair count — the
+    same contract as verify_pairs' candidate broadcast) is ray.put ONCE
+    and semi-filters the corpus BEFORE anything shuffles, so the quality
+    attach and the per-component reduce run over membership-sized rows
+    only; documents never shuffle. (Measured: an unfiltered 1M-row Ray
+    groupby costs ~320 MB of driver peak RSS in Ray's sort shuffle —
+    the semi-filter keeps this stage flat.)
     """
     import pyarrow.compute as pc
 
+    comp_tbl = pa.Table.from_pandas(components.to_pandas(),
+                                    preserve_index=False) \
+        .replace_schema_metadata(None)  # membership-bounded
+    need_ref = ray.put(pc.unique(comp_tbl.column("node").combine_chunks()))
+    components = ray.data.from_arrow(comp_tbl)
+
     def pack_quality(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column(id_col).cast(pa.int64()),
+                              value_set=ray.get(need_ref)))
         q = t.column(quality_col).to_numpy(zero_copy_only=False) \
             .astype("<f8")
         packed = pa.FixedSizeBinaryArray.from_buffers(
@@ -146,6 +156,15 @@ def keep_best(docs: Dataset, components: Dataset, id_col: str = "doc_id",
                          "_q": packed})
 
     qual = docs.map_batches(pack_quality, batch_format="pyarrow")
+    # coalesce the (membership-bounded) filtered rows to ONE block: Ray's
+    # sort shuffle carries a driver-side cost quadratic in INPUT BLOCK
+    # count (measured: 256 blocks ~ 225 MB, 512 ~ 660 MB driver peak), so
+    # a corpus-shaped block census must never reach the groupby
+    parts = [t for t in ray.get(qual.to_arrow_refs()) if t.num_rows]
+    qual_tbl = (pa.concat_tables(parts).combine_chunks() if parts
+                else pa.table({"node": pa.array([], pa.int64()),
+                               "_q": pa.array([], pa.binary())}))
+    qual = ray.data.from_arrow(qual_tbl)
     s = pa.schema([("node", pa.int64()), ("component", pa.int64())])
     j = _attach_sig(components, qual, "node", "_q", s, B)
 
