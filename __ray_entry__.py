@@ -2325,6 +2325,33 @@ def _q_dsl_request_aggs(sf_dir):
             .sort_values(["agg", "key"]).reset_index(drop=True))
 
 
+def _q_dsl_agg_hist_range_card(sf_dir):
+    """Round-4b request-body aggs: histogram (min_doc_count=0 empty-bucket
+    fill), range ([from, to) semantics), cardinality (exact fold) — all
+    over the query's filter-context match set (HistogramAggregator /
+    RangeAggregator / CardinalityAggregator request shapes)."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    body = {"query": {"match": {"text": "hash join"}},
+            "aggs": {"h": {"histogram": {"field": "n_chars",
+                                         "interval": 100}},
+                     "rg": {"range": {"field": "n_chars",
+                                      "ranges": [{"to": 300},
+                                                 {"from": 300, "to": 600},
+                                                 {"from": 600}]}},
+                     "card": {"cardinality": {"field": "lang"}}},
+            "size": 0}
+    r = dsl.execute_request(s, body)
+    rows = []
+    for b in r["aggregations"]["h"]["buckets"]:
+        rows.append(("h", str(int(b["key"])), str(b["doc_count"])))
+    for b in r["aggregations"]["rg"]["buckets"]:
+        rows.append(("rg", b["key"], str(b["doc_count"])))
+    rows.append(("card", "lang", str(r["aggregations"]["card"]["value"])))
+    return (pd.DataFrame(rows, columns=["agg", "key", "value"])
+            .sort_values(["agg", "key"]).reset_index(drop=True))
+
+
 def _q_agg_percentiles_hdr_price(sf_dir):
     """HDR percentiles over CONTINUOUS values (l_extendedprice, digits=3) —
     non-identity quantization, oracle-exact: the SQL reproduces the
@@ -3019,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_data_pipeline": _q_training_data_pipeline,
         # round-3 session 2: reference-surface tail
         "dsl_request_aggs": _q_dsl_request_aggs,
+        "dsl_agg_hist_range_card": _q_dsl_agg_hist_range_card,
         "agg_percentiles_hdr_price": _q_agg_percentiles_hdr_price,
         "agg_terms_order": _q_agg_terms_order,
         "field_caps": _q_field_caps,
@@ -4343,6 +4371,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "dsl_agg_hist_range_card": f"""
+            WITH tok AS (
+              SELECT DISTINCT d.doc_id, t.tok AS token
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+            ),
+            m AS (SELECT DISTINCT doc_id FROM tok
+                  WHERE token IN ('hash', 'join')),
+            dm AS (SELECT n_chars, lang FROM documents JOIN m USING (doc_id)),
+            hb AS (SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS k,
+                          count(*) AS c
+                   FROM dm GROUP BY 1),
+            lim AS (SELECT min(k) AS lo, max(k) AS hi FROM hb),
+            hist AS (
+              SELECT 'h' AS agg, CAST(gs.g AS VARCHAR) AS "key",
+                     CAST(coalesce(hb.c, 0) AS VARCHAR) AS "value"
+              FROM (SELECT unnest(generate_series((SELECT lo FROM lim),
+                                                  (SELECT hi FROM lim),
+                                                  100)) AS g) gs
+              LEFT JOIN hb ON hb.k = gs.g
+            ),
+            rg AS (
+              SELECT 'rg' AS agg, '*-300' AS "key",
+                     CAST(count(*) FILTER (WHERE n_chars < 300) AS VARCHAR)
+                       AS "value" FROM dm
+              UNION ALL
+              SELECT 'rg', '300-600',
+                     CAST(count(*) FILTER (WHERE n_chars >= 300
+                                           AND n_chars < 600) AS VARCHAR)
+              FROM dm
+              UNION ALL
+              SELECT 'rg', '600-*',
+                     CAST(count(*) FILTER (WHERE n_chars >= 600) AS VARCHAR)
+              FROM dm
+            ),
+            card AS (SELECT 'card' AS agg, 'lang' AS "key",
+                            CAST(count(DISTINCT lang) AS VARCHAR) AS "value"
+                     FROM dm)
+            SELECT * FROM hist UNION ALL SELECT * FROM rg
+            UNION ALL SELECT * FROM card ORDER BY agg, "key"
         """,
         "dsl_request_aggs": _bm25_sql("""
             , m AS (SELECT DISTINCT doc_id FROM tok

@@ -550,6 +550,67 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
                     n += int(np.isnan(v).sum())
             out[name] = {"doc_count": n}
             continue
+        if kind in ("histogram", "date_histogram"):
+            # HistogramAggregator / DateHistogramAggregator: per-segment
+            # floor-keyed counts; empty buckets between min and max key
+            # filled (the reference's min_doc_count=0 default). Dates use
+            # a fixed_interval over int64 epoch-ns doc values (the native
+            # aggs/ date_histogram carries the calendar intervals).
+            if kind == "date_histogram":
+                interval = _fixed_interval_ns(body.get("fixed_interval",
+                                                       body.get("interval")))
+            else:
+                interval = float(body["interval"])
+            acc = {}
+            for v in _iter_seg_values(s, docs, field):
+                if v.dtype.kind == "M":
+                    v = v.astype("datetime64[ns]").astype(np.int64) \
+                        .astype(np.float64)
+                else:
+                    v = v.astype(np.float64)
+                v = v[~np.isnan(v)]
+                keys = np.floor(v / interval)
+                uniq, counts = np.unique(keys, return_counts=True)
+                for u, c in zip(uniq.tolist(), counts.tolist()):
+                    acc[int(u)] = acc.get(int(u), 0) + int(c)
+            min_dc = int(body.get("min_doc_count", 0))
+            buckets = []
+            if acc:
+                for kk in range(min(acc), max(acc) + 1):
+                    c = acc.get(kk, 0)
+                    if c >= min_dc:
+                        buckets.append({"key": kk * interval,
+                                        "doc_count": c})
+            out[name] = {"buckets": buckets}
+            continue
+        if kind == "range":
+            # RangeAggregator: [from, to) per range, overlapping allowed
+            ranges = body["ranges"]
+            cnts = [0] * len(ranges)
+            for v in _iter_seg_values(s, docs, field):
+                v = v.astype(np.float64)
+                for i, r in enumerate(ranges):
+                    m = np.ones(v.size, bool)
+                    if "from" in r:
+                        m &= v >= float(r["from"])
+                    if "to" in r:
+                        m &= v < float(r["to"])
+                    cnts[i] += int(m.sum())
+            out[name] = {"buckets": [
+                {"key": f"{r.get('from', '*')}-{r.get('to', '*')}",
+                 **({"from": float(r["from"])} if "from" in r else {}),
+                 **({"to": float(r["to"])} if "to" in r else {}),
+                 "doc_count": c}
+                for r, c in zip(ranges, cnts)]}
+            continue
+        if kind == "cardinality":
+            # exact per-segment unique fold (the native aggs/ cardinality
+            # carries the HLL++ sketch for the high-cardinality path)
+            seen: set = set()
+            for v in _iter_seg_values(s, docs, field):
+                seen.update(np.unique(v).tolist())
+            out[name] = {"value": len(seen)}
+            continue
         cnt, tot = 0, 0.0
         mn, mx = np.inf, -np.inf
         for v in _iter_seg_values(s, docs, field):
@@ -577,6 +638,20 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
         else:
             raise ValueError(f"unsupported agg type: {kind}")
     return out
+
+
+_FIXED_UNITS_NS = {"ms": 10**6, "s": 10**9, "m": 60 * 10**9,
+                   "h": 3600 * 10**9, "d": 86400 * 10**9}
+
+
+def _fixed_interval_ns(spec) -> float:
+    """'1d' / '30m' / '1h' -> nanoseconds (DateHistogramInterval fixed
+    units; calendar intervals live in the native aggs/ path)."""
+    import re as _re
+    m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(spec))
+    if not m:
+        raise ValueError(f"unsupported fixed_interval: {spec!r}")
+    return float(int(m.group(1)) * _FIXED_UNITS_NS[m.group(2)])
 
 
 def execute_request(s: Searcher, body: dict, text_field: str = "text",

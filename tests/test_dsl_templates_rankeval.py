@@ -388,3 +388,49 @@ def test_search_after_sorted_paging(s, terms3):
     # cursor arity must match the sort arity
     with pytest.raises(ValueError):
         dsl.execute_search(s, {**body, "search_after": [1]}, id_col="docid")
+
+
+def test_execute_request_histogram_range_cardinality(s, terms3):
+    """Round-4b request-body aggs: histogram (empty buckets filled),
+    date_histogram (fixed_interval over epoch-ns doc values), range
+    ([from, to) semantics), cardinality (exact per-segment fold)."""
+    r = dsl.execute_request(s, {
+        "query": {"match_all": {}},
+        "aggs": {
+            "h": {"histogram": {"field": "turn_idx", "interval": 2}},
+            "rg": {"range": {"field": "turn_idx",
+                             "ranges": [{"to": 2}, {"from": 2, "to": 5},
+                                        {"from": 5}]}},
+            "card": {"cardinality": {"field": "role"}},
+        }, "size": 0}, id_col="docid")
+    all_ti = np.concatenate([
+        s.doc_values(seg.seg_id, "turn_idx")
+        for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id)])
+    # histogram: floor(v/2)*2 counts, contiguous keys
+    hb = r["aggregations"]["h"]["buckets"]
+    assert sum(b["doc_count"] for b in hb) == all_ti.size
+    keys = [b["key"] for b in hb]
+    assert keys == sorted(keys)
+    got = {b["key"]: b["doc_count"] for b in hb}
+    import collections
+    want = collections.Counter((v // 2) * 2 for v in all_ti.tolist())
+    assert {k: v for k, v in got.items() if v} == dict(want)
+    # range: [from, to)
+    rb = r["aggregations"]["rg"]["buckets"]
+    assert rb[0]["doc_count"] == int((all_ti < 2).sum())
+    assert rb[1]["doc_count"] == int(((all_ti >= 2) & (all_ti < 5)).sum())
+    assert rb[2]["doc_count"] == int((all_ti >= 5).sum())
+    # cardinality: exact distinct
+    roles = np.concatenate([
+        s.doc_values(seg.seg_id, "role")
+        for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id)])
+    assert r["aggregations"]["card"]["value"] == len(set(roles.tolist()))
+    # date_histogram over the ts column (fixed 1d)
+    r2 = dsl.execute_request(s, {
+        "query": {"match_all": {}},
+        "aggs": {"dh": {"date_histogram": {"field": "ts",
+                                           "fixed_interval": "1d"}}},
+        "size": 0}, id_col="docid")
+    db = r2["aggregations"]["dh"]["buckets"]
+    assert sum(b["doc_count"] for b in db) == s.N
+    assert all(b["key"] % 86400e9 == 0 for b in db)
