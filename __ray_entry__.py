@@ -2325,6 +2325,29 @@ def _q_dsl_request_aggs(sf_dir):
             .sort_values(["agg", "key"]).reset_index(drop=True))
 
 
+def _q_normalizer_term(sf_dir):
+    """keyword `normalizer`: a term query for 'EN' under a lowercase +
+    asciifolding normalizer matches lang='en' docs (AnalysisRegistry
+    normalizers — filters without tokenization, index+query symmetric)."""
+    from opensearch_ray.mapper import normalized_term_docs
+    s = _searcher(sf_dir)
+    docs = normalized_term_docs(s, "lang", "EN",
+                                filters=("lowercase", "asciifolding"))
+    t = s.fetch([int(d) for d in docs], columns=["doc_id"])
+    return pd.DataFrame({"doc_id": sorted(t.column("doc_id").to_pylist())})
+
+
+def _q_termvectors(sf_dir):
+    """_termvectors over one document (doc_id=42): on-the-fly re-analysis
+    from the stored source + term_statistics df via pinpoint terms-dict
+    reads (action/termvectors/TermVectorsService.java)."""
+    from opensearch_ray.search.features import termvectors
+    s = _searcher(sf_dir)
+    t = s.get_by("doc_id", 42)
+    gid = int(t.column("_docid")[0].as_py())
+    return termvectors(s, gid, term_statistics=True)
+
+
 def _q_dsl_agg_hist_range_card(sf_dir):
     """Round-4b request-body aggs: histogram (min_doc_count=0 empty-bucket
     fill), range ([from, to) semantics), cardinality (exact fold) — all
@@ -3047,6 +3070,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 session 2: reference-surface tail
         "dsl_request_aggs": _q_dsl_request_aggs,
         "dsl_agg_hist_range_card": _q_dsl_agg_hist_range_card,
+        "termvectors": _q_termvectors,
+        "normalizer_term": _q_normalizer_term,
         "agg_percentiles_hdr_price": _q_agg_percentiles_hdr_price,
         "agg_terms_order": _q_agg_terms_order,
         "field_caps": _q_field_caps,
@@ -4371,6 +4396,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
                      AS rank
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "normalizer_term": """
+            SELECT doc_id FROM documents
+            WHERE lower(lang) = lower('EN') ORDER BY doc_id
+        """,
+        "termvectors": f"""
+            WITH tok AS (
+              SELECT DISTINCT d.doc_id, t.tok AS token
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+            ),
+            one AS (SELECT list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS l
+                    FROM documents WHERE doc_id = 42),
+            tv AS (SELECT unnest(l) AS term,
+                          generate_subscripts(l, 1) - 1 AS pos
+                   FROM one),
+            dfv AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY token)
+            SELECT tv.term, count(*) AS term_freq,
+                   array_to_string(list_sort(list(tv.pos)), ',')
+                     AS positions,
+                   (SELECT df FROM dfv WHERE dfv.token = tv.term)
+                     AS doc_freq
+            FROM tv WHERE tv.term NOT IN {STOP}
+            GROUP BY tv.term ORDER BY tv.term
         """,
         "dsl_agg_hist_range_card": f"""
             WITH tok AS (

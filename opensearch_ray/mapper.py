@@ -260,6 +260,39 @@ def constant_keyword_filter(ds: Dataset, mapping_value: str, query_value,
 
 # ------------------------------------------------------------- flat_object
 
+def normalized_term_docs(s, field: str, value,
+                         filters=("lowercase",)) -> np.ndarray:
+    """keyword ``normalizer`` (server/index/analysis/AnalysisRegistry —
+    normalizers run char/token filters WITHOUT tokenization over keyword
+    values at index and query time): a term query under a normalizer
+    compares normalize(doc value) == normalize(query value).
+
+    ``filters``: names of non-parameterized token filters (or filter
+    callables). Vectorized per segment: only the segment's UNIQUE values
+    are normalized (cardinality-bounded), then mapped back through the
+    inverse index."""
+    from .analysis.token_filters import TOKEN_FILTERS
+
+    chain = [f if callable(f) else TOKEN_FILTERS[f] for f in filters]
+
+    def norm_one(x: str) -> str:
+        ts, ps = [x], [0]
+        for f in chain:
+            ts, ps = f(ts, ps)
+        return ts[0] if ts else ""
+
+    q = norm_one(str(value))
+    out = []
+    for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id):
+        vals = s.doc_values(seg.seg_id, field)
+        uniq, inv = np.unique(vals.astype(str), return_inverse=True)
+        normed = np.asarray([norm_one(u) for u in uniq], dtype=object)
+        m = (normed == q)[inv]
+        if m.any():
+            out.append(np.flatnonzero(m) + s.doc_base(seg.seg_id))
+    return np.concatenate(out) if out else np.empty(0, np.int64)
+
+
 def flat_object_paths(t: pa.Table, json_col: str) -> pa.Table:
     """Flatten a JSON-object column into (row index, path, leaf-value)
     rows — FlatObjectFieldMapper's index shape: every leaf under the field

@@ -381,6 +381,35 @@ def term_suggest(searcher: Searcher, text: str, max_edits: int = 2,
                                        "df", "rank"])
 
 
+def termvectors(searcher: Searcher, docid: int, field: Optional[str] = None,
+                term_statistics: bool = False) -> pd.DataFrame:
+    """``_termvectors`` API (action/termvectors/TermVectorsService.java):
+    the per-doc term vector, re-analyzed ON THE FLY from the stored source
+    — the reference's path when vectors aren't stored at index time.
+    One row per distinct term: (term, term_freq, positions) with
+    positions comma-joined analyzer increments (stopword gaps preserved);
+    ``term_statistics=True`` adds global df via pinpoint terms-dict reads
+    (the bounded TermVectorsFilter lookups, never a dict scan)."""
+    field = field or searcher.manifest.text_col
+    tbl = searcher.fetch([int(docid)], columns=[field])
+    text = tbl.column(field)[0].as_py() if tbl.num_rows else ""
+    toks, pos = searcher.analyzer.analyze(text or "")
+    acc: dict = {}
+    for t, p in zip(toks, pos):
+        acc.setdefault(t, []).append(p)
+    rows = [{"term": t, "term_freq": len(ps),
+             "positions": ",".join(str(p) for p in sorted(ps))}
+            for t, ps in sorted(acc.items())]
+    out = pd.DataFrame(rows, columns=["term", "term_freq", "positions"])
+    if term_statistics:
+        dfs = []
+        for t in out["term"]:
+            v = searcher._vocab_range(t, t + "\x00")
+            dfs.append(int(v.column("df")[0].as_py()) if v.num_rows else 0)
+        out["doc_freq"] = dfs
+    return out
+
+
 def search_after_page(searcher: Searcher, query_text: str, page_size: int,
                       after: Optional[Tuple[float, int]] = None) -> List[SearchHit]:
     """Cursor pagination over (score desc, docid asc): return the next page

@@ -194,3 +194,41 @@ def test_match_only_text_score_is_sum_of_idf(built_index):
         assert abs(got[int(both[0])] - (i1 + i2)) < 1e-12
     if only1.size:
         assert abs(got[int(only1[0])] - i1) < 1e-12
+
+
+def test_normalized_term_docs(built_index):
+    """keyword normalizer: case-insensitive term equality over keyword
+    doc values (lowercase chain), index+query symmetric."""
+    import numpy as np
+    from opensearch_ray.mapper import normalized_term_docs
+    from opensearch_ray.search import Searcher
+    s = Searcher(built_index.index_dir)
+    roles = np.concatenate([
+        s.doc_values(seg.seg_id, "role")
+        for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id)])
+    role = roles[0]
+    want = np.flatnonzero(roles.astype(str) == str(role))
+    got = np.sort(normalized_term_docs(s, "role", str(role).upper(),
+                                       filters=("lowercase",)))
+    assert got.tolist() == want.tolist()
+    assert normalized_term_docs(s, "role", "no-such-role").size == 0
+
+
+def test_termvectors_on_the_fly(built_index):
+    """_termvectors: tf/positions re-derived from the stored source match
+    a direct re-analysis; doc_freq matches term_stats."""
+    from opensearch_ray.search.features import termvectors
+    from opensearch_ray.search import Searcher
+    s = Searcher(built_index.index_dir)
+    tv = termvectors(s, 0, term_statistics=True)
+    text = s.fetch([0], columns=[s.manifest.text_col]) \
+        .column(s.manifest.text_col)[0].as_py()
+    toks, pos = s.analyzer.analyze(text)
+    assert sorted(tv["term"]) == sorted(set(toks))
+    assert int(tv["term_freq"].sum()) == len(toks)
+    by_term = dict(zip(tv["term"], tv["positions"]))
+    for t, p in zip(toks, pos):
+        assert str(p) in by_term[t].split(",")
+    # doc_freq is the global df
+    for t, df in zip(tv["term"], tv["doc_freq"]):
+        assert df >= 1
