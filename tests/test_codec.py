@@ -99,3 +99,48 @@ def test_segment_chunk_split():
         assert alldocs == list(range(n))
     finally:
         seg_mod.MAX_DOCS_PER_CHUNK = old
+
+
+def test_snapshot_restore_roundtrip(built_index, tmp_path):
+    """Snapshot -> restore -> identical search results; second snapshot is
+    fully incremental (0 new blobs); delete GCs only unreferenced blobs.
+    Ref: repositories/blobstore/BlobStoreRepository.java semantics."""
+    from opensearch_ray.index.snapshot import (create_snapshot,
+                                               delete_snapshot,
+                                               list_snapshots,
+                                               restore_snapshot)
+    from opensearch_ray.search import Searcher
+    repo = str(tmp_path / "repo")
+    st = create_snapshot(built_index.index_dir, repo, "snap1")
+    assert st["files"] > 0 and st["new_blobs"] == st["files"]
+    # incremental: same index again -> nothing uploaded
+    st2 = create_snapshot(built_index.index_dir, repo, "snap2")
+    assert st2["new_blobs"] == 0
+    assert list_snapshots(repo) == ["snap1", "snap2"]
+    # restore and compare search output exactly
+    target = str(tmp_path / "restored")
+    m = restore_snapshot(repo, "snap1", target)
+    assert m.total_docs > 0
+    s0 = Searcher(built_index.index_dir)
+    s1 = Searcher(target)
+    import numpy as np
+    q = " ".join(s0.analyzer.tokens(
+        s0.fetch([0], columns=[s0.manifest.text_col])
+        .column(s0.manifest.text_col)[0].as_py())[:2])
+    h0 = [(h.docid, h.score) for h in s0.search(q, k=10)]
+    h1 = [(h.docid, h.score) for h in s1.search(q, k=10)]
+    assert h0 == h1
+    # restore refuses to clobber an existing index
+    import pytest as _pytest
+    with _pytest.raises(FileExistsError):
+        restore_snapshot(repo, "snap2", target)
+    # delete: snap1's blobs survive via snap2; after both, repo is empty
+    delete_snapshot(repo, "snap1")
+    assert restore_snapshot(repo, "snap2",
+                            str(tmp_path / "r2")).total_docs == m.total_docs
+    r = delete_snapshot(repo, "snap2")
+    assert r["blobs_removed"] > 0
+    import os
+    left = [f for _, _, fs in os.walk(os.path.join(repo, "blobs"))
+            for f in fs]
+    assert left == []
