@@ -103,10 +103,27 @@ class GeoIpProcessor:
     The stub is clearly marked via the ``geo_stub`` output column."""
 
     def __init__(self, field: str = "ip", target_prefix: str = "geo_",
-                 db_path: Optional[str] = None):
+                 db_path: Optional[str] = None, ranges=None):
+        """``ranges``: a user-supplied CIDR table — iterable of
+        (cidr, country, city, lat, lon) — the GeoLite2-CSV distribution
+        shape. This is the REAL lookup path in this container (the .mmdb
+        DATA can't ship, but the algorithm is a sorted-range binary
+        search, identical to what the mmdb trie answers): rows sort by
+        network start, a vectorized searchsorted finds the covering
+        range per ip. Built once per ACTOR (__init__), used per batch."""
         self.field = field
         self.prefix = target_prefix
         self.reader = None
+        self.ranges = None
+        if ranges is not None:
+            from ..mapper import cidr_bounds
+            rows = sorted(
+                (( *cidr_bounds(r[0]), r[1], r[2], float(r[3]),
+                   float(r[4])) for r in ranges), key=lambda x: x[0])
+            self._lo = np.asarray([r[0] for r in rows], np.uint32)
+            self._hi = np.asarray([r[1] for r in rows], np.uint32)
+            self._meta = [(r[2], r[3], r[4], r[5]) for r in rows]
+            self.ranges = rows
         if db_path is not None:
             try:  # pragma: no cover - library absent in this container
                 import maxminddb
@@ -116,6 +133,21 @@ class GeoIpProcessor:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ips = df[self.field].astype(str)
+        if self.ranges is not None:
+            from ..mapper import ipv4_to_uint32
+            import pyarrow as pa
+            v = ipv4_to_uint32(pa.chunked_array([pa.array(ips.tolist())]))
+            pos = np.searchsorted(self._lo, v, side="right") - 1
+            pc = np.clip(pos, 0, len(self._lo) - 1)
+            hit = (pos >= 0) & (v <= self._hi[pc])
+            meta = [self._meta[p] if h else (None, None, None, None)
+                    for p, h in zip(pc.tolist(), hit.tolist())]
+            df[self.prefix + "country"] = [m[0] for m in meta]
+            df[self.prefix + "city"] = [m[1] for m in meta]
+            df[self.prefix + "lat"] = [m[2] for m in meta]
+            df[self.prefix + "lon"] = [m[3] for m in meta]
+            df[self.prefix + "stub"] = False
+            return df
         if self.reader is not None:  # pragma: no cover
             recs = [self.reader.get(ip) or {} for ip in ips]
             df[self.prefix + "country"] = [

@@ -212,3 +212,21 @@ def test_community_id_direction_invariant():
     other = pd.DataFrame({"sip": ["10.0.0.1"], "sp": [5001],
                           "dip": ["10.0.0.2"], "dp": [80]})
     assert proc(other.copy()).community_id.iloc[0] != a
+
+
+def test_geoip_range_table_lookup():
+    """The real geoip path: user-supplied CIDR ranges (GeoLite2-CSV shape),
+    vectorized sorted-range lookup; ips outside every range get nulls."""
+    import pandas as pd
+    from opensearch_ray.ingest.enrich import GeoIpProcessor
+    p = GeoIpProcessor(field="ip", ranges=[
+        ("10.0.0.0/8", "US", "New York", 40.71, -74.0),
+        ("192.168.1.0/24", "DE", "Berlin", 52.52, 13.40),
+        ("172.16.0.0/12", "GB", "London", 51.51, -0.13),
+    ])
+    df = p(pd.DataFrame({"ip": ["10.1.2.3", "192.168.1.77", "192.168.2.1",
+                                "172.20.0.9", "8.8.8.8"]}))
+    assert df["geo_country"].tolist() == ["US", "DE", None, "GB", None]
+    assert df["geo_city"].tolist() == ["New York", "Berlin", None,
+                                       "London", None]
+    assert not df["geo_stub"].any()
