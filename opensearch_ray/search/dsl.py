@@ -358,6 +358,7 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
             for c, vals in _fetch_aligned(
                     s, out[id_col].to_numpy(), list(src)).items():
                 out[c] = vals
+        _project_field_options(s, out, out[id_col].to_numpy(), body)
         return out
     fast = _fast_path(s, q, text_field)
     if fast is not None:
@@ -384,6 +385,7 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
             if src:
                 for c, vals in _fetch_aligned(s, ids, list(src)).items():
                     out[c] = vals
+            _project_field_options(s, out, ids, body)
             return out
 
     docs = query_docs(s, q, text_field)
@@ -445,7 +447,26 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     if src:
         for c in src:
             out[c] = resolve(c, ids)
+    _project_field_options(s, out, ids, body, resolve)
     return out
+
+
+def _project_field_options(s: Searcher, out: pd.DataFrame, ids: np.ndarray,
+                           body: dict, resolve=None) -> None:
+    """Request-body ``docvalue_fields`` / ``fields`` projection
+    (SearchSourceBuilder.docValueField / FetchFieldsPhase): append the
+    requested columns to the hits frame — both read the columnar doc
+    values here, the reference's docvalue path. Specs may be plain names
+    or {"field": name} objects; columns already projected are skipped."""
+    specs = _aslist(body.get("docvalue_fields")) + _aslist(body.get("fields"))
+    for spec in specs:
+        f = spec["field"] if isinstance(spec, dict) else spec
+        if f in out.columns:
+            continue
+        if resolve is not None:
+            out[f] = resolve(f, ids)
+        else:
+            out[f] = _fetch_aligned(s, ids, [f])[f]
 
 
 def knn_docs_scores(s: Searcher, field: str, vector, k: int = 10):

@@ -434,3 +434,21 @@ def test_execute_request_histogram_range_cardinality(s, terms3):
     db = r2["aggregations"]["dh"]["buckets"]
     assert sum(b["doc_count"] for b in db) == s.N
     assert all(b["key"] % 86400e9 == 0 for b in db)
+
+
+def test_docvalue_fields_and_fields_options(s, terms3):
+    """Request-body docvalue_fields / fields projection on both executor
+    paths (FetchFieldsPhase / docValueField)."""
+    fastb = {"query": {"match": {"text": terms3[0]}}, "size": 4,
+             "docvalue_fields": ["turn_idx"],
+             "fields": [{"field": "role"}]}
+    r = dsl.execute_search(s, fastb, id_col="docid")
+    assert "turn_idx" in r.columns and "role" in r.columns
+    fetched = s.fetch(r.docid.tolist(), columns=["turn_idx"]).to_pydict()
+    by_id = dict(zip(fetched["_docid"], fetched["turn_idx"]))
+    assert [by_id[d] for d in r.docid.tolist()] == r.turn_idx.tolist()
+    slowb = dict(fastb)
+    slowb["sort"] = [{"turn_idx": "asc"}]
+    r2 = dsl.execute_search(s, slowb, id_col="docid")
+    assert "turn_idx" in r2.columns and "role" in r2.columns
+    assert r2.turn_idx.is_monotonic_increasing
