@@ -386,6 +386,7 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
                 for c, vals in _fetch_aligned(s, ids, list(src)).items():
                     out[c] = vals
             _project_field_options(s, out, ids, body)
+            _attach_explanations(s, out, body, terms, id_col)
             return out
 
     docs = query_docs(s, q, text_field)
@@ -448,7 +449,25 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
         for c in src:
             out[c] = resolve(c, ids)
     _project_field_options(s, out, ids, body, resolve)
+    _attach_explanations(s, out, body, terms, id_col)
     return out
+
+
+def _attach_explanations(s: Searcher, out: pd.DataFrame, body: dict,
+                         terms, id_col: str) -> None:
+    """Request-body ``explain: true`` (ExplainPhase): per-hit scoring
+    breakdown as a JSON string column — per-term tf/df/idf/norm
+    contributions for scored queries, a constant-score marker for
+    pure-filter hits."""
+    if not body.get("explain"):
+        return
+    import json as _json
+    qt = " ".join(terms) if terms else ""
+    out["_explanation"] = [
+        _json.dumps(s.explain(qt, int(d)) if qt else
+                    {"docid": int(d), "constant_score": True,
+                     "score": float(sc)})
+        for d, sc in zip(out[id_col], out["score"])]
 
 
 def _project_field_options(s: Searcher, out: pd.DataFrame, ids: np.ndarray,

@@ -452,3 +452,21 @@ def test_docvalue_fields_and_fields_options(s, terms3):
     r2 = dsl.execute_search(s, slowb, id_col="docid")
     assert "turn_idx" in r2.columns and "role" in r2.columns
     assert r2.turn_idx.is_monotonic_increasing
+
+
+def test_explain_option(s, terms3):
+    """Request-body explain: per-hit JSON scoring breakdown whose summed
+    score equals the hit score (ExplainPhase)."""
+    import json
+    r = dsl.execute_search(s, {"query": {"match": {"text": terms3[0]}},
+                               "size": 3, "explain": True}, id_col="docid")
+    assert "_explanation" in r.columns
+    for _, row in r.iterrows():
+        e = json.loads(row["_explanation"])
+        assert abs(e["score"] - row["score"]) < 1e-4
+    # pure-filter query: constant-score marker
+    r2 = dsl.execute_search(s, {"query": {"constant_score": {
+        "filter": {"term": {"text": terms3[0]}}}},
+        "size": 2, "explain": True}, id_col="docid")
+    e2 = json.loads(r2["_explanation"].iloc[0])
+    assert e2.get("constant_score") is True

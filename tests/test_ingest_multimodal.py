@@ -230,3 +230,37 @@ def test_geoip_range_table_lookup():
     assert df["geo_city"].tolist() == ["New York", "Berlin", None,
                                        "London", None]
     assert not df["geo_stub"].any()
+
+
+def test_delete_and_update_by_query(sf_dir, tmp_path):
+    """_delete_by_query / _update_by_query analogues: corpus rewrite
+    without matches / with scripted matches (immutable-segment shape)."""
+    import pyarrow.compute as pc
+    from opensearch_ray.pipelines.reindex import (delete_by_query,
+                                                  update_by_query)
+    src = f"{sf_dir}/documents.parquet"
+
+    r = delete_by_query(src, str(tmp_path / "del"),
+                        predicate=lambda t: pc.less(t.column("n_chars"),
+                                                    300))
+    import duckdb
+    want_del = duckdb.sql(
+        f"SELECT count(*) FROM '{src}' WHERE n_chars < 300").fetchone()[0]
+    total = duckdb.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+    assert r == {"deleted": want_del, "remaining": total - want_del}
+
+    def upper_lang(t):
+        import pyarrow as pa
+        i = t.schema.get_field_index("lang")
+        return t.set_column(i, "lang", pc.utf8_upper(t.column("lang")))
+
+    r2 = update_by_query(src, str(tmp_path / "upd"), script=upper_lang,
+                         predicate=lambda t: pc.equal(t.column("lang"),
+                                                      "en"))
+    want_en = duckdb.sql(
+        f"SELECT count(*) FROM '{src}' WHERE lang = 'en'").fetchone()[0]
+    assert r2 == {"updated": want_en, "total": total}
+    got_en = duckdb.sql(f"SELECT count(*) FILTER (WHERE lang = 'EN'), "
+                        f"count(*) FROM '{tmp_path / 'upd'}/*.parquet'"
+                        ).fetchone()
+    assert got_en == (want_en, total)
