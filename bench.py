@@ -361,6 +361,34 @@ def run_bench() -> dict:
         timings["cluster_1m_driver_rss_delta_mb"] = round(
             (rss1 - rss0) / 1024, 1)
 
+        # --- keep_best under FORCED-HIGH membership: every doc is a
+        # member (adjacent-row pairs), so the membership-bounded quality
+        # table is CORPUS-sized — proves the object-store coalesce keeps
+        # driver RSS flat even at 100% dup fraction (the round-4 weak
+        # mark: the old path ray.get + concat'd this table on the driver).
+        def pair_comp(t: "_pa.Table") -> "_pa.Table":
+            import numpy as _np
+            ids = t.column("mh_id").to_numpy(zero_copy_only=False)
+            n = ids.size - (ids.size % 2)
+            comp = _np.repeat(_np.minimum(ids[0:n:2], ids[1:n:2]), 2)
+            return _pa.table({"node": _pa.array(ids[:n]),
+                              "component": _pa.array(comp)})
+
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.perf_counter()
+        comp_full = (rd.read_parquet(mh_corpus,
+                                     columns=["conv_id", "turn_idx"])
+                     .map_batches(add_id, batch_format="pyarrow")
+                     .map_batches(pair_comp, batch_format="pyarrow"))
+        kb2 = keep_best(docs_q, comp_full, id_col="mh_id",
+                        quality_col="n_chars")
+        timings["keepbest_1m_full_membership_rows"] = int(kb2.count())
+        timings["keepbest_1m_full_membership_sec"] = round(
+            time.perf_counter() - t0, 3)
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        timings["keepbest_1m_full_membership_driver_rss_delta_mb"] = round(
+            (rss1 - rss0) / 1024, 1)
+
         # --- composite agg over 1M distinct (conv_id, turn_idx) keys: the
         # high-cardinality paging proof — after-key filter is distributed
         # and the reduce is per-block bounded, so driver RSS stays flat.

@@ -130,20 +130,34 @@ def keep_best(docs: Dataset, components: Dataset, id_col: str = "doc_id",
     id — deterministic). -> Dataset[(component, keep_id, n_members)].
 
     Shape: the member-id set (bounded by 2x the verified pair count — the
-    same contract as verify_pairs' candidate broadcast) is ray.put ONCE
-    and semi-filters the corpus BEFORE anything shuffles, so the quality
-    attach and the per-component reduce run over membership-sized rows
-    only; documents never shuffle. (Measured: an unfiltered 1M-row Ray
-    groupby costs ~320 MB of driver peak RSS in Ray's sort shuffle —
-    the semi-filter keeps this stage flat.)
+    same contract as verify_pairs' candidate broadcast) is computed in
+    the OBJECT STORE and semi-filters the corpus BEFORE anything
+    shuffles, so the quality attach and the per-component reduce run
+    over membership-sized rows only; documents never shuffle. Both
+    coalesces (components, quality) run as single remote concat tasks —
+    member bytes never route through the driver, which holds only
+    ObjectRefs (O(block count), not O(membership)). (Measured: an
+    unfiltered 1M-row Ray groupby costs ~320 MB of driver peak RSS in
+    Ray's sort shuffle — the semi-filter keeps this stage flat.)
     """
     import pyarrow.compute as pc
 
-    comp_tbl = pa.Table.from_pandas(components.to_pandas(),
-                                    preserve_index=False) \
-        .replace_schema_metadata(None)  # membership-bounded
-    need_ref = ray.put(pc.unique(comp_tbl.column("node").combine_chunks()))
-    components = ray.data.from_arrow(comp_tbl)
+    # coalesce to ONE block: Ray's sort shuffle carries a driver-side
+    # cost quadratic in INPUT BLOCK count (measured: 256 blocks ~ 225 MB,
+    # 512 ~ 660 MB driver peak), so a corpus-shaped block census must
+    # never reach the groupby — and the concat itself happens in a
+    # worker, not on the driver
+    @ray.remote(num_returns=2)
+    def _coalesce_components(*parts):
+        parts = [p for p in parts if p.num_rows]
+        tbl = (pa.concat_tables(parts).combine_chunks() if parts
+               else pa.table({"node": pa.array([], pa.int64()),
+                              "component": pa.array([], pa.int64())}))
+        return tbl, pc.unique(tbl.column("node").combine_chunks())
+
+    comp_ref, need_ref = _coalesce_components.remote(
+        *components.to_arrow_refs())
+    components = ray.data.from_arrow_refs([comp_ref])
 
     def pack_quality(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t.column(id_col).cast(pa.int64()),
@@ -155,16 +169,16 @@ def keep_best(docs: Dataset, components: Dataset, id_col: str = "doc_id",
         return pa.table({"node": t.column(id_col).cast(pa.int64()),
                          "_q": packed})
 
-    qual = docs.map_batches(pack_quality, batch_format="pyarrow")
-    # coalesce the (membership-bounded) filtered rows to ONE block: Ray's
-    # sort shuffle carries a driver-side cost quadratic in INPUT BLOCK
-    # count (measured: 256 blocks ~ 225 MB, 512 ~ 660 MB driver peak), so
-    # a corpus-shaped block census must never reach the groupby
-    parts = [t for t in ray.get(qual.to_arrow_refs()) if t.num_rows]
-    qual_tbl = (pa.concat_tables(parts).combine_chunks() if parts
+    @ray.remote
+    def _coalesce_quality(*parts):
+        parts = [p for p in parts if p.num_rows]
+        return (pa.concat_tables(parts).combine_chunks() if parts
                 else pa.table({"node": pa.array([], pa.int64()),
                                "_q": pa.array([], pa.binary())}))
-    qual = ray.data.from_arrow(qual_tbl)
+
+    qual = docs.map_batches(pack_quality, batch_format="pyarrow")
+    qual = ray.data.from_arrow_refs(
+        [_coalesce_quality.remote(*qual.to_arrow_refs())])
     s = pa.schema([("node", pa.int64()), ("component", pa.int64())])
     j = _attach_sig(components, qual, "node", "_q", s, B)
 

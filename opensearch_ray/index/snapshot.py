@@ -25,6 +25,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
@@ -81,21 +82,45 @@ def create_snapshot(index_dir: str, repo_dir: str, name: str,
     os.makedirs(os.path.join(repo_dir, "snapshots"), exist_ok=True)
     rels = _index_files(index_dir)
 
-    def one(rel: str):
+    def digest(rel: str):
         src = os.path.join(index_dir, rel)
-        sha = _sha256(src)
-        size = os.path.getsize(src)
-        dst = _blob_path(repo_dir, sha)
-        new = not os.path.exists(dst)
-        if new:
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            tmp = dst + f".tmp.{os.getpid()}"
-            shutil.copyfile(src, tmp)
-            os.replace(tmp, dst)
-        return rel, sha, size, new
+        return rel, _sha256(src), os.path.getsize(src)
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        results = list(ex.map(one, rels))
+        digests = list(ex.map(digest, rels))
+
+    # Deduplicate by sha BEFORE dispatching copies: two index files with
+    # identical content must not race on the same blob path (a shared tmp
+    # name would let one thread's os.replace steal the other's in-flight
+    # file). One copy per distinct sha; tmp names are per-thread unique.
+    first_rel_for_sha: Dict[str, str] = {}
+    for rel, sha, _size in digests:
+        first_rel_for_sha.setdefault(sha, rel)
+
+    def copy_blob(item):
+        sha, rel = item
+        src = os.path.join(index_dir, rel)
+        dst = _blob_path(repo_dir, sha)
+        if os.path.exists(dst):
+            return sha, False
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + f".tmp.{os.getpid()}.{threading.get_ident()}"
+        shutil.copyfile(src, tmp)
+        try:
+            os.replace(tmp, dst)
+        except FileNotFoundError:
+            # a concurrent snapshot of the same repo won the replace —
+            # the blob is content-addressed, so already-present is success
+            if not os.path.exists(dst):
+                raise
+            return sha, False
+        return sha, True
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        copied = dict(ex.map(copy_blob, first_rel_for_sha.items()))
+    results = [(rel, sha, size, copied.get(sha, False)
+                and first_rel_for_sha[sha] == rel)
+               for rel, sha, size in digests]
     files = {rel: {"sha": sha, "size": size}
              for rel, sha, size, _new in results}
     doc = {"name": name, "files": files,

@@ -597,26 +597,42 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
             # a fixed_interval over int64 epoch-ns doc values (the native
             # aggs/ date_histogram carries the calendar intervals).
             if kind == "date_histogram":
-                interval = _fixed_interval_ns(body.get("fixed_interval",
-                                                       body.get("interval")))
+                interval = int(_fixed_interval_ns(
+                    body.get("fixed_interval", body.get("interval"))))
             else:
                 interval = float(body["interval"])
             acc = {}
             for v in _iter_seg_values(s, docs, field):
                 if v.dtype.kind == "M":
-                    v = v.astype("datetime64[ns]").astype(np.int64) \
-                        .astype(np.float64)
+                    # stay in INTEGER space: epoch-ns (~1.5e18) exceeds
+                    # float64's 2^53 integer range, so a float divide
+                    # mis-buckets timestamps within ~256 ns of a boundary
+                    # (the reference buckets with long arithmetic —
+                    # Rounding.java fixed-interval round())
+                    vi = v.astype("datetime64[ns]").astype(np.int64)
+                    keys = vi // np.int64(interval)
                 else:
-                    v = v.astype(np.float64)
-                v = v[~np.isnan(v)]
-                keys = np.floor(v / interval)
+                    vf = v.astype(np.float64)
+                    vf = vf[~np.isnan(vf)]
+                    keys = np.floor(vf / interval)
                 uniq, counts = np.unique(keys, return_counts=True)
                 for u, c in zip(uniq.tolist(), counts.tolist()):
                     acc[int(u)] = acc.get(int(u), 0) + int(c)
             min_dc = int(body.get("min_doc_count", 0))
             buckets = []
             if acc:
-                for kk in range(min(acc), max(acc) + 1):
+                lo, hi = min(acc), max(acc)
+                # search.max_buckets analogue (MultiBucketConsumerService):
+                # the min_doc_count=0 gap-fill is bounded — a sparse field
+                # over a wide range must error, not OOM the driver
+                if min_dc == 0 and hi - lo + 1 > 65536:
+                    raise ValueError(
+                        f"too_many_buckets_exception: histogram would "
+                        f"create {hi - lo + 1} buckets (limit 65536); "
+                        f"raise min_doc_count or widen the interval")
+                kks = (range(lo, hi + 1) if min_dc == 0
+                       else sorted(acc))
+                for kk in kks:
                     c = acc.get(kk, 0)
                     if c >= min_dc:
                         buckets.append({"key": kk * interval,
@@ -992,12 +1008,20 @@ def _after_key_masks(vals, desc: bool, cursor_val):
     v = np.asarray(vals)
     if v.dtype.kind == "M":
         null = np.isnat(v)
+        if cursor_val is None or (isinstance(cursor_val, float)
+                                  and np.isnan(cursor_val)):
+            # missing cursor key (the engine emits these when a page ends
+            # on a null sort value): nothing sorts after; missing rows tie
+            return np.zeros(v.size, bool), null
         f = v.astype("datetime64[ns]").astype(np.int64).astype(np.float64)
         c = np.datetime64(cursor_val)
         cf = float(np.datetime64(c, "ns").astype(np.int64))
     elif v.dtype.kind in "iuf":
         f = v.astype(np.float64)
         null = np.isnan(f)
+        if cursor_val is None or (isinstance(cursor_val, float)
+                                  and np.isnan(cursor_val)):
+            return np.zeros(v.size, bool), null
         cf = float(cursor_val)
     else:
         null = pd.isna(v)

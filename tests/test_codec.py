@@ -144,3 +144,27 @@ def test_snapshot_restore_roundtrip(built_index, tmp_path):
     left = [f for _, _, fs in os.walk(os.path.join(repo, "blobs"))
             for f in fs]
     assert left == []
+
+
+def test_snapshot_duplicate_content_files(tmp_path):
+    """Identical-content index files must not race on the shared blob path:
+    one copy per distinct sha, every rel recorded, restore intact."""
+    from opensearch_ray.index.snapshot import (create_snapshot,
+                                               restore_snapshot)
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    payload = b"x" * 4096
+    for i in range(16):
+        (idx / f"seg_{i:02d}.bin").write_bytes(payload)
+    (idx / "meta.json").write_text("{}")
+    repo = str(tmp_path / "repo")
+    st = create_snapshot(str(idx), repo, "s1", max_workers=8)
+    assert st["files"] == 17
+    assert st["new_blobs"] == 2  # payload blob + meta blob
+    target = tmp_path / "restored"
+    try:
+        restore_snapshot(repo, "s1", str(target))
+    except (KeyError, FileNotFoundError):
+        pass  # synthetic dir is not a real index; file copies are the point
+    for i in range(16):
+        assert (target / f"seg_{i:02d}.bin").read_bytes() == payload

@@ -470,3 +470,45 @@ def test_explain_option(s, terms3):
         "size": 2, "explain": True}, id_col="docid")
     e2 = json.loads(r2["_explanation"].iloc[0])
     assert e2.get("constant_score") is True
+
+
+def test_after_key_masks_null_cursor():
+    """A cursor tuple ending on a missing value (which the engine itself
+    emits when a page ends on a null sort key) must keep paging: nothing
+    sorts strictly after a missing key, missing rows tie
+    (SearchAfterBuilder missing-value semantics)."""
+    vals = np.array([1.0, np.nan, 3.0, np.nan])
+    for cur in (None, float("nan")):
+        gt, eq = dsl._after_key_masks(vals, desc=False, cursor_val=cur)
+        assert not gt.any()
+        assert eq.tolist() == [False, True, False, True]
+    dts = np.array(["2024-01-01", "NaT", "2024-01-03", "NaT"],
+                   dtype="datetime64[ns]")
+    gt, eq = dsl._after_key_masks(dts, desc=True, cursor_val=None)
+    assert not gt.any()
+    assert eq.tolist() == [False, True, False, True]
+    # concrete cursor still works on both branches
+    gt, eq = dsl._after_key_masks(vals, desc=False, cursor_val=1.0)
+    assert gt.tolist() == [False, True, True, True]  # missing sorts last
+    assert eq.tolist() == [True, False, False, False]
+
+
+def test_histogram_too_many_buckets(s):
+    """min_doc_count=0 gap-fill is bounded by the search.max_buckets
+    analogue (65536) — a sparse field with a tiny interval errors instead
+    of OOMing the driver (MultiBucketConsumerService)."""
+    with pytest.raises(ValueError, match="too_many_buckets"):
+        dsl.execute_request(s, {
+            "query": {"match_all": {}},
+            "aggs": {"h": {"histogram": {"field": "turn_idx",
+                                         "interval": 0.00001}}},
+            "size": 0})
+    # min_doc_count=1 skips the fill entirely -> no error, sparse keys only
+    r = dsl.execute_request(s, {
+        "query": {"match_all": {}},
+        "aggs": {"h": {"histogram": {"field": "turn_idx",
+                                     "interval": 0.00001,
+                                     "min_doc_count": 1}}},
+        "size": 0})
+    assert sum(b["doc_count"] for b in
+               r["aggregations"]["h"]["buckets"]) == s.N

@@ -748,3 +748,31 @@ def test_similarity_modules_vs_brute_force(built_index, oracle):
         assert [g[0] for g in got] == [w[0] for w in want], sim
         for g, w in zip(got, want):
             assert abs(g[1] - w[1]) < 1e-12, (sim, g, w)
+
+
+def test_search_docs_allowlist_parity(built_index, oracle):
+    """The ``docs=`` sorted-allowlist gate on Searcher.search must agree
+    with the DSL's query_docs + score_docs composition: same docids, same
+    float32 scores, same (score desc, docid asc) order (the filter-context
+    gate semantics — BoolQueryBuilder filter clause)."""
+    from opensearch_ray.search import dsl
+
+    o, _ = oracle
+    s = Searcher(built_index.index_dir)
+    for q in reference_queries()[:6]:
+        match = dsl.query_docs(s, {"match": {"text": q}})
+        if match.size == 0:
+            continue
+        # allowlist = every other matching doc plus some non-matching ids
+        allow = np.unique(np.concatenate(
+            [match[::2], np.arange(0, s.N, 7, dtype=np.int64)]))
+        hits = s.search(q, k=15, docs=allow)
+        # reference composition: intersect, score, sort, head
+        cand = np.intersect1d(match, allow, assume_unique=True)
+        sc = s.score_docs(cand, s.analyzer.tokens(q)).astype(np.float32)
+        order = np.lexsort((cand, -sc.astype(np.float64)))
+        want = [(int(cand[i]), float(sc[i])) for i in order[:15]]
+        got = [(h.docid, h.score) for h in hits]
+        assert got == want, q
+        # empty allowlist -> no hits
+        assert s.search(q, k=5, docs=np.empty(0, np.int64)) == []
