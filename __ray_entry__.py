@@ -1815,6 +1815,38 @@ def _q_nested_inner_hits(sf_dir):
         .reset_index(drop=True)
 
 
+def _q_sort_nested_field(sf_dir):
+    """nested-context field sort (FieldSortBuilder.java:122 nestedSort /
+    NestedSortBuilder.java): parents ordered by min(l_quantity) over the
+    children passing the nested filter (l_discount > 0.05), missing
+    parents last, o_orderkey tiebreak — full ranking over a keyed subset
+    so the missing tail is exercised."""
+    from opensearch_ray.nested import nest_children, nested_field_sort
+
+    def keep_97(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 97 == 0))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(keep_97, batch_format="pyarrow")
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_quantity", "l_discount"])
+    nested = nest_children(orders, items, "o_orderkey", "l_orderkey",
+                           ["l_orderkey", "l_quantity", "l_discount"],
+                           list_col="items")
+    out = nested_field_sort(
+        nested, "items", "l_quantity",
+        predicate=lambda c: pc.greater(c.column("l_discount"), 0.05),
+        mode="min", order="asc").to_pandas()
+    # deterministic tiebreak within equal keys (the engine's _doc analogue)
+    out = out.sort_values(["_nested_sort", "o_orderkey"], kind="mergesort") \
+        .reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["sort_key"] = ["missing" if np.isinf(v) else f"{v:.2f}"
+                       for v in out["_nested_sort"]]
+    return out[["o_orderkey", "sort_key", "rank"]]
+
+
 def _q_collapse_inner_hits(sf_dir):
     """collapse + inner_hits: top-5 langs by their best BM25 hit, each
     expanded to its top-3 members (110_field_collapsing.yml shape)."""
@@ -2082,6 +2114,30 @@ def _q_intervals_any_of(sf_dir):
         {"match": {"query": "hash join", "ordered": True, "max_gaps": 0}},
         {"match": {"query": "merge sort", "ordered": False, "max_gaps": 1}},
     ]}})
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_intervals_all_of_gaps(sf_dir):
+    """intervals all_of with ordered+max_gaps (Combine): a 'hash join'
+    phrase sub-interval followed by 'stream' within 2 uncovered
+    positions — sub-interval span tracking, r4 NotImplementedError gone."""
+    from opensearch_ray.search.queries import intervals_docs
+    docs = intervals_docs(_searcher(sf_dir), {"all_of": {
+        "intervals": [
+            {"match": {"query": "hash join", "ordered": True,
+                       "max_gaps": 0}},
+            {"match": {"query": "stream"}},
+        ], "ordered": True, "max_gaps": 2}})
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
+def _q_span_gap_near(sf_dir):
+    """span_near with a span_gap clause (SpanGapQueryBuilder): 'hash',
+    exactly one consumed position, then 'stream' at slop 0."""
+    from opensearch_ray.search.queries import span_near_clauses_docs
+    docs = span_near_clauses_docs(
+        _searcher(sf_dir), ["hash", {"span_gap": {"text": 1}}, "stream"],
+        slop=0, in_order=True)
     return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
 
 
@@ -2937,6 +2993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sort / top-k / collapse
         "sort_page2": _q_sort_page2,
         "sort_field_missing": _q_sort_field_missing,
+        "sort_nested_field": _q_sort_nested_field,
         "sort_script_page": _q_sort_script_page,
         "sort_geo_distance": _q_sort_geo_distance,
         "fetch_source_filter": _q_fetch_source_filter,
@@ -3028,6 +3085,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_containing_query": _q_span_containing,
         "intervals_query": _q_intervals,
         "intervals_any_of": _q_intervals_any_of,
+        "intervals_all_of_gaps": _q_intervals_all_of_gaps,
+        "span_gap_near": _q_span_gap_near,
         "exists_query": _q_exists,
         "terms_set_query": _q_terms_set,
         "regexp_query": _q_regexp,
@@ -3388,6 +3447,24 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM opt o JOIN hit h USING (doc_id)
             ORDER BY o.opt_source ASC NULLS LAST, o.doc_id LIMIT 15
+        """,
+        "sort_nested_field": """
+            WITH sel AS (
+              SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+            k AS (
+              SELECT s.o_orderkey,
+                     min(l.l_quantity) FILTER (WHERE l.l_discount > 0.05)
+                       AS kk
+              FROM sel s LEFT JOIN lineitem l
+                ON l.l_orderkey = s.o_orderkey
+              GROUP BY s.o_orderkey)
+            SELECT o_orderkey,
+                   CASE WHEN kk IS NULL THEN 'missing'
+                        ELSE printf('%.2f', kk) END AS sort_key,
+                   CAST(row_number() OVER (
+                     ORDER BY kk ASC NULLS LAST, o_orderkey) AS BIGINT)
+                     AS rank
+            FROM k ORDER BY rank
         """,
         "sort_script_page": """
             WITH hit AS (
@@ -4362,6 +4439,31 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.tok = 'merge' AND b.tok = 'sort'
                 AND abs(b.p - a.p) BETWEEN 1 AND 2)
             ORDER BY doc_id
+        """,
+        "intervals_all_of_gaps": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id
+            FROM tok a JOIN tok b USING (doc_id) JOIN tok c USING (doc_id)
+            WHERE a.tok = 'hash' AND b.tok = 'join' AND b.p = a.p + 1
+              AND c.tok = 'stream'
+              AND c.p >= a.p + 2 AND c.p - a.p <= 4
+            ORDER BY a.doc_id
+        """,
+        "span_gap_near": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.tok = 'hash' AND b.tok = 'stream' AND b.p = a.p + 2
+            ORDER BY a.doc_id
         """,
         "match_bool_prefix": """
             SELECT DISTINCT doc_id FROM documents d,

@@ -237,6 +237,94 @@ def nested_inner_hits(ds: Dataset, list_col: str,
     return ds.map_batches(inner, batch_format="pyarrow")
 
 
+def nested_sort_key(ds: Dataset, list_col: str, field: str,
+                    predicate: Optional[Callable[[pa.Table], pa.Array]]
+                    = None, mode: Optional[str] = None,
+                    order: str = "asc",
+                    key_col: str = "_nested_sort") -> Dataset:
+    """Per-parent sort key over a nested field — the `nested` context on a
+    field sort (server/search/sort/FieldSortBuilder.java:122 nestedSort,
+    NestedSortBuilder.java): reduce each parent's children MATCHING the
+    nested filter to one value via ``mode`` (min/max/sum/avg/median;
+    default min for asc, max for desc — the reference's defaultOrder), as
+    a new float64 column. Parents with no matching children get null
+    (``missing: _last`` downstream). All segmented-reduce vectorized
+    inside ``map_batches`` — children never shuffle."""
+    if mode is None:
+        mode = "min" if order == "asc" else "max"
+    if mode not in ("min", "max", "sum", "avg", "median"):
+        raise ValueError(f"unsupported nested sort mode: {mode}")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(key_col, pa.array([], pa.float64()))
+        child_tbl, offsets = _flatten(t, list_col)
+        vals = child_tbl.column(field).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if predicate is not None and child_tbl.num_rows:
+            m = pc.fill_null(pc.cast(predicate(child_tbl), pa.bool_()),
+                             False).to_numpy(zero_copy_only=False) \
+                .astype(bool)
+        else:
+            m = np.ones(child_tbl.num_rows, bool)
+        m &= ~np.isnan(vals)
+        parent_of = np.repeat(np.arange(n, dtype=np.int64),
+                              np.diff(offsets))
+        keys = np.full(n, np.nan)
+        midx = np.flatnonzero(m)
+        if midx.size:
+            p, v = parent_of[midx], vals[midx]
+            o = np.lexsort((v, p))
+            p_s, v_s = p[o], v[o]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], p_s[1:] != p_s[:-1])))
+            sizes = np.diff(np.append(starts, p_s.size))
+            if mode == "min":
+                red = v_s[starts]  # sorted within parent
+            elif mode == "max":
+                red = v_s[starts + sizes - 1]
+            elif mode == "sum":
+                red = np.add.reduceat(v_s, starts)
+            elif mode == "avg":
+                red = np.add.reduceat(v_s, starts) / sizes
+            else:  # median over the sorted segment
+                lo = starts + (sizes - 1) // 2
+                hi = starts + sizes // 2
+                red = (v_s[lo] + v_s[hi]) / 2.0
+            keys[p_s[starts]] = red
+        return t.append_column(
+            key_col, pa.array(keys, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(add_key, batch_format="pyarrow")
+
+
+def nested_field_sort(ds: Dataset, list_col: str, field: str,
+                      predicate: Optional[Callable[[pa.Table], pa.Array]]
+                      = None, mode: Optional[str] = None,
+                      order: str = "asc", missing: str = "_last",
+                      key_col: str = "_nested_sort") -> Dataset:
+    """Sort parents by a nested-field reduce (FieldSortBuilder with a
+    NestedSortBuilder): attaches the per-parent key, places missing
+    parents per ``missing`` (_first/_last), then one distributed
+    ``Dataset.sort`` on the key. The returned dataset keeps ``key_col``
+    so callers can page on it (search_after over the nested key)."""
+    keyed = nested_sort_key(ds, list_col, field, predicate=predicate,
+                            mode=mode, order=order, key_col=key_col)
+    desc = order == "desc"
+    sentinel = (np.inf if (missing == "_last") != desc else -np.inf)
+
+    def place_missing(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        k = np.where(np.isnan(k), sentinel, k)
+        i = t.schema.get_field_index(key_col)
+        return t.set_column(i, key_col, pa.array(k))
+
+    return (keyed.map_batches(place_missing, batch_format="pyarrow")
+            .sort(key_col, descending=desc))
+
+
 def reverse_nested_agg(ds: Dataset, list_col: str, child_key: str,
                        parent_key: str) -> Dataset:
     """`reverse_nested` aggregation

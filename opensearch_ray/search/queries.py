@@ -244,9 +244,17 @@ def _clause_spans(s: Searcher, clause, pos_of: Dict[str, np.ndarray]
     slop = int(spec.get("slop", 0))
     in_order = bool(spec.get("in_order", True))
     lists = [np.asarray(pos_of.get(t, ()), dtype=np.int64) for t in q_toks]
+    return _enum_near_spans(lists, slop, in_order, q_toks=q_toks)
+
+
+def _enum_near_spans(lists: List[np.ndarray], slop: int, in_order: bool,
+                     q_toks: Optional[List[str]] = None) -> List[tuple]:
+    """Enumerate the matching (start, end) spans of a term-position near
+    query within one doc: one position per list, window gaps
+    (width - n) <= slop; ordered = strictly increasing positions."""
     if not all(l.size for l in lists):
         return []
-    n = len(q_toks)
+    n = len(lists)
     spans = []
     if in_order:
         for s0 in lists[0]:
@@ -270,7 +278,7 @@ def _clause_spans(s: Searcher, clause, pos_of: Dict[str, np.ndarray]
                 lo, hi = min(combo), max(combo)
                 if (hi - lo + 1) - n <= slop:
                     spans.append((int(lo), int(hi)))
-        else:  # degenerate huge docs: fall back to the boolean sweep
+        elif q_toks is not None:  # degenerate huge docs: boolean sweep
             if Searcher._sloppy_ok(lists, [0] * n, q_toks, slop + n - 1):
                 allp = np.concatenate(lists)
                 spans.append((int(allp.min()), int(allp.max())))
@@ -306,7 +314,45 @@ def span_near_clauses_docs(s: Searcher, clauses: Sequence, slop: int = 0,
     nested span_near — the _clause_spans forms): docs with one span per
     clause packable into a window of (width - n_spans_positions) <= slop;
     ordered requires strictly increasing non-overlapping spans
-    (SpanNearQueryBuilder with SpanMultiTermQueryWrapper sub-clauses)."""
+    (SpanNearQueryBuilder with SpanMultiTermQueryWrapper sub-clauses).
+
+    A ``{"span_gap": width}`` / ``{"span_gap": {field: width}}`` clause
+    (SpanGapQueryBuilder — SearchModule registers it only inside
+    span_near) consumes ``width`` unmatched positions at its slot:
+    consecutive real spans must leave >= that many free positions
+    between them, and the gap counts as covered in the slop accounting.
+    Ordered mode only (the reference's supported shape)."""
+    # split off gap clauses, remembering the gap width at each slot
+    def gap_width(c) -> Optional[int]:
+        if isinstance(c, dict) and "span_gap" in c:
+            g = c["span_gap"]
+            return int(g if isinstance(g, (int, float))
+                       else next(iter(g.values())))
+        return None
+
+    gaps = [gap_width(c) for c in clauses]
+    if any(g is not None for g in gaps):
+        if not in_order:
+            raise ValueError("span_gap requires in_order=true")
+        real: List = []
+        gap_before: List[int] = []   # free positions required before slot i
+        pending = 0
+        lead = 0
+        for c, g in zip(clauses, gaps):
+            if g is not None:
+                pending += g
+                continue
+            if not real:
+                lead = pending
+            else:
+                gap_before.append(pending)
+            pending = 0
+            real.append(c)
+        trail = pending
+        clauses = real
+    else:
+        gap_before, lead, trail = [0] * (len(clauses) - 1), 0, 0
+
     per_clause = [_span_clause_terms(s, c) for c in clauses]
     if not all(per_clause):
         return np.empty(0, np.int64)
@@ -328,14 +374,19 @@ def span_near_clauses_docs(s: Searcher, clauses: Sequence, slop: int = 0,
             continue
         hit = False
         if int(np.prod([len(sl) for sl in span_lists])) <= 4096:
+            gap_total = lead + trail + sum(gap_before)
             for combo in itertools.product(*span_lists):
-                covered = sum(e - b + 1 for b, e in combo)
-                lo = min(b for b, _ in combo)
-                hi = max(e for _, e in combo)
+                covered = sum(e - b + 1 for b, e in combo) + gap_total
+                lo = min(b for b, _ in combo) - lead
+                hi = max(e for _, e in combo) + trail
                 if (hi - lo + 1) - covered > slop:
                     continue
                 if in_order and any(combo[i + 1][0] <= combo[i][1]
                                     for i in range(len(combo) - 1)):
+                    continue
+                # span_gap slots: enough free positions between neighbors
+                if any(combo[i + 1][0] - combo[i][1] - 1 < gap_before[i]
+                       for i in range(len(combo) - 1)):
                     continue
                 # spans may not overlap even unordered (Lucene NearSpans)
                 ordered = sorted(combo)
@@ -639,8 +690,13 @@ def intervals_docs(s: Searcher, source: dict) -> np.ndarray:
       This is exactly the span_near measure (IntervalBuilder builds
       Intervals.ordered/unordered over the analyzed terms).
     - {"any_of": {"intervals": [source, ...]}} — union.
-    - {"all_of": {"intervals": [source, ...]}} — intersection (supported
-      WITHOUT an enclosing max_gaps: doc-level conjunction only).
+    - {"all_of": {"intervals": [source, ...], "ordered": bool,
+      "max_gaps": int}} — conjunction. With the default max_gaps=-1 and
+      ordered=False this is the doc-level intersection; otherwise one
+      sub-interval per child must pack into a window whose uncovered
+      positions are <= max_gaps (ordered = increasing, non-overlapping) —
+      sub-interval span tracking via :func:`_interval_spans`, the
+      IntervalsSourceProvider.Combine semantics.
     """
     if "match" in source:
         spec = source["match"]
@@ -663,16 +719,107 @@ def intervals_docs(s: Searcher, source: dict) -> np.ndarray:
         return (np.unique(np.concatenate(parts)) if parts
                 else np.empty(0, np.int64))
     if "all_of" in source:
-        if source["all_of"].get("max_gaps", -1) != -1:
-            raise NotImplementedError(
-                "all_of with max_gaps needs sub-interval spans; only the "
-                "doc-level conjunction (max_gaps=-1) is supported")
+        spec = source["all_of"]
         cur: Optional[np.ndarray] = None
-        for sub in source["all_of"]["intervals"]:
+        for sub in spec["intervals"]:
             d = intervals_docs(s, sub)
             cur = d if cur is None else np.intersect1d(cur, d,
                                                        assume_unique=True)
             if cur.size == 0:
                 return cur
-        return cur if cur is not None else np.empty(0, np.int64)
+        if cur is None:
+            return np.empty(0, np.int64)
+        max_gaps = int(spec.get("max_gaps", -1))
+        ordered = bool(spec.get("ordered", False))
+        if max_gaps == -1 and not ordered:
+            return cur  # plain doc-level conjunction
+        # span-level combine: per candidate doc, one sub-interval per
+        # child must satisfy the ordered/max_gaps window constraint
+        terms = _interval_terms(s, source)
+        pos = _positions_by_doc(s, terms, cur)
+        out = [d for d in cur.tolist()
+               if _interval_spans(s, source, pos[d])]
+        return np.asarray(out, dtype=np.int64)
+    raise ValueError(f"unsupported intervals source: {sorted(source)}")
+
+
+def _interval_terms(s: Searcher, source: dict) -> List[str]:
+    """All analyzed terms a source reads positions for (recursive)."""
+    if "match" in source:
+        return s.analyzer.tokens(source["match"]["query"])
+    key = "any_of" if "any_of" in source else "all_of"
+    seen: List[str] = []
+    for sub in source[key]["intervals"]:
+        for t in _interval_terms(s, sub):
+            if t not in seen:
+                seen.append(t)
+    return seen
+
+
+def _minimal_spans(spans: List[tuple]) -> List[tuple]:
+    """Lucene's minimal-interval discipline: drop any interval that
+    strictly contains another matching interval."""
+    if len(spans) <= 1:
+        return spans
+    spans = sorted(set(spans))
+    out = []
+    for i, (b, e) in enumerate(spans):
+        contained = False
+        for b2, e2 in spans:
+            if (b2, e2) != (b, e) and b2 >= b and e2 <= e:
+                contained = True
+                break
+        if not contained:
+            out.append((b, e))
+    return out
+
+
+def _interval_spans(s: Searcher, source: dict,
+                    pos_of: Dict[str, np.ndarray]) -> List[tuple]:
+    """Matching minimal (start, end) intervals of an intervals source
+    within ONE doc (IntervalsSourceProvider: Match / Disjunction /
+    Combine). Gap accounting matches the span machinery: uncovered
+    positions in the enclosing window must be <= max_gaps."""
+    if "match" in source:
+        spec = source["match"]
+        toks = s.analyzer.tokens(spec["query"])
+        if not toks:
+            return []
+        max_gaps = int(spec.get("max_gaps", -1))
+        ordered = bool(spec.get("ordered", False))
+        lists = [np.asarray(pos_of.get(t, ()), dtype=np.int64)
+                 for t in toks]
+        if len(toks) == 1:
+            return [(int(p), int(p)) for p in lists[0]]
+        slop = max_gaps if max_gaps >= 0 else (1 << 30)
+        return _minimal_spans(_enum_near_spans(lists, slop, ordered))
+    if "any_of" in source:
+        allsp: List[tuple] = []
+        for sub in source["any_of"]["intervals"]:
+            allsp.extend(_interval_spans(s, sub, pos_of))
+        return _minimal_spans(allsp)
+    if "all_of" in source:
+        spec = source["all_of"]
+        max_gaps = int(spec.get("max_gaps", -1))
+        ordered = bool(spec.get("ordered", False))
+        sub_spans = [_interval_spans(s, sub, pos_of)
+                     for sub in spec["intervals"]]
+        if not all(sub_spans):
+            return []
+        import itertools
+        combos: List[tuple] = []
+        if int(np.prod([len(sl) for sl in sub_spans])) <= 4096:
+            for combo in itertools.product(*sub_spans):
+                seq = combo if ordered else sorted(combo)
+                # sub-intervals may not overlap (NearSpans discipline)
+                if any(seq[i + 1][0] <= seq[i][1]
+                       for i in range(len(seq) - 1)):
+                    continue
+                covered = sum(e - b + 1 for b, e in combo)
+                lo = min(b for b, _ in combo)
+                hi = max(e for _, e in combo)
+                if max_gaps >= 0 and (hi - lo + 1) - covered > max_gaps:
+                    continue
+                combos.append((lo, hi))
+        return _minimal_spans(combos)
     raise ValueError(f"unsupported intervals source: {sorted(source)}")

@@ -332,3 +332,52 @@ def test_percolator(sf_dir):
                          {"doc_id": 2, "text": "hash join now"}])
     out2 = p2.percolate(ds2).to_pandas()
     assert sorted(zip(out2["doc_id"], out2["query_id"])) == [(2, "ph")]
+
+
+def test_nested_field_sort(sf_dir):
+    """nested context on field sort (FieldSortBuilder.nestedSort): parents
+    ordered by min/max over the FILTERED child block, missing last."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from opensearch_ray.nested import nest_children, nested_field_sort
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity",
+                                     "l_discount"])
+    nested = nest_children(orders, items, "o_orderkey", "l_orderkey",
+                           ["l_orderkey", "l_quantity", "l_discount"],
+                           list_col="items")
+    got = nested_field_sort(
+        nested, "items", "l_quantity",
+        predicate=lambda c: pc.greater(c.column("l_discount"), 0.05),
+        mode="min", order="asc").to_pandas()
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    key = (li[li.l_discount > 0.05].groupby("l_orderkey")["l_quantity"]
+           .min())
+    want = o[["o_orderkey"]].copy()
+    want["k"] = want.o_orderkey.map(key)
+    # asc, missing last; ray's sort has no secondary key here, so compare
+    # the KEY sequence (ties are order-free) and the missing placement
+    want_keys = np.sort(want.k.fillna(np.inf).to_numpy())
+    got_keys = got["_nested_sort"].to_numpy()
+    assert np.array_equal(got_keys, want_keys)
+    n_missing = int(want.k.isna().sum())
+    assert (got_keys[-n_missing:] == np.inf).all() if n_missing else True
+    # per-parent key values are exact
+    m = dict(zip(got.o_orderkey, got["_nested_sort"]))
+    for ok, kv in want.set_index("o_orderkey").k.items():
+        assert m[ok] == (kv if not pd.isna(kv) else np.inf)
+    # modes: max/sum/avg/median per parent (no filter)
+    from opensearch_ray.nested import nested_sort_key
+    for mode, fn in [("max", "max"), ("sum", "sum"), ("avg", "mean"),
+                     ("median", "median")]:
+        ks = nested_sort_key(nested, "items", "l_quantity",
+                             mode=mode).to_pandas()
+        wk = li.groupby("l_orderkey")["l_quantity"].agg(fn)
+        mm = dict(zip(ks.o_orderkey, ks["_nested_sort"]))
+        for ok2, kv2 in wk.items():
+            assert abs(mm[ok2] - kv2) < 1e-9, (mode, ok2)

@@ -125,8 +125,69 @@ def test_intervals_combinators(s, analyzed):
         {"match": {"query": "difo", "max_gaps": -1}}]}})
     assert set(union.tolist()) == set(a.tolist()) | set(b.tolist())
     assert set(inter.tolist()) == set(a.tolist()) & set(b.tolist())
-    with pytest.raises(NotImplementedError):
-        intervals_docs(s, {"all_of": {"max_gaps": 2, "intervals": []}})
+
+
+def _mini_corpus_index(tmp_path_factory, texts, name):
+    from opensearch_ray.index.build import build_index
+    corpus = tmp_path_factory.mktemp(name) / "corpus"
+    corpus.mkdir(parents=True)
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, str(corpus / "part-0.parquet"))
+    idx = corpus.parent / "idx"
+    return Searcher(build_index(str(corpus), str(idx), analyzer="standard",
+                                index_positions=True, num_buckets=2,
+                                hot_df_threshold=100).index_dir)
+
+
+def test_intervals_all_of_max_gaps(tmp_path_factory):
+    """all_of with max_gaps/ordered — sub-interval span tracking
+    (IntervalsSourceProvider.Combine): pinned tiny-doc semantics."""
+    eng = _mini_corpus_index(tmp_path_factory, [
+        "alpha beta delta",          # 0: [ab][d] adjacent
+        "alpha beta zeta delta",     # 1: one gap between [ab] and [d]
+        "delta alpha beta",          # 2: [d] precedes [ab]
+        "alpha delta beta",          # 3: no contiguous [ab] at all
+        "alpha beta zeta zeta zeta delta",  # 4: three gaps
+    ], "ivgaps")
+    sub_ab = {"match": {"query": "alpha beta", "ordered": True,
+                        "max_gaps": 0}}
+    sub_d = {"match": {"query": "delta"}}
+
+    def run(ordered, gaps):
+        return sorted(intervals_docs(eng, {"all_of": {
+            "intervals": [sub_ab, sub_d], "ordered": ordered,
+            "max_gaps": gaps}}).tolist())
+
+    assert run(True, 0) == [0]
+    assert run(True, 1) == [0, 1]
+    assert run(True, 3) == [0, 1, 4]
+    assert run(False, 0) == [0, 2]     # unordered admits [d] first
+    assert run(False, -1) == [0, 1, 2, 4]  # doc-level conjunction
+    # nested all_of inside any_of still resolves
+    got = intervals_docs(eng, {"any_of": {"intervals": [
+        {"all_of": {"intervals": [sub_ab, sub_d], "ordered": True,
+                    "max_gaps": 0}},
+        {"match": {"query": "zeta"}}]}})
+    assert sorted(got.tolist()) == [0, 1, 4]
+
+
+def test_span_near_span_gap(tmp_path_factory):
+    """span_gap inside span_near (SpanGapQueryBuilder): consumes a fixed
+    number of unmatched positions between neighbors."""
+    from opensearch_ray.search.queries import span_near_clauses_docs
+    eng = _mini_corpus_index(tmp_path_factory, [
+        "alpha beta gamma",        # 0: exactly one position between
+        "alpha gamma",             # 1: adjacent — gap slot unsatisfied
+        "alpha beta zeta gamma",   # 2: two between
+    ], "spangap")
+    clauses = ["alpha", {"span_gap": {"text": 1}}, "gamma"]
+    assert span_near_clauses_docs(eng, clauses, slop=0,
+                                  in_order=True).tolist() == [0]
+    assert span_near_clauses_docs(eng, clauses, slop=1,
+                                  in_order=True).tolist() == [0, 2]
+    with pytest.raises(ValueError):
+        span_near_clauses_docs(eng, clauses, slop=0, in_order=False)
 
 
 def test_exists_and_terms_set(tmp_path):
