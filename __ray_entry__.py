@@ -188,7 +188,9 @@ tok AS (
   WHERE t.tok <> '' AND t.tok NOT IN {STOP}
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-consts AS (SELECT (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) AS tot),
+consts AS (SELECT (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) AS tot,
+                  (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                    AS n_docs),
 dlq AS (
   SELECT dl.doc_id,
          CAST((SELECT max(v) FROM norm_vals WHERE v <= dl.dl) AS DOUBLE)
@@ -198,12 +200,15 @@ dlq AS (
 qterms(term, boost) AS (VALUES {QTERMS}),
 ttf AS (SELECT token, CAST(count(*) AS DOUBLE) AS ttf FROM tok
         GROUP BY token),
+df AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+       GROUP BY token),
 tf AS (SELECT token, doc_id, CAST(count(*) AS DOUBLE) AS tf FROM tok
        GROUP BY token, doc_id),
 scored AS (
   SELECT tf.doc_id, SUM({FORMULA}) AS score
   FROM qterms qt
   JOIN ttf ON ttf.token = qt.term
+  JOIN df  ON df.token = qt.term
   JOIN tf  ON tf.token = qt.term
   JOIN dlq ON dlq.doc_id = tf.doc_id
   CROSS JOIN consts c
@@ -227,6 +232,12 @@ _SIM_FORMULAS = {
         " THEN qt.boost * log2((tf.tf - (ttf.ttf + 1.0) * dlq.dl_q"
         " / (c.tot + 1.0)) / sqrt((ttf.ttf + 1.0) * dlq.dl_q"
         " / (c.tot + 1.0)) + 1.0) ELSE 0.0 END"),
+    # the reference docs' canonical scripted-similarity example:
+    # boost * sqrt(tf) * (ln((docCount+1)/(docFreq+1)) + 1) / sqrt(dl)
+    "scripted": (
+        "qt.boost * sqrt(tf.tf)"
+        " * (ln((c.n_docs + 1.0) / (df.df + 1.0)) + 1.0)"
+        " * (1.0 / sqrt(dlq.dl_q))"),
 }
 
 
@@ -579,6 +590,26 @@ def _q_similarity(similarity):
             "score": _fmt([h.score for h in hits], 4),
         })
     return run
+
+
+def _q_sim_scripted(sf_dir):
+    """`scripted` similarity (SimilarityService.java:115 builtIn
+    "scripted"): the docs' canonical example script — tf*idf/sqrt(dl) —
+    as a Python callable in the provider slot."""
+    from opensearch_ray.search.similarity import similarity_search
+
+    def script(tf, dl, df, n_docs, boost, **_):
+        return (boost * np.sqrt(tf)
+                * (np.log((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                / np.sqrt(dl))
+
+    hits = similarity_search(_searcher(sf_dir), _BM25_Q, k=10,
+                             similarity="scripted", script=script)
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+        "score": _fmt([h.score for h in hits], 4),
+    })
 
 
 def _q_term_query(sf_dir):
@@ -2117,6 +2148,21 @@ def _q_intervals_any_of(sf_dir):
     return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
 
 
+def _q_agg_auto_date_histogram(sf_dir):
+    """auto_date_histogram over events.ts: the rounding ladder picks the
+    coarsest calendar interval with <= 10 buckets
+    (AutoDateHistogramAggregationBuilder.RoundingInfo, coarse->fine,
+    break at the first unit that overflows the target)."""
+    from opensearch_ray.aggs import auto_date_histogram_agg
+    ev = _read(sf_dir, "events", ["ts"])
+    out = auto_date_histogram_agg(ev, "ts", target_buckets=10)
+    out = out.copy()
+    out["key"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m-%d %H:%M:%S")
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out[["key", "doc_count", "interval"]] \
+        .sort_values("key").reset_index(drop=True)
+
+
 def _q_intervals_all_of_gaps(sf_dir):
     """intervals all_of with ordered+max_gaps (Combine): a 'hash join'
     phrase sub-interval followed by 'stream' within 2 uncovered
@@ -2402,6 +2448,49 @@ def _q_termvectors(sf_dir):
     t = s.get_by("doc_id", 42)
     gid = int(t.column("_docid")[0].as_py())
     return termvectors(s, gid, term_statistics=True)
+
+
+def _q_rank_features_query(sf_dir):
+    """rank_features (plural) field (mapper-extras
+    RankFeaturesFieldMapper): saturation-scored rank_feature query on the
+    'k' key of the events.props JSON map, top 10."""
+    from opensearch_ray.search.features import rank_features_topk
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+    out = rank_features_topk(ev, "props", "k", "event_id", k=10,
+                             function="saturation", pivot=50.0)
+    out["score"] = _fmt(out["score"], 6)
+    return out[["event_id", "rank", "score"]].reset_index(drop=True)
+
+
+def _q_murmur3_field(sf_dir):
+    """murmur3 field type (plugins/mapper-murmur3): per-doc x64_128 h1
+    doc-values over documents.source — distinct hash count equals the
+    exact distinct count (the mapper's cardinality-agg contract; the
+    hash algorithm itself is pinned by published-test-vector goldens)."""
+    from opensearch_ray.search.features import murmur3_column
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    hashed = murmur3_column(docs, "source").to_pandas()
+    assert hashed["_murmur3"].nunique() == hashed["source"].nunique()
+    return pd.DataFrame({
+        "n_hashes": np.array([hashed["_murmur3"].nunique()], np.int64)})
+
+
+def _q_mtermvectors(sf_dir):
+    """_mtermvectors (rest-api-spec/api/mtermvectors.json): batched
+    termvectors over three docs — one stored-source fetch, deduplicated
+    term_statistics df lookups."""
+    from opensearch_ray.search.features import mtermvectors
+    s = _searcher(sf_dir)
+    gids, by_gid = [], {}
+    for did in (7, 42, 99):
+        t = s.get_by("doc_id", did)
+        g = int(t.column("_docid")[0].as_py())
+        gids.append(g)
+        by_gid[g] = did
+    out = mtermvectors(s, gids, term_statistics=True)
+    out["doc_id"] = out["docid"].map(by_gid).astype(np.int64)
+    return out[["doc_id", "term", "term_freq", "positions", "doc_freq"]] \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
 def _q_dsl_agg_hist_range_card(sf_dir):
@@ -2971,6 +3060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_lm_dirichlet": _q_similarity("lm_dirichlet"),
         "sim_lm_jelinek_mercer": _q_similarity("lm_jelinek_mercer"),
         "sim_dfi": _q_similarity("dfi"),
+        "sim_scripted": _q_sim_scripted,
         "term_query": _q_term_query,
         "bool_query": _q_bool_query,
         "phrase_query": _q_phrase_query,
@@ -3087,6 +3177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intervals_any_of": _q_intervals_any_of,
         "intervals_all_of_gaps": _q_intervals_all_of_gaps,
         "span_gap_near": _q_span_gap_near,
+        "agg_auto_date_histogram": _q_agg_auto_date_histogram,
         "exists_query": _q_exists,
         "terms_set_query": _q_terms_set,
         "regexp_query": _q_regexp,
@@ -3130,6 +3221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_request_aggs": _q_dsl_request_aggs,
         "dsl_agg_hist_range_card": _q_dsl_agg_hist_range_card,
         "termvectors": _q_termvectors,
+        "mtermvectors": _q_mtermvectors,
+        "rank_features_query": _q_rank_features_query,
+        "murmur3_field": _q_murmur3_field,
         "normalizer_term": _q_normalizer_term,
         "agg_percentiles_hdr_price": _q_agg_percentiles_hdr_price,
         "agg_terms_order": _q_agg_terms_order,
@@ -3207,7 +3301,8 @@ def oracle_sql() -> dict[str, str]:
                       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
                       printf('%.4f', score) AS score
                FROM scored ORDER BY score DESC, doc_id LIMIT 10""")
-           for s in ("boolean", "lm_dirichlet", "lm_jelinek_mercer", "dfi")},
+           for s in ("boolean", "lm_dirichlet", "lm_jelinek_mercer", "dfi",
+                     "scripted")},
         "agg_significant_terms": """
             WITH per_key AS (
               SELECT event_type,
@@ -4440,6 +4535,37 @@ def oracle_sql() -> dict[str, str]:
                 AND abs(b.p - a.p) BETWEEN 1 AND 2)
             ORDER BY doc_id
         """,
+        "agg_auto_date_histogram": """
+            WITH c AS (
+              SELECT count(DISTINCT date_trunc('year', ts))   AS y,
+                     count(DISTINCT date_trunc('month', ts))  AS mo,
+                     count(DISTINCT date_trunc('week', ts))   AS w,
+                     count(DISTINCT date_trunc('day', ts))    AS d,
+                     count(DISTINCT date_trunc('hour', ts))   AS h,
+                     count(DISTINCT date_trunc('minute', ts)) AS mi
+              FROM events),
+            sel AS (
+              -- ladder year->minute, break at the FIRST overflowing unit
+              SELECT CASE WHEN y > 10 THEN 'year'
+                          WHEN mo > 10 THEN 'year'
+                          WHEN w > 10 THEN 'month'
+                          WHEN d > 10 THEN 'week'
+                          WHEN h > 10 THEN 'day'
+                          WHEN mi > 10 THEN 'hour'
+                          ELSE 'minute' END AS unit
+              FROM c)
+            SELECT strftime(CASE (SELECT unit FROM sel)
+                     WHEN 'year' THEN date_trunc('year', ts)
+                     WHEN 'month' THEN date_trunc('month', ts)
+                     WHEN 'week' THEN date_trunc('week', ts)
+                     WHEN 'day' THEN date_trunc('day', ts)
+                     WHEN 'hour' THEN date_trunc('hour', ts)
+                     ELSE date_trunc('minute', ts) END,
+                     '%Y-%m-%d %H:%M:%S') AS "key",
+                   count(*) AS doc_count,
+                   (SELECT unit FROM sel) AS interval
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "intervals_all_of_gaps": """
             WITH tok AS (
               SELECT doc_id, u.tok AS tok, u.p AS p FROM (
@@ -4524,6 +4650,47 @@ def oracle_sql() -> dict[str, str]:
                      AS doc_freq
             FROM tv WHERE tv.term NOT IN {STOP}
             GROUP BY tv.term ORDER BY tv.term
+        """,
+        "rank_features_query": """
+            WITH v AS (
+              SELECT event_id,
+                     CAST(regexp_extract(props, '"k":\s*(-?[0-9.]+)', 1)
+                          AS DOUBLE) AS k
+              FROM events
+              WHERE regexp_extract(props, '"k":\s*(-?[0-9.]+)', 1) <> '')
+            SELECT event_id,
+                   CAST(row_number() OVER (
+                     ORDER BY k / (k + 50.0) DESC, event_id) AS BIGINT)
+                     AS rank,
+                   printf('%.6f', k / (k + 50.0)) AS score
+            FROM v ORDER BY rank LIMIT 10
+        """,
+        "murmur3_field": """
+            SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_hashes
+            FROM documents
+        """,
+        "mtermvectors": f"""
+            WITH tok AS (
+              SELECT DISTINCT d.doc_id, t.tok AS token
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+            ),
+            sel AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS l
+                    FROM documents WHERE doc_id IN (7, 42, 99)),
+            tv AS (SELECT doc_id, unnest(l) AS term,
+                          generate_subscripts(l, 1) - 1 AS pos
+                   FROM sel),
+            dfv AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY token)
+            SELECT tv.doc_id, tv.term, count(*) AS term_freq,
+                   array_to_string(list_sort(list(tv.pos)), ',')
+                     AS positions,
+                   (SELECT df FROM dfv WHERE dfv.token = tv.term)
+                     AS doc_freq
+            FROM tv WHERE tv.term NOT IN {STOP}
+            GROUP BY tv.doc_id, tv.term ORDER BY tv.doc_id, tv.term
         """,
         "dsl_agg_hist_range_card": f"""
             WITH tok AS (

@@ -410,6 +410,42 @@ def termvectors(searcher: Searcher, docid: int, field: Optional[str] = None,
     return out
 
 
+def mtermvectors(searcher: Searcher, docids, field: Optional[str] = None,
+                 term_statistics: bool = False) -> pd.DataFrame:
+    """``_mtermvectors`` API (rest-api-spec/api/mtermvectors.json): the
+    batched variant of :func:`termvectors` — ONE stored-source fetch for
+    the whole docid list, then per-doc re-analysis; term_statistics df
+    lookups are deduplicated across docs (each distinct term hits the
+    terms dict once). -> one row per (docid, term), docid-major order."""
+    field = field or searcher.manifest.text_col
+    ids = [int(d) for d in docids]
+    tbl = searcher.fetch(ids, columns=[field])
+    texts = dict(zip(tbl.column("_docid").to_pylist(),
+                     tbl.column(field).to_pylist()))
+    frames = []
+    for d in ids:
+        toks, pos = searcher.analyzer.analyze(texts.get(d) or "")
+        acc: dict = {}
+        for t, p in zip(toks, pos):
+            acc.setdefault(t, []).append(p)
+        frames.append(pd.DataFrame(
+            [{"docid": d, "term": t, "term_freq": len(ps),
+              "positions": ",".join(str(p) for p in sorted(ps))}
+             for t, ps in sorted(acc.items())],
+            columns=["docid", "term", "term_freq", "positions"]))
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["docid", "term", "term_freq", "positions"])
+    if term_statistics and len(out):
+        dfs: dict = {}
+        for t in pd.unique(out["term"]):
+            v = searcher._vocab_range(t, t + "\x00")
+            dfs[t] = int(v.column("df")[0].as_py()) if v.num_rows else 0
+        out["doc_freq"] = out["term"].map(dfs).astype(np.int64)
+    elif term_statistics:
+        out["doc_freq"] = pd.Series([], dtype=np.int64)
+    return out
+
+
 def search_after_page(searcher: Searcher, query_text: str, page_size: int,
                       after: Optional[Tuple[float, int]] = None) -> List[SearchHit]:
     """Cursor pagination over (score desc, docid asc): return the next page
@@ -872,6 +908,100 @@ def rank_feature_topk(ds, field: str, id_col: str, k: int = 10,
                               kind="mergesort").head(k)
     parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
     return parts.reset_index(drop=True)
+
+
+def rank_features_topk(ds, json_col: str, feature: str, id_col: str,
+                       k: int = 10, function: str = "saturation",
+                       pivot: float = 1.0, scale: float = 1.0,
+                       exponent: float = 1.0) -> pd.DataFrame:
+    """rank_features (PLURAL) field (mapper-extras
+    RankFeaturesFieldMapper.java): a per-doc {feature: value} map — here a
+    JSON-string column — addressed by one feature key in a rank_feature
+    query. Docs missing the key do NOT match (the sparse-features
+    contract). Extraction is one vectorized regex per batch; scoring and
+    the per-batch top-k partial reuse :func:`rank_feature_topk`."""
+    import re
+
+    pat = re.compile(r'"' + re.escape(feature) +
+                     r'"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)')
+
+    def extract(t: pa.Table) -> pa.Table:
+        txt = pd.Series(t.column(json_col).to_pylist(), dtype=object)
+        v = txt.str.extract(pat, expand=False).astype(np.float64)
+        keep = v.notna().to_numpy()
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(keep)),
+            "_rfv": pa.array(v.to_numpy()[keep])})
+
+    sub = ds.map_batches(extract, batch_format="pyarrow")
+    return rank_feature_topk(sub, "_rfv", id_col, k=k, function=function,
+                             pivot=pivot, scale=scale, exponent=exponent)
+
+
+# ------------------------------------------------------------------- murmur3
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple:
+    """MurmurHash3 x64_128 (Austin Appleby's public-domain algorithm) —
+    the hash the murmur3 field mapper stores (plugins/mapper-murmur3
+    Murmur3FieldMapper: hash128 of the UTF-8 term, doc-values = h1).
+    Returns (h1, h2) as unsigned 64-bit ints."""
+    M = 0xFFFFFFFFFFFFFFFF
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def fmix(kk):
+        kk ^= kk >> 33
+        kk = (kk * 0xFF51AFD7ED558CCD) & M
+        kk ^= kk >> 33
+        kk = (kk * 0xC4CEB9FE1A85EC53) & M
+        kk ^= kk >> 33
+        return kk
+
+    h1 = h2 = seed & M
+    n = len(data)
+    nblocks = n // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16:i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8:i * 16 + 16], "little")
+        k1 = rotl((k1 * c1) & M, 31) * c2 & M
+        h1 = ((rotl(h1 ^ k1, 27) + h2) * 5 + 0x52DCE729) & M
+        k2 = rotl((k2 * c2) & M, 33) * c1 & M
+        h2 = ((rotl(h2 ^ k2, 31) + h1) * 5 + 0x38495AB5) & M
+    tail = data[nblocks * 16:]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        h2 ^= rotl((k2 * c2) & M, 33) * c1 & M
+    if tail:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        h1 ^= rotl((k1 * c1) & M, 31) * c2 & M
+    h1 = (h1 ^ n) & M
+    h2 = (h2 ^ n) & M
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
+    return h1, h2
+
+
+def murmur3_column(ds, col: str, out_col: str = "_murmur3"):
+    """murmur3 field type: append the signed-int64 h1 of each value's
+    UTF-8 bytes (the mapper's stored doc-value, built for cheap
+    cardinality aggs). Each batch hashes its DISTINCT values once and
+    maps back — keyword columns are low-cardinality per block."""
+    def add(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(col).to_pylist(), dtype=object)
+        uniq, inv = np.unique(v, return_inverse=True)
+        hs = np.array(
+            [np.uint64(murmur3_x64_128(str(u).encode("utf-8"))[0])
+             .astype(np.int64) for u in uniq], dtype=np.int64)
+        return t.append_column(out_col, pa.array(hs[inv]))
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 # --------------------------------------------------------- multi-index union

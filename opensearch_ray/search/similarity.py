@@ -33,17 +33,30 @@ import numpy as np
 from ..index.norms import NORM_LENGTH_TABLE
 from .searcher import Searcher, SearchHit
 
-SIMILARITIES = ("boolean", "lm_dirichlet", "lm_jelinek_mercer", "dfi")
+SIMILARITIES = ("boolean", "lm_dirichlet", "lm_jelinek_mercer", "dfi",
+                "scripted")
 
 
 def _contrib(similarity: str, tf: np.ndarray, dl: np.ndarray,
-             ttf: int, total_tokens: int, boost: float, params: dict
-             ) -> np.ndarray:
+             ttf: int, total_tokens: int, boost: float, params: dict,
+             df: int = 0, n_docs: int = 0) -> np.ndarray:
     """Per-posting float64 contribution of one query term."""
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
     if similarity == "boolean":
         return np.full(len(tf), float(boost))
+    if similarity == "scripted":
+        # `scripted` similarity (SimilarityService.java:115 builtIn
+        # "scripted"): a user Python callable in place of Painless,
+        # receiving the same per-term statistics the reference exposes
+        # (doc.freq/doc.length, term.docFreq/totalTermFreq,
+        # field.docCount/sumTotalTermFreq, query.boost), vectorized over
+        # the postings of one (term, segment) chunk.
+        fn = params["script"]
+        return np.asarray(fn(tf=tf, dl=dl, df=float(df), ttf=float(ttf),
+                             n_docs=float(n_docs),
+                             total_tokens=float(total_tokens),
+                             boost=float(boost)), dtype=np.float64)
     p = (ttf + 1.0) / (total_tokens + 1.0)  # LMSimilarity.computeProbability
     if similarity == "lm_dirichlet":
         mu = float(params.get("mu", 2000.0))
@@ -103,7 +116,8 @@ def similarity_search(searcher: Searcher, query_text: str, k: int = 10,
             docids, tfs = searcher._decode_chunk_rows(row)
             dl = NORM_LENGTH_TABLE[norms[docids]]
             c = _contrib(similarity, tfs, dl, stats[t][1], total_tokens,
-                         float(mult[t]), params)
+                         float(mult[t]), params,
+                         df=stats[t][0], n_docs=searcher.N)
             d_parts.append(docids)
             s_parts.append(c)
         d_cat = np.concatenate(d_parts)

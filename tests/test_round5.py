@@ -1,0 +1,98 @@
+"""Round-5 additions: scripted similarity, _mtermvectors, rank_features,
+murmur3 field, auto_date_histogram ladder — behavior goldens."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from opensearch_ray.search import Searcher
+
+
+@pytest.fixture(scope="module")
+def s(built_index):
+    return Searcher(built_index.index_dir)
+
+
+def test_scripted_similarity_matches_formula(s, built_index):
+    """`scripted` similarity: user callable gets (tf, dl, df, n_docs,
+    total_tokens, boost) and its output drives the ranking exactly."""
+    from opensearch_ray.index.norms import NORM_LENGTH_TABLE
+    from opensearch_ray.search.similarity import similarity_search
+
+    def script(tf, dl, df, n_docs, boost, **_):
+        return (boost * np.sqrt(tf)
+                * (np.log((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                / np.sqrt(dl))
+
+    q = "bace cedi"
+    hits = similarity_search(s, q, k=10, similarity="scripted",
+                             script=script)
+    assert hits and all(hits[i].score >= hits[i + 1].score
+                        for i in range(len(hits) - 1))
+    # brute-force the same formula for the top hit
+    toks = s.analyzer.tokens(q)
+    stats = s.term_stats(toks)
+    top = hits[0]
+    txt = s.fetch([top.docid]).to_pylist()[0][s.manifest.text_col]
+    dtoks = s.analyzer.tokens(txt or "")
+    dl_raw = len(dtoks)
+    dl_q = float(NORM_LENGTH_TABLE[
+        np.searchsorted(NORM_LENGTH_TABLE, dl_raw, side="right") - 1])
+    want = sum(
+        np.sqrt(dtoks.count(t))
+        * (np.log((s.N + 1.0) / (stats[t][0] + 1.0)) + 1.0) / np.sqrt(dl_q)
+        for t in set(toks) if dtoks.count(t))
+    assert abs(top.score - want) < 1e-9
+
+
+def test_mtermvectors_matches_single(s):
+    """_mtermvectors == per-doc termvectors, docid-major, shared df."""
+    from opensearch_ray.search.features import mtermvectors, termvectors
+    ids = [0, 5, 9]
+    batched = mtermvectors(s, ids, term_statistics=True)
+    for d in ids:
+        one = termvectors(s, d, term_statistics=True)
+        got = batched[batched.docid == d].drop(columns=["docid"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, one.astype({"doc_freq": got["doc_freq"].dtype}))
+
+
+def test_murmur3_published_vectors():
+    """MurmurHash3 x64_128 — the public reference test vectors."""
+    from opensearch_ray.search.features import murmur3_x64_128
+    assert murmur3_x64_128(b"") == (0, 0)
+    assert murmur3_x64_128(b"hello") == (0xCBD8A7B341BD9B02,
+                                         0x5B1E906A48AE1D19)
+    assert murmur3_x64_128(
+        b"The quick brown fox jumps over the lazy dog") == (
+        0xE34BBC7BBC071B6C, 0x7A433CA9C49A9347)
+    # seed changes the hash; >16-byte inputs exercise the block loop
+    assert murmur3_x64_128(b"hello", seed=1) != murmur3_x64_128(b"hello")
+
+
+def test_murmur3_column_injective_on_uniques():
+    from opensearch_ray.search.features import murmur3_column
+    vals = [f"val-{i % 37}" for i in range(500)]
+    ds = rd.from_arrow(pa.table({"id": pa.array(range(500)),
+                                 "v": pa.array(vals)}))
+    out = murmur3_column(ds, "v").to_pandas()
+    assert out.groupby("v")["_murmur3"].nunique().eq(1).all()
+    assert out["_murmur3"].nunique() == 37
+
+
+def test_rank_features_missing_key_no_match():
+    """rank_features: docs lacking the queried key never match."""
+    from opensearch_ray.search.features import rank_features_topk
+    props = ['{"a": 10}', '{"a": 5, "b": 2}', '{"b": 7}', '{}',
+             '{"a": 30}']
+    ds = rd.from_arrow(pa.table({"id": pa.array(range(5), pa.int64()),
+                                 "props": pa.array(props)}))
+    out = rank_features_topk(ds, "props", "a", "id", k=10, pivot=10.0)
+    assert out["id"].tolist() == [4, 0, 1]  # 30, 10, 5 by saturation
+    assert abs(out["score"].iloc[0] - 30.0 / 40.0) < 1e-12
+    out_b = rank_features_topk(ds, "props", "b", "id", k=10)
+    assert out_b["id"].tolist() == [2, 1]
