@@ -361,6 +361,30 @@ def run_bench() -> dict:
         timings["cluster_1m_driver_rss_delta_mb"] = round(
             (rss1 - rss0) / 1024, 1)
 
+        # --- ingest pipeline at 1M docs: the Arrow-native processor path
+        # (zero-copy pyarrow batches) vs the per-row pandas path — the
+        # round-5 string-processor vectorization evidence.
+        from opensearch_ray.ingest.processors import (IngestPipeline,
+                                                      make_processor)
+        ing_procs = [
+            make_processor("lowercase", field="text"),
+            make_processor("trim", field="text"),
+            make_processor("gsub", field="text", pattern="[0-9]+",
+                           replacement="#"),
+            make_processor("split", field="text", separator=" ",
+                           target_field="toks"),
+            make_processor("join", field="toks", separator="|",
+                           target_field="joined"),
+        ]
+        ing_ds = rd.read_parquet(mh_corpus, columns=["conv_id", "text"])
+        t0 = time.perf_counter()
+        IngestPipeline(ing_procs).apply(ing_ds).count()
+        timings["ingest_1m_arrow_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        IngestPipeline(ing_procs + [make_processor(
+            "script", fn=lambda df: df)]).apply(ing_ds).count()
+        timings["ingest_1m_pandas_sec"] = round(time.perf_counter() - t0, 3)
+
         # --- keep_best under FORCED-HIGH membership: every doc is a
         # member (adjacent-row pairs), so the membership-bounded quality
         # table is CORPUS-sized — proves the object-store coalesce keeps

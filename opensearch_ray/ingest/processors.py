@@ -85,6 +85,12 @@ def _split(field: str, separator: str, target_field: Optional[str] = None) -> Pr
 
 
 def _join(field: str, separator: str, target_field: Optional[str] = None) -> Processor:
+    # NOTE (round-5 measurement): converting the pandas object-list column
+    # to Arrow just to call pc.binary_join is 3-5x SLOWER than this
+    # per-row join (conversion dominates; the kernel itself is 2.4x
+    # faster on pre-built Arrow). The vectorized win lives on the
+    # Arrow-native pipeline path (ARROW_PROCESSORS below), where the
+    # column is already Arrow.
     def p(df):
         df[target_field or field] = df[field].map(lambda xs: separator.join(xs))
         return df
@@ -134,6 +140,8 @@ def _json_proc(field: str, target_field: Optional[str] = None,
 
 def _kv(field: str, field_split: str = " ", value_split: str = "=",
         prefix: str = "") -> Processor:
+    # explode+pivot measured 5x slower than this per-row parse on typical
+    # short KV logs (see _join note) — keep the reference-shaped loop
     def p(df):
         def parse(s):
             out = {}
@@ -235,6 +243,8 @@ def _append(field: str, value: Any) -> Processor:
 
 
 def _sort(field: str, order: str = "asc") -> Processor:
+    # per-row sorted() measured faster than flatten+lexsort+rebuild on
+    # pandas object lists (see _join note); Arrow path has its own variant
     def p(df):
         df[field] = df[field].map(lambda xs: sorted(xs, reverse=(order == "desc")))
         return df
@@ -350,8 +360,94 @@ PROCESSORS: Dict[str, Callable[..., Processor]] = {
 }
 
 
+# ------------------------------------------------------- Arrow-native path
+#
+# Round-5 measurement: pyarrow.compute string kernels beat the per-row
+# pandas paths 2-10x, but ONLY when the column is already Arrow —
+# converting a pandas object batch to Arrow first costs more than the
+# kernel saves. So string-shaped processors get an Arrow VARIANT
+# (pa.Table -> pa.Table); when every processor in a pipeline has one,
+# IngestPipeline.apply runs the whole chain zero-copy on pyarrow batches.
+
+def _tput(t, field: str, arr):
+    """set-or-append a column on a pa.Table."""
+    i = t.schema.get_field_index(field)
+    return (t.set_column(i, field, arr) if i >= 0
+            else t.append_column(field, arr))
+
+
+def _arrow_factory(kind: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if kind == "set":
+        def f(field, value):
+            return lambda t: _tput(t, field, pa.array([value] * t.num_rows))
+    elif kind == "copy":
+        def f(src, dst):
+            return lambda t: _tput(t, dst, t.column(src))
+    elif kind == "rename":
+        def f(src, dst):
+            return lambda t: t.rename_columns(
+                [dst if c == src else c for c in t.column_names])
+    elif kind == "remove":
+        def f(field):
+            fields = [field] if isinstance(field, str) else list(field)
+            return lambda t: t.drop_columns(
+                [c for c in fields if c in t.column_names])
+    elif kind == "lowercase":
+        def f(field):
+            return lambda t: _tput(t, field, pc.utf8_lower(t.column(field)))
+    elif kind == "uppercase":
+        def f(field):
+            return lambda t: _tput(t, field, pc.utf8_upper(t.column(field)))
+    elif kind == "trim":
+        def f(field):
+            return lambda t: _tput(t, field,
+                                   pc.utf8_trim_whitespace(t.column(field)))
+    elif kind == "gsub":
+        def f(field, pattern, replacement):
+            return lambda t: _tput(t, field, pc.replace_substring_regex(
+                t.column(field), pattern=pattern,
+                replacement=replacement))
+    elif kind == "split":
+        def f(field, separator, target_field=None):
+            return lambda t: _tput(t, target_field or field,
+                                   pc.split_pattern(t.column(field),
+                                                    pattern=separator))
+    elif kind == "join":
+        def f(field, separator, target_field=None):
+            return lambda t: _tput(t, target_field or field,
+                                   pc.binary_join(t.column(field),
+                                                  separator))
+    elif kind == "convert":
+        def f(field, type_, target_field=None):
+            ptype = {"integer": pa.int64(), "long": pa.int64(),
+                     "float": pa.float64(), "double": pa.float64(),
+                     "string": pa.string()}.get(type_)
+            if ptype is None:
+                return None  # boolean keeps the pandas semantics
+            return lambda t: _tput(t, target_field or field,
+                                   t.column(field).cast(ptype))
+    else:
+        return None
+    return f
+
+
+ARROW_PROCESSORS = {k: _arrow_factory(k) for k in
+                    ("set", "copy", "rename", "remove", "lowercase",
+                     "uppercase", "trim", "gsub", "split", "join",
+                     "convert")}
+
+
 def make_processor(kind: str, **kwargs) -> Processor:
-    return PROCESSORS[kind](**kwargs)
+    p = PROCESSORS[kind](**kwargs)
+    af = ARROW_PROCESSORS.get(kind)
+    if af is not None:
+        a = af(**kwargs)
+        if a is not None:
+            p.arrow = a
+    return p
 
 
 class IngestPipeline:
@@ -369,6 +465,17 @@ class IngestPipeline:
 
     def apply(self, ds: Dataset, batch_size: Optional[int] = 4096) -> Dataset:
         pipe = self
+
+        # zero-copy Arrow fast path: every processor has an Arrow variant
+        # and failures fail fast (per-row retry needs the pandas path)
+        arrows = [getattr(p, "arrow", None) for p in self.processors]
+        if self.on_failure == "raise" and all(a is not None for a in arrows):
+            def run_arrow(t):
+                for a in arrows:
+                    t = a(t)
+                return t
+            return ds.map_batches(run_arrow, batch_format="pyarrow",
+                                  batch_size=batch_size)
 
         def run(df: pd.DataFrame) -> pd.DataFrame:
             try:
