@@ -2187,6 +2187,18 @@ def _q_span_gap_near(sf_dir):
     return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
 
 
+def _q_intervals_filter(sf_dir):
+    """intervals match wrapped by an IntervalFilter: ordered 'hash stream'
+    windows (max_gaps 2, minimal-interval discipline) that do NOT contain
+    a 'join' — span-level filter semantics
+    (IntervalsSourceProvider.IntervalFilter)."""
+    from opensearch_ray.search.queries import intervals_docs
+    docs = intervals_docs(_searcher(sf_dir), {"match": {
+        "query": "hash stream", "ordered": True, "max_gaps": 2,
+        "filter": {"not_containing": {"match": {"query": "join"}}}}})
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
 def _q_match_bool_prefix(sf_dir):
     """match_bool_prefix: 'hash' as a term clause OR last token 'joi' as a
     prefix clause."""
@@ -3177,6 +3189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intervals_any_of": _q_intervals_any_of,
         "intervals_all_of_gaps": _q_intervals_all_of_gaps,
         "span_gap_near": _q_span_gap_near,
+        "intervals_filter": _q_intervals_filter,
         "agg_auto_date_histogram": _q_agg_auto_date_histogram,
         "exists_query": _q_exists,
         "terms_set_query": _q_terms_set,
@@ -4579,6 +4592,30 @@ def oracle_sql() -> dict[str, str]:
               AND c.tok = 'stream'
               AND c.p >= a.p + 2 AND c.p - a.p <= 4
             ORDER BY a.doc_id
+        """,
+        "intervals_filter": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents)),
+            spans AS (
+              SELECT a.doc_id, a.p AS b, c.p AS e
+              FROM tok a JOIN tok c USING (doc_id)
+              WHERE a.tok = 'hash' AND c.tok = 'stream'
+                AND c.p > a.p AND c.p - a.p <= 3),
+            minimal AS (
+              SELECT * FROM spans s WHERE NOT EXISTS (
+                SELECT 1 FROM spans t
+                WHERE t.doc_id = s.doc_id AND t.b >= s.b AND t.e <= s.e
+                  AND (t.b <> s.b OR t.e <> s.e))),
+            kept AS (
+              SELECT DISTINCT m.doc_id FROM minimal m WHERE NOT EXISTS (
+                SELECT 1 FROM tok j
+                WHERE j.doc_id = m.doc_id AND j.tok = 'join'
+                  AND j.p BETWEEN m.b AND m.e))
+            SELECT doc_id FROM kept ORDER BY doc_id
         """,
         "span_gap_near": """
             WITH tok AS (

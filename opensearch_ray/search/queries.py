@@ -698,6 +698,17 @@ def intervals_docs(s: Searcher, source: dict) -> np.ndarray:
       sub-interval span tracking via :func:`_interval_spans`, the
       IntervalsSourceProvider.Combine semantics.
     """
+    if _interval_needs_spans(source):
+        # filter clauses / ordered+max_gaps combine need per-doc span
+        # tracking: candidates from the filter-stripped doc-level query
+        # (a superset — filters and window constraints only prune)
+        cand = intervals_docs(s, _strip_interval_constraints(source))
+        if cand.size == 0:
+            return cand
+        pos = _positions_by_doc(s, _interval_terms(s, source), cand)
+        out = [d for d in cand.tolist()
+               if _interval_spans(s, source, pos[d])]
+        return np.asarray(out, dtype=np.int64)
     if "match" in source:
         spec = source["match"]
         toks = s.analyzer.tokens(spec["query"])
@@ -712,6 +723,14 @@ def intervals_docs(s: Searcher, source: dict) -> np.ndarray:
             # requires an increasing chain — a huge slop reduces to that)
             max_gaps = 1 << 30
         return s.span_near(toks, slop=max_gaps, in_order=ordered)
+    if "prefix" in source or "wildcard" in source:
+        # Intervals.prefix / Intervals.wildcard: expanded against the
+        # prefix-pruned terms dict, doc set = union of expansions
+        terms = _interval_multi_terms(s, source)
+        parts = [s.term_docs(t) for t in terms]
+        parts = [p for p in parts if p.size]
+        return (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, np.int64))
     if "any_of" in source:
         parts = [intervals_docs(s, sub)
                  for sub in source["any_of"]["intervals"]]
@@ -727,33 +746,107 @@ def intervals_docs(s: Searcher, source: dict) -> np.ndarray:
                                                        assume_unique=True)
             if cur.size == 0:
                 return cur
-        if cur is None:
-            return np.empty(0, np.int64)
-        max_gaps = int(spec.get("max_gaps", -1))
-        ordered = bool(spec.get("ordered", False))
-        if max_gaps == -1 and not ordered:
-            return cur  # plain doc-level conjunction
-        # span-level combine: per candidate doc, one sub-interval per
-        # child must satisfy the ordered/max_gaps window constraint
-        terms = _interval_terms(s, source)
-        pos = _positions_by_doc(s, terms, cur)
-        out = [d for d in cur.tolist()
-               if _interval_spans(s, source, pos[d])]
-        return np.asarray(out, dtype=np.int64)
+        return cur if cur is not None else np.empty(0, np.int64)
     raise ValueError(f"unsupported intervals source: {sorted(source)}")
 
 
+_INTERVAL_KEYS = ("match", "prefix", "wildcard", "any_of", "all_of")
+
+
+def _interval_spec(source: dict):
+    for k in _INTERVAL_KEYS:
+        if k in source:
+            return k, source[k]
+    raise ValueError(f"unsupported intervals source: {sorted(source)}")
+
+
+def _interval_multi_terms(s: Searcher, source: dict) -> List[str]:
+    if "prefix" in source:
+        return s.expand_prefix(source["prefix"]["prefix"])
+    return s.expand_wildcard(source["wildcard"]["pattern"])
+
+
+def _interval_needs_spans(source: dict) -> bool:
+    """True when doc-level evaluation is insufficient: a filter clause
+    anywhere, or an all_of with ordered / max_gaps constraints."""
+    kind, spec = _interval_spec(source)
+    if spec.get("filter"):
+        return True
+    if kind == "all_of" and (int(spec.get("max_gaps", -1)) != -1
+                             or bool(spec.get("ordered", False))):
+        return True
+    if kind in ("any_of", "all_of"):
+        return any(_interval_needs_spans(sub) for sub in spec["intervals"])
+    return False
+
+
+def _strip_interval_constraints(source: dict) -> dict:
+    """Drop filter clauses and relax all_of windows — yields the
+    doc-level SUPERSET query used for candidate pruning."""
+    import copy
+    src = copy.deepcopy(source)
+
+    def walk(node):
+        kind, spec = _interval_spec(node)
+        spec.pop("filter", None)
+        if kind == "all_of":
+            spec["max_gaps"] = -1
+            spec["ordered"] = False
+        if kind in ("any_of", "all_of"):
+            for sub in spec["intervals"]:
+                walk(sub)
+
+    walk(src)
+    return src
+
+
 def _interval_terms(s: Searcher, source: dict) -> List[str]:
-    """All analyzed terms a source reads positions for (recursive)."""
-    if "match" in source:
-        return s.analyzer.tokens(source["match"]["query"])
-    key = "any_of" if "any_of" in source else "all_of"
+    """All analyzed terms a source reads positions for (recursive,
+    including filter sources and multi-term expansions)."""
+    kind, spec = _interval_spec(source)
     seen: List[str] = []
-    for sub in source[key]["intervals"]:
-        for t in _interval_terms(s, sub):
-            if t not in seen:
-                seen.append(t)
+    if kind == "match":
+        seen = list(s.analyzer.tokens(spec["query"]))
+    elif kind in ("prefix", "wildcard"):
+        seen = list(_interval_multi_terms(s, source))
+    else:
+        for sub in spec["intervals"]:
+            for t in _interval_terms(s, sub):
+                if t not in seen:
+                    seen.append(t)
+    f = spec.get("filter")
+    if f:
+        for fsub in f.values():
+            for t in _interval_terms(s, fsub):
+                if t not in seen:
+                    seen.append(t)
     return seen
+
+
+def _apply_interval_filter(s: Searcher, spans: List[tuple], f: dict,
+                           pos_of: Dict[str, np.ndarray]) -> List[tuple]:
+    """IntervalFilter (IntervalsSourceProvider.IntervalFilter): keep base
+    spans by their relation to the filter source's spans."""
+    (kind, fsource), = f.items()
+    fspans = _interval_spans(s, fsource, pos_of)
+
+    def rel(S):
+        b, e = S
+        if kind == "containing":
+            return any(b <= tb and te <= e for tb, te in fspans)
+        if kind == "contained_by":
+            return any(tb <= b and e <= te for tb, te in fspans)
+        if kind == "not_containing":
+            return not any(b <= tb and te <= e for tb, te in fspans)
+        if kind == "not_contained_by":
+            return not any(tb <= b and e <= te for tb, te in fspans)
+        if kind == "overlapping":
+            return any(b <= te and tb <= e for tb, te in fspans)
+        if kind == "not_overlapping":
+            return not any(b <= te and tb <= e for tb, te in fspans)
+        raise ValueError(f"unsupported intervals filter: {kind}")
+
+    return [S for S in spans if rel(S)]
 
 
 def _minimal_spans(spans: List[tuple]) -> List[tuple]:
@@ -777,11 +870,12 @@ def _minimal_spans(spans: List[tuple]) -> List[tuple]:
 def _interval_spans(s: Searcher, source: dict,
                     pos_of: Dict[str, np.ndarray]) -> List[tuple]:
     """Matching minimal (start, end) intervals of an intervals source
-    within ONE doc (IntervalsSourceProvider: Match / Disjunction /
-    Combine). Gap accounting matches the span machinery: uncovered
-    positions in the enclosing window must be <= max_gaps."""
-    if "match" in source:
-        spec = source["match"]
+    within ONE doc (IntervalsSourceProvider: Match / Prefix / Wildcard /
+    Disjunction / Combine, each optionally wrapped by an IntervalFilter).
+    Gap accounting matches the span machinery: uncovered positions in the
+    enclosing window must be <= max_gaps."""
+    kind, spec = _interval_spec(source)
+    if kind == "match":
         toks = s.analyzer.tokens(spec["query"])
         if not toks:
             return []
@@ -790,16 +884,20 @@ def _interval_spans(s: Searcher, source: dict,
         lists = [np.asarray(pos_of.get(t, ()), dtype=np.int64)
                  for t in toks]
         if len(toks) == 1:
-            return [(int(p), int(p)) for p in lists[0]]
-        slop = max_gaps if max_gaps >= 0 else (1 << 30)
-        return _minimal_spans(_enum_near_spans(lists, slop, ordered))
-    if "any_of" in source:
+            spans = [(int(p), int(p)) for p in lists[0]]
+        else:
+            slop = max_gaps if max_gaps >= 0 else (1 << 30)
+            spans = _minimal_spans(_enum_near_spans(lists, slop, ordered))
+    elif kind in ("prefix", "wildcard"):
+        ps = sorted({int(p) for t in _interval_multi_terms(s, source)
+                     for p in pos_of.get(t, ())})
+        spans = [(p, p) for p in ps]
+    elif kind == "any_of":
         allsp: List[tuple] = []
-        for sub in source["any_of"]["intervals"]:
+        for sub in spec["intervals"]:
             allsp.extend(_interval_spans(s, sub, pos_of))
-        return _minimal_spans(allsp)
-    if "all_of" in source:
-        spec = source["all_of"]
+        spans = _minimal_spans(allsp)
+    else:  # all_of
         max_gaps = int(spec.get("max_gaps", -1))
         ordered = bool(spec.get("ordered", False))
         sub_spans = [_interval_spans(s, sub, pos_of)
@@ -821,5 +919,8 @@ def _interval_spans(s: Searcher, source: dict,
                 if max_gaps >= 0 and (hi - lo + 1) - covered > max_gaps:
                     continue
                 combos.append((lo, hi))
-        return _minimal_spans(combos)
-    raise ValueError(f"unsupported intervals source: {sorted(source)}")
+        spans = _minimal_spans(combos)
+    f = spec.get("filter")
+    if f and spans:
+        spans = _apply_interval_filter(s, spans, f, pos_of)
+    return spans

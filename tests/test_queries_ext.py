@@ -529,3 +529,45 @@ def test_search_options_features(s):
                  + [("y", h.docid, h.score) for h in s.search(q, k=6)],
                  key=lambda r: (-r[2], r[0], r[1]))[:6]
     assert list(map(tuple, ib.itertuples(index=False))) == top
+
+
+def test_intervals_filter_and_multiterm(tmp_path_factory):
+    """IntervalFilter (containing / not_containing / contained_by /
+    overlapping / not_overlapping) + prefix / wildcard sources —
+    pinned tiny-doc semantics."""
+    eng = _mini_corpus_index(tmp_path_factory, [
+        "alpha beta gamma",       # 0: [a..g] window contains beta
+        "alpha zeta gamma",       # 1: window without beta
+        "alpha gamma beta",       # 2: beta outside the [a..g] window
+        "delta epsilon",          # 3: neither
+    ], "ivfilter")
+    base = {"match": {"query": "alpha gamma", "ordered": True,
+                      "max_gaps": 1}}
+
+    def with_filter(kind):
+        m = dict(base["match"])
+        m["filter"] = {kind: {"match": {"query": "beta"}}}
+        return intervals_docs(eng, {"match": m})
+
+    assert sorted(intervals_docs(eng, base).tolist()) == [0, 1, 2]
+    assert sorted(with_filter("containing").tolist()) == [0]
+    assert sorted(with_filter("not_containing").tolist()) == [1, 2]
+    assert sorted(with_filter("overlapping").tolist()) == [0]
+    assert sorted(with_filter("not_overlapping").tolist()) == [1, 2]
+    # contained_by: alpha interval inside the [alpha..gamma] window of 0/1/2
+    m2 = {"match": {"query": "alpha",
+                    "filter": {"contained_by": {"match": {
+                        "query": "alpha gamma", "max_gaps": 1,
+                        "ordered": True}}}}}
+    assert sorted(intervals_docs(eng, m2).tolist()) == [0, 1, 2]
+    # prefix / wildcard interval sources
+    assert sorted(intervals_docs(
+        eng, {"prefix": {"prefix": "gam"}}).tolist()) == [0, 1, 2]
+    assert sorted(intervals_docs(
+        eng, {"wildcard": {"pattern": "*eta"}}).tolist()) == [0, 1, 2]
+    # wildcard inside an ordered all_of with gaps (span path)
+    got = intervals_docs(eng, {"all_of": {
+        "intervals": [{"match": {"query": "alpha"}},
+                      {"wildcard": {"pattern": "?eta"}}],
+        "ordered": True, "max_gaps": 0}})
+    assert sorted(got.tolist()) == [0, 1]
