@@ -2505,6 +2505,40 @@ def _q_mtermvectors(sf_dir):
         .sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
+def _q_dsl_agg_terms_sub(sf_dir):
+    """Round-5 request-body sub-agg tree: terms over lang with a per-
+    bucket avg + max over n_chars and a nested range sub-agg, all inside
+    the query's filter-context match set (AggregatorFactories nesting)."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    r = dsl.execute_request(s, {
+        "query": {"match": {"text": "hash join"}},
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 10},
+                           "aggs": {"avg_len": {"avg": {
+                               "field": "n_chars"}},
+                               "len_rg": {"range": {
+                                   "field": "n_chars",
+                                   "ranges": [{"to": 400.0},
+                                              {"from": 400.0}]},
+                                   "aggs": {"mx": {"max": {
+                                       "field": "n_chars"}}}}}}},
+        "size": 0})
+    rows = []
+    for b in r["aggregations"]["langs"]["buckets"]:
+        rows.append((str(b["key"]), "count", str(b["doc_count"])))
+        rows.append((str(b["key"]), "avg_len",
+                     f"{b['avg_len']['value']:.4f}"))
+        for rb in b["len_rg"]["buckets"]:
+            rows.append((str(b["key"]), f"rg_{rb['key']}_count",
+                         str(rb["doc_count"])))
+            mx = rb["mx"]["value"]
+            rows.append((str(b["key"]), f"rg_{rb['key']}_max",
+                         "null" if mx is None or mx == -np.inf
+                         else f"{mx:.1f}"))
+    out = pd.DataFrame(rows, columns=["lang", "stat", "value"])
+    return out.sort_values(["lang", "stat"]).reset_index(drop=True)
+
+
 def _q_dsl_agg_hist_range_card(sf_dir):
     """Round-4b request-body aggs: histogram (min_doc_count=0 empty-bucket
     fill), range ([from, to) semantics), cardinality (exact fold) — all
@@ -3233,6 +3267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 session 2: reference-surface tail
         "dsl_request_aggs": _q_dsl_request_aggs,
         "dsl_agg_hist_range_card": _q_dsl_agg_hist_range_card,
+        "dsl_agg_terms_sub": _q_dsl_agg_terms_sub,
         "termvectors": _q_termvectors,
         "mtermvectors": _q_mtermvectors,
         "rank_features_query": _q_rank_features_query,
@@ -4687,6 +4722,46 @@ def oracle_sql() -> dict[str, str]:
                      AS doc_freq
             FROM tv WHERE tv.term NOT IN {STOP}
             GROUP BY tv.term ORDER BY tv.term
+        """,
+        "dsl_agg_terms_sub": f"""
+            WITH tok AS (
+              SELECT DISTINCT d.doc_id, t.tok AS token
+              FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+            ),
+            m AS (SELECT DISTINCT doc_id FROM tok
+                  WHERE token IN ('hash', 'join')),
+            dm AS (SELECT lang, n_chars
+                   FROM documents JOIN m USING (doc_id)),
+            per AS (SELECT lang, count(*) AS cnt,
+                           avg(CAST(n_chars AS DOUBLE)) AS avg_len,
+                           count(*) FILTER (n_chars < 400) AS lo_cnt,
+                           max(CAST(n_chars AS DOUBLE))
+                             FILTER (n_chars < 400) AS lo_max,
+                           count(*) FILTER (n_chars >= 400) AS hi_cnt,
+                           max(CAST(n_chars AS DOUBLE))
+                             FILTER (n_chars >= 400) AS hi_max
+                    FROM dm GROUP BY lang)
+            SELECT lang, stat, value FROM (
+              SELECT lang, 'count' AS stat, CAST(cnt AS VARCHAR) AS value
+              FROM per
+              UNION ALL
+              SELECT lang, 'avg_len', printf('%.4f', avg_len) FROM per
+              UNION ALL
+              SELECT lang, 'rg_*-400.0_count', CAST(lo_cnt AS VARCHAR)
+              FROM per
+              UNION ALL
+              SELECT lang, 'rg_*-400.0_max',
+                     CASE WHEN lo_max IS NULL THEN 'null'
+                          ELSE printf('%.1f', lo_max) END FROM per
+              UNION ALL
+              SELECT lang, 'rg_400.0-*_count', CAST(hi_cnt AS VARCHAR)
+              FROM per
+              UNION ALL
+              SELECT lang, 'rg_400.0-*_max',
+                     CASE WHEN hi_max IS NULL THEN 'null'
+                          ELSE printf('%.1f', hi_max) END FROM per)
+            ORDER BY lang, stat
         """,
         "rank_features_query": """
             WITH v AS (

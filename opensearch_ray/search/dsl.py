@@ -541,12 +541,34 @@ def _iter_seg_values(s: Searcher, docs: np.ndarray, field: str):
         yield s.doc_values(seg_id, field)[local]
 
 
+def _bucket_doc_sets(s: Searcher, docs: np.ndarray, field: str,
+                     keys) -> list:
+    """Sorted docid subsets per bucket key, aligned to ``keys`` — the
+    membership gather behind sub-agg recursion (one doc-values pass per
+    segment, bounded by len(keys) masks)."""
+    parts = {k: [] for k in keys}
+    seg_idx = np.searchsorted(s._bases, docs, side="right") - 1
+    for si in np.unique(seg_idx):
+        seg_id = int(s._seg_ids[si])
+        base = int(s._bases[si])
+        d = docs[seg_idx == si]
+        v = s.doc_values(seg_id, field)[d - base]
+        for k in keys:
+            m = v == k
+            if m.any():
+                parts[k].append(d[m])
+    return [np.concatenate(parts[k]) if parts[k]
+            else np.empty(0, np.int64) for k in keys]
+
+
 def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
                  text_field: str = "text") -> dict:
     """The request-body ``aggs`` tree over a matched doc set
     (SearchSourceBuilder.aggregation → AggregatorFactories): terms,
     avg/sum/min/max/value_count/stats, missing, filter (with sub-aggs),
-    global (escapes the query scope, sub-aggs over ALL docs)."""
+    global (escapes the query scope, sub-aggs over ALL docs); terms /
+    histogram / date_histogram / range buckets recurse into their own
+    ``aggs`` sub-trees."""
     out: dict = {}
     for name, spec in aggs.items():
         sub = spec.get("aggs", {})
@@ -577,9 +599,17 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
                 for u, c in zip(uniq.tolist(), counts.tolist()):
                     acc[u] = acc.get(u, 0) + int(c)
             top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-            out[name] = {"buckets": [
-                {"key": u, "doc_count": c}
-                for u, c in top[:body.get("size", 10)]]}
+            top = top[:body.get("size", 10)]
+            buckets = [{"key": u, "doc_count": c} for u, c in top]
+            if sub and top:
+                # sub-agg tree per SELECTED bucket (AggregatorFactories
+                # nesting): membership gathered only for the top keys, so
+                # the extra pass is bounded by size x matched docs
+                for b, bd in zip(buckets,
+                                 _bucket_doc_sets(s, docs, field,
+                                                  [u for u, _ in top])):
+                    b.update(execute_aggs(s, bd, sub, text_field))
+            out[name] = {"buckets": buckets}
             continue
         if kind == "missing":
             n = 0
@@ -637,14 +667,47 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
                     if c >= min_dc:
                         buckets.append({"key": kk * interval,
                                         "doc_count": c})
+            if sub and buckets:
+                want = [b for b in buckets if b["doc_count"] > 0]
+                member = {b["key"]: [] for b in want}
+                seg_idx = np.searchsorted(s._bases, docs,
+                                          side="right") - 1
+                for si in np.unique(seg_idx):
+                    seg_id = int(s._seg_ids[si])
+                    d = docs[seg_idx == si]
+                    v = s.doc_values(seg_id, field)[
+                        d - int(s._bases[si])]
+                    if v.dtype.kind == "M":
+                        keys = (v.astype("datetime64[ns]")
+                                .astype(np.int64)
+                                // np.int64(interval)) * interval
+                    else:
+                        vf = v.astype(np.float64)
+                        ok = ~np.isnan(vf)
+                        d = d[ok]
+                        keys = np.floor(vf[ok] / interval) * interval
+                    for b in want:
+                        m = keys == b["key"]
+                        if m.any():
+                            member[b["key"]].append(d[m])
+                for b in want:
+                    bd = (np.concatenate(member[b["key"]])
+                          if member[b["key"]]
+                          else np.empty(0, np.int64))
+                    b.update(execute_aggs(s, bd, sub, text_field))
             out[name] = {"buckets": buckets}
             continue
         if kind == "range":
             # RangeAggregator: [from, to) per range, overlapping allowed
             ranges = body["ranges"]
             cnts = [0] * len(ranges)
-            for v in _iter_seg_values(s, docs, field):
-                v = v.astype(np.float64)
+            members: list = [[] for _ in ranges]
+            seg_idx = np.searchsorted(s._bases, docs, side="right") - 1
+            for si in np.unique(seg_idx):
+                seg_id = int(s._seg_ids[si])
+                d = docs[seg_idx == si]
+                v = s.doc_values(seg_id, field)[d - int(s._bases[si])] \
+                    .astype(np.float64)
                 for i, r in enumerate(ranges):
                     m = np.ones(v.size, bool)
                     if "from" in r:
@@ -652,12 +715,20 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
                     if "to" in r:
                         m &= v < float(r["to"])
                     cnts[i] += int(m.sum())
-            out[name] = {"buckets": [
-                {"key": f"{r.get('from', '*')}-{r.get('to', '*')}",
-                 **({"from": float(r["from"])} if "from" in r else {}),
-                 **({"to": float(r["to"])} if "to" in r else {}),
-                 "doc_count": c}
-                for r, c in zip(ranges, cnts)]}
+                    if sub and m.any():
+                        members[i].append(d[m])
+            buckets = []
+            for i, (r, c) in enumerate(zip(ranges, cnts)):
+                b = {"key": f"{r.get('from', '*')}-{r.get('to', '*')}",
+                     **({"from": float(r["from"])} if "from" in r else {}),
+                     **({"to": float(r["to"])} if "to" in r else {}),
+                     "doc_count": c}
+                if sub:
+                    bd = (np.concatenate(members[i]) if members[i]
+                          else np.empty(0, np.int64))
+                    b.update(execute_aggs(s, bd, sub, text_field))
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
             continue
         if kind == "cardinality":
             # exact per-segment unique fold (the native aggs/ cardinality

@@ -512,3 +512,40 @@ def test_histogram_too_many_buckets(s):
         "size": 0})
     assert sum(b["doc_count"] for b in
                r["aggregations"]["h"]["buckets"]) == s.N
+
+
+def test_request_aggs_sub_agg_trees(s, terms3):
+    """Sub-agg trees under terms / histogram / range buckets
+    (AggregatorFactories nesting): per-bucket doc subsets recurse into
+    the child aggs; values verified against per-bucket brute force."""
+    body = {"query": {"match": {"text": terms3[0]}},
+            "aggs": {
+                "roles": {"terms": {"field": "role", "size": 5},
+                          "aggs": {"avg_turn": {"avg": {
+                              "field": "turn_idx"}}}},
+                "h": {"histogram": {"field": "turn_idx", "interval": 20},
+                      "aggs": {"n_roles": {"cardinality": {
+                          "field": "role"}}}},
+                "rg": {"range": {"field": "turn_idx",
+                                 "ranges": [{"to": 10}, {"from": 10}]},
+                       "aggs": {"mx": {"max": {"field": "turn_idx"}}}}},
+            "size": 0}
+    r = dsl.execute_request(s, body)
+    match = dsl.query_docs(s, {"match": {"text": terms3[0]}})
+    roles = dsl._gather_values(s, match, "role")
+    turns = dsl._gather_values(s, match, "turn_idx").astype(np.float64)
+    # terms buckets + per-bucket avg
+    for b in r["aggregations"]["roles"]["buckets"]:
+        m = roles == b["key"]
+        assert b["doc_count"] == int(m.sum())
+        assert abs(b["avg_turn"]["value"] - turns[m].mean()) < 1e-9
+    # histogram buckets + per-bucket cardinality
+    for b in r["aggregations"]["h"]["buckets"]:
+        m = np.floor(turns / 20) * 20 == b["key"]
+        assert b["doc_count"] == int(m.sum())
+        if b["doc_count"]:
+            assert b["n_roles"]["value"] == len(set(roles[m].tolist()))
+    # range buckets + per-bucket max
+    rb = r["aggregations"]["rg"]["buckets"]
+    assert abs(rb[0]["mx"]["value"] - turns[turns < 10].max()) < 1e-9
+    assert abs(rb[1]["mx"]["value"] - turns[turns >= 10].max()) < 1e-9
