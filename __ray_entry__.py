@@ -2505,6 +2505,38 @@ def _q_mtermvectors(sf_dir):
         .sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
+def _q_dedup_substring_stats(sf_dir):
+    """Exact substring-level dedup signal (Lee et al. ACL'22, hashed
+    k-token windows): per doc, distinct 8-token windows that also occur
+    in another doc. One hash(window)%P shuffle, vectorized partition
+    reduction (dedup/substring.py)."""
+    from opensearch_ray.dedup import duplicated_window_stats
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicated_window_stats(docs, k=8).to_pandas()
+    out = out[out["n_dup_windows"] > 0]
+    out = out.astype({"doc_id": np.int64, "n_windows": np.int64,
+                      "n_dup_windows": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_decontaminate(sf_dir):
+    """Benchmark decontamination: flag docs sharing any 8-token window
+    with the 'benchmark' subset (doc_id % 500 == 0) — broadcast window-
+    hash kill-set, map-only corpus scan (dedup/substring.py)."""
+    from opensearch_ray.dedup import decontaminate
+
+    def keep_bench(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 500 == 0))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(keep_bench, batch_format="pyarrow")
+    out = decontaminate(docs, bench, k=8).to_pandas()
+    flagged = out[out["contaminated"]][["doc_id"]] \
+        .astype({"doc_id": np.int64})
+    return flagged.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dsl_agg_terms_sub(sf_dir):
     """Round-5 request-body sub-agg tree: terms over lang with a per-
     bucket avg + max over n_chars and a nested range sub-agg, all inside
@@ -3268,6 +3300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_request_aggs": _q_dsl_request_aggs,
         "dsl_agg_hist_range_card": _q_dsl_agg_hist_range_card,
         "dsl_agg_terms_sub": _q_dsl_agg_terms_sub,
+        "dedup_substring_stats": _q_dedup_substring_stats,
+        "decontaminate": _q_decontaminate,
         "termvectors": _q_termvectors,
         "mtermvectors": _q_mtermvectors,
         "rank_features_query": _q_rank_features_query,
@@ -4722,6 +4756,43 @@ def oracle_sql() -> dict[str, str]:
                      AS doc_freq
             FROM tv WHERE tv.term NOT IN {STOP}
             GROUP BY tv.term ORDER BY tv.term
+        """,
+        "dedup_substring_stats": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '' AND x NOT IN {STOP}) AS l
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(l[i.i:i.i+7], ' ') AS gram
+              FROM tk, unnest(generate_series(1, len(l) - 7)) AS i(i)),
+            dup AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+            per AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_windows,
+                     CAST(count(*) FILTER (g.gram IN (SELECT gram
+                                                      FROM dup))
+                          AS BIGINT) AS n_dup_windows
+              FROM g GROUP BY g.doc_id)
+            SELECT doc_id, n_windows, n_dup_windows FROM per
+            WHERE n_dup_windows > 0 ORDER BY doc_id
+        """,
+        "decontaminate": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '' AND x NOT IN {STOP}) AS l
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(l[i.i:i.i+7], ' ') AS gram
+              FROM tk, unnest(generate_series(1, len(l) - 7)) AS i(i)),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 500 = 0)
+            SELECT DISTINCT g.doc_id FROM g
+            WHERE g.gram IN (SELECT gram FROM bg)
+            ORDER BY g.doc_id
         """,
         "dsl_agg_terms_sub": f"""
             WITH tok AS (

@@ -13,6 +13,7 @@ from .minhash import minhash_signatures, lsh_candidate_pairs, minhash_dedup_pair
 from .simhash import simhash_values, simhash_dedup_pairs
 from .ngram import ngram_jaccard_pairs
 from .embed import embedding_dedup_pairs
+from .substring import duplicated_window_stats, decontaminate
 
 __all__ = [
     "dedup_exact", "content_hashes",

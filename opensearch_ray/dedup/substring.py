@@ -1,0 +1,201 @@
+"""Exact substring-level dedup signals + benchmark decontamination.
+
+Two training-data operators beyond the reference's surface (the graft
+brief's LLM-pipeline family; public method: Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL'22 — the k-token
+duplicated-window statistic, computed here by hashed-window co-occurrence
+rather than a suffix array, which is the Ray-natural formulation):
+
+- :func:`duplicated_window_stats` — for every doc, how many of its
+  k-token windows also appear in ANOTHER doc (cross-doc duplicated
+  spans). One low-cardinality hash-partition shuffle of packed
+  (window-hash, doc) rows; all per-partition reductions vectorized.
+- :func:`decontaminate` — flag docs sharing any k-token window with a
+  BENCHMARK set (eval-set leakage removal). The benchmark windows are
+  hashed ONCE and broadcast via ``ray.put``; the corpus pass is map-only
+  (the kill-list pattern — nothing shuffles).
+
+Both use the same analyzer tokenization as the index, so "window" means
+analyzer tokens, not raw bytes. 64-bit window-hash collisions are the
+only approximation (~n^2/2^64, same contract as dedup/cluster.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _window_hashes(tokens_flat: np.ndarray, offsets: np.ndarray,
+                   k: int):
+    """Rolling k-token window hashes per doc from a flattened token-hash
+    array. -> (win_hash uint64, doc_row int64, pos int64) arrays; docs
+    shorter than k contribute nothing. Vectorized: k shifted multiplies
+    over the flat array, windows crossing doc boundaries masked out."""
+    n = tokens_flat.size
+    counts = np.diff(offsets)
+    if n == 0 or k <= 0:
+        z = np.empty(0, np.int64)
+        return np.empty(0, np.uint64), z, z
+    # combine k consecutive token hashes with position-dependent mixing
+    acc = np.zeros(max(n - k + 1, 0), np.uint64)
+    if acc.size == 0:
+        z = np.empty(0, np.int64)
+        return np.empty(0, np.uint64), z, z
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = (acc * _MIX) ^ tokens_flat[j:n - k + 1 + j]
+    doc_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    start_doc = doc_of[:acc.size]
+    end_doc = doc_of[k - 1:]
+    ok = start_doc == end_doc  # window fully inside one doc
+    pos = (np.arange(acc.size, dtype=np.int64)
+           - offsets[:-1][start_doc])[ok]
+    return acc[ok], start_doc[ok], pos
+
+
+def _doc_windows(t: pa.Table, text_col: str, id_col: str,
+                 analyzer: str, k: int):
+    """One batch -> (win_hash, doc_id, pos) arrays."""
+    from ..analysis.analyzer import analyze_batch
+
+    a = analyze_batch(t.select([id_col, text_col]), analyzer=analyzer)
+    toks = a.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    ids = a.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    th = (pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
+          .astype(np.uint64) if len(flat) else np.empty(0, np.uint64))
+    wh, drow, pos = _window_hashes(th, offsets, k)
+    return wh, ids[drow] if drow.size else np.empty(0, np.int64), pos
+
+
+def duplicated_window_stats(ds: Dataset, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8,
+                            analyzer: str = "transcript",
+                            P: int = 256) -> Dataset:
+    """Per-doc duplicated-span statistics: for each doc, the number of
+    DISTINCT k-token windows that also occur in at least one OTHER doc,
+    plus its total distinct window count.
+    -> Dataset[(doc_id, n_windows, n_dup_windows)], docs with >= 1
+    window only.
+
+    Distributed shape: window rows shuffle ONCE by hash(window) % P (low
+    cardinality, skew-proof); cross-doc duplication is decided inside the
+    owning partition (lexsort + segment reduction); per-doc totals come
+    from a second low-cardinality groupby over (doc partition)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        wh, ids, _pos = _doc_windows(t, text_col, id_col, analyzer, k)
+        if wh.size:
+            # distinct (window, doc): within-doc repeats count once —
+            # the cross-doc statistic
+            u = np.unique(np.stack((wh.astype(np.int64), ids), axis=1),
+                          axis=0)
+            wh, ids = u[:, 0].astype(np.uint64), u[:, 1]
+        return pa.table({
+            "wh": pa.array(wh.astype(np.int64)),
+            "doc": pa.array(ids),
+            "_part": pa.array((wh % np.uint64(P)).astype(np.int32))})
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    def mark_dup(g: pa.Table) -> pa.Table:
+        """Inside one window-hash partition: a (window, doc) row is
+        duplicated iff its window maps to >= 2 distinct docs."""
+        wh = g.column("wh").to_numpy(zero_copy_only=False)
+        doc = g.column("doc").to_numpy(zero_copy_only=False)
+        if wh.size == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        order = np.lexsort((doc, wh))
+        wh_s, doc_s = wh[order], doc[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], wh_s[1:] != wh_s[:-1])))
+        sizes = np.diff(np.append(starts, wh_s.size))
+        dup_per_row = np.repeat(sizes >= 2, sizes)
+        # per-doc partials within this partition
+        d_order = np.argsort(doc_s, kind="stable")
+        d_s = doc_s[d_order]
+        dup_s = dup_per_row[d_order].astype(np.int64)
+        d_starts = np.flatnonzero(np.concatenate(
+            ([True], d_s[1:] != d_s[:-1])))
+        d_sizes = np.diff(np.append(d_starts, d_s.size))
+        csum = np.concatenate(([0], np.cumsum(dup_s)))
+        ends = np.append(d_starts[1:], d_s.size)
+        nd = csum[ends] - csum[d_starts]
+        return pa.table({"doc": pa.array(d_s[d_starts]),
+                         "n": pa.array(d_sizes.astype(np.int64)),
+                         "nd": pa.array(nd)})
+
+    partials = rows.groupby("_part").map_groups(mark_dup,
+                                                batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    out = (partials.groupby("doc")
+           .aggregate(Sum("n", alias_name="n_windows"),
+                      Sum("nd", alias_name="n_dup_windows")))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([id_col, "n_windows", "n_dup_windows"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def decontaminate(ds: Dataset, benchmark: Dataset,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: Optional[str] = None, k: int = 8,
+                  analyzer: str = "transcript") -> Dataset:
+    """Eval-set decontamination: append ``contaminated`` (bool) — True
+    when the doc shares ANY k-token window with the benchmark set.
+
+    The benchmark side must be SMALL (an eval set); its window-hash set
+    is built in one pass and broadcast via ``ray.put`` — the corpus scan
+    is map-only, no shuffle (the kill-list pattern of
+    pipelines/training_data.py)."""
+    bench_text_col = bench_text_col or text_col
+
+    hashes: list = []
+    for t in benchmark.to_arrow_refs():
+        tb = ray.get(t)
+        if tb.num_rows == 0:
+            continue
+        if id_col not in tb.column_names:
+            tb = tb.append_column(id_col, pa.array(
+                np.arange(tb.num_rows, dtype=np.int64)))
+        wh, _ids, _pos = _doc_windows(
+            tb.select([id_col, bench_text_col])
+            .rename_columns([id_col, text_col]),
+            text_col, id_col, analyzer, k)
+        if wh.size:
+            hashes.append(np.unique(wh))
+    bench_set = (np.unique(np.concatenate(hashes)) if hashes
+                 else np.empty(0, np.uint64))
+    bench_ref = ray.put(bench_set)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bs = ray.get(bench_ref)
+        wh, ids, _pos = _doc_windows(t, text_col, id_col, analyzer, k)
+        bad: set = set()
+        if wh.size and bs.size:
+            pos = np.searchsorted(bs, wh)
+            ok = pos < bs.size
+            ok[ok] = bs[pos[ok]] == wh[ok]
+            bad = set(ids[ok].tolist())
+        tids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "contaminated",
+            pa.array(np.isin(tids.astype(np.int64),
+                             np.fromiter(bad, np.int64, len(bad)))))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

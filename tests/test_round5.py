@@ -132,3 +132,46 @@ def test_ingest_arrow_fast_path_parity():
     for c in ("joined", "id_copy", "tag", "id_str"):
         assert arrow_out[c].astype(str).tolist() == \
             pandas_out[c].astype(str).tolist(), c
+
+
+def test_duplicated_window_stats_semantics():
+    """Lee-et-al-style duplicated k-token windows: cross-doc only,
+    within-doc repeats count once, short docs contribute nothing."""
+    from opensearch_ray.dedup import duplicated_window_stats
+    texts = [
+        "aa bb cc dd",        # 0: shares window 'aa bb cc' with 1 (k=3)
+        "aa bb cc xx",        # 1
+        "zz yy ww vv",        # 2: unique windows
+        "aa bb",              # 3: too short for k=3
+        "qq rr ss qq rr ss",  # 4: internal repeat only -> NOT duplicated
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts)}))
+    out = duplicated_window_stats(ds, k=3, analyzer="whitespace") \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_windows"] == 2          # 'aa bb cc', 'bb cc dd'
+    assert out.loc[0, "n_dup_windows"] == 1      # 'aa bb cc' also in 1
+    assert out.loc[1, "n_dup_windows"] == 1
+    assert out.loc[2, "n_dup_windows"] == 0
+    assert 3 not in out.index                    # < k tokens: no windows
+    # doc 4: 4 windows, distinct = {'qq rr ss','rr ss qq','ss qq rr'}
+    # 'qq rr ss' occurs twice WITHIN the doc -> distinct count 3, no dup
+    assert out.loc[4, "n_windows"] == 3
+    assert out.loc[4, "n_dup_windows"] == 0
+
+
+def test_decontaminate_kill_list():
+    """Benchmark decontamination: broadcast window kill-set, map-only."""
+    from opensearch_ray.dedup import decontaminate
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["aa bb cc dd", "xx yy zz ww",
+                          "ee ff gg hh", "bb cc dd ee"])}))
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["bb cc dd qq"])}))
+    out = decontaminate(corpus, bench, k=3, analyzer="whitespace") \
+        .to_pandas().set_index("doc_id").sort_index()
+    # docs 0 and 3 contain the benchmark window 'bb cc dd'
+    assert out["contaminated"].tolist() == [True, False, False, True]
