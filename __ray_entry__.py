@@ -1440,6 +1440,23 @@ def _q_fuzzy_query(sf_dir):
     return pd.DataFrame({"doc_id": s.fuzzy_docs("hashe", max_edits=1).astype(np.int64)})
 
 
+def _q_alias_filtered_search(sf_dir):
+    """_aliases surface: a filtered alias (filter lang='en') over the
+    documents index — the filter rides the collector-level docs= gate,
+    scores unaffected (AliasMetadata.filter semantics)."""
+    from opensearch_ray.aliases import AliasRegistry
+    import tempfile
+    reg = AliasRegistry(os.path.join(tempfile.gettempdir(),
+                                     "osray_alias_entry.json"))
+    reg.update([{"add": {"index": _doc_index(sf_dir), "alias": "docs-en",
+                         "filter": {"term": {"lang": "en"}}}}])
+    out = reg.search("docs-en", _BM25_Q, k=10, dtype=np.float64)
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].astype(np.int64),
+        "rank": np.arange(1, len(out) + 1, dtype=np.int64),
+        "score": _fmt(out["score"], 4)})
+
+
 def _q_bm25_filtered(sf_dir):
     """BM25 with a keyword filter clause (lang='en') — filter context does
     not affect scores (BoolQueryBuilder.filter semantics)."""
@@ -3187,6 +3204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": _q_window_sliding,
         "window_session": _q_window_session,
         "collapse_bm25_by_lang": _q_collapse_bm25_by_lang,
+        "alias_filtered_search": _q_alias_filtered_search,
         "bm25_filtered": _q_bm25_filtered,
         "prefix_query": _q_prefix_query,
         "completion_suggest": _q_completion,
@@ -3852,6 +3870,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS doc_count
             FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
         """,
+        "alias_filtered_search": _bm25_sql("""
+            SELECT doc_id, rank, score FROM (
+              SELECT sc.doc_id,
+                     CAST(row_number() OVER (
+                       ORDER BY sc.score DESC, sc.doc_id) AS BIGINT)
+                       AS rank,
+                     printf('%.4f', sc.score) AS score
+              FROM scored sc JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en') ORDER BY rank LIMIT 10"""),
         "bm25_filtered": _bm25_sql("""
             SELECT sc.doc_id, printf('%.4f', sc.score) AS score
             FROM scored sc JOIN documents d USING (doc_id)

@@ -723,9 +723,10 @@ def intervals_docs(s: Searcher, source: dict) -> np.ndarray:
             # requires an increasing chain — a huge slop reduces to that)
             max_gaps = 1 << 30
         return s.span_near(toks, slop=max_gaps, in_order=ordered)
-    if "prefix" in source or "wildcard" in source:
-        # Intervals.prefix / Intervals.wildcard: expanded against the
-        # prefix-pruned terms dict, doc set = union of expansions
+    if any(k in source for k in ("prefix", "wildcard", "fuzzy",
+                                 "regexp")):
+        # Intervals.prefix/wildcard/fuzzy/regexp: expanded against the
+        # (prefix-pruned / streamed) terms dict, doc set = union
         terms = _interval_multi_terms(s, source)
         parts = [s.term_docs(t) for t in terms]
         parts = [p for p in parts if p.size]
@@ -750,7 +751,8 @@ def intervals_docs(s: Searcher, source: dict) -> np.ndarray:
     raise ValueError(f"unsupported intervals source: {sorted(source)}")
 
 
-_INTERVAL_KEYS = ("match", "prefix", "wildcard", "any_of", "all_of")
+_INTERVAL_KEYS = ("match", "prefix", "wildcard", "fuzzy", "regexp",
+                  "any_of", "all_of")
 
 
 def _interval_spec(source: dict):
@@ -763,7 +765,13 @@ def _interval_spec(source: dict):
 def _interval_multi_terms(s: Searcher, source: dict) -> List[str]:
     if "prefix" in source:
         return s.expand_prefix(source["prefix"]["prefix"])
-    return s.expand_wildcard(source["wildcard"]["pattern"])
+    if "wildcard" in source:
+        return s.expand_wildcard(source["wildcard"]["pattern"])
+    if "fuzzy" in source:
+        spec = source["fuzzy"]
+        return s.expand_fuzzy(spec["term"],
+                              max_edits=int(spec.get("fuzziness", 2)))
+    return expand_regexp(s, source["regexp"]["pattern"])
 
 
 def _interval_needs_spans(source: dict) -> bool:
@@ -807,7 +815,7 @@ def _interval_terms(s: Searcher, source: dict) -> List[str]:
     seen: List[str] = []
     if kind == "match":
         seen = list(s.analyzer.tokens(spec["query"]))
-    elif kind in ("prefix", "wildcard"):
+    elif kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         seen = list(_interval_multi_terms(s, source))
     else:
         for sub in spec["intervals"]:
@@ -888,7 +896,7 @@ def _interval_spans(s: Searcher, source: dict,
         else:
             slop = max_gaps if max_gaps >= 0 else (1 << 30)
             spans = _minimal_spans(_enum_near_spans(lists, slop, ordered))
-    elif kind in ("prefix", "wildcard"):
+    elif kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         ps = sorted({int(p) for t in _interval_multi_terms(s, source)
                      for p in pos_of.get(t, ())})
         spans = [(p, p) for p in ps]

@@ -571,3 +571,23 @@ def test_intervals_filter_and_multiterm(tmp_path_factory):
                       {"wildcard": {"pattern": "?eta"}}],
         "ordered": True, "max_gaps": 0}})
     assert sorted(got.tolist()) == [0, 1]
+
+
+def test_intervals_fuzzy_regexp_sources(tmp_path_factory):
+    """Intervals fuzzy / regexp sources (IntervalsSourceProvider.Fuzzy /
+    Regexp): expansion against the terms dict, span path composes."""
+    eng = _mini_corpus_index(tmp_path_factory, [
+        "alpha beta gamma",
+        "alphax beta gamma",  # 1 insertion from 'alpha'
+        "zeta beta gamma",
+    ], "ivfz")
+    got = intervals_docs(eng, {"fuzzy": {"term": "alpha", "fuzziness": 1}})
+    assert sorted(got.tolist()) == [0, 1]
+    got = intervals_docs(eng, {"regexp": {"pattern": "al.*"}})
+    assert sorted(got.tolist()) == [0, 1]
+    # fuzzy inside an ordered combine with gaps
+    got = intervals_docs(eng, {"all_of": {
+        "intervals": [{"fuzzy": {"term": "alpha", "fuzziness": 1}},
+                      {"match": {"query": "gamma"}}],
+        "ordered": True, "max_gaps": 1}})
+    assert sorted(got.tolist()) == [0, 1]

@@ -175,3 +175,39 @@ def test_decontaminate_kill_list():
         .to_pandas().set_index("doc_id").sort_index()
     # docs 0 and 3 contain the benchmark window 'bb cc dd'
     assert out["contaminated"].tolist() == [True, False, False, True]
+
+
+def test_alias_registry(built_index, tmp_path):
+    """_aliases surface: add/remove actions, filtered alias search via
+    the docs= collector gate, write-index resolution, persistence."""
+    from opensearch_ray.aliases import AliasRegistry
+    from opensearch_ray.search import dsl
+
+    idx = built_index.index_dir
+    reg = AliasRegistry(str(tmp_path / "aliases.json"))
+    reg.update([{"add": {"index": idx, "alias": "logs",
+                         "is_write_index": True}},
+                {"add": {"index": idx, "alias": "logs-user",
+                         "filter": {"term": {"role": "user"}}}}])
+    assert reg.write_index("logs") == idx
+    assert reg.indices_for("logs-user") == [idx]
+    # unfiltered alias == direct search
+    s = Searcher(idx)
+    q = "bace cedi"
+    direct = [(h.docid, h.score) for h in s.search(q, k=5)]
+    via = reg.search("logs", q, k=5)
+    assert list(zip(via.doc_id, via.score)) == direct
+    # filtered alias == search constrained to the filter's doc set
+    allow = dsl.query_docs(s, {"term": {"role": "user"}})
+    want = [(h.docid, h.score) for h in s.search(q, k=5, docs=allow)]
+    got = reg.search("logs-user", q, k=5)
+    assert list(zip(got.doc_id, got.score)) == want
+    roles = s.fetch(got.doc_id.tolist(), columns=["role"]).to_pydict()
+    assert set(roles["role"]) <= {"user"}
+    # persistence + remove
+    reg2 = AliasRegistry(str(tmp_path / "aliases.json"))
+    assert sorted(reg2.aliases) == ["logs", "logs-user"]
+    reg2.update([{"remove": {"index": idx, "alias": "logs-user"}}])
+    assert sorted(reg2.aliases) == ["logs"]
+    # a concrete dir resolves through
+    assert reg2.write_index(idx) == idx
