@@ -2237,6 +2237,35 @@ def _event_index(sf_dir: str) -> str:
     return idx
 
 
+def _q_dsl_agg_calendar_pct(sf_dir):
+    """Round-5 request-body aggs over the events index: calendar
+    date_histogram (Monday-aligned weeks), exact nearest-rank
+    percentiles, extended_stats — per-segment folds in execute_aggs."""
+    from opensearch_ray.search import Searcher, dsl
+    s = Searcher(_event_index(sf_dir), dtype=np.float64)
+    r = dsl.execute_request(s, {
+        "query": {"match_all": {}},
+        "aggs": {"w": {"date_histogram": {"field": "ts",
+                                          "calendar_interval": "week"}},
+                 "p": {"percentiles": {"field": "value",
+                                       "percents": [25.0, 50.0, 95.0]}},
+                 "es": {"extended_stats": {"field": "value"}}},
+        "size": 0}, id_col="event_id")
+    rows = []
+    for b in r["aggregations"]["w"]["buckets"]:
+        rows.append(("week_" + b["key_as_string"][:10],
+                     str(b["doc_count"])))
+    for p, v in r["aggregations"]["p"]["values"].items():
+        rows.append((f"p{p}", f"{v:.4f}"))
+    es = r["aggregations"]["es"]
+    for k in ("count",):
+        rows.append((f"es_{k}", str(es[k])))
+    for k in ("min", "max", "sum", "avg", "std_deviation"):
+        rows.append((f"es_{k}", f"{es[k]:.4f}"))
+    out = pd.DataFrame(rows, columns=["stat", "value"])
+    return out.sort_values("stat").reset_index(drop=True)
+
+
 def _q_ids(sf_dir):
     """ids query: doc-values membership of the stored id."""
     from opensearch_ray.search.queries import ids_docs
@@ -3318,6 +3347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_request_aggs": _q_dsl_request_aggs,
         "dsl_agg_hist_range_card": _q_dsl_agg_hist_range_card,
         "dsl_agg_terms_sub": _q_dsl_agg_terms_sub,
+        "dsl_agg_calendar_pct": _q_dsl_agg_calendar_pct,
         "dedup_substring_stats": _q_dedup_substring_stats,
         "decontaminate": _q_decontaminate,
         "termvectors": _q_termvectors,
@@ -4820,6 +4850,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT g.doc_id FROM g
             WHERE g.gram IN (SELECT gram FROM bg)
             ORDER BY g.doc_id
+        """,
+        "dsl_agg_calendar_pct": """
+            WITH wk AS (
+              SELECT 'week_' || strftime(date_trunc('week', ts),
+                                         '%Y-%m-%d') AS stat,
+                     CAST(count(*) AS VARCHAR) AS value
+              FROM events GROUP BY 1),
+            c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, n FROM (
+                    SELECT value AS v, count(*) AS cnt,
+                           (SELECT count(*) FROM events) AS n
+                    FROM events GROUP BY value)),
+            pct AS (
+              SELECT 'p25' AS stat, printf('%.4f', (SELECT min(v) FROM c
+                WHERE cum >= greatest(1, ceil(0.25 * n)))) AS value
+              UNION ALL
+              SELECT 'p50', printf('%.4f', (SELECT min(v) FROM c
+                WHERE cum >= greatest(1, ceil(0.50 * n))))
+              UNION ALL
+              SELECT 'p95', printf('%.4f', (SELECT min(v) FROM c
+                WHERE cum >= greatest(1, ceil(0.95 * n))))),
+            es AS (
+              SELECT 'es_count' AS stat,
+                     CAST(count(*) AS VARCHAR) AS value FROM events
+              UNION ALL
+              SELECT 'es_min', printf('%.4f', min(value)) FROM events
+              UNION ALL
+              SELECT 'es_max', printf('%.4f', max(value)) FROM events
+              UNION ALL
+              SELECT 'es_sum', printf('%.4f', sum(value)) FROM events
+              UNION ALL
+              SELECT 'es_avg', printf('%.4f', avg(value)) FROM events
+              UNION ALL
+              SELECT 'es_std_deviation',
+                     printf('%.4f', stddev_pop(value)) FROM events)
+            SELECT stat, value FROM (
+              SELECT * FROM wk UNION ALL SELECT * FROM pct
+              UNION ALL SELECT * FROM es)
+            ORDER BY stat
         """,
         "dsl_agg_terms_sub": f"""
             WITH tok AS (

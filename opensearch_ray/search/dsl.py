@@ -620,6 +620,31 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
                     n += int(np.isnan(v).sum())
             out[name] = {"doc_count": n}
             continue
+        if kind == "date_histogram" and "calendar_interval" in body:
+            # calendar rounding (Rounding.java calendar units) — numpy
+            # datetime64 truncation per segment, Monday-aligned weeks
+            unit = {"year": "Y", "month": "M", "week": "W", "day": "D",
+                    "hour": "h", "minute": "m",
+                    "second": "s"}[body["calendar_interval"]]
+            acc = {}
+            for v in _iter_seg_values(s, docs, field):
+                d64 = v.astype("datetime64[ns]")
+                if unit == "W":
+                    dd = d64.astype("datetime64[D]")
+                    dow = (dd.astype(np.int64) + 3) % 7  # Monday == 0
+                    key = dd - dow.astype("timedelta64[D]")
+                else:
+                    key = d64.astype(f"datetime64[{unit}]")
+                ks = key.astype("datetime64[s]").astype(np.int64)
+                uniq, counts = np.unique(ks, return_counts=True)
+                for u, c in zip(uniq.tolist(), counts.tolist()):
+                    acc[int(u)] = acc.get(int(u), 0) + int(c)
+            out[name] = {"buckets": [
+                {"key_as_string": str(np.int64(kk)
+                                      .astype("datetime64[s]")),
+                 "key": kk * 1000, "doc_count": acc[kk]}
+                for kk in sorted(acc)]}
+            continue
         if kind in ("histogram", "date_histogram"):
             # HistogramAggregator / DateHistogramAggregator: per-segment
             # floor-keyed counts; empty buckets between min and max key
@@ -737,6 +762,51 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
             for v in _iter_seg_values(s, docs, field):
                 seen.update(np.unique(v).tolist())
             out[name] = {"value": len(seen)}
+            continue
+        if kind == "percentiles":
+            # PercentilesAggregationBuilder default percents; the exact
+            # nearest-rank fold over the (bounded) matched values — the
+            # native aggs/ module carries t-digest/HDR for the sketched
+            # path. Lucene's TDigest at these sizes is exact too.
+            percents = body.get("percents",
+                                [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0])
+            vals = np.sort(_gather_values(s, docs, field)
+                           .astype(np.float64))
+            vv: dict = {}
+            for p in percents:
+                if vals.size == 0:
+                    vv[f"{float(p):g}"] = None
+                else:
+                    i = max(int(np.ceil(p / 100.0 * vals.size)) - 1, 0)
+                    vv[f"{float(p):g}"] = float(vals[i])
+            out[name] = {"values": vv}
+            continue
+        if kind == "extended_stats":
+            # ExtendedStatsAggregator: count/min/max/sum/avg +
+            # sum_of_squares/variance/std_deviation (population)
+            cnt2, tot2, sq = 0, 0.0, 0.0
+            mn2, mx2 = np.inf, -np.inf
+            for v in _iter_seg_values(s, docs, field):
+                v = v.astype(np.float64)
+                cnt2 += int(v.size)
+                tot2 += float(v.sum())
+                sq += float((v * v).sum())
+                if v.size:
+                    mn2 = min(mn2, float(v.min()))
+                    mx2 = max(mx2, float(v.max()))
+            if cnt2:
+                avg = tot2 / cnt2
+                var = sq / cnt2 - avg * avg
+                out[name] = {"count": cnt2, "min": mn2, "max": mx2,
+                             "sum": tot2, "avg": avg,
+                             "sum_of_squares": sq, "variance": var,
+                             "std_deviation": float(np.sqrt(max(var,
+                                                                0.0)))}
+            else:
+                out[name] = {"count": 0, "min": None, "max": None,
+                             "sum": 0.0, "avg": None,
+                             "sum_of_squares": 0.0, "variance": None,
+                             "std_deviation": None}
             continue
         cnt, tot = 0, 0.0
         mn, mx = np.inf, -np.inf

@@ -549,3 +549,32 @@ def test_request_aggs_sub_agg_trees(s, terms3):
     rb = r["aggregations"]["rg"]["buckets"]
     assert abs(rb[0]["mx"]["value"] - turns[turns < 10].max()) < 1e-9
     assert abs(rb[1]["mx"]["value"] - turns[turns >= 10].max()) < 1e-9
+
+
+def test_request_aggs_calendar_percentiles_extstats(s):
+    """Round-5 request-body aggs: calendar date_histogram (Monday weeks),
+    exact nearest-rank percentiles, extended_stats."""
+    r = dsl.execute_request(s, {
+        "query": {"match_all": {}},
+        "aggs": {"w": {"date_histogram": {"field": "ts",
+                                          "calendar_interval": "week"}},
+                 "p": {"percentiles": {"field": "turn_idx",
+                                       "percents": [50.0, 95.0]}},
+                 "es": {"extended_stats": {"field": "turn_idx"}}},
+        "size": 0})
+    wb = r["aggregations"]["w"]["buckets"]
+    assert sum(b["doc_count"] for b in wb) == s.N
+    for b in wb:  # every key is a Monday
+        assert (np.datetime64(b["key_as_string"], "D").astype(np.int64)
+                + 3) % 7 == 0
+    turns = np.sort(dsl._gather_values(
+        s, dsl.query_docs(s, {"match_all": {}}), "turn_idx")
+        .astype(np.float64))
+    p = r["aggregations"]["p"]["values"]
+    assert p["50"] == float(turns[int(np.ceil(0.5 * turns.size)) - 1])
+    assert p["95"] == float(turns[int(np.ceil(0.95 * turns.size)) - 1])
+    es = r["aggregations"]["es"]
+    assert es["count"] == turns.size
+    assert abs(es["avg"] - turns.mean()) < 1e-9
+    assert abs(es["variance"] - turns.var()) < 1e-6
+    assert abs(es["std_deviation"] - turns.std()) < 1e-9
