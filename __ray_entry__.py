@@ -2551,6 +2551,18 @@ def _q_mtermvectors(sf_dir):
         .sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
+def _q_semantic_dedup(sf_dir):
+    """SemDeDup (Abbas et al. arXiv:2303.09540): k-means clusters +
+    within-cluster cosine pruning with the keep-far policy over the
+    embeddings table (rows-only — k-means is not SQL-expressible)."""
+    from opensearch_ray.dedup import semantic_dedup
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(emb, eps=0.97, n_clusters=8).to_pandas()
+    return out.astype({"vec_id": np.int64, "cluster": np.int64,
+                       "keep": bool}) \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_dedup_substring_stats(sf_dir):
     """Exact substring-level dedup signal (Lee et al. ACL'22, hashed
     k-token windows): per doc, distinct 8-token windows that also occur
@@ -3349,6 +3361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_agg_terms_sub": _q_dsl_agg_terms_sub,
         "dsl_agg_calendar_pct": _q_dsl_agg_calendar_pct,
         "dedup_substring_stats": _q_dedup_substring_stats,
+        "semantic_dedup": _q_semantic_dedup,
         "decontaminate": _q_decontaminate,
         "termvectors": _q_termvectors,
         "mtermvectors": _q_mtermvectors,

@@ -14,10 +14,12 @@ from .simhash import simhash_values, simhash_dedup_pairs
 from .ngram import ngram_jaccard_pairs
 from .embed import embedding_dedup_pairs
 from .substring import duplicated_window_stats, decontaminate
+from .semantic import semantic_dedup
 
 __all__ = [
     "dedup_exact", "content_hashes",
     "minhash_signatures", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "simhash_values", "simhash_dedup_pairs",
     "ngram_jaccard_pairs", "embedding_dedup_pairs",
+    "duplicated_window_stats", "decontaminate", "semantic_dedup",
 ]

@@ -588,6 +588,36 @@ def execute_aggs(s: Searcher, docs: np.ndarray, aggs: dict,
             out[name] = {"doc_count": int(f.size),
                          **execute_aggs(s, f, sub, text_field)}
             continue
+        if kind == "top_hits":
+            # TopHitsAggregator in bucket context: the bucket's top docs
+            # by an explicit sort spec (no scores in filter context —
+            # default _doc asc, the reference's tiebreak order)
+            size = int(body.get("size", 3))
+            srt = body.get("sort", [])
+            if srt:
+                (fld, spec), = srt[0].items() if isinstance(
+                    srt[0], dict) else (srt[0], {})
+                desc = (spec.get("order", "asc") if isinstance(spec, dict)
+                        else spec) == "desc"
+                vals = _gather_values(s, docs, fld).astype(np.float64)
+                order = np.lexsort((docs, -vals if desc else vals))
+            else:
+                order = np.arange(docs.size)
+            top_ids = docs[order[:size]]
+            hits = []
+            flds = body.get("_source", [])
+            by_id = {}
+            if flds and top_ids.size:
+                for row in s.fetch(top_ids.tolist(),
+                                   columns=list(flds)).to_pylist():
+                    by_id[row["_docid"]] = row
+            for d in top_ids.tolist():
+                h = {"_id": int(d)}
+                if flds:
+                    h["_source"] = {k: by_id[d][k] for k in flds}
+                hits.append(h)
+            out[name] = {"hits": {"total": int(docs.size), "hits": hits}}
+            continue
         field = body["field"]
         # every agg below folds PER-SEGMENT partials (terms: per-segment
         # unique+counts; metrics: scalar accumulators) — driver memory is

@@ -210,3 +210,41 @@ def test_token_jaccard_edges_and_clusters(near_dup_ds):
     assert kb["component"].tolist() == [0]
     assert kb["n_members"].tolist() == [3]
     assert kb["keep_id"].tolist() == [2]  # "tomorrow" variant is longest
+
+
+def test_semantic_dedup_semdedup():
+    """SemDeDup (Abbas et al. '23): k-means clusters + within-cluster
+    cosine pruning, keep-farthest-from-centroid policy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opensearch_ray.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    # two well-separated cluster directions, duplicates = tiny jitter
+    base = rng.standard_normal((2, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, ids = [], []
+    for i in range(40):
+        b = base[i % 2]
+        jitter = 0.01 * rng.standard_normal(16).astype(np.float32) \
+            if i < 20 else 0.8 * rng.standard_normal(16).astype(np.float32)
+        v = b + jitter
+        vecs.append((v / np.linalg.norm(v)).tolist())
+        ids.append(i)
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids, pa.int64()),
+                                 "embedding": pa.array(vecs)}))
+    out = semantic_dedup(ds, eps=0.95, n_clusters=4,
+                         sample=40).to_pandas()
+    assert len(out) == 40 and out.vec_id.nunique() == 40
+    # the 20 jittered near-copies collapse to ~2 survivors; the 20
+    # scattered points mostly survive
+    tight = out[out.vec_id < 20]
+    assert tight.keep.sum() <= 6
+    assert out[out.vec_id >= 20].keep.sum() >= 14
+    # deterministic across runs
+    out2 = semantic_dedup(ds, eps=0.95, n_clusters=4,
+                          sample=40).to_pandas()
+    m1 = dict(zip(out.vec_id, out.keep))
+    m2 = dict(zip(out2.vec_id, out2.keep))
+    assert m1 == m2

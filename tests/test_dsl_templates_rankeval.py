@@ -578,3 +578,28 @@ def test_request_aggs_calendar_percentiles_extstats(s):
     assert abs(es["avg"] - turns.mean()) < 1e-9
     assert abs(es["variance"] - turns.var()) < 1e-6
     assert abs(es["std_deviation"] - turns.std()) < 1e-9
+
+
+def test_request_aggs_top_hits_sub(s, terms3):
+    """top_hits inside a terms bucket (TopHitsAggregator): per-bucket top
+    docs by an explicit sort, _source projection."""
+    r = dsl.execute_request(s, {
+        "query": {"match": {"text": terms3[0]}},
+        "aggs": {"roles": {"terms": {"field": "role", "size": 3},
+                           "aggs": {"top": {"top_hits": {
+                               "size": 2,
+                               "sort": [{"turn_idx": {"order": "desc"}}],
+                               "_source": ["turn_idx", "role"]}}}}},
+        "size": 0})
+    match = dsl.query_docs(s, {"match": {"text": terms3[0]}})
+    roles = dsl._gather_values(s, match, "role")
+    turns = dsl._gather_values(s, match, "turn_idx").astype(np.int64)
+    for b in r["aggregations"]["roles"]["buckets"]:
+        m = roles == b["key"]
+        th = b["top"]["hits"]
+        assert th["total"] == int(m.sum())
+        bd, bt = match[m], turns[m]
+        want = bd[np.lexsort((bd, -bt.astype(np.float64)))][:2]
+        assert [h["_id"] for h in th["hits"]] == want.tolist()
+        for h in th["hits"]:
+            assert h["_source"]["role"] == b["key"]
