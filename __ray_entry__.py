@@ -2551,6 +2551,20 @@ def _q_mtermvectors(sf_dir):
         .sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
+def _q_stratified_sample(sf_dir):
+    """Deterministic stratified sampling for training-data mixes: keep
+    rates per source stratum via Knuth's multiplicative hash over doc_id
+    (reproducible in SQL — no random stream)."""
+    from opensearch_ray.pipelines.sampling import stratified_sample
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = stratified_sample(
+        docs, "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default_rate=0.02).to_pandas()
+    return out.astype({"doc_id": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_semantic_dedup(sf_dir):
     """SemDeDup (Abbas et al. arXiv:2303.09540): k-means clusters +
     within-cluster cosine pruning with the keep-far policy over the
@@ -3361,6 +3375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_agg_terms_sub": _q_dsl_agg_terms_sub,
         "dsl_agg_calendar_pct": _q_dsl_agg_calendar_pct,
         "dedup_substring_stats": _q_dedup_substring_stats,
+        "stratified_sample": _q_stratified_sample,
         "semantic_dedup": _q_semantic_dedup,
         "decontaminate": _q_decontaminate,
         "termvectors": _q_termvectors,
@@ -4826,6 +4841,19 @@ def oracle_sql() -> dict[str, str]:
                      AS doc_freq
             FROM tv WHERE tv.term NOT IN {STOP}
             GROUP BY tv.term ORDER BY tv.term
+        """,
+        "stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                          WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                          ELSE 0.02 END AS rate,
+                     (CAST(doc_id AS UBIGINT) * 2654435761)
+                       % 4294967296 AS h
+              FROM documents)
+            SELECT doc_id, source FROM r
+            WHERE CAST(h AS DOUBLE) < rate * 4294967296.0
+            ORDER BY doc_id
         """,
         "dedup_substring_stats": f"""
             WITH tk AS (

@@ -211,3 +211,30 @@ def test_alias_registry(built_index, tmp_path):
     assert sorted(reg2.aliases) == ["logs"]
     # a concrete dir resolves through
     assert reg2.write_index(idx) == idx
+
+
+def test_stratified_sample_deterministic():
+    """Stratified sampling: exact per-stratum rate control, rerun-stable,
+    seed-independent draws."""
+    from opensearch_ray.pipelines.sampling import stratified_sample
+    n = 40_000
+    ids = np.arange(n, dtype=np.int64)
+    strata = np.where(ids % 2 == 0, "a", "b")
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "stratum": pa.array(strata)}))
+    out = stratified_sample(ds, "stratum", {"a": 0.5, "b": 0.1},
+                            id_col="doc_id").to_pandas()
+    fa = (out.stratum == "a").sum() / (n / 2)
+    fb = (out.stratum == "b").sum() / (n / 2)
+    assert abs(fa - 0.5) < 0.02 and abs(fb - 0.1) < 0.02
+    # deterministic: identical keep set on rerun
+    out2 = stratified_sample(ds, "stratum", {"a": 0.5, "b": 0.1},
+                             id_col="doc_id").to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    # a different seed draws a different (but same-sized-ish) sample
+    out3 = stratified_sample(ds, "stratum", {"a": 0.5, "b": 0.1},
+                             id_col="doc_id", seed=99).to_pandas()
+    assert sorted(out3.doc_id) != sorted(out.doc_id)
+    # unlisted strata drop by default
+    out4 = stratified_sample(ds, "stratum", {"a": 1.0}).to_pandas()
+    assert set(out4.stratum) == {"a"} and len(out4) == n / 2
