@@ -2565,6 +2565,18 @@ def _q_stratified_sample(sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pack_sequences(sf_dir):
+    """Concat-then-chunk sequence packing (the pretraining batch shape):
+    id-ordered token stream cut into 512-token sequences per fixed id
+    group — one low-cardinality groupby, vectorized cumsum."""
+    from opensearch_ray.pipelines.sampling import pack_sequences
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_sequences(docs, budget=512, group_size=1000).to_pandas()
+    out = out.astype({c: np.int64 for c in
+                      ("doc_id", "n_tokens", "group", "seq", "offset")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_semantic_dedup(sf_dir):
     """SemDeDup (Abbas et al. arXiv:2303.09540): k-means clusters +
     within-cluster cosine pruning with the keep-far policy over the
@@ -3376,6 +3388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_agg_calendar_pct": _q_dsl_agg_calendar_pct,
         "dedup_substring_stats": _q_dedup_substring_stats,
         "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         "semantic_dedup": _q_semantic_dedup,
         "decontaminate": _q_decontaminate,
         "termvectors": _q_termvectors,
@@ -4841,6 +4854,27 @@ def oracle_sql() -> dict[str, str]:
                      AS doc_freq
             FROM tv WHERE tv.term NOT IN {STOP}
             GROUP BY tv.term ORDER BY tv.term
+        """,
+        "pack_sequences": """
+            WITH c AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(text, ' ')) END
+                       AS n_tokens,
+                     doc_id // 1000 AS grp
+              FROM documents),
+            w AS (
+              SELECT doc_id, n_tokens, grp,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY grp ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS excl
+              FROM c)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(grp AS BIGINT) AS "group",
+                   CAST(excl // 512 AS BIGINT) AS seq,
+                   CAST(excl % 512 AS BIGINT) AS "offset"
+            FROM w ORDER BY doc_id
         """,
         "stratified_sample": """
             WITH r AS (

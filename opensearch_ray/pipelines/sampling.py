@@ -54,3 +54,55 @@ def stratified_sample(ds: Dataset, stratum_col: str, rates: Dict[str, float],
         return t.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def pack_sequences(ds: Dataset, text_col: str = "text",
+                   id_col: str = "doc_id", budget: int = 512,
+                   group_size: int = 1000) -> Dataset:
+    """Concat-then-chunk sequence packing — the pretraining batch shape:
+    documents are concatenated in id order and the token stream is cut
+    into fixed-``budget`` sequences; a doc may straddle a boundary.
+    -> Dataset[(id, n_tokens, group, seq, offset)] where ``seq`` is the
+    sequence index within the group and ``offset`` the doc's first-token
+    position inside that sequence.
+
+    Distributed shape: groups are fixed id ranges (id // group_size), so
+    assignment needs ONE low-cardinality groupby; inside a group the
+    exclusive running token sum is a vectorized cumsum. Groups are
+    independent packing domains (shard boundaries) — no global scan.
+    Token count = whitespace tokens (packing happens pre-tokenizer in
+    budget units; swap in an analyzer count upstream if needed)."""
+    import pyarrow.compute as pc
+
+    def count_and_group(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        toks = pc.list_value_length(pc.split_pattern(
+            pc.utf8_trim_whitespace(t.column(text_col)), " "))
+        n = toks.to_numpy(zero_copy_only=False).astype(np.int64)
+        # empty docs still occupy zero tokens; '' splits to [''] -> fix
+        txt = t.column(text_col).to_pylist()
+        empty = np.fromiter((not (s or "").strip() for s in txt),
+                            bool, t.num_rows)
+        n[empty] = 0
+        return pa.table({id_col: pa.array(ids),
+                         "n_tokens": pa.array(n),
+                         "group": pa.array(ids // group_size)})
+
+    counted = ds.map_batches(count_and_group, batch_format="pyarrow")
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        n = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_s, n_s = ids[order], n[order]
+        excl = np.concatenate(([0], np.cumsum(n_s)[:-1]))
+        return pa.table({
+            id_col: pa.array(ids_s),
+            "n_tokens": pa.array(n_s),
+            "group": g.column("group").take(pa.array(order)),
+            "seq": pa.array(excl // budget),
+            "offset": pa.array(excl % budget)})
+
+    return counted.groupby("group").map_groups(pack_group,
+                                               batch_format="pyarrow")

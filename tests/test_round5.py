@@ -238,3 +238,26 @@ def test_stratified_sample_deterministic():
     # unlisted strata drop by default
     out4 = stratified_sample(ds, "stratum", {"a": 1.0}).to_pandas()
     assert set(out4.stratum) == {"a"} and len(out4) == n / 2
+
+
+def test_pack_sequences_concat_chunk():
+    """Concat-then-chunk packing: contiguous token stream per group,
+    budget-aligned sequence cuts, straddling docs allowed."""
+    from opensearch_ray.pipelines.sampling import pack_sequences
+    texts = ["a b c", "d e", "", "f g h i", "j"]   # tokens: 3 2 0 4 1
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts)}))
+    out = pack_sequences(ds, budget=4, group_size=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.n_tokens.tolist() == [3, 2, 0, 4, 1]
+    # exclusive cumsum: 0,3,5,5,9 -> seq 0,0,1,1,2 / offset 0,3,1,1,1
+    assert out.seq.tolist() == [0, 0, 1, 1, 2]
+    assert out.offset.tolist() == [0, 3, 1, 1, 1]
+    # two groups pack independently
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 1000, 1001], pa.int64()),
+        "text": pa.array(["a b c", "d", "x y", "z"])}))
+    out2 = pack_sequences(ds2, budget=4, group_size=1000).to_pandas() \
+        .set_index("doc_id")
+    assert out2.loc[1000, "seq"] == 0 and out2.loc[1000, "offset"] == 0
