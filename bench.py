@@ -413,6 +413,25 @@ def run_bench() -> dict:
         timings["keepbest_1m_full_membership_driver_rss_delta_mb"] = round(
             (rss1 - rss0) / 1024, 1)
 
+        # --- duplicated k-token window stats at 1M docs (Lee et al.
+        # substring-dedup signal): hashed-window shuffle + per-doc
+        # reduce, both behind <=16-block coalesces (round-5 finding:
+        # Ray's sort shuffle costs ~0 driver MB at 16 input blocks,
+        # ~300 MB at 64 — block-count hygiene, not row count).
+        from opensearch_ray.dedup import duplicated_window_stats
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.perf_counter()
+        sub = duplicated_window_stats(
+            rd.read_parquet(mh_corpus,
+                            columns=["conv_id", "turn_idx", "text"])
+            .map_batches(add_id, batch_format="pyarrow"),
+            id_col="mh_id", k=8, analyzer="transcript")
+        timings["substring_1m_docs"] = int(sub.count())
+        timings["substring_1m_sec"] = round(time.perf_counter() - t0, 3)
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        timings["substring_1m_driver_rss_delta_mb"] = round(
+            (rss1 - rss0) / 1024, 1)
+
         # --- composite agg over 1M distinct (conv_id, turn_idx) keys: the
         # high-cardinality paging proof — after-key filter is distributed
         # and the reduce is per-block bounded, so driver RSS stays flat.
