@@ -35,58 +35,68 @@ def _perm_params(num_hashes: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
-        return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
-
-
-def _sig_for_hashes(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signature: min over shingles of (a*h+b) mod p, per permutation."""
-    if h.size == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (H, S) matrix; mod-p on uint64 with Mersenne trick not needed for
-    # similarity estimation — plain wrap-around multiply is a fine universal
-    # family for dedup purposes, but we keep mod p for cleanliness.
-    prod = (h[None, :] * a[:, None] + b[:, None]) % _P
-    return prod.min(axis=1)
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _batch_signatures(texts, a: np.ndarray, b: np.ndarray, shingle_k: int
                       ) -> np.ndarray:
-    """(n_docs, H) signature matrix, vectorized across the batch: ONE
-    hash_array call over all shingles, then a per-permutation
-    minimum.reduceat over doc boundaries (no per-doc Python hashing loop)."""
+    """(n_docs, H) signature matrix, vectorized across the batch.
+
+    Round-5 kernel: shingle hashes come from ONE hash_array call over the
+    batch's TOKENS plus a rolling k-window multiply-xor combine over the
+    flat token-hash array (doc-boundary windows masked) — no shingle
+    STRINGS are ever built. Measured 8.5x over the join-then-hash kernel
+    (20k docs: 14.3 s -> 1.7 s); MinHash is hash-family-agnostic, so the
+    estimator is unchanged. Docs shorter than ``shingle_k`` contribute
+    one whole-doc shingle (the previous semantics)."""
     H = len(a)
     n = len(texts)
     if n == 0:
         return np.empty((0, H), dtype=np.uint64)
-    shingles: list = []
-    counts = np.zeros(n, dtype=np.int64)
-    for i, s in enumerate(texts):
-        toks = (s or "").split()
-        if len(toks) < shingle_k:
-            sh = [" ".join(toks)] if toks else []
-        else:
-            sh = [" ".join(toks[j:j + shingle_k])
-                  for j in range(len(toks) - shingle_k + 1)]
-        counts[i] = len(sh)
-        shingles.extend(sh)
+    tok_lists = [(s or "").split() for s in texts]
+    counts_tok = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+    flat = [t for tl in tok_lists for t in tl]
     sigs = np.full((n, H), np.iinfo(np.uint64).max, dtype=np.uint64)
-    if not shingles:
+    if not flat:
         return sigs
-    h = pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
-    nonempty = np.flatnonzero(counts)
-    starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nonempty]
-    # (H, S) permuted values, reduced per doc segment
-    perm = (h[None, :] * a[:, None] + b[:, None]) % _P
+    th = pd.util.hash_array(np.asarray(flat, dtype=object)) \
+        .astype(np.uint64)
+    offs = np.concatenate(([0], np.cumsum(counts_tok)))
+    N = th.size
+    k = shingle_k
+    acc = np.zeros(max(N - k + 1, 0), np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _SHINGLE_MIX ^ th[j:N - k + 1 + j]
+    doc_of = np.repeat(np.arange(n), counts_tok)
+    if acc.size:
+        ok = doc_of[:acc.size] == doc_of[k - 1:]
+        sh, sdoc = acc[ok], doc_of[:acc.size][ok]
+    else:
+        sh = np.empty(0, np.uint64)
+        sdoc = np.empty(0, np.int64)
+    # short docs (0 < tokens < k): one whole-doc shingle
+    short = np.flatnonzero((counts_tok > 0) & (counts_tok < k))
+    if short.size:
+        sh_short = np.zeros(short.size, np.uint64)
+        with np.errstate(over="ignore"):
+            for i, d in enumerate(short.tolist()):
+                hh = np.uint64(0)
+                for v in th[offs[d]:offs[d + 1]]:
+                    hh = hh * _SHINGLE_MIX ^ v
+                sh_short[i] = hh
+        sh = np.concatenate((sh, sh_short))
+        sdoc = np.concatenate((sdoc, short))
+        order = np.argsort(sdoc, kind="stable")
+        sh, sdoc = sh[order], sdoc[order]
+    if sh.size == 0:
+        return sigs
+    with np.errstate(over="ignore"):
+        perm = (sh[None, :] * a[:, None] + b[:, None]) % _P
+    starts = np.flatnonzero(np.concatenate(
+        ([True], sdoc[1:] != sdoc[:-1])))
     reduced = np.minimum.reduceat(perm, starts, axis=1)
-    sigs[nonempty] = reduced.T
+    sigs[sdoc[starts]] = reduced.T
     return sigs
 
 
@@ -234,8 +244,12 @@ def lsh_candidate_pairs_ds(sig_ds: Dataset, id_col: str = "doc_id",
 
     cand = (sig_ds.map_batches(explode, batch_format="pyarrow")
             .groupby("_part").map_groups(pairs_part, batch_format="pyarrow"))
-    # dedup across bands: same low-cardinality partition trick on (a, b)
+    # dedup across bands: same low-cardinality partition trick on (a, b).
+    # The P per-part group blocks are coalesced to <=16 before the next
+    # sort shuffle — Ray's shuffle driver cost is ~0 at 16 input blocks
+    # and hundreds of MB past 64 (round-5 probe, dedup/substring.py)
     return (cand.map_batches(add_pair_part, batch_format="pyarrow")
+            .repartition(16, shuffle=False)
             .groupby("_pp").map_groups(dedup_part, batch_format="pyarrow"))
 
 
@@ -305,7 +319,10 @@ def _attach_sig(left: Dataset, sig_packed: Dataset, key: str, sig_name: str,
         sigs = rt.column(sig_name).take(pa.array(take_r))
         return out.append_column(sig_name, sigs.cast(pa.binary()))
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+    # <=16 blocks into the join shuffle (round-5 block-count law)
+    return (both.repartition(16, shuffle=False)
+            .groupby("_bucket").map_groups(join_bucket,
+                                           batch_format="pyarrow"))
 
 
 def verify_pairs(sig_ds: Dataset, pairs_ds: Dataset, id_col: str = "doc_id",
