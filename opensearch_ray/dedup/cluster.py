@@ -110,7 +110,12 @@ def connected_components(pairs: Dataset, src: str = "a", dst: str = "b",
     msgs = pairs.map_batches(seed, batch_format="pyarrow").materialize()
     prev: Optional[Tuple[int, float]] = None
     for _ in range(max_rounds):
-        msgs = (msgs.groupby("_part")
+        # <=16 blocks into each round's shuffle (round-5 block-count
+        # law: Ray's sort shuffle costs ~0 driver MB at 16 input
+        # blocks, hundreds past 64 — each round otherwise feeds the
+        # next one P group blocks)
+        msgs = (msgs.repartition(16, shuffle=False)
+                .groupby("_part")
                 .map_groups(step, batch_format="pyarrow").materialize())
         # labels are monotone non-increasing and the emit is deterministic
         # + deduped, so an unchanged (count, float-sum) pair is a fixed
@@ -121,7 +126,8 @@ def connected_components(pairs: Dataset, src: str = "a", dst: str = "b",
         if chk == prev:
             break
         prev = chk
-    return msgs.groupby("_part").map_groups(finish, batch_format="pyarrow")
+    return (msgs.repartition(16, shuffle=False)
+            .groupby("_part").map_groups(finish, batch_format="pyarrow"))
 
 
 def keep_best(docs: Dataset, components: Dataset, id_col: str = "doc_id",
@@ -300,9 +306,10 @@ def token_jaccard_edges(ds: Dataset, text_col: str = "text",
         u = np.unique(np.stack((a, b), axis=1), axis=0)
         return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1])})
 
-    cand = (tok.groupby("_part")
+    cand = (tok.repartition(16, shuffle=False).groupby("_part")
             .map_groups(pairs_part, batch_format="pyarrow")
             .map_batches(add_pp, batch_format="pyarrow")
+            .repartition(16, shuffle=False)
             .groupby("_pp").map_groups(dedup_pp, batch_format="pyarrow"))
 
     def add_dp(t: pa.Table) -> pa.Table:
@@ -333,6 +340,7 @@ def token_jaccard_edges(ds: Dataset, text_col: str = "text",
     # token sets per doc are scattered across P token partitions; regroup
     # by a LOW-CARDINALITY doc partition (skew-proof, B groups)
     packed = (tok.map_batches(add_dp, batch_format="pyarrow")
+              .repartition(16, shuffle=False)
               .groupby("_dp").map_groups(pack_sets, batch_format="pyarrow")
               .materialize())
     sets_a = packed.map_batches(
