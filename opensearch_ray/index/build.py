@@ -484,6 +484,7 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
     rows = (ray.data.from_items(items)
             .map_batches(build_and_emit, batch_size=1, batch_format="pyarrow",
                          num_cpus=1)
+            .repartition(16, shuffle=False)
             .groupby("bucket")
             .map_groups(write_bucket, batch_format="pyarrow")
             .take_all())
