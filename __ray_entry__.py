@@ -1446,9 +1446,13 @@ def _q_alias_filtered_search(sf_dir):
     scores unaffected (AliasMetadata.filter semantics)."""
     from opensearch_ray.aliases import AliasRegistry
     import tempfile
+    idx = _doc_index(sf_dir)
+    # registry path keyed by the index dir: a fixed path would accumulate
+    # members when the entry runs against different sf dirs in one session
+    key = hashlib.md5(idx.encode()).hexdigest()[:10]
     reg = AliasRegistry(os.path.join(tempfile.gettempdir(),
-                                     "osray_alias_entry.json"))
-    reg.update([{"add": {"index": _doc_index(sf_dir), "alias": "docs-en",
+                                     f"osray_alias_entry_{key}.json"))
+    reg.update([{"add": {"index": idx, "alias": "docs-en",
                          "filter": {"term": {"lang": "en"}}}}])
     out = reg.search("docs-en", _BM25_Q, k=10, dtype=np.float64)
     return pd.DataFrame({

@@ -89,6 +89,8 @@ def semantic_dedup(ds: Dataset, vec_col: str = "embedding",
                     keep[order[i]] = False
         return pd.DataFrame({id_col: ids, "cluster": cid, "keep": keep})
 
-    return (assigned.groupby("cluster")
+    # <=16 blocks into the cluster shuffle (round-5 block-count law)
+    return (assigned.repartition(16, shuffle=False)
+            .groupby("cluster")
             .map_groups(dedup_cluster, batch_format="pandas")
             .select_columns([id_col, "cluster", "keep"]))

@@ -125,6 +125,7 @@ def simhash_dedup_pairs(ds: Dataset, text_col: str = "text", id_col: str = "doc_
     out = (sh_ds.map_batches(explode, batch_format="pyarrow")
            .groupby("_part").map_groups(pairs_part, batch_format="pyarrow")
            .map_batches(add_pp, batch_format="pyarrow")
+           .repartition(16, shuffle=False)  # block hygiene (see minhash)
            .groupby("_pp").map_groups(dedup_part, batch_format="pyarrow")
            .to_pandas())
     if out.empty:
