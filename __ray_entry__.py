@@ -2220,6 +2220,18 @@ def _q_intervals_filter(sf_dir):
     return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
 
 
+def _q_intervals_prefix_combine(sf_dir):
+    """intervals prefix source inside an ordered all_of combine
+    (IntervalsSourceProvider.Prefix): a 'ha'-prefixed term immediately
+    followed by 'join' within one uncovered position."""
+    from opensearch_ray.search.queries import intervals_docs
+    docs = intervals_docs(_searcher(sf_dir), {"all_of": {
+        "intervals": [{"prefix": {"prefix": "ha"}},
+                      {"match": {"query": "join"}}],
+        "ordered": True, "max_gaps": 1}})
+    return pd.DataFrame({"doc_id": np.sort(docs).astype(np.int64)})
+
+
 def _q_match_bool_prefix(sf_dir):
     """match_bool_prefix: 'hash' as a term clause OR last token 'joi' as a
     prefix clause."""
@@ -3345,6 +3357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intervals_all_of_gaps": _q_intervals_all_of_gaps,
         "span_gap_near": _q_span_gap_near,
         "intervals_filter": _q_intervals_filter,
+        "intervals_prefix_combine": _q_intervals_prefix_combine,
         "agg_auto_date_histogram": _q_agg_auto_date_histogram,
         "exists_query": _q_exists,
         "terms_set_query": _q_terms_set,
@@ -4787,6 +4800,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE j.doc_id = m.doc_id AND j.tok = 'join'
                   AND j.p BETWEEN m.b AND m.e))
             SELECT doc_id FROM kept ORDER BY doc_id
+        """,
+        "intervals_prefix_combine": """
+            WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.p AS p FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                         (s, i) -> struct_pack(tok := s, p := i - 1))) AS u
+                FROM documents))
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.tok LIKE 'ha%' AND b.tok = 'join'
+              AND b.p > a.p AND (b.p - a.p + 1) - 2 <= 1
+            ORDER BY a.doc_id
         """,
         "span_gap_near": """
             WITH tok AS (

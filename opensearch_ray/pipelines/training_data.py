@@ -50,6 +50,10 @@ def prepare_training_data(
     near_dup_threshold: float = 0.8,
     n_shards: Optional[int] = None,
     force: bool = False,
+    decontaminate_against: Optional[str] = None,
+    sample_rates: Optional[dict] = None,
+    sample_stratum_col: Optional[str] = None,
+    pack_budget: Optional[int] = None,
 ) -> dict:
     """Returns a summary dict {input_rows, kept_rows, near_dups_removed,
     shards_written, resumed}. Output layout: out_dir/shard=NNN/*.parquet
@@ -105,7 +109,27 @@ def prepare_training_data(
         return t.filter(pc.invert(pc.is_in(t.column(id_col), value_set=ks)))
 
     ds = ds.map_batches(drop_near_dups, batch_format="pyarrow")
+
+    if decontaminate_against:
+        # eval-set leakage removal: broadcast benchmark window kill-set,
+        # map-only corpus scan (dedup/substring.py)
+        from ..dedup import decontaminate
+        bench = ray.data.read_parquet(decontaminate_against)
+        ds = decontaminate(ds, bench, text_col=text_col, id_col=id_col)
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(t.column("contaminated")))
+            .drop_columns(["contaminated"]),
+            batch_format="pyarrow")
+
     ds = dedup_exact(ds, text_col, id_col)
+
+    if sample_rates:
+        # deterministic mixture control (pipelines/sampling.py)
+        from .sampling import stratified_sample
+        ds = stratified_sample(ds, sample_stratum_col or "predicted_lang",
+                               sample_rates, id_col=id_col,
+                               default_rate=1.0)
+
     ds = token_counts(ds, text_col)
 
     # --- resumable sharded write: shard = hash(id) % n_shards, atomic rename
@@ -144,11 +168,32 @@ def prepare_training_data(
         kept += sum(pq.read_metadata(os.path.join(dst, f)).num_rows
                     for f in os.listdir(dst) if f.endswith(".parquet"))
     shutil.rmtree(staging, ignore_errors=True)
+    packed_seqs = 0
+    if pack_budget:
+        # sequence packing sidecar (concat-then-chunk; pipelines/sampling)
+        from .sampling import pack_sequences
+        shard_files = [os.path.join(out_dir, d, f)
+                       for d in sorted(os.listdir(out_dir))
+                       if d.startswith("shard=")
+                       for f in sorted(os.listdir(os.path.join(out_dir, d)))
+                       if f.endswith(".parquet")]
+        pk = pack_sequences(
+            ray.data.read_parquet(shard_files, columns=[id_col, text_col]),
+            text_col=text_col, id_col=id_col, budget=pack_budget)
+        pk_dir = os.path.join(out_dir, "_packing")
+        shutil.rmtree(pk_dir, ignore_errors=True)
+        pk.write_parquet(pk_dir, compression="zstd")
+        import pyarrow.dataset as pds
+        t = pds.dataset(pk_dir).to_table(columns=["group", "seq"])
+        packed_seqs = len(set(zip(t.column("group").to_pylist(),
+                                  t.column("seq").to_pylist())))
+
     summary = {
         "input_rows": int(input_rows),
         "kept_rows": int(kept),
         "near_dups_removed": len(kill),
         "shards_written": shards_written,
+        "packed_sequences": int(packed_seqs),
         "resumed": False,
     }
     with open(manifest_path + ".tmp", "w") as f:

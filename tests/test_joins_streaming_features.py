@@ -381,3 +381,38 @@ def test_nested_field_sort(sf_dir):
         mm = dict(zip(ks.o_orderkey, ks["_nested_sort"]))
         for ok2, kv2 in wk.items():
             assert abs(mm[ok2] - kv2) < 1e-9, (mode, ok2)
+
+
+def test_training_data_pipeline_full_options(tmp_path, sf_dir):
+    """Capstone with the round-5 stages on: decontamination against a
+    benchmark parquet, stratified sampling by source, packing sidecar."""
+    import pyarrow.parquet as _pq
+    import pyarrow.dataset as _pds
+    from opensearch_ray.pipelines import prepare_training_data
+
+    # benchmark = 5 docs pulled from the corpus itself (guaranteed hits)
+    bench = tmp_path / "bench.parquet"
+    t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    _pq.write_table(t.slice(0, 5), str(bench))
+    out = str(tmp_path / "td")
+    s = prepare_training_data(
+        f"{sf_dir}/documents.parquet", out, min_quality=0.0,
+        decontaminate_against=str(bench),
+        sample_rates={"src5": 0.0, "src6": 0.0},
+        sample_stratum_col="source",
+        pack_budget=256)
+    assert s["kept_rows"] > 0 and not s["resumed"]
+    assert s["packed_sequences"] > 0
+    import glob as _glob
+    kept = _pds.dataset(sorted(_glob.glob(f"{out}/shard=*/*.parquet"))) \
+        .to_table(columns=["doc_id", "source"])
+    # benchmark docs were removed; only the sampled strata survive
+    assert not set(t.column("doc_id").slice(0, 5).to_pylist()) \
+        & set(kept.column("doc_id").to_pylist())
+    # down-weighted strata are gone; unlisted strata keep (default 1.0)
+    assert not {"src5", "src6"} & set(kept.column("source").to_pylist())
+    assert "src0" in set(kept.column("source").to_pylist())
+    pk = _pds.dataset(f"{out}/_packing").to_table()
+    assert set(pk.column("doc_id").to_pylist()) == \
+        set(kept.column("doc_id").to_pylist())
