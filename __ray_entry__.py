@@ -885,6 +885,24 @@ def _q_ann_brute(sf_dir):
     return out[["vec_id", "score", "rank"]]
 
 
+def _q_hybrid_rrf(sf_dir):
+    """Hybrid BM25 + kNN retrieval fused with Reciprocal Rank Fusion
+    (Cormack et al. SIGIR'09, k0=60): top-10 by
+    1/(60+bm25_rank) + 1/(60+cosine_rank) over depth-100 legs."""
+    import pyarrow.parquet as pq
+    from opensearch_ray.similarity import hybrid_rrf_search
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      filters=[("vec_id", "=", 0)]) \
+        .column("embedding").to_pylist()[0]
+    out = hybrid_rrf_search(_searcher(sf_dir), _read(sf_dir, "embeddings"),
+                            _BM25_Q, np.asarray(q, np.float64),
+                            k=10, k0=60, depth=100)
+    out["rrf_score"] = _fmt(out["rrf_score"], 6)
+    return out[["doc_id", "rrf_score", "bm25_rank", "knn_rank", "rank"]] \
+        .astype({"doc_id": np.int64, "bm25_rank": np.int64,
+                 "knn_rank": np.int64}).reset_index(drop=True)
+
+
 # ------------------------------------------------------- rows-only callables
 
 def _q_langid(sf_dir):
@@ -3280,6 +3298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_brute,
+        "hybrid_rrf": _q_hybrid_rrf,
         # joins / windows / search features
         "asof_join": _q_asof_join,
         "hash_join": _q_hash_join,
@@ -4845,6 +4864,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.tok = 'hash' AND b.tok = 'join'
               AND (b.p - a.p) BETWEEN -1 AND 3
         """,
+        "hybrid_rrf": _bm25_sql("""
+            , bm AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS r
+              FROM scored QUALIFY r <= 100),
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id = 0),
+            kn AS (
+              SELECT vec_id AS doc_id,
+                     row_number() OVER (ORDER BY
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                              (SELECT v FROM qv)) DESC,
+                       vec_id) AS r
+              FROM embeddings QUALIFY r <= 100),
+            fused AS (
+              SELECT coalesce(bm.doc_id, kn.doc_id) AS doc_id,
+                     coalesce(1.0 / (60 + bm.r), 0)
+                       + coalesce(1.0 / (60 + kn.r), 0) AS rrf,
+                     coalesce(bm.r, 0) AS bm25_rank,
+                     coalesce(kn.r, 0) AS knn_rank
+              FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id)
+            SELECT doc_id, printf('%.6f', rrf) AS rrf_score,
+                   CAST(bm25_rank AS BIGINT) AS bm25_rank,
+                   CAST(knn_rank AS BIGINT) AS knn_rank,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"""),
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0),

@@ -261,3 +261,32 @@ def test_pack_sequences_concat_chunk():
     out2 = pack_sequences(ds2, budget=4, group_size=1000).to_pandas() \
         .set_index("doc_id")
     assert out2.loc[1000, "seq"] == 0 and out2.loc[1000, "offset"] == 0
+
+
+def test_hybrid_rrf_fusion(built_index, s):
+    """RRF hybrid: fused ranking equals the hand-computed
+    1/(k0+rank) sum over the two legs."""
+    from opensearch_ray.similarity import hybrid_rrf_search
+    rng = np.random.default_rng(5)
+    # embeddings for the first 50 global docids
+    vecs = rng.standard_normal((50, 8)).astype(np.float64)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array(vecs.tolist())}))
+    q = "bace cedi"
+    out = hybrid_rrf_search(s, emb, q, vecs[3], k=10, k0=60, depth=20)
+    hits = s.search(q, k=20)
+    bm = {h.docid: i + 1 for i, h in enumerate(hits)}
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ (vecs[3] / np.linalg.norm(vecs[3]))
+    order = np.lexsort((np.arange(50), -sims))[:20]
+    kn = {int(d): i + 1 for i, d in enumerate(order)}
+    want = sorted(
+        ((d, (1 / (60 + bm[d]) if d in bm else 0)
+          + (1 / (60 + kn[d]) if d in kn else 0))
+         for d in set(bm) | set(kn)), key=lambda r: (-r[1], r[0]))[:10]
+    assert out.doc_id.tolist() == [d for d, _ in want]
+    for got, (_, w) in zip(out.rrf_score, want):
+        assert abs(got - w) < 1e-12
+    # vector-only docs and text-only docs both fuse in
+    assert (out.bm25_rank == 0).any() or (out.knn_rank == 0).any()
