@@ -285,6 +285,54 @@ def _dot_expander(field: str) -> Processor:
     return p
 
 
+def _pipeline(processors: List[Processor]) -> Processor:
+    """pipeline processor (ingest/PipelineProcessor.java): invoke another
+    processor chain inline — composition of pre-built processors."""
+    def p(df):
+        for proc in processors:
+            df = proc(df)
+        return df
+    return p
+
+
+def _uri_parts(field: str, target_field: str = "url",
+               keep_original: bool = True) -> Processor:
+    """uri_parts (ingest-common UriPartsProcessor): decompose a URI into
+    scheme/domain/port/path/query/fragment/extension/user_info columns
+    (flattened as ``{target_field}.{part}`` — the flat-column analogue of
+    the reference's object field)."""
+    from urllib.parse import urlsplit
+
+    def p(df):
+        parts = {k: [] for k in ("scheme", "domain", "port", "path",
+                                 "query", "fragment", "extension",
+                                 "user_info")}
+        for s in df[field]:
+            try:
+                u = urlsplit(s or "")
+            except ValueError:
+                u = urlsplit("")
+            parts["scheme"].append(u.scheme or None)
+            parts["domain"].append(u.hostname)
+            parts["port"].append(u.port)
+            parts["path"].append(u.path or None)
+            parts["query"].append(u.query or None)
+            parts["fragment"].append(u.fragment or None)
+            dot = (u.path or "").rfind(".")
+            slash = (u.path or "").rfind("/")
+            parts["extension"].append(
+                u.path[dot + 1:] if dot > slash and dot != -1 else None)
+            ui = (u.username or "") + (":" + u.password if u.password
+                                       else "")
+            parts["user_info"].append(ui or None)
+        for k, v in parts.items():
+            df[f"{target_field}.{k}"] = v
+        if not keep_original:
+            df = df.drop(columns=[field])
+        return df
+    return p
+
+
 def _remove_by_pattern(field_pattern: str) -> Processor:
     """remove_by_pattern (RemoveByPatternProcessor): drop every column whose
     name matches the glob (*/? wildcards)."""
@@ -347,6 +395,7 @@ def _community_id(src_ip: str, src_port: str, dst_ip: str, dst_port: str,
 
 PROCESSORS: Dict[str, Callable[..., Processor]] = {
     "remove_by_pattern": _remove_by_pattern,
+    "pipeline": _pipeline, "uri_parts": _uri_parts,
     "date_index_name": _date_index_name,
     "community_id": _community_id,
     "set": _set, "copy": _copy, "rename": _rename, "remove": _remove,

@@ -264,3 +264,28 @@ def test_delete_and_update_by_query(sf_dir, tmp_path):
                         f"count(*) FROM '{tmp_path / 'upd'}/*.parquet'"
                         ).fetchone()
     assert got_en == (want_en, total)
+
+
+def test_pipeline_and_uri_parts_processors():
+    """pipeline (inline sub-chain) + uri_parts (URI decomposition)."""
+    import pandas as pd
+    from opensearch_ray.ingest.processors import make_processor
+
+    sub = [make_processor("lowercase", field="u"),
+           make_processor("trim", field="u")]
+    p = make_processor("pipeline", processors=sub)
+    df = p(pd.DataFrame({"u": ["  HTTP://User:Pw@Ex.COM:8080/a/b.TXT?q=1#f "]}))
+    assert df["u"].iloc[0] == "http://user:pw@ex.com:8080/a/b.txt?q=1#f"
+    up = make_processor("uri_parts", field="u")
+    df = up(df)
+    assert df["url.scheme"].iloc[0] == "http"
+    assert df["url.domain"].iloc[0] == "ex.com"
+    assert df["url.port"].iloc[0] == 8080
+    assert df["url.path"].iloc[0] == "/a/b.txt"
+    assert df["url.query"].iloc[0] == "q=1"
+    assert df["url.fragment"].iloc[0] == "f"
+    assert df["url.extension"].iloc[0] == "txt"
+    assert df["url.user_info"].iloc[0] == "user:pw"
+    # malformed input survives as nulls
+    df2 = up(pd.DataFrame({"u": [None, "not a uri"]}))
+    assert df2["url.scheme"].isna().all()
