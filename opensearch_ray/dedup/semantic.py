@@ -36,12 +36,16 @@ def semantic_dedup(ds: Dataset, vec_col: str = "embedding",
     """-> Dataset[(id, cluster, keep)] — ``keep`` False marks semantic
     duplicates to drop. Every id appears exactly once."""
 
-    # --- train centroids on a bounded deterministic sample
+    # --- train centroids on a bounded deterministic sample: fetch block
+    # refs only until the sample is filled — remaining blocks never
+    # route to the driver
     head = []
     taken = 0
     for ref in ds.to_arrow_refs():
+        if taken >= sample:
+            break
         t = ray.get(ref)
-        if taken >= sample or t.num_rows == 0:
+        if t.num_rows == 0:
             continue
         take = min(sample - taken, t.num_rows)
         head.append(np.asarray(
