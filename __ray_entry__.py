@@ -2903,6 +2903,26 @@ def _q_knn_query(sf_dir):
     return out[["doc_id", "score", "rank"]]
 
 
+def _q_knn_filtered_query(sf_dir):
+    """Filtered kNN through the DSL (the k-NN plugin's `filter` option):
+    lang='en' pre-filter — only allowed rows are gathered and scored,
+    not a post-filter of the global top-k."""
+    import pyarrow.parquet as _pq
+    from opensearch_ray.search import Searcher, dsl
+    s = Searcher(_doc_index_vec(sf_dir), dtype=np.float64)
+    qv = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        filters=[("vec_id", "=", 3)]
+                        ).column("embedding").to_pylist()[0]
+    out = dsl.execute_search(
+        s, {"query": {"knn": {"embedding": {
+            "vector": qv, "k": 10,
+            "filter": {"term": {"lang": "en"}}}}},
+            "size": 10})
+    out["score"] = _fmt(out["score"].values, 4)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "score", "rank"]]
+
+
 def _q_wildcard_field(sf_dir):
     """wildcard FIELD query over keyword doc values: source matching
     'src1?' (src10..src19), one vectorized RE2 scan per segment."""
@@ -3442,6 +3462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "date_math_range": _q_date_math_range,
         "knn_query": _q_knn_query,
+        "knn_filtered_query": _q_knn_filtered_query,
         "wildcard_field_query": _q_wildcard_field,
         "ip_cidr_term": _q_ip_cidr_term,
         "range_field_query": _q_range_field_query,
@@ -5343,6 +5364,20 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             (SELECT qv FROM q)) AS sim
               FROM embeddings)
+            SELECT doc_id, printf('%.4f', sim) AS score,
+                   CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM sims ORDER BY sim DESC, doc_id LIMIT 10
+        """,
+        "knn_filtered_query": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 3),
+            sims AS (
+              SELECT e.vec_id AS doc_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) AS sim
+              FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+              WHERE d.lang = 'en')
             SELECT doc_id, printf('%.4f', sim) AS score,
                    CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
                         AS BIGINT) AS rank

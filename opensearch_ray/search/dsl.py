@@ -348,7 +348,10 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     if isinstance(q, dict) and len(q) == 1 and "knn" in q:
         (field, spec), = q["knn"].items()
         kk = int(spec.get("k", body.get("size", 10)))
-        ids, scores = knn_docs_scores(s, field, spec["vector"], kk)
+        allow = (query_docs(s, spec["filter"], text_field)
+                 if spec.get("filter") else None)
+        ids, scores = knn_docs_scores(s, field, spec["vector"], kk,
+                                      allow=allow)
         frm = int(body.get("from", 0))
         size = int(body.get("size", kk))
         out = pd.DataFrame({id_col: ids[frm:frm + size],
@@ -488,25 +491,41 @@ def _project_field_options(s: Searcher, out: pd.DataFrame, ids: np.ndarray,
             out[f] = _fetch_aligned(s, ids, [f])[f]
 
 
-def knn_docs_scores(s: Searcher, field: str, vector, k: int = 10):
+def knn_docs_scores(s: Searcher, field: str, vector, k: int = 10,
+                    allow: Optional[np.ndarray] = None):
     """knn query (the k-NN plugin's query type; OpenSearch `"query":
-    {"knn": {field: {"vector": [...], "k": N}}}`): exact cosine top-k over
-    a list<float> doc-values column — per-segment vectorized matmul
-    partials, global (score desc, docid asc) merge. Float64 scoring (the
-    oracle-comparable mode; ANN variants live in similarity/)."""
+    {"knn": {field: {"vector": [...], "k": N, "filter": {...}}}}`): exact
+    cosine top-k over a list<float> doc-values column — per-segment
+    vectorized matmul partials, global (score desc, docid asc) merge.
+    ``allow`` (sorted global docids) is the efficient PRE-filter: only
+    allowed rows are gathered and scored, the k-NN plugin's filtered
+    search semantics (not post-filtering the top-k). Float64 scoring
+    (the oracle-comparable mode; ANN variants live in similarity/)."""
     q = np.asarray(vector, np.float64)
     q = q / max(np.linalg.norm(q), 1e-300)
     cand_ids: List[np.ndarray] = []
     cand_sc: List[np.ndarray] = []
     for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id):
+        base = s.doc_base(seg.seg_id)
         vals = s.doc_values(seg.seg_id, field)
+        if allow is not None:
+            lo = int(np.searchsorted(allow, base))
+            hi = int(np.searchsorted(allow, base + len(vals)))
+            local = allow[lo:hi] - base
+            if local.size == 0:
+                continue
+            vals = vals[local]
+            ids = local.astype(np.int64) + base
+        else:
+            ids = np.arange(len(vals), dtype=np.int64) + base
         V = np.stack([np.asarray(v, np.float64) for v in vals])
         norms = np.linalg.norm(V, axis=1)
         sc = (V @ q) / np.maximum(norms, 1e-300)
-        ids = np.arange(len(sc), dtype=np.int64) + s.doc_base(seg.seg_id)
         top = np.lexsort((ids, -sc))[:k]
         cand_ids.append(ids[top])
         cand_sc.append(sc[top])
+    if not cand_ids:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     ids = np.concatenate(cand_ids)
     sc = np.concatenate(cand_sc)
     order = np.lexsort((ids, -sc))[:k]
