@@ -67,7 +67,8 @@ def _topn_buckets(merged: Dataset, count_col: str, key_fields: List[str],
 
 def terms_agg(ds: Dataset, field: str, size: int = 10,
               sum_col: Optional[str] = None,
-              order: Optional[Tuple[str, str]] = None) -> pd.DataFrame:
+              order: Optional[Tuple[str, str]] = None,
+              missing=None, min_doc_count: int = 1) -> pd.DataFrame:
     """terms: top-N keys by doc_count (desc), key asc tie-break — the
     reference's order (InternalTerms reduce + BucketOrder.count(false)).
     Exact at any cardinality: the post-groupby reduce is per-block top-N
@@ -76,12 +77,40 @@ def terms_agg(ds: Dataset, field: str, size: int = 10,
     ``order``: BucketOrder options — ("_count", "asc"/"desc") (default
     desc), ("_key", "asc"/"desc") (BucketOrder.key), or ("sum", ...) to
     order by the sum_col metric (BucketOrder.aggregation). Key-ordered and
-    metric-ordered variants keep the same bounded per-block reduce."""
+    metric-ordered variants keep the same bounded per-block reduce.
+
+    ``missing``: bucket null values under this key instead of dropping
+    them (TermsAggregationBuilder.missing). ``min_doc_count``: drop
+    buckets below the floor AFTER the global reduce (the reference's
+    coordinator-side prune — partials must still flow, a shard-local
+    prune would undercount cross-shard keys)."""
+    import pyarrow.compute as _pc
+    if missing is not None:
+        def fill(t: pa.Table) -> pa.Table:
+            col = t.column(field)
+            i = t.schema.get_field_index(field)
+            return t.set_column(
+                i, field, _pc.fill_null(col, missing))
+
+        ds = ds.map_batches(fill, batch_format="pyarrow")
+    else:
+        # the reference default: docs without a value simply don't
+        # bucket (ValuesSourceAggregatorFactory missing-values handling)
+        ds = ds.map_batches(
+            lambda t: t.filter(_pc.is_valid(t.column(field))),
+            batch_format="pyarrow")
     parts = _partial_counts(ds, [field], {"s": sum_col} if sum_col else None)
     aggs = [Sum("doc_count", alias_name="doc_count")]
     if sum_col:
         aggs.append(Sum(f"sum_{sum_col}", alias_name=f"sum_{sum_col}"))
     merged = parts.groupby(field).aggregate(*aggs)
+    if min_doc_count > 1:
+        import pyarrow.compute as _pc
+        mdc = int(min_doc_count)
+        merged = merged.map_batches(
+            lambda t: t.filter(_pc.greater_equal(
+                t.column("doc_count"), mdc)),
+            batch_format="pyarrow")
     by, direction = order or ("_count", "desc")
     asc = direction == "asc"
     if by == "_count":

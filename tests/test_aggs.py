@@ -386,3 +386,23 @@ def test_hdr_quantize_relative_error_continuous():
         rel = np.abs(v - q) / v
         assert rel.max() <= 10.0 ** (-digits)
         assert (q <= v).all()  # mask truncates toward zero
+
+
+def test_terms_missing_and_min_doc_count():
+    """terms agg `missing` bucket + coordinator-side min_doc_count prune
+    (TermsAggregationBuilder options)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from opensearch_ray.aggs import terms_agg
+    t = pa.table({"k": pa.array(["a", "a", "b", None, None, None, "c"]),
+                  "v": pa.array([1.0] * 7)})
+    ds = rd.from_arrow(t)
+    out = terms_agg(ds, "k", size=10, missing="N/A")
+    got = dict(zip(out["k"], out["doc_count"]))
+    assert got == {"a": 2, "b": 1, "c": 1, "N/A": 3}
+    out2 = terms_agg(ds, "k", size=10, missing="N/A", min_doc_count=2)
+    got2 = dict(zip(out2["k"], out2["doc_count"]))
+    assert got2 == {"a": 2, "N/A": 3}
+    # without missing, nulls drop (the default)
+    out3 = terms_agg(ds, "k", size=10)
+    assert set(out3["k"]) == {"a", "b", "c"}
