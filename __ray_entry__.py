@@ -2300,6 +2300,21 @@ def _q_dsl_agg_calendar_pct(sf_dir):
     return out.sort_values("stat").reset_index(drop=True)
 
 
+def _q_agg_composite_hist(sf_dir):
+    """composite with a histogram SOURCE + a terms source
+    (CompositeValuesSourceBuilder): first page in key order."""
+    from opensearch_ray.aggs import composite_agg
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+    out = composite_agg(
+        ev, [{"field": "value", "type": "histogram", "interval": 50.0},
+             "event_type"], size=12)
+    out = out.rename(columns={"_src_0": "value_bucket"})
+    out["value_bucket"] = _fmt(out["value_bucket"], 1)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out[["value_bucket", "event_type", "doc_count"]] \
+        .reset_index(drop=True)
+
+
 def _q_ids(sf_dir):
     """ids query: doc-values membership of the stored id."""
     from opensearch_ray.search.queries import ids_docs
@@ -3442,6 +3457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_agg_hist_range_card": _q_dsl_agg_hist_range_card,
         "dsl_agg_terms_sub": _q_dsl_agg_terms_sub,
         "dsl_agg_calendar_pct": _q_dsl_agg_calendar_pct,
+        "agg_composite_hist": _q_agg_composite_hist,
         "dedup_substring_stats": _q_dedup_substring_stats,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -5022,6 +5038,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT g.doc_id FROM g
             WHERE g.gram IN (SELECT gram FROM bg)
             ORDER BY g.doc_id
+        """,
+        "agg_composite_hist": """
+            SELECT printf('%.1f', b) AS value_bucket,
+                   event_type, doc_count
+            FROM (
+              SELECT floor(value / 50.0) * 50.0 AS b, event_type,
+                     count(*) AS doc_count
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 12)
         """,
         "dsl_agg_calendar_pct": """
             WITH wk AS (

@@ -685,6 +685,44 @@ def composite_agg(ds: Dataset, sources: List[str], size: int = 10,
            if op not in ("sum", "avg", "min", "max")]
     if bad:
         raise ValueError(f"unsupported composite sub-agg op for {bad}")
+
+    # composite SOURCES beyond terms (CompositeValuesSourceBuilder):
+    # {"field", "type": "histogram", "interval"} and {"field", "type":
+    # "date_histogram", "calendar_interval"} derive a bucket-key column
+    # map-only, then behave exactly like a terms source
+    derived = [(i, s) for i, s in enumerate(sources)
+               if isinstance(s, dict)]
+    if derived:
+        sources = list(sources)
+        specs = []
+        for i, s in derived:
+            name = f"_src_{i}"
+            specs.append((name, dict(s)))
+            sources[i] = name
+
+        def derive(t: pa.Table) -> pa.Table:
+            for name, s in specs:
+                v = t.column(s["field"]).to_numpy(zero_copy_only=False)
+                if s.get("type") == "date_histogram":
+                    unit = {"year": "Y", "month": "M", "week": "W",
+                            "day": "D", "hour": "h",
+                            "minute": "m"}[s["calendar_interval"]]
+                    d64 = v.astype("datetime64[ns]")
+                    if unit == "W":
+                        dd = d64.astype("datetime64[D]")
+                        dow = (dd.astype(np.int64) + 3) % 7
+                        key = (dd - dow.astype("timedelta64[D]")) \
+                            .astype("datetime64[us]")
+                    else:
+                        key = d64.astype(f"datetime64[{unit}]") \
+                            .astype("datetime64[us]")
+                else:  # histogram
+                    iv = float(s["interval"])
+                    key = np.floor(v.astype(np.float64) / iv) * iv
+                t = t.append_column(name, pa.array(key))
+            return t
+
+        ds = ds.map_batches(derive, batch_format="pyarrow")
     if sub_aggs:
         # partial columns: one per distinct (pa_op, col); avg rides on sum
         part_ops = sorted({("sum" if op == "avg" else op, col)

@@ -406,3 +406,39 @@ def test_terms_missing_and_min_doc_count():
     # without missing, nulls drop (the default)
     out3 = terms_agg(ds, "k", size=10)
     assert set(out3["k"]) == {"a", "b", "c"}
+
+
+def test_composite_histogram_date_sources(ev, ev_pdf):
+    """composite with histogram / date_histogram sources
+    (CompositeValuesSourceBuilder): derived bucket keys page like terms
+    sources, after-key cursor included."""
+    from opensearch_ray.aggs import composite_agg
+    out = composite_agg(
+        ev, [{"field": "value", "type": "histogram", "interval": 50.0},
+             "event_type"], size=8)
+    want = (ev_pdf.assign(_b=(ev_pdf.value // 50 * 50.0))
+            .groupby(["_b", "event_type"]).size().reset_index(name="n")
+            .sort_values(["_b", "event_type"]).head(8))
+    assert out["_src_0"].tolist() == want["_b"].tolist()
+    assert out["event_type"].tolist() == want["event_type"].tolist()
+    assert out["doc_count"].tolist() == want["n"].tolist()
+    # page 2 via after-key
+    after = (out["_src_0"].iloc[-1], out["event_type"].iloc[-1])
+    p2 = composite_agg(
+        ev, [{"field": "value", "type": "histogram", "interval": 50.0},
+             "event_type"], size=8, after=after)
+    want2 = (ev_pdf.assign(_b=(ev_pdf.value // 50 * 50.0))
+             .groupby(["_b", "event_type"]).size().reset_index(name="n")
+             .sort_values(["_b", "event_type"]))
+    want2 = want2[(want2._b > after[0]) |
+                  ((want2._b == after[0])
+                   & (want2.event_type > after[1]))].head(8)
+    assert p2["doc_count"].tolist() == want2["n"].tolist()
+    # date_histogram source: month keys
+    outd = composite_agg(
+        ev, [{"field": "ts", "type": "date_histogram",
+              "calendar_interval": "week"}], size=10)
+    wantd = (ev_pdf.assign(_w=ev_pdf.ts.dt.to_period("W-SUN")
+                           .dt.start_time)
+             .groupby("_w").size())
+    assert outd["doc_count"].sum() == wantd.sum()
