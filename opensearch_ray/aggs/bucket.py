@@ -150,12 +150,18 @@ def rare_terms_agg(ds: Dataset, field: str, max_doc_count: int = 1) -> pd.DataFr
 
 
 def histogram_agg(ds: Dataset, field: str, interval: float,
-                  sum_col: Optional[str] = None) -> pd.DataFrame:
-    """histogram: bucket key = floor(value/interval)*interval."""
+                  sum_col: Optional[str] = None, offset: float = 0.0,
+                  extended_bounds: Optional[Tuple[float, float]] = None
+                  ) -> pd.DataFrame:
+    """histogram: bucket key = floor((value - offset)/interval)*interval
+    + offset (HistogramAggregationBuilder.offset). ``extended_bounds``
+    (min, max) forces empty buckets out to the given range — the
+    min_doc_count=0 fill extended beyond the data (bounded by the
+    reference's search.max_buckets discipline: 65536)."""
 
     def keyed(t: pa.Table) -> pa.Table:
         v = t.column(field).to_numpy(zero_copy_only=False).astype(np.float64)
-        key = np.floor(v / interval) * interval
+        key = np.floor((v - offset) / interval) * interval + offset
         return t.append_column("_bucket", pa.array(key))
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
@@ -164,8 +170,24 @@ def histogram_agg(ds: Dataset, field: str, interval: float,
     if sum_col:
         aggs.append(Sum(f"sum_{sum_col}", alias_name=f"sum_{sum_col}"))
     out = parts.groupby("_bucket").aggregate(*aggs).to_pandas()
-    return (out.rename(columns={"_bucket": "key"})
-            .sort_values("key").reset_index(drop=True))
+    out = (out.rename(columns={"_bucket": "key"})
+           .sort_values("key").reset_index(drop=True))
+    if extended_bounds is not None:
+        lo = np.floor((extended_bounds[0] - offset) / interval) \
+            * interval + offset
+        hi = np.floor((extended_bounds[1] - offset) / interval) \
+            * interval + offset
+        if len(out):
+            lo, hi = min(lo, out["key"].min()), max(hi, out["key"].max())
+        n_buckets = int(round((hi - lo) / interval)) + 1
+        if n_buckets > 65536:
+            raise ValueError("too_many_buckets_exception: extended_bounds "
+                             f"would create {n_buckets} buckets")
+        keys = lo + interval * np.arange(n_buckets)
+        out = out.set_index("key").reindex(keys).fillna(0).reset_index() \
+            .rename(columns={"index": "key"})
+        out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
 
 
 _CAL = {"year": "Y", "month": "M", "week": "W", "day": "D", "hour": "h", "minute": "m"}
@@ -578,24 +600,38 @@ def variable_width_histogram_agg(ds: Dataset, field: str, buckets: int = 10,
     return out[["key", "doc_count", "min", "max"]]
 
 
-def filters_agg(ds: Dataset, filters: Dict[str, Callable[[pa.Table], pa.Array]]
-                ) -> pd.DataFrame:
+def filters_agg(ds: Dataset, filters: Dict[str, Callable[[pa.Table], pa.Array]],
+                other_bucket: bool = False,
+                other_bucket_key: str = "_other_") -> pd.DataFrame:
     """filters: named-predicate doc counts (FiltersAggregator). Each filter is
-    a vectorized Arrow predicate ``table -> bool array``."""
+    a vectorized Arrow predicate ``table -> bool array``.
+
+    ``other_bucket=True`` appends the catch-all bucket counting docs that
+    match NO named filter (FiltersAggregator.OTHER_BUCKET_KEY)."""
     names = list(filters)
 
     def partial(t: pa.Table) -> pa.Table:
+        counts, any_hit = [], None
+        for n in names:
+            m = pc.fill_null(pc.cast(filters[n](t), pa.bool_()), False)
+            counts.append(int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0))
+            any_hit = m if any_hit is None else pc.or_(any_hit, m)
+        out_names, out_counts = list(names), counts
+        if other_bucket:
+            other = t.num_rows - (int(pc.sum(pc.cast(
+                any_hit, pa.int64())).as_py() or 0) if names else 0)
+            out_names = names + [other_bucket_key]
+            out_counts = counts + [other]
         return pa.table({
-            "name": pa.array(names, pa.string()),
-            "doc_count": pa.array(
-                [int(pc.sum(pc.cast(filters[n](t), pa.int64())).as_py() or 0)
-                 for n in names], pa.int64()),
+            "name": pa.array(out_names, pa.string()),
+            "doc_count": pa.array(out_counts, pa.int64()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     merged = (parts.groupby("name")
               .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas())
-    return merged.set_index("name").loc[names].reset_index()
+    order = names + ([other_bucket_key] if other_bucket else [])
+    return merged.set_index("name").loc[order].reset_index()
 
 
 def filter_agg(ds: Dataset, predicate: Callable[[pa.Table], pa.Array],

@@ -442,3 +442,32 @@ def test_composite_histogram_date_sources(ev, ev_pdf):
                            .dt.start_time)
              .groupby("_w").size())
     assert outd["doc_count"].sum() == wantd.sum()
+
+
+def test_filters_other_bucket_histogram_options(ev, ev_pdf):
+    """filters other_bucket catch-all + histogram offset/extended_bounds
+    (FiltersAggregator.OTHER_BUCKET_KEY, HistogramAggregationBuilder)."""
+    import pyarrow.compute as pc
+    from opensearch_ray.aggs import filters_agg, histogram_agg
+    out = filters_agg(ev, {
+        "big": lambda t: pc.greater(t.column("value"), 150.0),
+        "click": lambda t: pc.equal(t.column("event_type"), "click")},
+        other_bucket=True)
+    got = dict(zip(out.name, out.doc_count))
+    big = ev_pdf.value > 150.0
+    click = ev_pdf.event_type == "click"
+    assert got["big"] == int(big.sum())
+    assert got["click"] == int(click.sum())
+    assert got["_other_"] == int((~(big | click)).sum())
+    # histogram offset shifts boundaries
+    h = histogram_agg(ev, "value", 50.0, offset=25.0)
+    want = (ev_pdf.assign(_k=np.floor((ev_pdf.value - 25.0) / 50.0)
+                          * 50.0 + 25.0).groupby("_k").size())
+    assert dict(zip(h.key, h.doc_count)) == want.to_dict()
+    # extended_bounds forces empty buckets beyond the data
+    h2 = histogram_agg(ev, "value", 50.0,
+                       extended_bounds=(-100.0, ev_pdf.value.max() + 200))
+    assert h2.key.min() <= -100.0
+    assert h2.key.max() >= ev_pdf.value.max() + 150
+    assert (h2.doc_count >= 0).all()
+    assert h2.doc_count.sum() == len(ev_pdf)
