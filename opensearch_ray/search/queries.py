@@ -770,7 +770,9 @@ def _interval_multi_terms(s: Searcher, source: dict) -> List[str]:
     if "fuzzy" in source:
         spec = source["fuzzy"]
         return s.expand_fuzzy(spec["term"],
-                              max_edits=int(spec.get("fuzziness", 2)))
+                              max_edits=int(spec.get("fuzziness", 2)),
+                              prefix_length=int(spec.get("prefix_length",
+                                                         0)))
     return expand_regexp(s, source["regexp"]["pattern"])
 
 

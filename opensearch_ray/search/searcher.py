@@ -646,12 +646,18 @@ class Searcher:
             cache[cache_key] = out
         return out
 
-    def fuzzy_candidates(self, term: str, max_edits: int = 2) -> "pa.Table":
+    def fuzzy_candidates(self, term: str, max_edits: int = 2,
+                         prefix_length: int = 0) -> "pa.Table":
         """(term, df, distance) for vocabulary terms within ``max_edits``
         — the FuzzyQuery / TermSuggester candidate enumeration as a
         streamed banded scan: per batch, a vectorized utf8_length band
         (|len(t)-len(q)| <= max_edits is necessary) prunes before the
-        bounded Levenshtein DP runs on the survivors."""
+        bounded Levenshtein DP runs on the survivors.
+
+        ``prefix_length`` (FuzzyQuery.prefixLength): the first N chars
+        must match exactly — the scan then reads ONLY the prefix's
+        terms-dict range (row-group pruned), the dominant cost lever on
+        a crawl-scale vocabulary."""
         from .features import _levenshtein
 
         def band_fn(t: "pa.Table") -> "pa.Table":
@@ -666,7 +672,12 @@ class Searcher:
                     for x in t.column("term").to_pylist()]
             return t.filter(pa.array(keep))
 
-        v = self._vocab_scan(band_fn, cache_key=("fz", term, max_edits))
+        if prefix_length > 0:
+            pre = term[:prefix_length]
+            v = self._vocab_range(*self._prefix_bounds(pre))
+            v = band_fn(v.filter(pc.starts_with(v.column("term"), pre)))
+        else:
+            v = self._vocab_scan(band_fn, cache_key=("fz", term, max_edits))
         dist = [_levenshtein(term, x, max_edits)
                 for x in v.column("term").to_pylist()]
         return v.append_column("distance", pa.array(dist, pa.int64()))
@@ -702,11 +713,12 @@ class Searcher:
             cache_key=("wc", rx))
         return v.column("term").to_pylist()
 
-    def expand_fuzzy(self, term: str, max_edits: int = 2) -> List[str]:
+    def expand_fuzzy(self, term: str, max_edits: int = 2,
+                     prefix_length: int = 0) -> List[str]:
         """Vocabulary terms within ``max_edits`` via the STREAMED banded
         scan (fuzzy_candidates) — the terms dict is never materialized
         (the terms-enum + automaton shape, FuzzyQuery)."""
-        return self.fuzzy_candidates(term, max_edits) \
+        return self.fuzzy_candidates(term, max_edits, prefix_length) \
             .column("term").to_pylist()  # _vocab_scan output is term-sorted
 
     def complete(self, prefix: str, size: int = 5):

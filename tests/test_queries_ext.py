@@ -591,3 +591,15 @@ def test_intervals_fuzzy_regexp_sources(tmp_path_factory):
                       {"match": {"query": "gamma"}}],
         "ordered": True, "max_gaps": 1}})
     assert sorted(got.tolist()) == [0, 1]
+
+
+def test_fuzzy_prefix_length(s, analyzed):
+    """FuzzyQuery.prefixLength: exact-prefix gate + prefix-pruned
+    terms-dict range; results equal the full scan filtered by prefix."""
+    full = set(s.expand_fuzzy("bace", max_edits=1))
+    pref = set(s.expand_fuzzy("bace", max_edits=1, prefix_length=2))
+    assert pref == {t for t in full if t.startswith("ba")}
+    assert "bace" in pref
+    # prefix_length larger than any match -> only exact-prefix terms
+    assert set(s.expand_fuzzy("bace", max_edits=1, prefix_length=4)) \
+        == {t for t in full if t.startswith("bace")}
