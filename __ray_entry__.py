@@ -1009,6 +1009,24 @@ def _q_multimodal(sf_dir):
     return out[["media_id", "feat0", "resized_w"]]
 
 
+def _q_phash_dedup(sf_dir):
+    """Perceptual-hash (dHash) near-dup pairs over image payloads —
+    hash + band-16 LSH gate + vectorized hamming verify; decode is the
+    documented deterministic fake (codec container limit), the hashing
+    and bucketing machinery is real (rows-only)."""
+    import pyarrow as _pa
+    from opensearch_ray.multimodal.stages import (attach_fake_payloads,
+                                                  phash_dedup_pairs)
+    t = attach_fake_payloads(300, seed=42)
+    # plant exact duplicates to guarantee pairs
+    dup = t.slice(0, 10).set_column(
+        0, "media_id", _pa.array(np.arange(1000, 1010, dtype=np.int64)))
+    ds = ray.data.from_arrow(_pa.concat_tables([t, dup]))
+    out = phash_dedup_pairs(ds, max_hamming=2)
+    return out.astype({"a": np.int64, "b": np.int64,
+                       "hamming": np.int64})
+
+
 def _q_training_data_pipeline(sf_dir):
     import shutil
     from opensearch_ray.pipelines import prepare_training_data
@@ -3450,6 +3468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_percentiles_hdr": _q_agg_percentiles_hdr,
         "agg_percentile_ranks_hdr": _q_agg_percentile_ranks_hdr,
         "multimodal_features": _q_multimodal,
+        "phash_dedup": _q_phash_dedup,
         "transcript_flagship": _q_transcript_flagship,
         "training_data_pipeline": _q_training_data_pipeline,
         # round-3 session 2: reference-surface tail

@@ -127,3 +127,92 @@ def attach_fake_payloads(n: int, seed: int = 42) -> pa.Table:
         "height": pa.array(rng.integers(100, 2000, size=n).astype(np.int32)),
         "duration_ms": pa.array(rng.integers(1000, 60000, size=n).astype(np.int32)),
     }, schema=MULTIMODAL_SCHEMA)
+
+
+class PerceptualHashStage:
+    """dHash perceptual hashing + near-dup bucketing for image payloads
+    (public method: difference hash — resize to (H+1)xH grayscale,
+    threshold horizontal gradients into H*H bits).
+
+    The HASH machinery is real and runs over whatever the decode stage
+    yields — here the deterministic fake decode (codec stubbed, container
+    limit), in a real deployment the PIL grayscale thumbnail. Output:
+    (media_id, phash uint64-as-int64, band16) where band16 = the top 16
+    bits — a coarse LSH band so near-identical images co-locate under one
+    low-cardinality groupby downstream."""
+
+    def __init__(self, grid: int = 8, strict: bool = False):
+        self.grid = grid
+        self.strict = strict
+        self.codec_available = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict and not self.codec_available:
+            raise NotImplementedError(
+                "image codec not available in this container")
+        g = self.grid
+        payloads = batch.column("payload").to_pylist()
+        hashes = np.zeros(len(payloads), np.uint64)
+        for i, p in enumerate(payloads):
+            # decode -> (g, g+1) grayscale grid (fake decode expanded
+            # deterministically to the grid; real codec: thumbnail)
+            base = _fake_decode(p or b"")
+            grid = np.resize(base, (g, g + 1))
+            bits = (grid[:, 1:] > grid[:, :-1]).ravel()
+            h = np.uint64(0)
+            for b in bits:
+                h = (h << np.uint64(1)) | np.uint64(bool(b))
+            hashes[i] = h
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "phash": pa.array(hashes.astype(np.int64)),
+            "band16": pa.array(
+                (hashes >> np.uint64(48)).astype(np.int32)),
+        })
+
+
+def phash_dedup_pairs(ds, max_hamming: int = 4,
+                      concurrency: int = 2,
+                      batch_size: int = 64):
+    """Near-duplicate image pairs by dHash hamming distance: hash via the
+    actor-pool stage, bucket on band16 (identical coarse band is the LSH
+    candidate gate), verify hamming <= ``max_hamming`` inside the bucket
+    — one low-cardinality shuffle, vectorized popcount verify."""
+    import pandas as pd
+
+    hashed = ds.map_batches(PerceptualHashStage, concurrency=concurrency,
+                            num_cpus=1, batch_size=batch_size,
+                            batch_format="pyarrow")
+
+    def pairs(grp: pa.Table) -> pa.Table:
+        ids = grp.column("media_id").to_numpy(zero_copy_only=False)
+        hs = grp.column("phash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(ids)
+        out_a, out_b, out_d = [], [], []
+        if 2 <= n <= 2000:
+            ii, jj = np.triu_indices(n, k=1)
+            x = hs[ii] ^ hs[jj]
+            # vectorized popcount via uint8 view + lookup table
+            lut = np.array([bin(v).count("1") for v in range(256)],
+                           np.uint8)
+            d = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+            keep = d <= max_hamming
+            a, b = ids[ii[keep]], ids[jj[keep]]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            out_a, out_b, out_d = a2, b2, d[keep]
+        return pa.table({
+            "a": pa.array(np.asarray(out_a, np.int64)),
+            "b": pa.array(np.asarray(out_b, np.int64)),
+            "hamming": pa.array(np.asarray(out_d, np.int64))})
+
+    out = (hashed.repartition(16, shuffle=False)
+           .groupby("band16").map_groups(pairs, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+            {"a": np.int64, "b": np.int64, "hamming": np.int64})
+    return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]) \
+        .reset_index(drop=True)

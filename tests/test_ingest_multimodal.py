@@ -289,3 +289,36 @@ def test_pipeline_and_uri_parts_processors():
     # malformed input survives as nulls
     df2 = up(pd.DataFrame({"u": [None, "not a uri"]}))
     assert df2["url.scheme"].isna().all()
+
+
+def test_phash_dedup_pairs():
+    """dHash perceptual near-dup: identical payloads pair at hamming 0;
+    unrelated payloads don't; the band16 gate holds exact dupes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opensearch_ray.multimodal.stages import (PerceptualHashStage,
+                                                  phash_dedup_pairs,
+                                                  attach_fake_payloads)
+    t = attach_fake_payloads(20, seed=1)
+    # duplicate payloads: media 100/101 share media 0's payload bytes
+    dup = pa.table({
+        "media_id": pa.array([100, 101], pa.int64()),
+        "media_type": pa.array(["image", "image"]),
+        "payload": pa.array([t.column("payload")[0].as_py()] * 2,
+                            pa.binary()),
+        "width": pa.array([1, 1], pa.int32()),
+        "height": pa.array([1, 1], pa.int32()),
+        "duration_ms": pa.array([0, 0], pa.int32())})
+    ds = rd.from_arrow(pa.concat_tables([t, dup]))
+    out = phash_dedup_pairs(ds, max_hamming=0)
+    got = set(zip(out.a, out.b))
+    assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+    # hashing is deterministic
+    h1 = PerceptualHashStage()(t).column("phash").to_pylist()
+    h2 = PerceptualHashStage()(t).column("phash").to_pylist()
+    assert h1 == h2
+    # strict mode surfaces the codec stub honestly
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        PerceptualHashStage(strict=True)(t)
