@@ -2318,6 +2318,18 @@ def _q_dsl_agg_calendar_pct(sf_dir):
     return out.sort_values("stat").reset_index(drop=True)
 
 
+def _q_agg_terms_partition(sf_dir):
+    """terms with include/exclude regexes + md5 partition iteration
+    (IncludeExclude partitioned mode): partition 1 of 3 over
+    documents.source, excluding src9."""
+    from opensearch_ray.aggs import terms_agg
+    docs = _read(sf_dir, "documents", ["source"])
+    out = terms_agg(docs, "source", size=50, include="src.*",
+                    exclude="src9", include_partition=(1, 3))
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def _q_agg_composite_hist(sf_dir):
     """composite with a histogram SOURCE + a terms source
     (CompositeValuesSourceBuilder): first page in key order."""
@@ -3476,6 +3488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_agg_hist_range_card": _q_dsl_agg_hist_range_card,
         "dsl_agg_terms_sub": _q_dsl_agg_terms_sub,
         "dsl_agg_calendar_pct": _q_dsl_agg_calendar_pct,
+        "agg_terms_partition": _q_agg_terms_partition,
         "agg_composite_hist": _q_agg_composite_hist,
         "dedup_substring_stats": _q_dedup_substring_stats,
         "stratified_sample": _q_stratified_sample,
@@ -5057,6 +5070,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT g.doc_id FROM g
             WHERE g.gram IN (SELECT gram FROM bg)
             ORDER BY g.doc_id
+        """,
+        "agg_terms_partition": """
+            SELECT source, count(*) AS doc_count
+            FROM documents
+            WHERE regexp_full_match(source, 'src.*')
+              AND NOT regexp_full_match(source, 'src9')
+              AND ('0x' || substring(md5(source), 1, 8))::UBIGINT % 3 = 1
+            GROUP BY source ORDER BY source
         """,
         "agg_composite_hist": """
             SELECT printf('%.1f', b) AS value_bucket,

@@ -54,11 +54,17 @@ def _topn_buckets(merged: Dataset, count_col: str, key_fields: List[str],
     by a driver merge of only n_blocks*size rows. The driver never holds the
     full key cardinality (the shard_size/TermsAggregator concern)."""
     def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        if count_col not in df.columns:  # schema-less empty block
+            return df
         return df.sort_values([count_col] + key_fields,
                               ascending=[ascending] + [True] * len(key_fields),
                               kind="mergesort").head(size)
 
     tops = merged.map_batches(block_top, batch_format="pandas").to_pandas()
+    if count_col not in tops.columns:
+        # an EMPTY Ray result loses its schema in to_pandas (the typed-
+        # empty pitfall) — hand back a correctly-shaped empty frame
+        return pd.DataFrame(columns=key_fields + [count_col])
     tops = tops.sort_values([count_col] + key_fields,
                             ascending=[ascending] + [True] * len(key_fields),
                             kind="mergesort")
@@ -68,7 +74,11 @@ def _topn_buckets(merged: Dataset, count_col: str, key_fields: List[str],
 def terms_agg(ds: Dataset, field: str, size: int = 10,
               sum_col: Optional[str] = None,
               order: Optional[Tuple[str, str]] = None,
-              missing=None, min_doc_count: int = 1) -> pd.DataFrame:
+              missing=None, min_doc_count: int = 1,
+              include: Optional[str] = None,
+              exclude: Optional[str] = None,
+              include_partition: Optional[Tuple[int, int]] = None
+              ) -> pd.DataFrame:
     """terms: top-N keys by doc_count (desc), key asc tie-break — the
     reference's order (InternalTerms reduce + BucketOrder.count(false)).
     Exact at any cardinality: the post-groupby reduce is per-block top-N
@@ -83,8 +93,48 @@ def terms_agg(ds: Dataset, field: str, size: int = 10,
     them (TermsAggregationBuilder.missing). ``min_doc_count``: drop
     buckets below the floor AFTER the global reduce (the reference's
     coordinator-side prune — partials must still flow, a shard-local
-    prune would undercount cross-shard keys)."""
+    prune would undercount cross-shard keys).
+
+    ``include``/``exclude``: anchored key regexes
+    (IncludeExclude.filter); ``include_partition`` = (partition,
+    num_partitions) iterates a high-cardinality key space in
+    deterministic md5-hash slices (IncludeExclude partitioned mode) —
+    the reference's recipe for walking millions of keys without a
+    composite cursor. All three prune rows MAP-SIDE before any partial,
+    so excluded keys never shuffle."""
     import pyarrow.compute as _pc
+
+    if include or exclude or include_partition:
+        inc_rx = "^(?:" + include + ")$" if include else None
+        exc_rx = "^(?:" + exclude + ")$" if exclude else None
+
+        def key_gate(t: pa.Table) -> pa.Table:
+            col = t.column(field)
+            mask = _pc.is_valid(col)
+            if inc_rx:
+                mask = _pc.and_(mask, _pc.match_substring_regex(
+                    _pc.cast(col, pa.string()), inc_rx))
+            if exc_rx:
+                mask = _pc.and_(mask, _pc.invert(_pc.fill_null(
+                    _pc.match_substring_regex(
+                        _pc.cast(col, pa.string()), exc_rx), False)))
+            if include_partition:
+                import hashlib
+                part, num = include_partition
+                vals = col.to_pylist()
+                uniq = set(v for v in vals if v is not None)
+                keep_keys = {
+                    v for v in uniq
+                    if int(hashlib.md5(str(v).encode()).hexdigest()[:8],
+                           16) % num == part}
+                if keep_keys:
+                    mask = _pc.and_(mask, _pc.is_in(
+                        col, value_set=pa.array(sorted(keep_keys))))
+                else:
+                    mask = pa.array(np.zeros(t.num_rows, bool))
+            return t.filter(_pc.fill_null(mask, False))
+
+        ds = ds.map_batches(key_gate, batch_format="pyarrow")
     if missing is not None:
         def fill(t: pa.Table) -> pa.Table:
             col = t.column(field)

@@ -471,3 +471,27 @@ def test_filters_other_bucket_histogram_options(ev, ev_pdf):
     assert h2.key.max() >= ev_pdf.value.max() + 150
     assert (h2.doc_count >= 0).all()
     assert h2.doc_count.sum() == len(ev_pdf)
+
+
+def test_terms_include_exclude_partition(ev, ev_pdf):
+    """terms include/exclude regexes + md5 partition iteration
+    (IncludeExclude.filter / partitioned mode)."""
+    import hashlib
+    from opensearch_ray.aggs import terms_agg
+    out = terms_agg(ev, "event_type", size=20, include="c.*|view",
+                    exclude="clock")
+    want = {k for k in ev_pdf.event_type.unique()
+            if (k.startswith("c") or k == "view") and k != "clock"}
+    assert set(out.event_type) == want
+    # partition slices are disjoint and cover the key space
+    allkeys = set()
+    for p in range(3):
+        part = terms_agg(ev, "event_type", size=50,
+                         include_partition=(p, 3))
+        ks = set(part.event_type)
+        assert not (ks & allkeys)
+        for k in ks:
+            assert int(hashlib.md5(k.encode()).hexdigest()[:8],
+                       16) % 3 == p
+        allkeys |= ks
+    assert allkeys == set(ev_pdf.event_type.unique())
