@@ -924,15 +924,24 @@ def adjacency_matrix_agg(ds: Dataset,
 
 def significant_terms_agg(ds: Dataset, field: str,
                           foreground: Callable[[pa.Table], pa.Array],
-                          size: int = 10, heuristic: str = "jlh"
+                          size: int = 10, heuristic: str = "jlh",
+                          background_filter:
+                          Optional[Callable[[pa.Table], pa.Array]] = None
                           ) -> pd.DataFrame:
     """significant_terms: keys over-represented in the foreground set vs the
     whole index (SignificantTermsAggregatorFactory). ``heuristic`` selects
     the scoring function (jlh default; chi_square / mutual_information /
     gnd / percentage — bucket/terms/heuristic/). The final reduce is
-    bounded per-block top-N (see _sig_reduce)."""
+    bounded per-block top-N (see _sig_reduce).
+
+    ``background_filter`` narrows the BACKGROUND set to the matching docs
+    (SignificantTermsAggregationBuilder.backgroundFilter) — the
+    "unusual vs this context" comparison instead of vs the whole index."""
 
     def partial(t: pa.Table) -> pa.Table:
+        if background_filter is not None:
+            t = t.filter(pc.fill_null(pc.cast(background_filter(t),
+                                              pa.bool_()), False))
         m = pc.cast(foreground(t), pa.bool_())
         fg = t.filter(m).group_by([field]).aggregate([([], "count_all")])
         fg = fg.rename_columns([field, "fg"])

@@ -495,3 +495,22 @@ def test_terms_include_exclude_partition(ev, ev_pdf):
                        16) % 3 == p
         allkeys |= ks
     assert allkeys == set(ev_pdf.event_type.unique())
+
+
+def test_significant_terms_background_filter(ev, ev_pdf):
+    """background_filter narrows the background population
+    (SignificantTermsAggregationBuilder.backgroundFilter): the fg/bg
+    counts equal the brute-force over the filtered subset."""
+    import pyarrow.compute as pc
+    from opensearch_ray.aggs import significant_terms_agg
+    out = significant_terms_agg(
+        ev, "event_type",
+        foreground=lambda t: pc.greater(t.column("value"), 150.0),
+        size=10, heuristic="percentage",
+        background_filter=lambda t: pc.greater(t.column("value"), 50.0))
+    sub = ev_pdf[ev_pdf.value > 50.0]
+    for _, row in out.iterrows():
+        k = row["event_type"]
+        assert row["bg"] == int((sub.event_type == k).sum())
+        assert row["fg"] == int(((sub.event_type == k)
+                                 & (sub.value > 150.0)).sum())
