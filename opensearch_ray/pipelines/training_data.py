@@ -185,8 +185,11 @@ def prepare_training_data(
         pk.write_parquet(pk_dir, compression="zstd")
         import pyarrow.dataset as pds
         t = pds.dataset(pk_dir).to_table(columns=["group", "seq"])
-        packed_seqs = len(set(zip(t.column("group").to_pylist(),
-                                  t.column("seq").to_pylist())))
+        g = t.column("group").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sq = t.column("seq").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        packed_seqs = int(np.unique(g * np.int64(1 << 32) + sq).size)
 
     summary = {
         "input_rows": int(input_rows),
