@@ -3229,6 +3229,26 @@ def _q_dsl_search_after_sort(sf_dir):
     return p2
 
 
+def _q_field_alias_search(sf_dir):
+    """`alias`-type field resolution (FieldAliasMapper.java): a request
+    written entirely against alias names — range + term filters, field
+    sort — resolves to the concrete columns before execution; `_source`
+    stays concrete (source filtering never sees aliases)."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    aliases = {"chars": "n_chars", "language": "lang", "body_text": "text"}
+    body = {"query": {"bool": {
+                "filter": [{"range": {"chars": {"gte": 200, "lt": 400}}},
+                           {"term": {"language": "en"}}]}},
+            "sort": [{"chars": "asc"}, "_doc"],
+            "size": 15, "_source": ["n_chars", "lang"]}
+    r = dsl.execute_request(s, body, field_aliases=aliases)
+    hits = r["hits"][["doc_id", "n_chars", "lang"]].reset_index(drop=True)
+    hits["doc_id"] = hits["doc_id"].astype(np.int64)
+    hits["n_chars"] = hits["n_chars"].astype(np.int64)
+    return hits
+
+
 def _q_wrapper_query(sf_dir):
     """wrapper query (WrapperQueryBuilder.java): base64-encoded JSON query
     decoded and executed in filter context."""
@@ -3531,6 +3551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_search": _q_dsl_search,
         "dsl_search_after_score": _q_dsl_search_after_score,
         "dsl_search_after_sort": _q_dsl_search_after_sort,
+        "field_alias_search": _q_field_alias_search,
         "wrapper_query": _q_wrapper_query,
         "search_template": _q_search_template,
         "rank_eval_precision": _q_rank_eval_precision,
@@ -5630,6 +5651,11 @@ def oracle_sql() -> dict[str, str]:
             FROM scored sc JOIN documents d USING (doc_id)
             ORDER BY d.n_chars DESC, sc.doc_id
             LIMIT 10 OFFSET 10"""),
+        "field_alias_search": """
+            SELECT doc_id, n_chars, lang FROM documents
+            WHERE n_chars >= 200 AND n_chars < 400 AND lang = 'en'
+            ORDER BY n_chars ASC, doc_id ASC LIMIT 15
+        """,
         "wrapper_query": """
             SELECT DISTINCT d.doc_id
             FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)

@@ -346,3 +346,93 @@ def flat_object_term_filter(ds: Dataset, json_col: str, path: str,
         return t.take(pa.array(rows))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- alias fields
+
+# Leaf query kinds whose body is {field_name: spec} — the positions where
+# an alias key must be renamed to its concrete path.
+_LEAF_FIELD_QUERIES = frozenset({
+    "term", "terms", "match", "match_phrase", "match_phrase_prefix",
+    "match_bool_prefix", "prefix", "wildcard", "regexp", "fuzzy", "range",
+    "terms_set", "intervals", "span_term", "knn",
+    "geo_distance", "geo_bounding_box", "geo_shape", "geo_polygon",
+})
+
+
+def validate_field_aliases(aliases: dict) -> None:
+    """FieldAliasMapper.validate (server/index/mapper/
+    FieldAliasMapper.java:108-125): an alias cannot refer to itself, and
+    its path must be a CONCRETE field — alias chains are invalid."""
+    for name, path in aliases.items():
+        if path == name:
+            raise ValueError(
+                f"Invalid [path] value [{path}] for field alias [{name}]: "
+                "an alias cannot refer to itself.")
+        if path in aliases:
+            raise ValueError(
+                f"Invalid [path] value [{path}] for field alias [{name}]: "
+                "an alias cannot refer to another alias.")
+
+
+def resolve_field_aliases(body, aliases: dict):
+    """Rewrite a search request body, replacing `alias` field names with
+    their concrete ``path`` everywhere the reference resolves them at
+    search time: leaf queries, sort, aggregations, collapse, suggest,
+    highlight fields, docvalue_fields / fields — but NOT ``_source``
+    filtering, which operates on the original document
+    (reference: server/index/mapper/FieldAliasMapper.java:44-52; search-
+    time resolution happens in MappedFieldType lookup via
+    MapperService.fieldType, so the engine never sees the alias name).
+
+    Pure function: returns a deep-rewritten copy; ``body`` is untouched.
+    """
+    validate_field_aliases(aliases)
+
+    def sub(f):
+        # field names may carry a ^boost suffix (multi_match fields)
+        if not isinstance(f, str):
+            return f
+        base, sep, boost = f.partition("^")
+        return aliases.get(base, base) + sep + boost
+
+    def walk(node, parent_key=None):
+        if isinstance(node, list):
+            if parent_key in ("fields", "docvalue_fields", "_source"):
+                if parent_key == "_source":   # source filtering: no aliases
+                    return list(node)
+                return [sub(x) if isinstance(x, str)
+                        else walk(x, parent_key) for x in node]
+            if parent_key == "sort":
+                return [sub(x) if isinstance(x, str)
+                        else walk(x, "sort_item") for x in node]
+            return [walk(x, parent_key) for x in node]
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k in _LEAF_FIELD_QUERIES and isinstance(v, dict):
+                # same kind name can be an agg ({"terms": {"field": ...}});
+                # rename alias KEYS and resolve field-valued options
+                out[k] = {
+                    sub(fk) if fk in aliases else fk:
+                    (sub(fv) if fk in ("field",
+                                       "minimum_should_match_field")
+                     and isinstance(fv, str) else walk(fv, k))
+                    for fk, fv in v.items()}
+            elif k == "field" and isinstance(v, str):
+                out[k] = sub(v)
+            elif k in ("fields", "docvalue_fields") and isinstance(v, dict):
+                # highlight fields: {field_name: per-field options}
+                out[k] = {sub(fk): walk(fv, k) for fk, fv in v.items()}
+            elif k == "sort" and isinstance(v, (list, str)):
+                out[k] = walk(v, "sort") if isinstance(v, list) else sub(v)
+            elif parent_key == "sort_item" and k in aliases:
+                out[sub(k)] = walk(v, parent_key)
+            elif k == "_source":
+                out[k] = v  # untouched (no alias resolution in source)
+            else:
+                out[k] = walk(v, k)
+        return out
+
+    return walk(body)

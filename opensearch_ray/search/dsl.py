@@ -334,8 +334,13 @@ def _score_terms(s: Searcher, q: dict) -> List[str]:
 
 
 def execute_search(s: Searcher, body: dict, text_field: str = "text",
-                   id_col: str = "doc_id") -> pd.DataFrame:
+                   id_col: str = "doc_id",
+                   field_aliases: Optional[dict] = None) -> pd.DataFrame:
     """Execute a ``_search`` request body -> hits DataFrame.
+
+    ``field_aliases``: {alias: concrete_path} mapping from ``alias``-type
+    fields in the mapping (FieldAliasMapper.java); resolved once up front
+    so the executor only ever sees concrete field names.
 
     Supported body keys: query, from, size, sort (field names or
     {field: {"order"}} or "_score"/"_doc"), search_after (sort-tuple cursor;
@@ -344,6 +349,9 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     query's filter-context doc set; pure-filter queries score constant 1.0
     (or the constant_score boost) with docid-ascending order — matching the
     reference's constant-score rewrite."""
+    if field_aliases:
+        from ..mapper import resolve_field_aliases
+        body = resolve_field_aliases(body, field_aliases)
     q = body.get("query", {"match_all": {}})
     if isinstance(q, dict) and len(q) == 1 and "knn" in q:
         (field, spec), = q["knn"].items()
@@ -901,11 +909,18 @@ def _fixed_interval_ns(spec) -> float:
 
 
 def execute_request(s: Searcher, body: dict, text_field: str = "text",
-                    id_col: str = "doc_id") -> dict:
+                    id_col: str = "doc_id",
+                    field_aliases: Optional[dict] = None) -> dict:
     """Full request: hits + aggregations (+post_filter). Aggregations run
     over ALL query matches; post_filter then narrows only the HITS — the
-    FilteredCollector distinction the post_filter option exists for."""
+    FilteredCollector distinction the post_filter option exists for.
+
+    ``field_aliases`` resolves ``alias``-type field names to their
+    concrete paths before execution (FieldAliasMapper.java)."""
     import time as _time
+    if field_aliases:
+        from ..mapper import resolve_field_aliases
+        body = resolve_field_aliases(body, field_aliases)
     prof: dict = {}
     t0 = _time.perf_counter()
     q = body.get("query", {"match_all": {}})

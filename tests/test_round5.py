@@ -290,3 +290,47 @@ def test_hybrid_rrf_fusion(built_index, s):
         assert abs(got - w) < 1e-12
     # vector-only docs and text-only docs both fuse in
     assert (out.bm25_rank == 0).any() or (out.knn_rank == 0).any()
+
+
+def test_field_alias_resolution(s):
+    """`alias` field type (FieldAliasMapper.java): a request written
+    against alias names executes identically to the concrete-field
+    request; _source filtering is untouched; self/chained aliases are
+    rejected at validation."""
+    from opensearch_ray.mapper import resolve_field_aliases
+    from opensearch_ray.search import dsl
+
+    aliases = {"speaker": "role", "idx": "turn_idx", "content": "text"}
+    aliased = {"query": {"bool": {
+                   "must": [{"match": {"content": "bace cedi"}}],
+                   "filter": [{"term": {"speaker": "user"}}]}},
+               "sort": [{"idx": "asc"}, "_doc"],
+               "size": 12, "_source": ["role", "turn_idx"],
+               "aggs": {"by_role": {"terms": {"field": "speaker"}}}}
+    concrete = {"query": {"bool": {
+                    "must": [{"match": {"text": "bace cedi"}}],
+                    "filter": [{"term": {"role": "user"}}]}},
+                "sort": [{"turn_idx": "asc"}, "_doc"],
+                "size": 12, "_source": ["role", "turn_idx"],
+                "aggs": {"by_role": {"terms": {"field": "role"}}}}
+    assert resolve_field_aliases(aliased, aliases) == concrete
+
+    ra = dsl.execute_request(s, aliased, field_aliases=aliases,
+                             id_col="turn_id")
+    rc = dsl.execute_request(s, concrete, id_col="turn_id")
+    pd.testing.assert_frame_equal(ra["hits"], rc["hits"])
+    assert ra["aggregations"] == rc["aggregations"]
+    assert ra["total"] == rc["total"] > 0
+
+    # multi_match ^boost suffixes and highlight field keys resolve too
+    body = {"query": {"multi_match": {"query": "x",
+                                      "fields": ["content^2", "tool"]}},
+            "highlight": {"fields": {"content": {}}}}
+    r = resolve_field_aliases(body, aliases)
+    assert r["query"]["multi_match"]["fields"] == ["text^2", "tool"]
+    assert list(r["highlight"]["fields"]) == ["text"]
+
+    with pytest.raises(ValueError):
+        resolve_field_aliases({}, {"a": "a"})
+    with pytest.raises(ValueError):
+        resolve_field_aliases({}, {"a": "b", "b": "c"})
