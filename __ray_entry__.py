@@ -3229,6 +3229,21 @@ def _q_dsl_search_after_sort(sf_dir):
     return p2
 
 
+def _q_sort_index_early_term(sf_dir):
+    """Index-sort early termination (IndexSortConfig +
+    QueryPhase.canEarlyTerminate): the documents index is built sorted by
+    doc_id, so a (doc_id asc) sorted match collects only k docs per
+    segment through a row-group-pruned prefix read. Asserted identical to
+    the full gather-and-sort path, then oracle-checked."""
+    s = _searcher(sf_dir)
+    assert s.manifest.index_sort[:1] == ["doc_id"]
+    fast = s.search_sorted("hash", "doc_id", k=12, early_terminate=True)
+    full = s.search_sorted("hash", "doc_id", k=12, early_terminate=False)
+    assert fast.equals(full)
+    out = pd.DataFrame({"doc_id": fast["_docid"].astype(np.int64)})
+    return out
+
+
 def _q_field_alias_search(sf_dir):
     """`alias`-type field resolution (FieldAliasMapper.java): a request
     written entirely against alias names — range + term filters, field
@@ -3552,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_search_after_score": _q_dsl_search_after_score,
         "dsl_search_after_sort": _q_dsl_search_after_sort,
         "field_alias_search": _q_field_alias_search,
+        "sort_index_early_term": _q_sort_index_early_term,
         "wrapper_query": _q_wrapper_query,
         "search_template": _q_search_template,
         "rank_eval_precision": _q_rank_eval_precision,
@@ -5655,6 +5671,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, lang FROM documents
             WHERE n_chars >= 200 AND n_chars < 400 AND lang = 'en'
             ORDER BY n_chars ASC, doc_id ASC LIMIT 15
+        """,
+        "sort_index_early_term": """
+            SELECT DISTINCT doc_id FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE t.tok = 'hash' ORDER BY doc_id LIMIT 12
         """,
         "wrapper_query": """
             SELECT DISTINCT d.doc_id

@@ -69,6 +69,13 @@ class SegmentInfo:
     sum_dl: int
     doc_base: int
     vocab: int = 0
+    #: local docid order == manifest.index_sort order inside this segment.
+    #: Always true for builder-written segments (build_segment_table sorts);
+    #: a force-merged segment keeps it only if the boundary check passed
+    #: (sources were contiguous in sort order). Only consulted when
+    #: manifest.index_sort is non-empty, so the True default is safe for
+    #: manifests written before the field existed (they load index_sort=[]).
+    index_sorted: bool = True
 
 
 @dataclass
@@ -92,6 +99,11 @@ class IndexManifest:
     #: — consulted by the completed-build short-circuit so a rerun with a
     #: different salting layout or modified input files rebuilds
     build_params: dict = field(default_factory=dict)
+    #: index sorting (IndexSortConfig / index.sort.field): the sort_cols the
+    #: builder applied inside every segment (restricted to columns present
+    #: in the corpus). Enables sorted-query early termination
+    #: (QueryPhase.canEarlyTerminate). Empty = no early-termination contract.
+    index_sort: List[str] = field(default_factory=list)
 
     @property
     def avgdl(self) -> float:
@@ -119,6 +131,7 @@ class IndexManifest:
                     "hot_buckets": self.hot_buckets,
                     "has_positions": self.has_positions,
                     "build_params": self.build_params,
+                    "index_sort": self.index_sort,
                 },
                 f,
             )
@@ -141,6 +154,7 @@ def load_manifest(index_dir: str) -> IndexManifest:
         hot_buckets=d.get("hot_buckets", {}),
         has_positions=d.get("has_positions", False),
         build_params=d.get("build_params", {}),
+        index_sort=d.get("index_sort", []),
     )
 
 
@@ -187,6 +201,11 @@ def build_index(
     files = list_input_files(input_path)
     if not files:
         raise ValueError(f"no parquet files under {input_path!r}")
+    # index sorting contract (IndexSortConfig): the builder sorts each
+    # segment by the sort_cols PRESENT in the corpus; record them so sorted
+    # queries can early-terminate (QueryPhase.canEarlyTerminate)
+    index_sort = [c for c in (sort_cols or [])
+                  if c in pq.read_schema(files[0]).names]
     if num_buckets is None:
         # derive B from the corpus, not a constant: postings are ~¼ of input
         # bytes, target ≤ ~128 MB of postings per bucket file so merge
@@ -206,7 +225,8 @@ def build_index(
     if single_pass and merge:
         return _build_single_pass(manifest_args, files, index_dir, analyzer,
                                   text_col, sort_cols, columns, num_buckets,
-                                  hot_df_threshold, index_positions)
+                                  hot_df_threshold, index_positions,
+                                  index_sort)
 
     items = [{"path": p, "seg_id": i} for i, p in enumerate(files)]
     # Fragment descriptors are a few BYTES each, but the real work behind one
@@ -265,6 +285,7 @@ def build_index(
         text_col=text_col,
         num_buckets=num_buckets,
         has_positions=index_positions,
+        index_sort=index_sort,
     )
 
     return _finalize_index(manifest, hot_df_threshold, merge, materialize_postings)
@@ -355,7 +376,9 @@ def build_index_from_dataset(
         index_dir=index_dir, segments=segments, total_docs=base,
         sum_dl=sum(x.sum_dl for x in segments),
         analyzer=analyzer if isinstance(analyzer, str) else getattr(analyzer, "name", "custom"),
-        text_col=text_col, num_buckets=num_buckets)
+        text_col=text_col, num_buckets=num_buckets,
+        index_sort=[c for c in (sort_cols or [])
+                    if c in (ds.schema().names or [])])
     return _finalize_index(manifest, hot_df_threshold, merge, True)
 
 
@@ -363,7 +386,7 @@ def build_index_from_dataset(
 
 def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
                        sort_cols, columns, num_buckets, hot_df_threshold,
-                       index_positions):
+                       index_positions, index_sort=()):
     """ONE streaming pipeline: fragment -> segment build (emits its postings
     rows downstream instead of being re-read) -> bucket assignment with
     LOCALLY-decided salting -> groupby(bucket) -> bucket write + per-bucket
@@ -523,7 +546,8 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
         num_buckets=num_buckets,
         hot_terms=sorted(hot_buckets), merged=True,
         hot_buckets=hot_buckets, has_positions=index_positions,
-        build_params=fingerprint, **manifest_args)
+        build_params=fingerprint, index_sort=list(index_sort),
+        **manifest_args)
     manifest.save()
     return manifest
 

@@ -32,10 +32,20 @@ from .segment import SEGMENT_SCHEMA
 
 
 def _merge_group(index_dir: str, seg_ids: List[int], bases: List[int],
-                 new_seg_id: int, has_positions: bool) -> dict:
+                 new_seg_id: int, has_positions: bool,
+                 index_sort=()) -> dict:
     """Merge one group of segments into seg-{new_seg_id} (temp dir + rename).
     Doc ids inside the new segment are offset by each source's base minus the
-    group's first base, preserving global order."""
+    group's first base, preserving global order.
+
+    ``index_sort``: the manifest's index-sorting contract. Concatenation
+    preserves per-segment sortedness only when the sources are contiguous
+    runs of the global sort order, so the merged segment keeps the
+    ``index_sorted`` flag iff every source boundary satisfies
+    last(prev) <= first(next) on the sort columns — the check Lucene makes
+    unnecessary by merge-sorting doc ids under an index sort
+    (MergeState/Sorter); our docids are global and immutable, so we verify
+    instead of re-sorting."""
     group_base = bases[0]
     seg_dirs = [os.path.join(index_dir, "segments", f"seg-{sid:05d}")
                 for sid in seg_ids]
@@ -44,8 +54,13 @@ def _merge_group(index_dir: str, seg_ids: List[int], bases: List[int],
     doc_tables = []
     total_docs = 0
     sum_dl = 0
+    firsts, lasts = [], []
     for sd, b in zip(seg_dirs, bases):
         t = pq.read_table(os.path.join(sd, "docs.parquet"))
+        if index_sort and t.num_rows:
+            cols = [c for c in index_sort if c in t.column_names]
+            firsts.append(tuple(t.column(c)[0].as_py() for c in cols))
+            lasts.append(tuple(t.column(c)[-1].as_py() for c in cols))
         off = b - group_base
         if off:
             t = t.set_column(t.schema.get_field_index("docid"), "docid",
@@ -131,9 +146,12 @@ def _merge_group(index_dir: str, seg_ids: List[int], bases: List[int],
             "has_positions": bool(has_positions), "merged_from": seg_ids}
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
+    index_sorted = bool(index_sort) and all(
+        lasts[i] <= firsts[i + 1] for i in range(len(firsts) - 1))
     return {"tmp": tmp, "out_dir": out_dir, "seg_id": new_seg_id,
             "doc_count": total_docs, "sum_dl": sum_dl, "vocab": vocab,
-            "doc_base": group_base, "sources": seg_dirs}
+            "doc_base": group_base, "sources": seg_dirs,
+            "index_sorted": index_sorted}
 
 
 def force_merge(manifest: IndexManifest, max_segments: int = 1,
@@ -154,7 +172,7 @@ def force_merge(manifest: IndexManifest, max_segments: int = 1,
     futures = [
         merge_task.remote(manifest.index_dir, [s.seg_id for s in g],
                           [s.doc_base for s in g], gi,
-                          manifest.has_positions)
+                          manifest.has_positions, manifest.index_sort)
         for gi, g in enumerate(groups)
     ]
     results = ray.get(futures)
@@ -171,7 +189,8 @@ def force_merge(manifest: IndexManifest, max_segments: int = 1,
     new_segments = [
         SegmentInfo(seg_id=r["seg_id"], path=f"merge:{r['seg_id']}",
                     doc_count=r["doc_count"], sum_dl=r["sum_dl"],
-                    doc_base=r["doc_base"], vocab=r["vocab"])
+                    doc_base=r["doc_base"], vocab=r["vocab"],
+                    index_sorted=r["index_sorted"])
         for r in sorted(results, key=lambda r: r["seg_id"])
     ]
     # leftover old segment dirs with ids >= len(groups) must go
@@ -187,6 +206,7 @@ def force_merge(manifest: IndexManifest, max_segments: int = 1,
         total_docs=manifest.total_docs, sum_dl=manifest.sum_dl,
         analyzer=manifest.analyzer, text_col=manifest.text_col,
         num_buckets=manifest.num_buckets,
-        has_positions=manifest.has_positions)
+        has_positions=manifest.has_positions,
+        index_sort=manifest.index_sort)
     return _finalize_index(new_manifest, hot_df_threshold, merge=True,
                            materialize_postings=True)

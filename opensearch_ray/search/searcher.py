@@ -94,6 +94,44 @@ class Searcher:
     def doc_base(self, seg_id: int) -> int:
         return int(self._bases[np.searchsorted(self._seg_ids, seg_id)])
 
+    def doc_values_slice(self, seg_id: int, col: str, lo: int,
+                         hi: int) -> np.ndarray:
+        """Doc-values rows [lo, hi) of one segment column, reading only the
+        parquet row groups that overlap the range — the I/O shape of an
+        early-terminated sorted collector (it touches only the index-sort
+        prefix/suffix of the segment, never the whole column). Serves from
+        the full-column cache when already loaded; partial reads are NOT
+        cached (they would poison the whole-column cache)."""
+        cached = self._docvalues.get((seg_id, col))
+        if cached is not None:
+            return cached[lo:hi]
+        pf = pq.ParquetFile(os.path.join(self._seg_dir(seg_id),
+                                         "docs.parquet"))
+        parts, row0 = [], 0
+        for rg in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            if row0 < hi and row0 + n > lo:
+                parts.append(pf.read_row_group(rg, columns=[col]))
+            row0 += n
+            if row0 >= hi:
+                break
+        first_row = 0
+        row0 = 0
+        for rg in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            if row0 + n > lo:
+                first_row = row0
+                break
+            row0 += n
+        t = pa.concat_tables(parts) if parts else pf.schema_arrow.empty_table()
+        col_pa = t.column(col)
+        if (pa.types.is_integer(col_pa.type) or pa.types.is_floating(col_pa.type)
+                or pa.types.is_timestamp(col_pa.type)):
+            arr = col_pa.to_numpy(zero_copy_only=False)
+        else:
+            arr = np.asarray(col_pa.to_pylist(), dtype=object)
+        return arr[lo - first_row:hi - first_row]
+
     def doc_values(self, seg_id: int, col: str) -> np.ndarray:
         """Per-segment column values aligned by local docid — the doc-values
         analogue (KeywordFieldMapper doc_values=true) used by filters,
@@ -776,9 +814,22 @@ class Searcher:
 
     def search_sorted(self, query_text: str, sort_field: str, k: int = 10,
                       ascending: bool = True, operator: str = "or",
-                      filters: Optional[Dict[str, object]] = None):
+                      filters: Optional[Dict[str, object]] = None,
+                      early_terminate="auto"):
         """Field sort (FieldSortBuilder): top-k matching docs ordered by a
-        doc-values field instead of score; tie-break docid asc."""
+        doc-values field instead of score; tie-break docid asc.
+
+        Index-sort early termination (QueryPhase.canEarlyTerminate +
+        IndexSortConfig): when the requested sort equals the index sort's
+        leading column in the SAME direction (segments are built ascending),
+        per-segment local docid order IS the sort order, so each segment
+        contributes only its first k (post-filter) matches and the sort
+        column is read with a row-group-pruned prefix scan instead of a
+        whole-column gather. Descending requests never early-terminate —
+        same restriction as the reference (ties at the k-th value would
+        need the SMALLEST docids, which a tail cut cannot supply).
+        ``early_terminate``: "auto" (use when sound), True (assert sound),
+        False (always full path)."""
         import pandas as pd
 
         terms = list(dict.fromkeys(self.analyzer.tokens(query_text)))
@@ -788,20 +839,43 @@ class Searcher:
                 else self.bool_docs(should=terms))
         if docs.size == 0:
             return pd.DataFrame({"_docid": [], sort_field: []})
+
+        sort_ok = (bool(self.manifest.index_sort)
+                   and sort_field == self.manifest.index_sort[0]
+                   and ascending)
+        if early_terminate is True and not sort_ok:
+            raise ValueError(
+                f"cannot early-terminate: sort ({sort_field},"
+                f" {'asc' if ascending else 'desc'}) does not match index"
+                f" sort {self.manifest.index_sort} ascending")
+        et = sort_ok if early_terminate == "auto" else bool(early_terminate)
+        seg_sorted = {s.seg_id: getattr(s, "index_sorted", True)
+                      for s in self.manifest.segments}
+
         seg_idx = np.searchsorted(self._bases, docs, side="right") - 1
         vals_parts, doc_parts = [], []
         for si in np.unique(seg_idx):
             seg_id = int(self._seg_ids[si])
             base = int(self._bases[si])
             local = docs[seg_idx == si] - base
-            dv = self.doc_values(seg_id, sort_field)[local]
             if filters:
                 keep = np.ones(len(local), dtype=bool)
                 for col, val in filters.items():
-                    keep &= self._spec_mask(self.doc_values(seg_id, col)[local], val)
-                dv, local = dv[keep], local[keep]
+                    keep &= self._spec_mask(
+                        self.doc_values(seg_id, col)[local], val)
+                local = local[keep]
+            if local.size == 0:
+                continue
+            if et and seg_sorted.get(seg_id, True):
+                local = local[:k]  # collector stops after k competitive hits
+                hi = int(local[-1]) + 1
+                dv = self.doc_values_slice(seg_id, sort_field, 0, hi)[local]
+            else:
+                dv = self.doc_values(seg_id, sort_field)[local]
             vals_parts.append(dv)
             doc_parts.append(local + base)
+        if not doc_parts:
+            return pd.DataFrame({"_docid": [], sort_field: []})
         vals = np.concatenate(vals_parts)
         gdocs = np.concatenate(doc_parts)
         df = pd.DataFrame({"_docid": gdocs, sort_field: vals})
