@@ -3229,6 +3229,28 @@ def _q_dsl_search_after_sort(sf_dir):
     return p2
 
 
+def _q_derived_field_query(sf_dir):
+    """Derived (query-time computed) field — DerivedFieldMapper /
+    DerivedFieldQuery.java: a request-body `derived` definition makes
+    chars_bucket = n_chars // 100 a first-class doc-values column; the
+    range query, the field sort and the value gather all run on it."""
+    from opensearch_ray.search import dsl
+    from opensearch_ray.search.sort_phase import gather_doc_values
+    s = _searcher(sf_dir)
+    body = {"derived": {"chars_bucket": {"script": {
+                "source": lambda df: (df["n_chars"].values // 100)
+                                     .astype(np.int64),
+                "fields": ["n_chars"]}}},
+            "query": {"range": {"chars_bucket": {"gte": 2, "lte": 3}}},
+            "sort": [{"chars_bucket": "asc"}, "_doc"], "size": 20}
+    r = dsl.execute_request(s, body)
+    ids = r["hits"]["doc_id"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "doc_id": ids,
+        "chars_bucket": gather_doc_values(s, ids, "chars_bucket")
+                        .astype(np.int64)})
+
+
 def _q_sort_index_early_term(sf_dir):
     """Index-sort early termination (IndexSortConfig +
     QueryPhase.canEarlyTerminate): the documents index is built sorted by
@@ -3568,6 +3590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_search_after_sort": _q_dsl_search_after_sort,
         "field_alias_search": _q_field_alias_search,
         "sort_index_early_term": _q_sort_index_early_term,
+        "derived_field_query": _q_derived_field_query,
         "wrapper_query": _q_wrapper_query,
         "search_template": _q_search_template,
         "rank_eval_precision": _q_rank_eval_precision,
@@ -5676,6 +5699,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM documents d,
                    unnest(string_split(d.text, ' ')) AS t(tok)
             WHERE t.tok = 'hash' ORDER BY doc_id LIMIT 12
+        """,
+        "derived_field_query": """
+            SELECT doc_id, n_chars // 100 AS chars_bucket FROM documents
+            WHERE n_chars // 100 BETWEEN 2 AND 3
+            ORDER BY chars_bucket, doc_id LIMIT 20
         """,
         "wrapper_query": """
             SELECT DISTINCT d.doc_id

@@ -333,6 +333,29 @@ def _score_terms(s: Searcher, q: dict) -> List[str]:
     return []
 
 
+def _register_derived(s: Searcher, body: dict) -> None:
+    """Request-body ``derived`` section (DerivedFieldResolver — derived
+    fields can be defined per search request, not only in the mapping).
+    Spec shapes, both accepted:
+      {name: {"script": {"source": callable, "fields": [...]}}}   # the
+          reference's JSON shape with a Python callable for Painless
+      {name: {"script": callable, "source_columns": [...]}}
+    Registration makes the field a first-class doc-values column on the
+    Searcher (term/terms/range/exists, sort, aggs, collapse); it is
+    idempotent, so the wide/post_filter re-entries are safe."""
+    for name, spec in (body.get("derived") or {}).items():
+        script = spec.get("script", spec)
+        if isinstance(script, dict):
+            fn = script.get("source")
+            cols = script.get("fields") or ()
+        else:
+            fn = script
+            cols = spec.get("source_columns") or spec.get("fields") or ()
+        if callable(fn) and cols:
+            s.register_derived_field(name, fn, cols,
+                                     spec.get("ignore_malformed", False))
+
+
 def execute_search(s: Searcher, body: dict, text_field: str = "text",
                    id_col: str = "doc_id",
                    field_aliases: Optional[dict] = None) -> pd.DataFrame:
@@ -352,6 +375,7 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     if field_aliases:
         from ..mapper import resolve_field_aliases
         body = resolve_field_aliases(body, field_aliases)
+    _register_derived(s, body)
     q = body.get("query", {"match_all": {}})
     if isinstance(q, dict) and len(q) == 1 and "knn" in q:
         (field, spec), = q["knn"].items()
@@ -432,6 +456,9 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
             cols = list(spec.get("fields", ()))
             vals = _fetch_aligned(s, want_ids, cols)
             return np.asarray(fn(pd.DataFrame(vals)))
+        if field in s._derived:  # mapping-level derived field
+            from .sort_phase import gather_doc_values
+            return gather_doc_values(s, want_ids, field)
         return _fetch_aligned(s, want_ids, [field])[field]
 
     sort = body.get("sort")
@@ -921,6 +948,7 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
     if field_aliases:
         from ..mapper import resolve_field_aliases
         body = resolve_field_aliases(body, field_aliases)
+    _register_derived(s, body)
     prof: dict = {}
     t0 = _time.perf_counter()
     q = body.get("query", {"match_all": {}})

@@ -76,6 +76,9 @@ class Searcher:
         self._dec_cache: Dict[Tuple[str, int, int], Tuple[np.ndarray, np.ndarray]] = {}
         self._dec_cache_max = 4096
         self._docvalues: Dict[Tuple[int, str], np.ndarray] = {}
+        #: derived (query-time computed) fields: name -> (script,
+        #: source_columns, ignore_malformed); see register_derived_field
+        self._derived: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------- plumbing
 
@@ -105,6 +108,8 @@ class Searcher:
         cached = self._docvalues.get((seg_id, col))
         if cached is not None:
             return cached[lo:hi]
+        if col in self._derived:  # derived: compute whole segment, slice
+            return self.doc_values(seg_id, col)[lo:hi]
         pf = pq.ParquetFile(os.path.join(self._seg_dir(seg_id),
                                          "docs.parquet"))
         parts, row0 = [], 0
@@ -132,12 +137,60 @@ class Searcher:
             arr = np.asarray(col_pa.to_pylist(), dtype=object)
         return arr[lo - first_row:hi - first_row]
 
+    def register_derived_field(self, name: str, script,
+                               source_columns: Sequence[str],
+                               ignore_malformed: bool = False) -> None:
+        """Derived (query-time computed) field — DerivedFieldMapper /
+        DerivedFieldType.java + query/DerivedFieldQuery.java. ``script``
+        is a vectorized Python callable (Painless is excluded by design:
+        Python callables are this engine's UDF surface) taking a
+        ``pd.DataFrame`` of the source columns for one segment and
+        returning the per-doc value array. Evaluated lazily the first
+        time any query /
+        sort / agg / collapse touches the field, then cached exactly like
+        a real doc-values column — so term/terms/range/exists queries,
+        field sorts and doc-value aggs all work on it unchanged. The
+        reference evaluates the script per doc against _source inside a
+        two-phase iterator (DerivedFieldQuery.java:91-105); one
+        vectorized call per segment is the batch analogue.
+
+        ``ignore_malformed``: a failing script yields an all-null column
+        for that segment instead of failing the search
+        (DerivedFieldMapper's ignore_malformed)."""
+        if not name or not callable(script):
+            raise ValueError("derived field needs a name and a callable")
+        if not source_columns:
+            raise ValueError("derived field needs >=1 source column")
+        self._derived[name] = (script, list(source_columns),
+                               bool(ignore_malformed))
+
+    def _derived_values(self, seg_id: int, col: str) -> np.ndarray:
+        import pandas as pd
+        script, cols, ignore = self._derived[col]
+        src = pd.DataFrame({c: self.doc_values(seg_id, c) for c in cols})
+        n = len(src)
+        try:
+            arr = np.asarray(script(src))
+            if len(arr) != n:
+                raise ValueError(
+                    f"derived field {col!r}: script returned {len(arr)} "
+                    f"values for a {n}-doc segment")
+        except Exception:
+            if not ignore:
+                raise
+            arr = np.full(n, None, dtype=object)
+        return arr
+
     def doc_values(self, seg_id: int, col: str) -> np.ndarray:
         """Per-segment column values aligned by local docid — the doc-values
         analogue (KeywordFieldMapper doc_values=true) used by filters,
-        collapse and sorts; cached per (segment, column)."""
+        collapse and sorts; cached per (segment, column). Derived fields
+        (register_derived_field) materialize here on first touch."""
         key = (seg_id, col)
         arr = self._docvalues.get(key)
+        if arr is None and col in self._derived:
+            arr = self._derived_values(seg_id, col)
+            self._docvalues[key] = arr
         if arr is None:
             t = pq.read_table(os.path.join(self._seg_dir(seg_id), "docs.parquet"),
                               columns=[col])

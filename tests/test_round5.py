@@ -334,3 +334,41 @@ def test_field_alias_resolution(s):
         resolve_field_aliases({}, {"a": "a"})
     with pytest.raises(ValueError):
         resolve_field_aliases({}, {"a": "b", "b": "c"})
+
+
+def test_derived_field_first_class(s):
+    """register_derived_field makes a computed column behave like real
+    doc-values everywhere: range/term/exists queries, sort, terms agg —
+    and ignore_malformed yields all-null instead of failing."""
+    from opensearch_ray.search import dsl, queries as Q
+
+    s.register_derived_field(
+        "ti_bucket", lambda df: (df["turn_idx"].values // 5)
+        .astype(np.int64), ["turn_idx"])
+    want = np.flatnonzero(np.concatenate(
+        [s.doc_values(seg.seg_id, "turn_idx")
+         for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id)])
+        // 5 == 2)
+    got = s.range_docs("ti_bucket", 2)
+    assert (np.sort(got) == want).all() and got.size > 0
+    assert Q.exists_docs(s, "ti_bucket").size == s.N
+
+    r = dsl.execute_request(s, {
+        "query": {"range": {"ti_bucket": {"gte": 1, "lte": 2}}},
+        "sort": [{"ti_bucket": "asc"}, "_doc"], "size": 8,
+        "aggs": {"b": {"terms": {"field": "ti_bucket", "size": 2}}}},
+        id_col="turn_id")
+    assert len(r["hits"]) == 8 and r["total"] > 8
+    assert all(b["key"] in (1, 2) or b["doc_count"] > 0
+               for b in r["aggregations"]["b"]["buckets"])
+
+    def boom(df):
+        raise RuntimeError("malformed")
+    s.register_derived_field("bad", boom, ["turn_idx"],
+                             ignore_malformed=True)
+    assert Q.exists_docs(s, "bad").size == 0
+    s.register_derived_field("bad2", boom, ["turn_idx"])
+    with pytest.raises(RuntimeError):
+        s.doc_values(s.manifest.segments[0].seg_id, "bad2")
+    with pytest.raises(ValueError):
+        s.register_derived_field("x", lambda df: df, [])
