@@ -2948,6 +2948,28 @@ def _q_knn_query(sf_dir):
     return out[["doc_id", "score", "rank"]]
 
 
+def _q_knn_radial_query(sf_dir):
+    """k-NN radial search (the plugin's min_score option / RNN query):
+    every doc with cosine >= 0.2 of the query vector, score desc — k-less
+    radius semantics, not a top-k."""
+    import pyarrow.parquet as _pq
+    from opensearch_ray.search import Searcher, dsl
+    s = Searcher(_doc_index_vec(sf_dir), dtype=np.float64)
+    qv = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        filters=[("vec_id", "=", 3)]
+                        ).column("embedding").to_pylist()[0]
+    out = dsl.execute_search(
+        s, {"query": {"knn": {"embedding": {"vector": qv,
+                                            "min_score": 0.2}}}})
+    # max_distance is the same radius expressed as cosine distance
+    out2 = dsl.execute_search(
+        s, {"query": {"knn": {"embedding": {"vector": qv,
+                                            "max_distance": 0.8}}}})
+    assert out[["doc_id"]].equals(out2[["doc_id"]])
+    out["score"] = _fmt(out["score"].values, 4)
+    return out[["doc_id", "score"]]
+
+
 def _q_knn_filtered_query(sf_dir):
     """Filtered kNN through the DSL (the k-NN plugin's `filter` option):
     lang='en' pre-filter — only allowed rows are gathered and scored,
@@ -3567,6 +3589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "date_math_range": _q_date_math_range,
         "knn_query": _q_knn_query,
+        "knn_radial_query": _q_knn_radial_query,
         "knn_filtered_query": _q_knn_filtered_query,
         "wildcard_field_query": _q_wildcard_field,
         "ip_cidr_term": _q_ip_cidr_term,
@@ -5492,6 +5515,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
                         AS BIGINT) AS rank
             FROM sims ORDER BY sim DESC, doc_id LIMIT 10
+        """,
+        "knn_radial_query": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 3),
+            sims AS (
+              SELECT vec_id AS doc_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) AS sim
+              FROM embeddings)
+            SELECT doc_id, printf('%.4f', sim) AS score
+            FROM sims WHERE sim >= 0.2 ORDER BY sim DESC, doc_id
         """,
         "knn_filtered_query": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -379,13 +379,16 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
     q = body.get("query", {"match_all": {}})
     if isinstance(q, dict) and len(q) == 1 and "knn" in q:
         (field, spec), = q["knn"].items()
+        radial = ("min_score" in spec or "max_distance" in spec)
         kk = int(spec.get("k", body.get("size", 10)))
         allow = (query_docs(s, spec["filter"], text_field)
                  if spec.get("filter") else None)
         ids, scores = knn_docs_scores(s, field, spec["vector"], kk,
-                                      allow=allow)
+                                      allow=allow,
+                                      min_score=spec.get("min_score"),
+                                      max_distance=spec.get("max_distance"))
         frm = int(body.get("from", 0))
-        size = int(body.get("size", kk))
+        size = int(body.get("size", len(ids) if radial else kk))
         out = pd.DataFrame({id_col: ids[frm:frm + size],
                             "score": scores[frm:frm + size]})
         src = body.get("_source")
@@ -527,7 +530,9 @@ def _project_field_options(s: Searcher, out: pd.DataFrame, ids: np.ndarray,
 
 
 def knn_docs_scores(s: Searcher, field: str, vector, k: int = 10,
-                    allow: Optional[np.ndarray] = None):
+                    allow: Optional[np.ndarray] = None,
+                    min_score: Optional[float] = None,
+                    max_distance: Optional[float] = None):
     """knn query (the k-NN plugin's query type; OpenSearch `"query":
     {"knn": {field: {"vector": [...], "k": N, "filter": {...}}}}`): exact
     cosine top-k over a list<float> doc-values column — per-segment
@@ -535,7 +540,17 @@ def knn_docs_scores(s: Searcher, field: str, vector, k: int = 10,
     ``allow`` (sorted global docids) is the efficient PRE-filter: only
     allowed rows are gathered and scored, the k-NN plugin's filtered
     search semantics (not post-filtering the top-k). Float64 scoring
-    (the oracle-comparable mode; ANN variants live in similarity/)."""
+    (the oracle-comparable mode; ANN variants live in similarity/).
+
+    Radial search (the plugin's `min_score` / `max_distance` options —
+    RNN query): when either is given, ALL docs inside the radius are
+    returned (score desc, docid asc) and ``k`` is ignored.
+    ``max_distance`` is cosine DISTANCE, i.e. 1 - cosine similarity."""
+    thr = None
+    if max_distance is not None:
+        thr = 1.0 - float(max_distance)
+    if min_score is not None:
+        thr = float(min_score) if thr is None else max(thr, float(min_score))
     q = np.asarray(vector, np.float64)
     q = q / max(np.linalg.norm(q), 1e-300)
     cand_ids: List[np.ndarray] = []
@@ -556,14 +571,21 @@ def knn_docs_scores(s: Searcher, field: str, vector, k: int = 10,
         V = np.stack([np.asarray(v, np.float64) for v in vals])
         norms = np.linalg.norm(V, axis=1)
         sc = (V @ q) / np.maximum(norms, 1e-300)
-        top = np.lexsort((ids, -sc))[:k]
-        cand_ids.append(ids[top])
-        cand_sc.append(sc[top])
+        if thr is not None:
+            keep = np.flatnonzero(sc >= thr)
+            cand_ids.append(ids[keep])
+            cand_sc.append(sc[keep])
+        else:
+            top = np.lexsort((ids, -sc))[:k]
+            cand_ids.append(ids[top])
+            cand_sc.append(sc[top])
     if not cand_ids:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     ids = np.concatenate(cand_ids)
     sc = np.concatenate(cand_sc)
-    order = np.lexsort((ids, -sc))[:k]
+    order = np.lexsort((ids, -sc))
+    if thr is None:
+        order = order[:k]
     return ids[order], sc[order]
 
 
