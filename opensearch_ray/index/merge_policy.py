@@ -210,3 +210,160 @@ def force_merge(manifest: IndexManifest, max_segments: int = 1,
         index_sort=manifest.index_sort)
     return _finalize_index(new_manifest, hot_df_threshold, merge=True,
                            materialize_postings=True)
+
+
+# ------------------------------------------------------------------- split
+
+def _split_one(index_dir: str, seg_id: int, parts: int,
+               has_positions: bool, index_sorted: bool) -> List[dict]:
+    """Split one source segment into ``parts`` temp segments along
+    contiguous local-docid ranges (the inverse of _merge_group: a pure
+    re-layout, global doc ids unchanged — the split side of the
+    reference's resize API, TransportResizeAction.java:77, where a split
+    target's shards each own a slice of the source's docs)."""
+    sd = os.path.join(index_dir, "segments", f"seg-{seg_id:05d}")
+    docstore = pq.read_table(os.path.join(sd, "docs.parquet"))
+    postings = pq.read_table(os.path.join(sd, "postings.parquet"))
+    n = docstore.num_rows
+    bounds = [n * i // parts for i in range(parts + 1)]
+
+    # decode each term once (concatenating its chunks), then cut per part
+    terms, term_docs, term_tfs, term_pos = [], [], [], []
+    cur, docs_c, tfs_c, pos_c = None, [], [], []
+
+    def close_term():
+        if cur is None:
+            return
+        d = np.concatenate(docs_c)
+        t = np.concatenate(tfs_c)
+        terms.append(cur)
+        term_docs.append(d)
+        term_tfs.append(t)
+        term_pos.append(np.concatenate(pos_c) if pos_c else None)
+
+    for row in postings.sort_by([("term", "ascending"),
+                                 ("chunk", "ascending")]).to_pylist():
+        if row["term"] != cur:
+            close_term()
+            cur, docs_c, tfs_c, pos_c = row["term"], [], [], []
+        d, t = decode_postings(row["docs_enc"], row["tfs_enc"], row["df"])
+        docs_c.append(d)
+        tfs_c.append(t)
+        if has_positions and row["pos_enc"]:
+            pos_c.append(decode_positions_flat(row["pos_enc"], t))
+    close_term()
+
+    out = []
+    for pi in range(parts):
+        lo, hi = bounds[pi], bounds[pi + 1]
+        ds_part = docstore.slice(lo, hi - lo)
+        if lo:
+            ds_part = ds_part.set_column(
+                ds_part.schema.get_field_index("docid"), "docid",
+                pc.subtract(ds_part.column("docid"),
+                            pa.scalar(lo, pa.int64())))
+        norms = ds_part.column("norm").to_numpy(
+            zero_copy_only=False).astype(np.uint8)
+        rows = {name: [] for name in SEGMENT_SCHEMA.names}
+        vocab = 0
+        for term, d, t, p in zip(terms, term_docs, term_tfs, term_pos):
+            a = int(np.searchsorted(d, lo))
+            b2 = int(np.searchsorted(d, hi))
+            if a == b2:
+                continue
+            vocab += 1
+            dd, tt = d[a:b2] - lo, t[a:b2]
+            if p is not None:
+                tok = np.concatenate(([0], np.cumsum(t)))
+                pp = p[tok[a]:tok[b2]]
+            for ci, cs in enumerate(range(0, len(dd), MAX_DOCS_PER_CHUNK)):
+                ce = min(cs + MAX_DOCS_PER_CHUNK, len(dd))
+                enc = encode_postings(dd[cs:ce], tt[cs:ce], norms)
+                rows["term"].append(term)
+                rows["chunk"].append(ci)
+                rows["df"].append(int(enc["df"]))
+                rows["ttf"].append(int(enc["ttf"]))
+                rows["docs_enc"].append(enc["docs_enc"])
+                rows["tfs_enc"].append(enc["tfs_enc"])
+                rows["skip_docs"].append(enc["skip_docs"])
+                rows["skip_off"].append(enc["skip_off"])
+                rows["skip_tf_off"].append(enc["skip_tf_off"])
+                rows["block_max_tf"].append(enc["block_max_tf"])
+                rows["block_min_norm"].append(enc["block_min_norm"])
+                if p is not None:
+                    tokp = np.concatenate(([0], np.cumsum(tt)))
+                    rows["pos_enc"].append(encode_positions_flat(
+                        pp[tokp[cs]:tokp[ce]], tt[cs:ce]))
+                else:
+                    rows["pos_enc"].append(b"")
+        ptab = pa.table({nm: pa.array(rows[nm],
+                                      type=SEGMENT_SCHEMA.field(nm).type)
+                         for nm in SEGMENT_SCHEMA.names},
+                        schema=SEGMENT_SCHEMA)
+        dl = ds_part.column("dl").to_numpy(zero_copy_only=False)
+        tmp = sd + f".split-{pi}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(ptab, os.path.join(tmp, "postings.parquet"),
+                       compression="zstd", row_group_size=4096)
+        pq.write_table(ds_part, os.path.join(tmp, "docs.parquet"),
+                       compression="zstd", row_group_size=65536)
+        meta = {"doc_count": hi - lo, "sum_dl": int(dl.sum()),
+                "vocab": vocab, "postings_rows": ptab.num_rows,
+                "has_positions": bool(has_positions),
+                "split_from": seg_id}
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        out.append({"tmp": tmp, "src_seg": seg_id, "part": pi,
+                    "doc_count": hi - lo, "sum_dl": int(dl.sum()),
+                    "vocab": vocab, "local_base": lo,
+                    "index_sorted": index_sorted})
+    return out
+
+
+def split_index(manifest: IndexManifest, factor: int = 2,
+                hot_df_threshold: int = 1_000_000) -> IndexManifest:
+    """`_split` analogue (ResizeType.SPLIT, TransportResizeAction.java):
+    each source segment -> ``factor`` segments along contiguous doc ranges.
+    Global doc ids are UNCHANGED (each part's base = source base + its
+    local offset), so query results are identical while per-segment
+    parallelism grows ×factor. One Ray task per source segment; stats +
+    bucket merge rebuilt by _finalize_index."""
+    if factor < 2:
+        return manifest
+    segs = sorted(manifest.segments, key=lambda s: s.seg_id)
+    task = ray.remote(num_cpus=1)(_split_one)
+    results = ray.get([
+        task.remote(manifest.index_dir, s.seg_id, factor,
+                    manifest.has_positions,
+                    getattr(s, "index_sorted", True))
+        for s in segs])
+
+    src_base = {s.seg_id: s.doc_base for s in segs}
+    flat = [p for parts in results for p in parts]
+    flat.sort(key=lambda p: (src_base[p["src_seg"]], p["part"]))
+    seg_root = os.path.join(manifest.index_dir, "segments")
+    for s in segs:  # sources out first: ids collide with the new layout
+        shutil.rmtree(os.path.join(seg_root, f"seg-{s.seg_id:05d}"),
+                      ignore_errors=True)
+    new_segments = []
+    for new_id, p in enumerate(flat):
+        dst = os.path.join(seg_root, f"seg-{new_id:05d}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(p["tmp"], dst)
+        new_segments.append(SegmentInfo(
+            seg_id=new_id, path=f"split:{p['src_seg']}:{p['part']}",
+            doc_count=p["doc_count"], sum_dl=p["sum_dl"],
+            doc_base=src_base[p["src_seg"]] + p["local_base"],
+            vocab=p["vocab"], index_sorted=p["index_sorted"]))
+    shutil.rmtree(os.path.join(manifest.index_dir, "merged"),
+                  ignore_errors=True)
+    new_manifest = IndexManifest(
+        index_dir=manifest.index_dir, segments=new_segments,
+        total_docs=manifest.total_docs, sum_dl=manifest.sum_dl,
+        analyzer=manifest.analyzer, text_col=manifest.text_col,
+        num_buckets=manifest.num_buckets,
+        has_positions=manifest.has_positions,
+        index_sort=manifest.index_sort)
+    return _finalize_index(new_manifest, hot_df_threshold, merge=True,
+                           materialize_postings=True)

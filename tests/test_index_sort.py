@@ -97,3 +97,43 @@ def test_merge_boundary_check_demotes_unsorted_layout(tmp_path):
     full = s.search_sorted("alpha", "conv_id", k=9, early_terminate=False)
     auto = s.search_sorted("alpha", "conv_id", k=9)
     pd.testing.assert_frame_equal(full, auto)
+
+
+def test_split_index_identity(tmp_path):
+    """_split (ResizeType.SPLIT): factor x more segments, global docids
+    and query results unchanged — rank identity for BM25, positions
+    survive re-encoding (phrase query identical), index-sort early
+    termination still sound on the split segments."""
+    import shutil
+
+    from opensearch_ray.index.build import build_index, load_manifest
+    from opensearch_ray.index.merge_policy import split_index
+    from opensearch_ray.sources import write_transcript_corpus
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    write_transcript_corpus(corpus, n_turns=1500, n_files=2, seed=13)
+    m = build_index(corpus, idx, analyzer="transcript", num_buckets=4,
+                    index_positions=True)
+    s = Searcher(idx)
+    # a phrase that actually occurs: first two tokens of some document
+    txt = s.fetch([5], columns=["text"]).column("text")[0].as_py()
+    toks = s.analyzer.tokens(txt)[:2]
+    phrase = " ".join(toks)
+    want = [(h.docid, h.score) for h in s.search("bace cedi", k=10)]
+    want_ph = sorted(s.match_phrase(phrase).tolist())
+    assert want_ph, "fixture phrase must match at least the source doc"
+
+    m2 = split_index(load_manifest(idx), factor=3)
+    assert len(m2.segments) == 3 * len(m.segments)
+    assert m2.total_docs == m.total_docs
+    assert [x.doc_base for x in m2.segments] == sorted(
+        x.doc_base for x in m2.segments)
+    assert all(x.index_sorted for x in m2.segments)
+
+    s2 = Searcher(idx)
+    assert [(h.docid, h.score) for h in s2.search("bace cedi", k=10)] == want
+    assert sorted(s2.match_phrase(phrase).tolist()) == want_ph
+    pd.testing.assert_frame_equal(
+        s2.search_sorted("bace", "conv_id", k=6, early_terminate=False),
+        s2.search_sorted("bace", "conv_id", k=6))
