@@ -175,6 +175,38 @@ class SearchCluster:
                             for e in self.executors])
         return self._merge_hits(partials, k)
 
+    def search_with_timeout(self, query_text: str, k: int = 10,
+                            timeout_ms: float = 1000.0,
+                            allow_partial_search_results: bool = True,
+                            operator: str = "or",
+                            filters: Optional[dict] = None) -> dict:
+        """Request-level ``timeout`` + ``allow_partial_search_results``
+        (SearchRequest.allowPartialSearchResults; QueryPhase's timeout
+        raises TimeExceededException and the coordinator keeps the shards
+        that answered): shard fan-out under a coordinator deadline via
+        ``ray.wait``. Shards missing the deadline are excluded, the
+        response is marked ``timed_out`` and the ``_shards`` section
+        carries the accounting — the reference's partial-results shape.
+        With allow_partial_search_results=False the request fails instead
+        (SearchPhaseExecutionException analogue -> TimeoutError). Late
+        shard tasks are left to finish and be dropped — actor tasks are
+        not forcibly cancelled, matching the reference's best-effort
+        cancellation."""
+        refs = [e.search.remote(query_text, k, operator, filters)
+                for e in self.executors]
+        done, pending = ray.wait(refs, num_returns=len(refs),
+                                 timeout=timeout_ms / 1000.0)
+        if pending and not allow_partial_search_results:
+            raise TimeoutError(
+                f"{len(pending)}/{len(refs)} shards missed the "
+                f"{timeout_ms:g} ms deadline and partial results are "
+                "disallowed")
+        partials = ray.get(done) if done else []
+        return {"hits": self._merge_hits(partials, k),
+                "timed_out": bool(pending),
+                "_shards": {"total": len(refs), "successful": len(done),
+                            "skipped": len(pending), "failed": 0}}
+
     def search_after(self, query_text: str, page_size: int,
                      after: Tuple[float, int], operator: str = "or",
                      filters: Optional[dict] = None) -> List[SearchHit]:

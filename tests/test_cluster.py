@@ -110,3 +110,49 @@ def test_cluster_dsl_parity(built_index, cluster):
                                       "size": 4, "_source": ["turn_idx"]},
                               id_col="doc_id")
     assert r.turn_idx.tolist() == want.turn_idx.tolist()
+
+
+def test_search_with_timeout_partial_results(built_index, cluster):
+    """timeout + allow_partial_search_results: a shard missing the
+    coordinator deadline is skipped, the response is marked timed_out
+    with shard accounting; disallowing partials raises; a generous
+    deadline returns the identical full result."""
+    import ray
+    from types import SimpleNamespace
+
+    local = Searcher(built_index.index_dir)
+    want = [(h.docid, h.score) for h in local.search("bace cedi", k=10)]
+
+    r = cluster.search_with_timeout("bace cedi", k=10, timeout_ms=30000)
+    assert not r["timed_out"]
+    assert r["_shards"] == {"total": 2, "successful": 2, "skipped": 0,
+                            "failed": 0}
+    assert [(h.docid, h.score) for h in r["hits"]] == want
+
+    @ray.remote
+    def stalled(*_a, **_k):
+        import time
+        time.sleep(30)
+        return []
+
+    slow = SimpleNamespace(search=SimpleNamespace(
+        remote=lambda *a, **k: stalled.remote()))
+    fast_partials = ray.get(
+        cluster.executors[1].search.remote("bace cedi", 10, "or", None))
+    real = cluster.executors
+    cluster.executors = [slow, real[1]]
+    try:
+        r = cluster.search_with_timeout("bace cedi", k=10, timeout_ms=500)
+        assert r["timed_out"]
+        assert r["_shards"]["successful"] == 1
+        assert r["_shards"]["skipped"] == 1
+        # partial hits == the answering shard's partial, coordinator-merged
+        assert [(h.docid, h.score) for h in r["hits"]] == [
+            (d, s) for d, s in sorted(fast_partials,
+                                      key=lambda p: (-p[1], p[0]))][:10]
+        with pytest.raises(TimeoutError):
+            cluster.search_with_timeout(
+                "bace cedi", k=10, timeout_ms=200,
+                allow_partial_search_results=False)
+    finally:
+        cluster.executors = real
