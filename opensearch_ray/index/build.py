@@ -378,7 +378,12 @@ def build_index_from_dataset(
         analyzer=analyzer if isinstance(analyzer, str) else getattr(analyzer, "name", "custom"),
         text_col=text_col, num_buckets=num_buckets,
         index_sort=[c for c in (sort_cols or [])
-                    if c in (ds.schema().names or [])])
+                    if c in (ds.schema().names or [])],
+        # routed layout: seg_id == hash(partition_key) % P — recorded so a
+        # search with `routing=` can shrink the shard set to the owner
+        # (OperationRouting.generateShardId + the ?routing search param)
+        build_params={"routing": {"partition_key": partition_key,
+                                  "num_partitions": int(P)}})
     return _finalize_index(manifest, hot_df_threshold, merge, True)
 
 

@@ -64,9 +64,11 @@ class QueryExecutor:
             self.searcher.norms(s.seg_id)
 
     def search(self, query_text: str, k: int, operator: str = "or",
-               filters: Optional[dict] = None):
-        hits = self.searcher.search(query_text, k=k, operator=operator,
-                                    filters=filters)
+               filters: Optional[dict] = None,
+               allowed_segs: Optional[list] = None):
+        hits = self.searcher.search(
+            query_text, k=k, operator=operator, filters=filters,
+            allowed_segs=set(allowed_segs) if allowed_segs else None)
         return [(h.docid, h.score) for h in hits]
 
     def search_after(self, query_text: str, page_size: int,
@@ -154,11 +156,33 @@ class SearchCluster:
         for i, sid in enumerate(seg_ids):
             groups[i % num_executors].append(sid)
         dtype_str = "float32" if dtype == np.float32 else "float64"
+        groups = [g for g in groups if g]
         self.executors = [
-            QueryExecutor.remote(index_dir, g, dtype_str) for g in groups if g
+            QueryExecutor.remote(index_dir, g, dtype_str) for g in groups
         ]
+        self._groups = groups
+        #: routed layout (build_index_from_dataset): seg_id ==
+        #: hash(partition_key) % P, so `routing=` can shrink the shard set
+        self._routing = (manifest.build_params or {}).get("routing")
         self._index_dir = index_dir
         self._fetcher: Optional[Searcher] = None  # lazy fetch-phase reader
+
+    def _route(self, routing) -> Optional[Tuple[int, int]]:
+        """routing value -> (executor index, seg_id) of the owning shard,
+        or None when the index is not hash-routed (then every shard must
+        be searched — the reference behaves the same without a routing
+        mapping). OperationRouting.generateShardId analogue on the
+        builder's pd.util.hash_array partitioner."""
+        if routing is None or not self._routing:
+            return None
+        import pandas as pd
+        P = int(self._routing["num_partitions"])
+        part = int(pd.util.hash_array(
+            np.asarray([routing], dtype=object))[0] % np.uint64(P))
+        for ei, g in enumerate(self._groups):
+            if part in g:
+                return ei, part
+        return None
 
     @staticmethod
     def _merge_hits(partials, k: int) -> List[SearchHit]:
@@ -170,9 +194,21 @@ class SearchCluster:
         return [SearchHit(int(docs[i]), float(scores[i])) for i in order]
 
     def search(self, query_text: str, k: int = 10, operator: str = "or",
-               filters: Optional[dict] = None) -> List[SearchHit]:
-        partials = ray.get([e.search.remote(query_text, k, operator, filters)
-                            for e in self.executors])
+               filters: Optional[dict] = None,
+               routing=None) -> List[SearchHit]:
+        """``routing``: search only the shard owning the routing value —
+        the ?routing search parameter. Requires the routed layout
+        (build_index_from_dataset); on an unrouted index it is ignored
+        and every shard is searched."""
+        owner = self._route(routing)
+        if owner is not None:
+            ei, seg = owner
+            partials = [ray.get(self.executors[ei].search.remote(
+                query_text, k, operator, filters, [seg]))]
+        else:
+            partials = ray.get([
+                e.search.remote(query_text, k, operator, filters)
+                for e in self.executors])
         return self._merge_hits(partials, k)
 
     def search_with_timeout(self, query_text: str, k: int = 10,

@@ -156,3 +156,43 @@ def test_search_with_timeout_partial_results(built_index, cluster):
                 allow_partial_search_results=False)
     finally:
         cluster.executors = real
+
+
+def test_routing_shrinks_shard_set(tmp_path):
+    """?routing on a hash-routed layout (build_index_from_dataset):
+    the search hits ONLY the owning partition's segment — equal to the
+    local searcher restricted to that segment; on an unrouted index the
+    parameter is ignored."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from opensearch_ray.index.build import build_index_from_dataset
+    from opensearch_ray.sources import write_transcript_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_transcript_corpus(corpus, n_turns=1200, n_files=2, seed=21)
+    ds = ray.data.read_parquet(corpus)
+    idx = str(tmp_path / "idx")
+    m = build_index_from_dataset(ds, idx, partition_key="conv_id",
+                                 num_partitions=4, num_buckets=4)
+    assert m.build_params["routing"]["num_partitions"] == 4
+
+    key = ray.data.read_parquet(corpus).take(1)[0]["conv_id"]
+    P = 4
+    part = int(pd.util.hash_array(
+        np.asarray([key], dtype=object))[0] % np.uint64(P))
+
+    c = SearchCluster(idx, num_executors=2)
+    try:
+        local = Searcher(idx)
+        want = [(h.docid, h.score) for h in
+                local.search("bace", k=10, allowed_segs={part})]
+        got = [(h.docid, h.score) for h in
+               c.search("bace", k=10, routing=key)]
+        assert got == want and got
+        # routed results are the owner's slice of the unrouted result set
+        full = {(h.docid, h.score) for h in c.search("bace", k=200)}
+        assert set(got) <= full
+    finally:
+        c.shutdown()
