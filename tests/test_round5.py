@@ -372,3 +372,37 @@ def test_derived_field_first_class(s):
         s.doc_values(s.manifest.segments[0].seg_id, "bad2")
     with pytest.raises(ValueError):
         s.register_derived_field("x", lambda df: df, [])
+
+
+def test_request_cache(s):
+    """IndicesRequestCache analogue: identical requests hit the LRU with
+    identical results; callable-bearing (un-cacheable) bodies bypass;
+    the entry bound evicts oldest-first."""
+    from opensearch_ray.search.request_cache import RequestCache
+
+    rc = RequestCache(max_entries=2)
+    body = {"query": {"match": {"text": "bace cedi"}}, "size": 5,
+            "aggs": {"r": {"terms": {"field": "role"}}}}
+    r1 = rc.execute(s, body, id_col="turn_id")
+    r2 = rc.execute(s, body, id_col="turn_id")
+    pd.testing.assert_frame_equal(r1["hits"], r2["hits"])
+    assert r1["aggregations"] == r2["aggregations"]
+    assert rc.stats() == {"hit_count": 1, "miss_count": 1, "entries": 1}
+    # a cached frame handed out twice must not alias (mutation-safe)
+    r2["hits"]["score"] = -1.0
+    r3 = rc.execute(s, body, id_col="turn_id")
+    assert (r3["hits"]["score"] >= 0).all()
+
+    derived = {**body, "derived": {"x": {"script": {
+        "source": lambda df: df["turn_idx"].values,
+        "fields": ["turn_idx"]}}}}
+    assert RequestCache.cache_key(derived, "text") is None
+    r4 = rc.execute(s, derived, id_col="turn_id")  # bypass, still works
+    pd.testing.assert_frame_equal(r4["hits"], r1["hits"])
+    assert rc.stats()["entries"] == 1  # bypass stored nothing
+
+    rc.execute(s, {**body, "size": 6}, id_col="turn_id")
+    rc.execute(s, {**body, "size": 7}, id_col="turn_id")
+    assert rc.stats()["entries"] == 2  # size bound evicted the oldest
+    rc.clear()
+    assert rc.stats()["entries"] == 0
