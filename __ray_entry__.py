@@ -719,6 +719,29 @@ def _q_agg_top_hits(sf_dir):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_scripted_metric(sf_dir):
+    """scripted_metric agg (ScriptedMetricAggregationBuilder): Python
+    map/combine callables standing in for Painless — per-batch partial
+    (count, sum, sum of squares) over events.value, driver combine."""
+    from opensearch_ray.aggs import scripted_metric_agg
+    ds = _read(sf_dir, "events", ["value"])
+
+    def map_fn(t):
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        return (len(v), float(v.sum()), float((v * v).sum()))
+
+    def combine_fn(states):
+        n = sum(s[0] for s in states)
+        sv = sum(s[1] for s in states)
+        sq = sum(s[2] for s in states)
+        return pd.DataFrame({"n": pd.array([n], dtype="int64"),
+                             "sum_value": _fmt(np.array([sv]), 2),
+                             "sum_sq": _fmt(np.array([sq]), 2)})
+
+    return scripted_metric_agg(ds, map_fn, combine_fn)
+
+
 def _q_agg_matrix_stats(sf_dir):
     from opensearch_ray.aggs import matrix_stats_agg
     out = matrix_stats_agg(_read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]),
@@ -3418,6 +3441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_composite": _q_agg_composite,
         "agg_top_hits": _q_agg_top_hits,
         "agg_matrix_stats": _q_agg_matrix_stats,
+        "scripted_metric": _q_scripted_metric,
         "agg_cumulative_sum": _q_agg_cumulative_sum,
         "agg_derivative": _q_agg_derivative,
         # sort / top-k / collapse
@@ -3857,6 +3881,12 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY l_returnflag
                        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
               FROM lineitem) WHERE rn = 1 ORDER BY l_returnflag
+        """,
+        "scripted_metric": """
+            SELECT CAST(count(value) AS BIGINT) AS n,
+                   printf('%.2f', sum(value)) AS sum_value,
+                   printf('%.2f', sum(value * value)) AS sum_sq
+            FROM events WHERE value IS NOT NULL
         """,
         "agg_matrix_stats": """
             SELECT printf('%.4f', covar_pop(l_quantity, l_extendedprice)) AS covariance,
