@@ -6,6 +6,10 @@ Commands (the operational surface a reference user expects):
   count    — hit count for a query
   analyze  — tokenize text with a named analyzer (the `_analyze` API)
   stats    — index stats (docs, segments, vocab, sizes — the `_stats` API)
+  forcemerge — consolidate segments (the `_forcemerge` API)
+  split    — factor-x segment split (`_split`, ResizeType.SPLIT)
+  snapshot — create/restore/delete/list on a blob repository
+             (the `_snapshot` repository API)
   bench    — shorthand for bench.py's headline run
 
 Owns its Ray session (init/shutdown here only), per the session rules.
@@ -119,6 +123,42 @@ def cmd_stats(args):
     }))
 
 
+def cmd_forcemerge(args):
+    ray = _ray()
+    from .index.build import load_manifest
+    from .index.merge_policy import force_merge
+    m = force_merge(load_manifest(args.index),
+                    max_segments=args.max_segments)
+    print(json.dumps({"segments": len(m.segments),
+                      "total_docs": m.total_docs}))
+    ray.shutdown()
+
+
+def cmd_split(args):
+    ray = _ray()
+    from .index.build import load_manifest
+    from .index.merge_policy import split_index
+    m = split_index(load_manifest(args.index), factor=args.factor)
+    print(json.dumps({"segments": len(m.segments),
+                      "total_docs": m.total_docs}))
+    ray.shutdown()
+
+
+def cmd_snapshot(args):
+    from .index import snapshot as snap
+    if args.action == "create":
+        out = snap.create_snapshot(args.index, args.repo, args.name)
+    elif args.action == "restore":
+        m = snap.restore_snapshot(args.repo, args.name, args.index)
+        out = {"restored": args.index, "total_docs": m.total_docs,
+               "segments": len(m.segments)}
+    elif args.action == "delete":
+        out = snap.delete_snapshot(args.repo, args.name)
+    else:  # list
+        out = {"snapshots": snap.list_snapshots(args.repo)}
+    print(json.dumps(out, default=str))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="opensearch_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -162,6 +202,25 @@ def main(argv=None):
     st = sub.add_parser("stats")
     st.add_argument("index")
     st.set_defaults(fn=cmd_stats)
+
+    fm = sub.add_parser("forcemerge")  # the `_forcemerge` API
+    fm.add_argument("index")
+    fm.add_argument("--max-segments", type=int, default=1)
+    fm.set_defaults(fn=cmd_forcemerge)
+
+    sp = sub.add_parser("split")  # `_split` (ResizeType.SPLIT)
+    sp.add_argument("index")
+    sp.add_argument("--factor", type=int, default=2)
+    sp.set_defaults(fn=cmd_split)
+
+    sn = sub.add_parser("snapshot")  # `_snapshot` repository API
+    sn.add_argument("action", choices=["create", "restore", "delete",
+                                       "list"])
+    sn.add_argument("repo")
+    sn.add_argument("--index", default=None,
+                    help="index dir (source for create, target for restore)")
+    sn.add_argument("--name", default="snap-1")
+    sn.set_defaults(fn=cmd_snapshot)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -416,3 +416,36 @@ def test_training_data_pipeline_full_options(tmp_path, sf_dir):
     pk = _pds.dataset(f"{out}/_packing").to_table()
     assert set(pk.column("doc_id").to_pylist()) == \
         set(kept.column("doc_id").to_pylist())
+
+
+def test_cli_resize_and_snapshot(tmp_path, transcript_corpus):
+    """forcemerge / split / snapshot subcommands: the ops surface a
+    reference admin drives via _forcemerge, _split and _snapshot."""
+    import json as _json
+    import subprocess, sys, os
+    corpus_dir, _ = transcript_corpus
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    idx = str(tmp_path / "ops_idx")
+
+    def run(*argv, timeout=240):
+        r = subprocess.run([sys.executable, "-m", "opensearch_ray", *argv],
+                           capture_output=True, text=True, cwd=repo,
+                           env=env, timeout=timeout)
+        assert r.returncode == 0, r.stderr[-800:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    assert run("build", corpus_dir, idx, "--buckets", "4")[
+        "total_docs"] == 2000
+    assert run("split", idx, "--factor", "2")["segments"] == 8
+    assert run("forcemerge", idx, "--max-segments", "2")["segments"] == 2
+    repo_dir = str(tmp_path / "snaprepo")
+    run("snapshot", "create", repo_dir, "--index", idx, "--name", "s1")
+    assert run("snapshot", "list", repo_dir)["snapshots"] == ["s1"]
+    restored = str(tmp_path / "restored")
+    run("snapshot", "restore", repo_dir, "--index", restored, "--name", "s1")
+    hits = _json.loads(subprocess.run(
+        [sys.executable, "-m", "opensearch_ray", "search", restored,
+         "bace cedi", "-k", "3"], capture_output=True, text=True,
+        cwd=repo, env=env, timeout=120).stdout)
+    assert len(hits) == 3
