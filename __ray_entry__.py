@@ -891,6 +891,24 @@ def _q_quality(sf_dir):
     return out[["doc_id", "n_tokens", "stopword_ratio"]]
 
 
+def _q_c4_quality_signals(sf_dir):
+    """C4/Gopher heuristic shape signals (Raffel et al. JMLR'20 §2.2 +
+    Gopher doc-shape rules): per-doc line/word counts and
+    terminal-punct / bullet / ellipsis line ratios, one vectorized Arrow
+    pass — the annotate side of textstats.heuristics.c4_filter."""
+    from opensearch_ray.textstats.heuristics import c4_signals
+    out = c4_signals(_read(sf_dir, "documents", ["doc_id", "text"])) \
+        .to_pandas()
+    for c in ("punct_line_ratio", "bullet_line_ratio",
+              "ellipsis_line_ratio"):
+        out[c] = _fmt(out[c].values, 4)
+    out["has_curly"] = out["has_curly"].astype(bool)
+    out["has_lorem"] = out["has_lorem"].astype(bool)
+    return out[["doc_id", "n_lines", "n_words", "punct_line_ratio",
+                "bullet_line_ratio", "ellipsis_line_ratio", "has_curly",
+                "has_lorem"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_fingerprint(sf_dir):
     from opensearch_ray.textstats import fingerprints
     out = fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
@@ -3464,6 +3482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "token_count": _q_token_count,
         "quality_scores": _q_quality,
+        "c4_quality_signals": _q_c4_quality_signals,
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_brute,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -4096,6 +4115,36 @@ def oracle_sql() -> dict[str, str]:
                        / len(list_filter(string_split(text, ' '), x -> x <> ''))
                      AS stopword_ratio
             FROM documents
+        """,
+        "c4_quality_signals": """
+            WITH lines AS (
+              SELECT d.doc_id, trim(l.line) AS line
+              FROM documents d,
+                   unnest(string_split(d.text, chr(10))) AS l(line)),
+            per AS (
+              SELECT doc_id,
+                     count(*) FILTER (line <> '') AS n_lines,
+                     count(*) FILTER (line <> '' AND regexp_matches(
+                         line, '[.!?]["”'']?$')) AS n_punct,
+                     count(*) FILTER (line <> '' AND regexp_matches(
+                         line, '^[-*•]')) AS n_bullet,
+                     count(*) FILTER (line <> '' AND regexp_matches(
+                         line, '\\.\\.\\.$')) AS n_ellip
+              FROM lines GROUP BY doc_id)
+            SELECT d.doc_id,
+                   p.n_lines,
+                   CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT)
+                     AS n_words,
+                   printf('%.4f', CAST(p.n_punct AS DOUBLE)
+                          / greatest(p.n_lines, 1)) AS punct_line_ratio,
+                   printf('%.4f', CAST(p.n_bullet AS DOUBLE)
+                          / greatest(p.n_lines, 1)) AS bullet_line_ratio,
+                   printf('%.4f', CAST(p.n_ellip AS DOUBLE)
+                          / greatest(p.n_lines, 1)) AS ellipsis_line_ratio,
+                   (d.text LIKE '%{%') AS has_curly,
+                   (lower(d.text) LIKE '%lorem ipsum%') AS has_lorem
+            FROM documents d JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "fingerprint": """
             SELECT doc_id,

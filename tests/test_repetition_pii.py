@@ -57,3 +57,33 @@ def test_pii_patterns_are_re2_safe():
     for label, pat in PII_PATTERNS.items():
         pc.replace_substring_regex(col, pattern=pat,
                                    replacement=f"[{label}]")
+
+
+def test_c4_filter_thresholds(ray_session):
+    """c4_filter: curly/lorem page drops + word bounds + line-shape
+    ratios, vectorized — each rule keeps/drops the crafted doc."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opensearch_ray.textstats.heuristics import c4_filter, c4_signals
+
+    good = ("This is a sensible paragraph of text that ends properly. "
+            * 10).strip()
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array([
+            good,                                  # 0: kept
+            good + " { function() }",              # 1: curly drop
+            good + " Lorem Ipsum dolor sit.",      # 2: lorem drop
+            "too short.",                          # 3: < min_words
+            "\n".join(["- bullet point"] * 9 + [good]),  # 4: bullets
+            "\n".join([good, "to be continued..."] * 9), # 5: ellipsis
+        ])})
+    kept = c4_filter(rd.from_arrow(docs), min_words=50,
+                     max_bullet_line_ratio=0.5,
+                     max_ellipsis_line_ratio=0.3).to_pandas()
+    assert kept.doc_id.tolist() == [0]
+    sig = c4_signals(rd.from_arrow(docs)).to_pandas().set_index("doc_id")
+    assert bool(sig.loc[1, "has_curly"]) and bool(sig.loc[2, "has_lorem"])
+    assert sig.loc[4, "bullet_line_ratio"] == 0.9
+    assert sig.loc[0, "punct_line_ratio"] == 1.0
