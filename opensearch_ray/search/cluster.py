@@ -243,6 +243,17 @@ class SearchCluster:
                 "_shards": {"total": len(refs), "successful": len(done),
                             "skipped": len(pending), "failed": 0}}
 
+    def async_search(self, query_text: str, k: int = 10,
+                     operator: str = "or",
+                     filters: Optional[dict] = None) -> "AsyncSearch":
+        """Submit-and-poll search — the async-search plugin's
+        `_async_search` submit/status/get surface, Ray-native: shard tasks
+        are in flight as ObjectRefs the moment this returns; the handle
+        polls with zero-timeout ray.wait and merges whatever has landed."""
+        refs = [e.search.remote(query_text, k, operator, filters)
+                for e in self.executors]
+        return AsyncSearch(self, refs, k)
+
     def search_after(self, query_text: str, page_size: int,
                      after: Tuple[float, int], operator: str = "or",
                      filters: Optional[dict] = None) -> List[SearchHit]:
@@ -368,3 +379,44 @@ class SearchCluster:
         for e in self.executors:
             ray.kill(e)
         self.executors = []
+
+
+class AsyncSearch:
+    """Handle for an in-flight fan-out search (the async-search plugin's
+    submit/status/get lifecycle). The shard tasks run regardless; the
+    handle only decides when and how much to merge:
+
+    - ``status()``  — non-blocking shard accounting (`GET
+      _async_search/status/<id>` shape: is_running + _shards counts).
+    - ``get(partial=True)`` — merge the shards that have completed so far
+      (the plugin's partial-response semantics while is_running).
+    - ``get()`` — block until every shard answered, merge the full top-k
+      (equivalent to the synchronous search result).
+    """
+
+    def __init__(self, cluster: "SearchCluster", refs, k: int):
+        self._cluster = cluster
+        self._refs = list(refs)
+        self._k = int(k)
+
+    def status(self) -> dict:
+        done, pending = ray.wait(self._refs, num_returns=len(self._refs),
+                                 timeout=0)
+        return {"is_running": bool(pending),
+                "_shards": {"total": len(self._refs),
+                            "successful": len(done),
+                            "skipped": 0, "failed": 0}}
+
+    def get(self, partial: bool = False) -> dict:
+        if partial:
+            done, pending = ray.wait(self._refs,
+                                     num_returns=len(self._refs),
+                                     timeout=0)
+        else:
+            done, pending = self._refs, []
+        partials = ray.get(done) if done else []
+        return {"hits": SearchCluster._merge_hits(partials, self._k),
+                "is_partial": bool(pending),
+                "_shards": {"total": len(self._refs),
+                            "successful": len(done),
+                            "skipped": len(pending), "failed": 0}}

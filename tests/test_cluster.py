@@ -196,3 +196,43 @@ def test_routing_shrinks_shard_set(tmp_path):
         assert set(got) <= full
     finally:
         c.shutdown()
+
+
+def test_async_search_lifecycle(built_index, cluster):
+    """async_search submit/status/get: a stalled shard keeps is_running
+    true, get(partial=True) merges what landed, the final get equals the
+    synchronous search."""
+    import ray
+    import time
+    from types import SimpleNamespace
+
+    want = [(h.docid, h.score) for h in cluster.search("bace cedi", k=10)]
+    h = cluster.async_search("bace cedi", k=10)
+    full = h.get()
+    assert not full["is_partial"]
+    assert [(x.docid, x.score) for x in full["hits"]] == want
+    assert h.status() == {"is_running": False,
+                          "_shards": {"total": 2, "successful": 2,
+                                      "skipped": 0, "failed": 0}}
+
+    @ray.remote
+    def stalled(*_a, **_k):
+        time.sleep(30)
+        return []
+
+    slow = SimpleNamespace(search=SimpleNamespace(
+        remote=lambda *a, **k: stalled.remote()))
+    real = cluster.executors
+    cluster.executors = [slow, real[1]]
+    try:
+        h2 = cluster.async_search("bace cedi", k=10)
+        deadline = time.time() + 20
+        while h2.status()["_shards"]["successful"] < 1:
+            assert time.time() < deadline
+            time.sleep(0.05)
+        st = h2.status()
+        assert st["is_running"] and st["_shards"]["successful"] == 1
+        part = h2.get(partial=True)
+        assert part["is_partial"] and len(part["hits"]) > 0
+    finally:
+        cluster.executors = real
