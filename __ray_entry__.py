@@ -3329,6 +3329,26 @@ def _q_sort_index_early_term(sf_dir):
     return out
 
 
+def _q_ltr_rescore(sf_dir):
+    """Learning-to-rank rescore (the opensearch-learning-to-rank plugin's
+    sltr query): linear model 0.6*bm25 + 0.0005*n_chars over the base
+    query's top-50 window, re-ranked top 10 — window discipline, feature
+    extraction and model scoring all oracle-checked."""
+    from opensearch_ray.search.ltr import ltr_rescore
+    s = _searcher(sf_dir)
+    out, feats = ltr_rescore(
+        s, _BM25_Q,
+        feature_set={"bm25": {"bm25": _BM25_Q},
+                     "chars": {"field": "n_chars"}},
+        weights={"bm25": 0.6, "chars": 0.0005},
+        window_size=50, k=10, log_features=True)
+    assert list(feats.columns) == ["_docid", "bm25", "chars"]
+    out = out.rename(columns={"_docid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["ltr_score"] = _fmt(out["ltr_score"].values, 4)
+    return out
+
+
 def _q_field_alias_search(sf_dir):
     """`alias`-type field resolution (FieldAliasMapper.java): a request
     written entirely against alias names — range + term filters, field
@@ -3655,6 +3675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_search_after_score": _q_dsl_search_after_score,
         "dsl_search_after_sort": _q_dsl_search_after_sort,
         "field_alias_search": _q_field_alias_search,
+        "ltr_rescore": _q_ltr_rescore,
         "sort_index_early_term": _q_sort_index_early_term,
         "derived_field_query": _q_derived_field_query,
         "wrapper_query": _q_wrapper_query,
@@ -5803,6 +5824,17 @@ def oracle_sql() -> dict[str, str]:
             FROM scored sc JOIN documents d USING (doc_id)
             ORDER BY d.n_chars DESC, sc.doc_id
             LIMIT 10 OFFSET 10"""),
+        "ltr_rescore": _bm25_sql("""
+            , win AS (
+              SELECT sc.doc_id, sc.score, d.n_chars
+              FROM scored sc JOIN documents d USING (doc_id)
+              ORDER BY sc.score DESC, sc.doc_id LIMIT 50)
+            SELECT doc_id,
+                   printf('%.4f', 0.6 * score + 0.0005 * n_chars)
+                     AS ltr_score
+            FROM win
+            ORDER BY 0.6 * score + 0.0005 * n_chars DESC, doc_id
+            LIMIT 10"""),
         "field_alias_search": """
             SELECT doc_id, n_chars, lang FROM documents
             WHERE n_chars >= 200 AND n_chars < 400 AND lang = 'en'

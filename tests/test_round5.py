@@ -406,3 +406,32 @@ def test_request_cache(s):
     assert rc.stats()["entries"] == 2  # size bound evicted the oldest
     rc.clear()
     assert rc.stats()["entries"] == 0
+
+
+def test_ltr_rescore_window_and_logging(s):
+    """sltr rescorer: linear model over extracted features re-ranks only
+    the window; feature logging returns the aligned matrix; callable and
+    const features compose."""
+    from opensearch_ray.search.ltr import extract_features, ltr_rescore
+
+    out, feats = ltr_rescore(
+        s, "bace cedi",
+        feature_set={"bm25": {"bm25": "bace cedi"},
+                     "ti": {"field": "turn_idx"},
+                     "bias": {"const": 2.0}},
+        weights={"bm25": 1.0, "ti": 0.01, "bias": 1.0},
+        window_size=20, k=5, log_features=True)
+    assert len(out) == 5 and len(feats) <= 20
+    base = {h.docid: h.score for h in s.search("bace cedi", k=20)}
+    assert set(feats._docid) <= set(base)
+    # model score recomputed by hand
+    f = feats.set_index("_docid")
+    for d, sc in zip(out._docid, out.ltr_score):
+        assert sc == pytest.approx(
+            f.loc[d, "bm25"] + 0.01 * f.loc[d, "ti"] + 2.0)
+    assert (np.diff(out.ltr_score.values) <= 1e-12).all()
+    # callable feature
+    m = extract_features(
+        s, np.array(sorted(base)[:4], np.int64),
+        {"twice": lambda srch, ids: ids * 2.0})
+    assert (m["twice"].values == m["_docid"].values * 2).all()
