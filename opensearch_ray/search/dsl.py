@@ -333,6 +333,41 @@ def _score_terms(s: Searcher, q: dict) -> List[str]:
     return []
 
 
+def _index_sort_prune(s: Searcher, body: dict, ids: np.ndarray,
+                      scores: np.ndarray):
+    """Index-sort early termination for the DSL sort path
+    (QueryPhase.canEarlyTerminate): when the request sorts by the index
+    sort's leading column ascending (optionally tie-broken by ``_doc``
+    asc — the same order the cut preserves) and is not cursor-paged,
+    each segment can contribute only its FIRST from+size matches — local
+    docid order IS the sort order — before the value gather runs. Cuts
+    the sort phase's doc-value fetch from O(matches) to
+    O(k x segments) on index-sorted layouts; a no-op otherwise."""
+    specs = _parse_sort(body.get("sort"))
+    eligible = (
+        bool(s.manifest.index_sort)
+        and body.get("search_after") is None
+        and 1 <= len(specs) <= 2
+        and specs[0] == (s.manifest.index_sort[0], False)
+        and (len(specs) == 1 or specs[1] == ("_doc", False))
+        and specs[0][0] not in (body.get("derived") or {})
+        and specs[0][0] not in s._derived  # a derived shadow re-orders
+        and all(getattr(seg, "index_sorted", True)
+                for seg in s.manifest.segments))
+    if not eligible or ids.size == 0:
+        return ids, scores
+    need = int(body.get("from", 0)) + int(body.get("size", 10))
+    g = np.sort(ids)
+    seg_idx = np.searchsorted(s._bases, g, side="right") - 1
+    # first `need` match docids of every segment, one vectorized pass:
+    # rank-within-segment = position - first-position-of-that-segment
+    first = np.concatenate(([0], np.flatnonzero(np.diff(seg_idx)) + 1))
+    seg_start = np.repeat(first, np.diff(np.concatenate((first, [g.size]))))
+    keep_sorted = g[(np.arange(g.size) - seg_start) < need]
+    mask = np.isin(ids, keep_sorted)
+    return ids[mask], scores[mask]
+
+
 def _register_derived(s: Searcher, body: dict) -> None:
     """Request-body ``derived`` section (DerivedFieldResolver — derived
     fields can be defined per search request, not only in the mapping).
@@ -466,6 +501,7 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
 
     sort = body.get("sort")
     if sort:
+        ids, scores = _index_sort_prune(s, body, ids, scores)
         ids, scores = _apply_sort(s, ids, scores, sort, resolve)
 
     after_b = body.get("search_after")

@@ -137,3 +137,33 @@ def test_split_index_identity(tmp_path):
     pd.testing.assert_frame_equal(
         s2.search_sorted("bace", "conv_id", k=6, early_terminate=False),
         s2.search_sorted("bace", "conv_id", k=6))
+
+
+def test_dsl_index_sort_prune_parity(built_index):
+    """The DSL sort path's early termination is result-invisible: an
+    index-sort-aligned request equals the same request on a searcher
+    whose manifest disables the contract (full path), across paging,
+    scored and filter-context queries; a desc or secondary-keyed sort is
+    ineligible and still correct."""
+    from opensearch_ray.search import dsl
+
+    s = Searcher(built_index.index_dir)
+    s_off = Searcher(built_index.index_dir)
+    s_off.manifest.index_sort = []  # force the full path
+
+    bodies = [
+        {"query": {"term": {"role": "user"}},
+         "sort": [{"conv_id": "asc"}], "size": 9},
+        {"query": {"term": {"role": "user"}},
+         "sort": [{"conv_id": "asc"}, "_doc"], "from": 5, "size": 7},
+        {"query": {"match": {"text": "bace cedi"}},
+         "sort": [{"conv_id": "asc"}], "size": 6},
+        {"query": {"term": {"role": "user"}},          # ineligible: desc
+         "sort": [{"conv_id": "desc"}], "size": 6},
+        {"query": {"term": {"role": "user"}},          # ineligible: 2nd key
+         "sort": [{"conv_id": "asc"}, {"turn_idx": "desc"}], "size": 6},
+    ]
+    for body in bodies:
+        a = dsl.execute_search(s, body, id_col="turn_id")
+        b = dsl.execute_search(s_off, body, id_col="turn_id")
+        pd.testing.assert_frame_equal(a, b)
