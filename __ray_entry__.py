@@ -2095,6 +2095,35 @@ def _q_agg_geotile_grid(sf_dir):
                             precision=4, size=20)
 
 
+def _q_agg_composite_geotile(sf_dir):
+    """composite with a geotile_grid SOURCE (the 4th
+    CompositeValuesSourceBuilder type): page 1 of (tile, event_type)
+    buckets in key order with a per-bucket avg sub-agg."""
+    from opensearch_ray.aggs import composite_agg
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lat": pa.array((uid % 180).astype(np.float64) - 89.5),
+            "lon": pa.array((eid % 360).astype(np.float64) - 179.5),
+            "event_type": t.column("event_type"),
+            "value": t.column("value")})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"]) \
+        .map_batches(derive, batch_format="pyarrow")
+    out = composite_agg(
+        ds,
+        [{"type": "geotile_grid", "fields": ("lat", "lon"),
+          "precision": 4}, "event_type"],
+        size=12, sub_aggs={"avg_value": ("avg", "value")})
+    out = out.rename(columns={"_src_0": "tile"})
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    out["avg_value"] = _fmt(out["avg_value"].values, 4)
+    return out[["tile", "event_type", "doc_count", "avg_value"]]
+
+
 def _q_agg_geohash_grid(sf_dir):
     """geohash_grid precision=2 over derived coordinates, top 15 cells."""
     from opensearch_ray.aggs.geo import geohash_grid_agg
@@ -3632,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_agg_calendar_pct": _q_dsl_agg_calendar_pct,
         "agg_terms_partition": _q_agg_terms_partition,
         "agg_composite_hist": _q_agg_composite_hist,
+        "agg_composite_geotile": _q_agg_composite_geotile,
         "dedup_substring_stats": _q_dedup_substring_stats,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -4742,6 +4772,26 @@ def oracle_sql() -> dict[str, str]:
               FROM pts)
             SELECT '4/' || x || '/' || y AS key, count(*) AS doc_count
             FROM xy GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 20
+        """,
+        "agg_composite_geotile": """
+            WITH pts AS (
+              SELECT (user_id % 180) - 89.5 AS lat,
+                     (event_id % 360) - 179.5 AS lon,
+                     event_type, value
+              FROM events),
+            xy AS (
+              SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 16)
+                                         AS BIGINT), 0), 15) AS x,
+                     least(greatest(CAST(floor(
+                       (0.5 - ln((1.0 + sin(radians(lat)))
+                                 / (1.0 - sin(radians(lat)))) / (4.0 * pi()))
+                       * 16) AS BIGINT), 0), 15) AS y,
+                     event_type, value
+              FROM pts)
+            SELECT '4/' || x || '/' || y AS tile, event_type,
+                   count(*) AS doc_count,
+                   printf('%.4f', avg(value)) AS avg_value
+            FROM xy GROUP BY 1, 2 ORDER BY tile, event_type LIMIT 12
         """,
         "agg_geohash_grid": """
             WITH pts AS (

@@ -788,6 +788,17 @@ def composite_agg(ds: Dataset, sources: List[str], size: int = 10,
 
         def derive(t: pa.Table) -> pa.Table:
             for name, s in specs:
+                if s.get("type") == "geotile_grid":
+                    # the 4th composite source (GeoTileGridValuesSource-
+                    # Builder): z/x/y web-mercator tile keys
+                    from .geo import geotile_keys
+                    la, lo = s["fields"]
+                    key = geotile_keys(
+                        t.column(la).to_numpy(zero_copy_only=False),
+                        t.column(lo).to_numpy(zero_copy_only=False),
+                        int(s.get("precision", 7)))
+                    t = t.append_column(name, pa.array(key))
+                    continue
                 v = t.column(s["field"]).to_numpy(zero_copy_only=False)
                 if s.get("type") == "date_histogram":
                     unit = {"year": "Y", "month": "M", "week": "W",
