@@ -23,6 +23,7 @@ primitives.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -586,17 +587,30 @@ def bigram_model(searcher: Searcher) -> dict:
 
 def phrase_suggest(searcher: Searcher, text: str, size: int = 5,
                    max_edits: int = 1, candidates_per_term: int = 5,
-                   discount: float = 0.4) -> pd.DataFrame:
+                   discount: float = 0.4,
+                   smoothing: str = "stupid_backoff",
+                   alpha: float = 0.5,
+                   bigram_lambda: float = 0.7,
+                   unigram_lambda: float = 0.3) -> pd.DataFrame:
     """Did-you-mean whole phrases: per-token candidates from the term
     dictionary (edit distance <= max_edits, ordered (distance, df desc, term),
     capped — DirectCandidateGenerator shape), every candidate phrase scored
-    with a Stupid-Backoff bigram model:
+    with a bigram language model under one of the reference's three
+    smoothing models (search/suggest/phrase/WordScorer.java and its
+    StupidBackoffScorer / LaplaceScorer / LinearInterpolatingScorer):
 
-      score = ln( (ttf(w1)/T) * Π S(w_i | w_{i-1}) )
-      S(b|a) = count(a,b)/ttf(a)  if the bigram exists,
-               discount * ttf(b)/T  otherwise
+      stupid_backoff (default, discount=0.4):
+        S(b|a) = count(a,b)/ttf(a) if seen, else discount * ttf(b)/T
+      laplace (alpha=0.5):
+        S(b|a) = (alpha + count(a,b)) / (ttf(a) + alpha * V)
+      linear_interpolation (lambdas normalized to sum 1):
+        S(b|a) = bigram_lambda * count(a,b)/(0.5 + ttf(a))
+                 + unigram_lambda * (1 + ttf(b))/(T + V)
+        (count==0 -> unigram term only — LinearInterpolatingScorer:97)
 
-    (T = total analyzed tokens = manifest.sum_dl). Returns
+    T = total analyzed tokens (manifest.sum_dl); V = distinct terms
+    (stats-shard row count — includes the few salted duplicates, the
+    same upper-bound convention the stats reader documents). Returns
     (phrase, score, rank), (score desc, phrase asc)."""
     import itertools
     import math
@@ -614,9 +628,22 @@ def phrase_suggest(searcher: Searcher, text: str, size: int = 5,
                                    ctbl.column("distance").to_pylist()))
         cand_of.append([t for _, _, t in cands[:candidates_per_term]]
                        or [tok])
+    if smoothing not in ("stupid_backoff", "laplace",
+                         "linear_interpolation"):
+        raise ValueError(f"unknown smoothing model {smoothing!r}")
     model = bigram_model(searcher)
     stats = searcher.term_stats([t for cl in cand_of for t in cl])
     T = float(searcher.manifest.sum_dl) or 1.0
+    V = 0.0
+    if smoothing != "stupid_backoff":
+        import pyarrow.parquet as _pq
+        import glob as _glob
+        V = float(sum(
+            _pq.ParquetFile(f).metadata.num_rows for f in _glob.glob(
+                os.path.join(searcher.manifest.index_dir, "term_stats",
+                             "*.parquet")))) or 1.0
+        lam = bigram_lambda + unigram_lambda
+        bl, ul = bigram_lambda / lam, unigram_lambda / lam
     rows = []
     for phrase in itertools.product(*cand_of):
         ttf1 = stats.get(phrase[0], (0, 0))[1]
@@ -626,10 +653,17 @@ def phrase_suggest(searcher: Searcher, text: str, size: int = 5,
         ok = True
         for a, b in zip(phrase[:-1], phrase[1:]):
             big = model.get((a, b), 0)
-            if big:
-                p *= big / stats[a][1]
+            ttfa = stats.get(a, (0, 0))[1]
+            ttfb = stats.get(b, (0, 0))[1]
+            if smoothing == "laplace":
+                p *= (alpha + big) / (ttfa + alpha * V)
+            elif smoothing == "linear_interpolation":
+                uni = ul * (1.0 + ttfb) / (T + V)
+                p *= (uni if big < 1
+                      else bl * big / (0.5 + ttfa) + uni)
+            elif big:
+                p *= big / ttfa
             else:
-                ttfb = stats.get(b, (0, 0))[1]
                 if ttfb == 0:
                     ok = False
                     break

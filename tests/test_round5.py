@@ -435,3 +435,35 @@ def test_ltr_rescore_window_and_logging(s):
         s, np.array(sorted(base)[:4], np.int64),
         {"twice": lambda srch, ids: ids * 2.0})
     assert (m["twice"].values == m["_docid"].values * 2).all()
+
+
+def test_phrase_suggest_smoothing_models(s):
+    """PhraseSuggester smoothing models: laplace and linear_interpolation
+    score phrases by the reference formulas; all three models rank a
+    real corpus phrase first for a one-edit typo."""
+    import math
+
+    from opensearch_ray.search.features import (bigram_model,
+                                                phrase_suggest)
+
+    # a real bigram from the corpus to misspell
+    model = bigram_model(s)
+    (a, b), cnt = max(model.items(), key=lambda kv: kv[1])
+    typo = a[:-1] + ("x" if a[-1] != "x" else "y") + " " + b
+    for sm in ("stupid_backoff", "laplace", "linear_interpolation"):
+        out = phrase_suggest(s, typo, size=3, smoothing=sm)
+        assert len(out) and out.phrase.iloc[0] == f"{a} {b}", (sm, out)
+
+    # laplace hand-check on the top suggestion
+    out = phrase_suggest(s, typo, size=1, smoothing="laplace", alpha=0.5)
+    stats = s.term_stats([a, b])
+    T = float(s.manifest.sum_dl)
+    import glob, os
+    import pyarrow.parquet as pq
+    V = float(sum(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(
+        os.path.join(s.manifest.index_dir, "term_stats", "*.parquet"))))
+    want = math.log((stats[a][1] / T)
+                    * (0.5 + cnt) / (stats[a][1] + 0.5 * V))
+    assert out.score.iloc[0] == pytest.approx(want)
+    with pytest.raises(ValueError):
+        phrase_suggest(s, typo, smoothing="kneser_ney")
