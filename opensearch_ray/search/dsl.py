@@ -1111,7 +1111,27 @@ def _apply_suggest(s: Searcher, sugg: dict) -> dict:
             out[name] = df.to_dict(orient="records")
         elif "phrase" in spec:
             p = spec["phrase"]
-            df = features.phrase_suggest(s, text, size=p.get("size", 5))
+            kw = {}
+            # request-body smoothing models (PhraseSuggestionBuilder.
+            # smoothingModel: stupid_backoff / laplace /
+            # linear_interpolation)
+            sm = p.get("smoothing")
+            if sm:
+                (model, params), = sm.items()
+                kw["smoothing"] = model
+                if model == "stupid_backoff":
+                    kw["discount"] = params.get("discount", 0.4)
+                elif model == "laplace":
+                    kw["alpha"] = params.get("alpha", 0.5)
+                elif model == "linear_interpolation":
+                    kw["bigram_lambda"] = params.get("bigram_lambda", 0.7)
+                    kw["unigram_lambda"] = params.get("unigram_lambda",
+                                                      0.3)
+            gen = (p.get("direct_generator") or [{}])[0]
+            df = features.phrase_suggest(
+                s, text, size=p.get("size", 5),
+                max_edits=int(gen.get("max_edits", 1)),
+                **kw)
             out[name] = df.to_dict(orient="records")
         elif "completion" in spec:
             c = spec["completion"]

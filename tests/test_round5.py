@@ -467,3 +467,23 @@ def test_phrase_suggest_smoothing_models(s):
     assert out.score.iloc[0] == pytest.approx(want)
     with pytest.raises(ValueError):
         phrase_suggest(s, typo, smoothing="kneser_ney")
+
+
+def test_dsl_suggest_smoothing_passthrough(s):
+    """Request-body phrase suggester accepts the reference's smoothing
+    and direct_generator options."""
+    from opensearch_ray.search import dsl
+    from opensearch_ray.search.features import bigram_model, phrase_suggest
+
+    (a, b), _ = max(bigram_model(s).items(), key=lambda kv: kv[1])
+    typo = a[:-1] + ("x" if a[-1] != "x" else "y") + " " + b
+    r = dsl.execute_request(s, {"size": 0, "suggest": {
+        "fix": {"text": typo, "phrase": {
+            "size": 3,
+            "smoothing": {"laplace": {"alpha": 0.7}},
+            "direct_generator": [{"max_edits": 1}]}}}},
+        id_col="turn_id")
+    got = r["suggest"]["fix"]
+    want = phrase_suggest(s, typo, size=3, smoothing="laplace", alpha=0.7)
+    assert [g["phrase"] for g in got] == want.phrase.tolist()
+    assert got[0]["score"] == pytest.approx(want.score.iloc[0])
