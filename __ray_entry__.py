@@ -2359,6 +2359,25 @@ def _event_index(sf_dir: str) -> str:
     return idx
 
 
+def _q_fetch_docvalue_format(sf_dir):
+    """docvalue_fields `format` option (DocValueFieldsContext +
+    DateFormatter): the ts doc value rendered as yyyy-MM-dd HH:mm:ss and
+    as epoch_millis in the same projection."""
+    from opensearch_ray.search import Searcher, dsl
+    s = Searcher(_event_index(sf_dir), dtype=np.float64)
+    body = {"query": {"range": {"value": {"gte": 99.0}}},
+            "sort": [{"event_id": "asc"}], "size": 12}
+    r = dsl.execute_search(s, {**body, "docvalue_fields": [
+        {"field": "ts", "format": "yyyy-MM-dd HH:mm:ss"}]},
+        id_col="event_id")
+    r2 = dsl.execute_search(s, {**body, "docvalue_fields": [
+        {"field": "ts", "format": "epoch_millis"}]}, id_col="event_id")
+    out = r[["event_id", "ts"]].copy()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["ts_millis"] = r2["ts"].astype(np.int64).to_numpy()
+    return out.reset_index(drop=True)
+
+
 def _q_dsl_agg_calendar_pct(sf_dir):
     """Round-5 request-body aggs over the events index: calendar
     date_histogram (Monday-aligned weeks), exact nearest-rank
@@ -3659,6 +3678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_agg_hist_range_card": _q_dsl_agg_hist_range_card,
         "dsl_agg_terms_sub": _q_dsl_agg_terms_sub,
         "dsl_agg_calendar_pct": _q_dsl_agg_calendar_pct,
+        "fetch_docvalue_format": _q_fetch_docvalue_format,
         "agg_terms_partition": _q_agg_terms_partition,
         "agg_composite_hist": _q_agg_composite_hist,
         "agg_composite_geotile": _q_agg_composite_geotile,
@@ -5319,6 +5339,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT floor(value / 50.0) * 50.0 AS b, event_type,
                      count(*) AS doc_count
               FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 12)
+        """,
+        "fetch_docvalue_format": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts_millis
+            FROM events WHERE value >= 99.0
+            ORDER BY event_id LIMIT 12
         """,
         "dsl_agg_calendar_pct": """
             WITH wk AS (

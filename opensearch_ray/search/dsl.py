@@ -560,9 +560,44 @@ def _project_field_options(s: Searcher, out: pd.DataFrame, ids: np.ndarray,
         if f in out.columns:
             continue
         if resolve is not None:
-            out[f] = resolve(f, ids)
+            vals = resolve(f, ids)
         else:
-            out[f] = _fetch_aligned(s, ids, [f])[f]
+            vals = _fetch_aligned(s, ids, [f])[f]
+        fmt = spec.get("format") if isinstance(spec, dict) else None
+        if fmt:
+            # docvalue_fields date `format` (DocValueFieldsContext /
+            # DateFormatter): Java date-pattern subset -> strftime
+            vals = _format_datetimes(vals, fmt)
+        out[f] = vals
+
+
+#: Java DateTimeFormatter tokens -> strftime (the subset the reference's
+#: named formats are built from); SSS (millis) handled separately
+_JAVA_DATE_TOKENS = [("yyyy", "%Y"), ("SSS", "%f"), ("MM", "%m"),
+                     ("dd", "%d"), ("HH", "%H"), ("mm", "%M"),
+                     ("ss", "%S")]
+
+
+def _format_datetimes(vals, fmt: str) -> list:
+    """Render datetime64 doc values with a Java-style date pattern
+    (yyyy-MM-dd'T'HH:mm:ss[.SSS], epoch_millis, epoch_second) —
+    vectorized through pandas' strftime. SSS is supported as a TRAILING
+    millisecond field (the position every reference named format uses)."""
+    import pandas as pd
+    ser = pd.Series(np.asarray(vals))
+    if fmt == "epoch_millis":
+        return (ser.astype("datetime64[ns]").astype(np.int64)
+                // 1_000_000).tolist()
+    if fmt == "epoch_second":
+        return (ser.astype("datetime64[ns]").astype(np.int64)
+                // 1_000_000_000).tolist()
+    pat = fmt.replace("'T'", "T")
+    for j, p in _JAVA_DATE_TOKENS:
+        pat = pat.replace(j, p)
+    out = ser.dt.strftime(pat)
+    if "SSS" in fmt:  # strftime %f is micros; trim to millis
+        out = out.str.slice(0, -3)
+    return out.tolist()
 
 
 def knn_docs_scores(s: Searcher, field: str, vector, k: int = 10,
