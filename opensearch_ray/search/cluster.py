@@ -114,6 +114,10 @@ class QueryExecutor:
         """Batched search (`_msearch`): all requests in ONE actor round-trip."""
         return [self.search(q, k, op) for q, k, op in requests]
 
+    def mexecute_dsl(self, bodies: List[dict], text_field: str):
+        """Batched execute_dsl: every body in one actor round-trip."""
+        return [self.execute_dsl(b, text_field) for b in bodies]
+
     def count_terms(self, query_text: str):
         terms = self.searcher.analyzer.tokens(query_text)
         return self.searcher.term_stats(terms)
@@ -373,6 +377,32 @@ class SearchCluster:
                     self._fetcher, out[id_col].to_numpy(np.int64),
                     list(src)).items():
                 out[c] = vals
+        return out
+
+    def msearch_dsl(self, bodies: List[dict], text_field: str = "text",
+                    id_col: str = "doc_id") -> List:
+        """`_msearch` with JSON-DSL bodies: ALL bodies ship to every
+        executor in ONE actor round-trip (the reference's msearch bulk
+        framing — one transport message, N searches), then each body's
+        partials merge exactly like execute_search. Latency is one
+        fan-out instead of len(bodies)."""
+        import pandas as pd
+        for body in bodies:
+            for key in ("sort", "collapse", "rescore"):
+                if body.get(key):
+                    raise ValueError(f"{key} is not supported on the "
+                                     "cluster DSL path")
+        per_exec = ray.get([e.mexecute_dsl.remote(bodies, text_field)
+                            for e in self.executors])
+        out = []
+        for qi, body in enumerate(bodies):
+            partials = [p[qi] for p in per_exec]
+            frm = int(body.get("from", 0))
+            size = int(body.get("size", 10))
+            merged = self._merge_hits(partials, frm + size)[frm:]
+            out.append(pd.DataFrame(
+                {id_col: [h.docid for h in merged],
+                 "score": [h.score for h in merged]}))
         return out
 
     def shutdown(self):

@@ -1,5 +1,6 @@
 """SearchCluster (shard fan-out actors) must equal the local Searcher exactly."""
 
+import pandas as pd
 import pytest
 
 from opensearch_ray.search import Searcher, SearchCluster
@@ -236,3 +237,23 @@ def test_async_search_lifecycle(built_index, cluster):
         assert part["is_partial"] and len(part["hits"]) > 0
     finally:
         cluster.executors = real
+
+
+def test_msearch_dsl_parity(built_index, cluster):
+    """Batched DSL msearch: one actor round-trip, each body's result
+    equal to its individual execute_search."""
+    bodies = [
+        {"query": {"match": {"text": "bace cedi"}}, "size": 6},
+        {"query": {"bool": {"must": [{"match": {"text": "bace"}}],
+                            "filter": [{"term": {"role": "user"}}]}},
+         "size": 4},
+        {"query": {"term": {"role": "assistant"}}, "from": 3, "size": 5},
+    ]
+    got = cluster.msearch_dsl(bodies, id_col="turn_id")
+    for body, g in zip(bodies, got):
+        want = cluster.execute_search(body, id_col="turn_id")
+        pd.testing.assert_frame_equal(g, want)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cluster.msearch_dsl([{"query": {"match_all": {}},
+                              "sort": ["_doc"]}])
