@@ -1263,6 +1263,22 @@ def _q_agg_moving_avg_ewma(sf_dir):
     return out[["month", "doc_count", "mov_ewma"]]
 
 
+def _q_agg_moving_percentiles(sf_dir):
+    """moving_percentiles (MovingPercentilesPipelineAggregation): p50/p90
+    of the trailing 4-bucket doc_count window over a monthly
+    date_histogram (exact linear-interpolated window percentiles)."""
+    from opensearch_ray.aggs import date_histogram_agg
+    from opensearch_ray.aggs.pipeline import moving_percentiles
+    out = date_histogram_agg(_read(sf_dir, "orders", ["o_orderdate"]),
+                             "o_orderdate", "month")
+    out = moving_percentiles(out, "doc_count", window=4,
+                             percents=(50.0, 90.0))
+    out["month"] = pd.to_datetime(out["key"]).dt.strftime("%Y-%m")
+    out["p50"] = _fmt(out["p50"], 4)
+    out["p90"] = _fmt(out["p90"], 4)
+    return out[["month", "doc_count", "p50", "p90"]]
+
+
 def _q_agg_moving_avg_linear(sf_dir):
     """moving_avg model=linear (LinearModel): linearly increasing weights
     toward the most recent bucket."""
@@ -3581,6 +3597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": _q_search_after,
         "agg_moving_avg": _q_agg_moving_avg,
         "agg_moving_avg_ewma": _q_agg_moving_avg_ewma,
+        "agg_moving_percentiles": _q_agg_moving_percentiles,
         "agg_moving_avg_linear": _q_agg_moving_avg_linear,
         "geo_shape_docs": _q_geo_shape_docs,
         "agg_serial_diff": _q_agg_serial_diff,
@@ -4381,6 +4398,21 @@ def oracle_sql() -> dict[str, str]:
                    printf('%.4f', list_reduce(l, (a, x) -> x*0.5 + a*0.5))
                      AS mov_ewma
             FROM w ORDER BY month
+        """,
+        "agg_moving_percentiles": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1)
+            SELECT month, doc_count,
+                   printf('%.4f', quantile_cont(CAST(doc_count AS DOUBLE),
+                     0.5) OVER (ORDER BY month
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS p50,
+                   printf('%.4f', quantile_cont(CAST(doc_count AS DOUBLE),
+                     0.9) OVER (ORDER BY month
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS p90
+            FROM m ORDER BY month
         """,
         "agg_moving_avg_linear": """
             WITH m AS (

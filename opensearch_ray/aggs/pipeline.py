@@ -39,6 +39,26 @@ def moving_fn(buckets: pd.DataFrame, metric: str, window: int,
     return b
 
 
+def moving_percentiles(buckets: pd.DataFrame, metric: str, window: int,
+                       percents=(50.0,)) -> pd.DataFrame:
+    """moving_percentiles (MovingPercentilesPipelineAggregationBuilder):
+    percentiles of the trailing inclusive window of a sibling metric,
+    one output column per percent (``p<percent>``). The reference merges
+    per-bucket t-digest sketches; driver-side windows are small, so the
+    EXACT linear-interpolated percentile is used (the same convention the
+    exact percentiles agg documents) — identical where the sketch is
+    exact, tighter elsewhere."""
+    b = buckets.copy()
+    vals = b[metric].to_numpy(np.float64)
+    for p in percents:
+        col = np.empty(len(b))
+        for i in range(len(b)):
+            w = vals[max(0, i - window + 1):i + 1]
+            col[i] = np.percentile(w, p)  # linear interpolation
+        b[f"p{p:g}"] = col
+    return b
+
+
 def _mavg_simple(w: np.ndarray, **_) -> float:
     return float(np.mean(w))
 
