@@ -54,6 +54,7 @@ def prepare_training_data(
     sample_rates: Optional[dict] = None,
     sample_stratum_col: Optional[str] = None,
     pack_budget: Optional[int] = None,
+    c4_heuristics: bool = False,
 ) -> dict:
     """Returns a summary dict {input_rows, kept_rows, near_dups_removed,
     shards_written, resumed}. Output layout: out_dir/shard=NNN/*.parquet
@@ -89,6 +90,10 @@ def prepare_training_data(
     kill_ref = ray.put(pa.array(sorted(kill), type=pa.int64()))
 
     # --- main streaming pass
+    if c4_heuristics:
+        # C4/Gopher shape drops first — cheapest rejection, map-only
+        from ..textstats.heuristics import c4_filter
+        ds = c4_filter(ds, text_col, min_words=1)
     ds = quality_scores(ds, text_col)
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("quality"),

@@ -102,6 +102,7 @@ def c4_filter(ds: Dataset, text_col: str = "text",
     of lines) over the annotated signals. Pure filter — composes with the
     training-data capstone's kill-list stages."""
     def keep(t: pa.Table) -> pa.Table:
+        orig_cols = t.column_names
         t = c4_signals_table(t, text_col)
         m = pc.and_(pc.greater_equal(t.column("n_words"),
                                      pa.scalar(min_words)),
@@ -117,6 +118,6 @@ def c4_filter(ds: Dataset, text_col: str = "text",
             m = pc.and_(m, pc.invert(t.column("has_curly")))
         if drop_lorem:
             m = pc.and_(m, pc.invert(t.column("has_lorem")))
-        return t.filter(m)
+        return t.filter(m).select(orig_cols)  # pure filter: same schema
 
     return ds.map_batches(keep, batch_format="pyarrow")

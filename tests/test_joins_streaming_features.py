@@ -449,3 +449,21 @@ def test_cli_resize_and_snapshot(tmp_path, transcript_corpus):
          "bace cedi", "-k", "3"], capture_output=True, text=True,
         cwd=repo, env=env, timeout=120).stdout)
     assert len(hits) == 3
+
+
+def test_training_data_pipeline_c4(tmp_path, sf_dir):
+    """c4_heuristics stage composes with the capstone: schema unchanged,
+    kept set is a subset of the non-C4 run."""
+    from opensearch_ray.pipelines import prepare_training_data
+    base = prepare_training_data(
+        f"{sf_dir}/documents.parquet", str(tmp_path / "a"),
+        min_quality=0.0, near_dup_threshold=0.8, n_shards=4)
+    with_c4 = prepare_training_data(
+        f"{sf_dir}/documents.parquet", str(tmp_path / "b"),
+        min_quality=0.0, near_dup_threshold=0.8, n_shards=4,
+        c4_heuristics=True)
+    assert 0 < with_c4["kept_rows"] <= base["kept_rows"]
+    a = rd.read_parquet(str(tmp_path / "a")).to_pandas()
+    b = rd.read_parquet(str(tmp_path / "b")).to_pandas()
+    assert set(b.columns) == set(a.columns)
+    assert set(b.doc_id) <= set(a.doc_id)
