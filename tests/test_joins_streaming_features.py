@@ -467,3 +467,45 @@ def test_training_data_pipeline_c4(tmp_path, sf_dir):
     b = rd.read_parquet(str(tmp_path / "b")).to_pandas()
     assert set(b.columns) == set(a.columns)
     assert set(b.doc_id) <= set(a.doc_id)
+
+
+def test_bulk_ndjson_source(tmp_path, ray_session):
+    """_bulk NDJSON source: index/create/delete/update semantics resolve
+    in line order per _id; the surviving docs index end-to-end."""
+    from opensearch_ray.index.build import build_index_from_dataset
+    from opensearch_ray.search import Searcher
+    from opensearch_ray.sources import read_bulk_ndjson
+
+    lines = [
+        '{"index": {"_id": "a"}}',
+        '{"text": "alpha bravo", "n": 1}',
+        '{"create": {"_id": "b"}}',
+        '{"text": "bravo charlie", "n": 2}',
+        '{"create": {"_id": "a"}}',          # loses: a exists
+        '{"text": "SHOULD NOT WIN", "n": 99}',
+        '{"update": {"_id": "b"}}',
+        '{"doc": {"n": 20}}',
+        '{"delete": {"_id": "a"}}',
+        '{"index": {"_id": "a"}}',           # re-created after delete
+        '{"text": "alpha delta", "n": 3}',
+        '{"delete": {"_id": "c"}}',          # delete of absent id: no-op
+    ]
+    f = tmp_path / "bulk.ndjson"
+    f.write_text("\n".join(lines) + "\n")
+    ds = read_bulk_ndjson(str(f))
+    df = ds.to_pandas().sort_values("_id").reset_index(drop=True)
+    assert df["_id"].tolist() == ["a", "b"]
+    assert df.loc[0, "text"] == "alpha delta" and df.loc[0, "n"] == 3
+    assert df.loc[1, "text"] == "bravo charlie" and df.loc[1, "n"] == 20
+
+    idx = str(tmp_path / "idx")
+    build_index_from_dataset(ds, idx, partition_key="_id",
+                             sort_cols=("_id",), num_partitions=2,
+                             num_buckets=2)
+    s = Searcher(idx)
+    # doc a's original "alpha bravo" was deleted and re-indexed as
+    # "alpha delta" — bravo now matches only doc b
+    assert {h.docid for h in s.search("bravo", k=5)} \
+        == set(s.get_by("_id", "b").column("_docid").to_pylist())
+    assert s.count("delta") == 1 and s.count("charlie") == 1
+    assert s.count("alpha") == 1  # only the re-created doc a
