@@ -891,6 +891,37 @@ def _q_quality(sf_dir):
     return out[["doc_id", "n_tokens", "stopword_ratio"]]
 
 
+def _q_bulk_ndjson_source(sf_dir):
+    """_bulk NDJSON source (BulkRequestParser semantics): a bulk body
+    synthesized from `documents` — index every doc, overlay an update on
+    doc_id%7==0, delete doc_id%11==0 — resolved per _id in line order;
+    the oracle reproduces the op algebra in SQL."""
+    import json as _json
+    import pyarrow.parquet as _pq
+    from opensearch_ray.sources import read_bulk_ndjson
+    tbl = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars", "lang"])
+    path = f"/tmp/osray_bulk_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.ndjson"
+    with open(path, "w") as f:
+        for did, nch, lang in zip(tbl.column("doc_id").to_pylist(),
+                                  tbl.column("n_chars").to_pylist(),
+                                  tbl.column("lang").to_pylist()):
+            f.write(_json.dumps({"index": {"_id": did}}) + "\n")
+            f.write(_json.dumps({"n_chars": int(nch), "lang": lang})
+                    + "\n")
+            if did % 7 == 0:
+                f.write(_json.dumps({"update": {"_id": did}}) + "\n")
+                f.write(_json.dumps({"doc": {"n_chars": int(nch) + 1000}})
+                        + "\n")
+            if did % 11 == 0:
+                f.write(_json.dumps({"delete": {"_id": did}}) + "\n")
+    out = read_bulk_ndjson(path).to_pandas()
+    out["doc_id"] = out["_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["doc_id", "n_chars", "lang"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_c4_quality_signals(sf_dir):
     """C4/Gopher heuristic shape signals (Raffel et al. JMLR'20 §2.2 +
     Gopher doc-shape rules): per-doc line/word counts and
@@ -3567,6 +3598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "quality_scores": _q_quality,
         "c4_quality_signals": _q_c4_quality_signals,
+        "bulk_ndjson_source": _q_bulk_ndjson_source,
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_brute,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -4203,6 +4235,13 @@ def oracle_sql() -> dict[str, str]:
                        / len(list_filter(string_split(text, ' '), x -> x <> ''))
                      AS stopword_ratio
             FROM documents
+        """,
+        "bulk_ndjson_source": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars,
+                   lang
+            FROM documents WHERE doc_id % 11 <> 0 ORDER BY doc_id
         """,
         "c4_quality_signals": """
             WITH lines AS (
