@@ -3444,6 +3444,18 @@ def _q_ltr_rescore(sf_dir):
     return out
 
 
+def _q_dsl_count(sf_dir):
+    """`_count` with a request body (RestCountAction): bool filter-context
+    count, no scoring or fetch."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    n = dsl.count_request(s, {"query": {"bool": {
+        "must": [{"match": {"text": _BM25_Q}}],
+        "filter": [{"range": {"n_chars": {"gte": 200}}}],
+        "must_not": [{"term": {"lang": "zh"}}]}}})
+    return pd.DataFrame({"count": pd.array([n], dtype="int64")})
+
+
 def _q_field_alias_search(sf_dir):
     """`alias`-type field resolution (FieldAliasMapper.java): a request
     written entirely against alias names — range + term filters, field
@@ -3775,6 +3787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_search_after_sort": _q_dsl_search_after_sort,
         "field_alias_search": _q_field_alias_search,
         "ltr_rescore": _q_ltr_rescore,
+        "dsl_count": _q_dsl_count,
         "sort_index_early_term": _q_sort_index_early_term,
         "derived_field_query": _q_derived_field_query,
         "wrapper_query": _q_wrapper_query,
@@ -5972,6 +5985,10 @@ def oracle_sql() -> dict[str, str]:
             FROM scored sc JOIN documents d USING (doc_id)
             ORDER BY d.n_chars DESC, sc.doc_id
             LIMIT 10 OFFSET 10"""),
+        "dsl_count": _bm25_sql("""
+            SELECT CAST(count(DISTINCT sc.doc_id) AS BIGINT) AS count
+            FROM scored sc JOIN documents d USING (doc_id)
+            WHERE d.n_chars >= 200 AND d.lang <> 'zh'"""),
         "ltr_rescore": _bm25_sql("""
             , win AS (
               SELECT sc.doc_id, sc.score, d.n_chars

@@ -1218,6 +1218,15 @@ _KNOWN_KINDS = frozenset([
     "prefix", "wildcard", "fuzzy", "regexp"])
 
 
+def count_request(s: Searcher, body: dict, text_field: str = "text") -> int:
+    """`_count` with a request body (rest-api-spec/api/count.json —
+    RestCountAction): the query evaluates in filter context, no scoring,
+    no fetch; derived fields in the body register first."""
+    _register_derived(s, body)
+    return int(query_docs(s, body.get("query", {"match_all": {}}),
+                          text_field).size)
+
+
 def validate_query(s: Searcher, q: dict) -> dict:
     """The `_validate/query` API (server/action/admin/indices/validate/
     query/TransportValidateQueryAction.java): parse/rewrite the query
