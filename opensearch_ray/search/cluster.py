@@ -62,25 +62,51 @@ class QueryExecutor:
         # warm the norm cache once per actor
         for s in segs:
             self.searcher.norms(s.seg_id)
+        self._slices: Dict[tuple, np.ndarray] = {}  # sliced-scroll masks
+
+    def _slice_allow(self, slice_id: int, slice_max: int):
+        """Sorted allowlist of this shard's docids owned by slice
+        (id, max) — SliceBuilder partitioning, hash(docid) % max, computed
+        once per (id, max) per actor and pushed into the collector's
+        docs= gate."""
+        key = (slice_id, slice_max)
+        cached = self._slices.get(key)
+        if cached is None:
+            import pandas as pd
+            parts = []
+            for seg in self.searcher.manifest.segments:
+                ids = np.arange(seg.doc_count, dtype=np.int64) \
+                    + seg.doc_base
+                h = pd.util.hash_array(ids) % np.uint64(slice_max)
+                parts.append(ids[h == slice_id])
+            cached = (np.concatenate(parts) if parts
+                      else np.empty(0, np.int64))
+            self._slices[key] = cached
+        return cached
 
     def search(self, query_text: str, k: int, operator: str = "or",
                filters: Optional[dict] = None,
-               allowed_segs: Optional[list] = None):
+               allowed_segs: Optional[list] = None,
+               slice_spec: Optional[tuple] = None):
+        docs = (self._slice_allow(*slice_spec) if slice_spec else None)
         hits = self.searcher.search(
             query_text, k=k, operator=operator, filters=filters,
-            allowed_segs=set(allowed_segs) if allowed_segs else None)
+            allowed_segs=set(allowed_segs) if allowed_segs else None,
+            docs=docs)
         return [(h.docid, h.score) for h in hits]
 
     def search_after(self, query_text: str, page_size: int,
                      after: Tuple[float, int], operator: str = "or",
-                     filters: Optional[dict] = None):
+                     filters: Optional[dict] = None,
+                     slice_spec: Optional[tuple] = None):
         """This shard's next page strictly after the (score, docid) cursor.
         The cursor is pushed into the collector (search(after=...)), so the
         per-shard heap is O(page_size) at any depth — never the shard's
         full match list."""
+        docs = (self._slice_allow(*slice_spec) if slice_spec else None)
         hits = self.searcher.search(query_text, k=page_size,
                                     operator=operator, filters=filters,
-                                    after=after)
+                                    after=after, docs=docs)
         return [(h.docid, h.score) for h in hits]
 
     def search_sorted(self, query_text: str, sort_field: str, k: int,
@@ -260,26 +286,49 @@ class SearchCluster:
 
     def search_after(self, query_text: str, page_size: int,
                      after: Tuple[float, int], operator: str = "or",
-                     filters: Optional[dict] = None) -> List[SearchHit]:
+                     filters: Optional[dict] = None,
+                     slice_spec: Optional[tuple] = None) -> List[SearchHit]:
         partials = ray.get([
             e.search_after.remote(query_text, page_size, after, operator,
-                                  filters)
+                                  filters, slice_spec)
             for e in self.executors])
         return self._merge_hits(partials, page_size)
 
     def scroll(self, query_text: str, page_size: int = 100,
-               operator: str = "or", filters: Optional[dict] = None
+               operator: str = "or", filters: Optional[dict] = None,
+               slice_spec: Optional[tuple] = None
                ) -> Iterator[List[SearchHit]]:
         """Deep pagination: yields successive pages until exhausted. The
         executors' pinned segment groups give PIT semantics for the scroll's
-        lifetime."""
-        page = self.search(query_text, k=page_size, operator=operator,
-                           filters=filters)
+        lifetime.
+
+        ``slice_spec`` = (id, max) — sliced scroll (SliceBuilder): the doc
+        space partitions by hash(docid) % max, so ``max`` consumers scroll
+        disjoint slices in parallel and their union is exactly the
+        unsliced scroll (the parallel-export surface `_search?scroll`
+        with `"slice"` exists for). Per-shard slice allowlists are
+        computed once per actor and pushed into the collector's docs=
+        gate."""
+        if slice_spec is not None:
+            sid, smax = slice_spec
+            if not (0 <= int(sid) < int(smax)):
+                raise ValueError(f"slice id {sid} not in [0, {smax})")
+        page = self._sliced_first_page(query_text, page_size, operator,
+                                       filters, slice_spec)
         while page:
             yield page
             cur = (page[-1].score, page[-1].docid)
             page = self.search_after(query_text, page_size, cur,
-                                     operator=operator, filters=filters)
+                                     operator=operator, filters=filters,
+                                     slice_spec=slice_spec)
+
+    def _sliced_first_page(self, query_text, page_size, operator, filters,
+                           slice_spec):
+        partials = ray.get([
+            e.search.remote(query_text, page_size, operator, filters,
+                            None, slice_spec)
+            for e in self.executors])
+        return self._merge_hits(partials, page_size)
 
     def search_sorted(self, query_text: str, sort_field: str, k: int = 10,
                       ascending: bool = True, operator: str = "or",

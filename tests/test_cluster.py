@@ -257,3 +257,31 @@ def test_msearch_dsl_parity(built_index, cluster):
     with _pytest.raises(ValueError):
         cluster.msearch_dsl([{"query": {"match_all": {}},
                               "sort": ["_doc"]}])
+
+
+def test_sliced_scroll_partitions_exactly(built_index, cluster):
+    """Sliced scroll (SliceBuilder): slices are disjoint, their union in
+    rank order equals the unsliced scroll, and each slice's membership is
+    hash(docid) % max."""
+    import numpy as np
+
+    full = [h for page in cluster.scroll("bace", page_size=17)
+            for h in page]
+    m = 3
+    slices = [[h for page in cluster.scroll("bace", page_size=17,
+                                            slice_spec=(i, m))
+               for h in page] for i in range(m)]
+    ids = [np.array([h.docid for h in s], np.int64) for s in slices]
+    assert sum(len(x) for x in ids) == len(full)
+    assert not (set(ids[0]) & set(ids[1]) | set(ids[0]) & set(ids[2])
+                | set(ids[1]) & set(ids[2]))
+    assert set(np.concatenate(ids).tolist()) == {h.docid for h in full}
+    for i, arr in enumerate(ids):
+        assert (pd.util.hash_array(arr) % np.uint64(m) == i).all()
+    # per-slice ordering matches the full ranking restricted to the slice
+    want = [h.docid for h in full
+            if pd.util.hash_array(np.array([h.docid], np.int64))[0]
+            % np.uint64(m) == 1]
+    assert [h.docid for h in slices[1]] == want
+    with pytest.raises(ValueError):
+        next(iter(cluster.scroll("bace", slice_spec=(3, 3))))
