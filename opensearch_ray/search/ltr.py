@@ -41,7 +41,7 @@ def extract_features(s: Searcher, docids: np.ndarray,
             vals = np.asarray(spec(s, docids), dtype=np.float64)
         elif isinstance(spec, dict) and "bm25" in spec:
             hits = {h.docid: h.score
-                    for h in s.search(spec["bm25"], k=10 ** 9,
+                    for h in s.search(spec["bm25"], k=len(docids),
                                       docs=np.sort(docids))}
             vals = np.array([hits.get(int(d), 0.0) for d in docids],
                             dtype=np.float64)
