@@ -68,7 +68,15 @@ class QueryExecutor:
         """Sorted allowlist of this shard's docids owned by slice
         (id, max) — SliceBuilder partitioning, hash(docid) % max, computed
         once per (id, max) per actor and pushed into the collector's
-        docs= gate."""
+        docs= gate.
+
+        Memory: 8 bytes per owned docid per cached slice; with all
+        ``max`` slices scrolling one actor, the cache totals 8 B/doc of
+        the shard — fine for bench-to-billions shards, but a
+        crawl-scale shard should slice on a PRECOMPUTED doc-values
+        column via ``filters`` instead (the reference has the same
+        trade: hash slicing on _id forces a doc-values visit per doc,
+        SliceBuilder docs recommend a numeric field)."""
         key = (slice_id, slice_max)
         cached = self._slices.get(key)
         if cached is None:
