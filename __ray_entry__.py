@@ -922,6 +922,19 @@ def _q_bulk_ndjson_source(sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_lm_quality(sf_dir):
+    """Char-trigram LM quality score (CCNet-shape, self-trained): per-doc
+    mean Laplace-smoothed trigram log-prob over a two-pass streaming
+    model — the perplexity-filter analogue with no external LM."""
+    from opensearch_ray.textstats.lm_quality import lm_quality_scores
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = lm_quality_scores(ds).to_pandas()
+    out = out[out["lm_score"].notna()].copy()
+    out["lm_score"] = _fmt(out["lm_score"].values, 4)
+    return out[["doc_id", "lm_score"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q_c4_quality_signals(sf_dir):
     """C4/Gopher heuristic shape signals (Raffel et al. JMLR'20 §2.2 +
     Gopher doc-shape rules): per-doc line/word counts and
@@ -3611,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "c4_quality_signals": _q_c4_quality_signals,
         "bulk_ndjson_source": _q_bulk_ndjson_source,
+        "lm_quality": _q_lm_quality,
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_brute,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -4248,6 +4262,23 @@ def oracle_sql() -> dict[str, str]:
                        / len(list_filter(string_split(text, ' '), x -> x <> ''))
                      AS stopword_ratio
             FROM documents
+        """,
+        "lm_quality": """
+            WITH tris AS (
+              SELECT doc_id, substr(text, i, 3) AS tri,
+                     substr(text, i, 2) AS bi
+              FROM documents,
+                   unnest(generate_series(1, greatest(len(text) - 2, 0)))
+                     AS t(i)),
+            c3 AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+            c2 AS (SELECT bi, count(*) AS c FROM tris GROUP BY bi),
+            v AS (SELECT CAST(count(*) AS DOUBLE) AS v3 FROM c3)
+            SELECT t.doc_id,
+                   printf('%.4f', avg(ln((c3.c + 1.0) / (c2.c + v.v3))))
+                     AS lm_score
+            FROM tris t JOIN c3 USING (tri) JOIN c2 USING (bi)
+            CROSS JOIN v
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         "bulk_ndjson_source": """
             SELECT doc_id,

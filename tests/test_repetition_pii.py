@@ -87,3 +87,47 @@ def test_c4_filter_thresholds(ray_session):
     assert bool(sig.loc[1, "has_curly"]) and bool(sig.loc[2, "has_lorem"])
     assert sig.loc[4, "bullet_line_ratio"] == 0.9
     assert sig.loc[0, "punct_line_ratio"] == 1.0
+
+
+def test_lm_quality_formula_and_unseen(ray_session):
+    """Char-trigram LM: scores match the hand-computed smoothed formula;
+    unseen text scores via the zero-count smoothing path; <3-char docs
+    are NaN."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opensearch_ray.textstats.lm_quality import (
+        lm_quality_scores, train_char_trigram_model)
+
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": pa.array(["ababa", "abcab", "xy"])})
+    ds = rd.from_arrow(docs)
+    out = lm_quality_scores(ds).to_pandas().set_index("doc_id")
+
+    # model: trigrams of "ababa" (aba, bab, aba) + "abcab" (abc, bca, cab)
+    c3 = {"aba": 2, "bab": 1, "abc": 1, "bca": 1, "cab": 1}
+    # contexts = trigram PREFIX counts (ba appears as a prefix once —
+    # "bab"; the final "ba" of ababa starts no trigram)
+    c2 = {"ab": 3, "ba": 1, "bc": 1, "ca": 1}
+    v3 = len(c3)
+
+    def score(text):
+        tris = [text[i:i + 3] for i in range(len(text) - 2)]
+        return sum(math.log((c3.get(t, 0) + 1)
+                            / (c2.get(t[:2], 0) + v3)) for t in tris) \
+            / len(tris)
+
+    assert out.loc[0, "lm_score"] == pytest.approx(score("ababa"))
+    assert out.loc[1, "lm_score"] == pytest.approx(score("abcab"))
+    assert pd.isna(out.loc[2, "lm_score"])
+
+    # scoring foreign text against a FIXED model: unseen trigrams hit the
+    # (0 + 1) / (0 + V3) smoothing floor, not a crash
+    model = train_char_trigram_model(ds)
+    foreign = rd.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array(["zzzzz"])}))
+    got = lm_quality_scores(foreign, model_ref=model).to_pandas()
+    assert got["lm_score"].iloc[0] == pytest.approx(math.log(1.0 / v3))
