@@ -1163,6 +1163,12 @@ def _apply_suggest(s: Searcher, sugg: dict) -> dict:
                     kw["unigram_lambda"] = params.get("unigram_lambda",
                                                       0.3)
             gen = (p.get("direct_generator") or [{}])[0]
+            col = p.get("collate")
+            if col is not None:
+                # collate: check each suggestion against the index;
+                # prune=true annotates (collate_match), default drops
+                kw["collate"] = ("prune" if col.get("prune")
+                                 else "filter")
             df = features.phrase_suggest(
                 s, text, size=p.get("size", 5),
                 max_edits=int(gen.get("max_edits", 1)),

@@ -591,7 +591,8 @@ def phrase_suggest(searcher: Searcher, text: str, size: int = 5,
                    smoothing: str = "stupid_backoff",
                    alpha: float = 0.5,
                    bigram_lambda: float = 0.7,
-                   unigram_lambda: float = 0.3) -> pd.DataFrame:
+                   unigram_lambda: float = 0.3,
+                   collate: Optional[str] = None) -> pd.DataFrame:
     """Did-you-mean whole phrases: per-token candidates from the term
     dictionary (edit distance <= max_edits, ordered (distance, df desc, term),
     capped — DirectCandidateGenerator shape), every candidate phrase scored
@@ -672,6 +673,19 @@ def phrase_suggest(searcher: Searcher, text: str, size: int = 5,
             rows.append((" ".join(phrase), math.log(p)))
     rows.sort(key=lambda r: (-r[1], r[0]))
     out = pd.DataFrame(rows[:size], columns=["phrase", "score"])
+    if collate == "prune":
+        # PhraseSuggestionBuilder.collate with prune=true: every
+        # suggestion is CHECKED against the index (default collate query
+        # = a match query on the suggest field) and annotated, none
+        # dropped
+        out["collate_match"] = [
+            bool(searcher.bool_docs(must=p.split()).size)
+            for p in out["phrase"]]
+    elif collate == "filter":
+        # prune=false (the default collate mode): non-matching
+        # suggestions are dropped
+        out = out[[bool(searcher.bool_docs(must=p.split()).size)
+                   for p in out["phrase"]]].reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
 

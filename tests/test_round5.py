@@ -487,3 +487,26 @@ def test_dsl_suggest_smoothing_passthrough(s):
     want = phrase_suggest(s, typo, size=3, smoothing="laplace", alpha=0.7)
     assert [g["phrase"] for g in got] == want.phrase.tolist()
     assert got[0]["score"] == pytest.approx(want.score.iloc[0])
+
+
+def test_phrase_suggest_collate(s):
+    """collate: prune=true annotates every suggestion with collate_match,
+    default mode drops suggestions matching no docs."""
+    from opensearch_ray.search import dsl
+    from opensearch_ray.search.features import bigram_model, phrase_suggest
+
+    (a, b), _ = max(bigram_model(s).items(), key=lambda kv: kv[1])
+    typo = a[:-1] + ("x" if a[-1] != "x" else "y") + " " + b
+    pruned = phrase_suggest(s, typo, size=5, collate="prune")
+    assert "collate_match" in pruned.columns
+    assert bool(pruned.collate_match.iloc[0])  # the real phrase matches
+    filtered = phrase_suggest(s, typo, size=5, collate="filter")
+    assert set(filtered.phrase) <= set(pruned.phrase)
+    assert (filtered["rank"].values
+            == np.arange(1, len(filtered) + 1)).all()
+
+    r = dsl.execute_request(s, {"size": 0, "suggest": {"fix": {
+        "text": typo, "phrase": {"size": 5,
+                                 "collate": {"prune": True}}}}},
+        id_col="turn_id")
+    assert all("collate_match" in g for g in r["suggest"]["fix"])
