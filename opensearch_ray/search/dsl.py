@@ -333,6 +333,10 @@ def _score_terms(s: Searcher, q: dict) -> List[str]:
     return []
 
 
+#: index.max_result_window default (IndexSettings.java:211-216)
+MAX_RESULT_WINDOW = 10_000
+
+
 def _index_sort_prune(s: Searcher, body: dict, ids: np.ndarray,
                       scores: np.ndarray):
     """Index-sort early termination for the DSL sort path
@@ -411,6 +415,15 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
         from ..mapper import resolve_field_aliases
         body = resolve_field_aliases(body, field_aliases)
     _register_derived(s, body)
+    # index.max_result_window (IndexSettings.java:211, default 10000):
+    # deep pages must use search_after / scroll, not from+size
+    win = int(body.get("from", 0)) + int(body.get("size", 10))
+    if win > MAX_RESULT_WINDOW and not body.get("_internal_window"):
+        raise ValueError(
+            f"Result window is too large, from + size must be less than "
+            f"or equal to: [{MAX_RESULT_WINDOW}] but was [{win}]. See the "
+            "scroll api for a more efficient way to request large data "
+            "sets.")
     q = body.get("query", {"match_all": {}})
     if isinstance(q, dict) and len(q) == 1 and "knn" in q:
         (field, spec), = q["knn"].items()
@@ -1073,6 +1086,10 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
             k0 = max(k0, need * 3 + 10)
         wide = dict(hits_body)
         wide["from"] = 0
+        # rescore/collapse windows are collector-internal, not a client
+        # page — exempt from the max_result_window guard (the reference
+        # validates window_size against max_rescore_window separately)
+        wide["_internal_window"] = True
         while True:
             wide["size"] = k0
             all_hits = execute_search(s, wide, text_field=text_field,

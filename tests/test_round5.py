@@ -510,3 +510,25 @@ def test_phrase_suggest_collate(s):
                                  "collate": {"prune": True}}}}},
         id_col="turn_id")
     assert all("collate_match" in g for g in r["suggest"]["fix"])
+
+
+def test_max_result_window_guard(s):
+    """index.max_result_window: from+size beyond 10000 is rejected with
+    the reference's error shape; rescore/collapse internal widening and
+    search_after paging are exempt."""
+    from opensearch_ray.search import dsl
+
+    with pytest.raises(ValueError, match="Result window is too large"):
+        dsl.execute_search(s, {"query": {"match_all": {}},
+                               "from": 9995, "size": 10},
+                           id_col="turn_id")
+    # boundary is inclusive
+    r = dsl.execute_search(s, {"query": {"term": {"role": "user"}},
+                               "from": 9990, "size": 10},
+                           id_col="turn_id")
+    assert len(r) <= 10
+    # collapse still widens internally without tripping the guard
+    r2 = dsl.execute_request(s, {"query": {"match": {"text": "bace"}},
+                                 "collapse": {"field": "conv_id"},
+                                 "size": 5}, id_col="turn_id")
+    assert len(r2["hits"]) <= 5
