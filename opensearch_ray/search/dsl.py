@@ -1159,7 +1159,8 @@ def _apply_suggest(s: Searcher, sugg: dict) -> dict:
             df = features.term_suggest(
                 s, text, max_edits=t.get("max_edits", 2),
                 size=t.get("size", 5),
-                suggest_mode=t.get("suggest_mode", "always"))
+                suggest_mode=t.get("suggest_mode", "always"),
+                sort=t.get("sort", "score"))
             out[name] = df.to_dict(orient="records")
         elif "phrase" in spec:
             p = spec["phrase"]

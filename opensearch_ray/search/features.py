@@ -345,18 +345,22 @@ def _levenshtein(a: str, b: str, maxd: int = 2) -> int:
 
 
 def term_suggest(searcher: Searcher, text: str, max_edits: int = 2,
-                 size: int = 5, suggest_mode: str = "always"
-                 ) -> pd.DataFrame:
+                 size: int = 5, suggest_mode: str = "always",
+                 sort: str = "score") -> pd.DataFrame:
     """Term suggester: vocabulary terms within ``max_edits`` of each input
-    token, ordered by (distance asc, df desc, term asc) — ref
-    search/suggest/term/TermSuggester + SuggestMode:
+    token — ref search/suggest/term/TermSuggester + SuggestMode:
 
     - ``always``: suggest for every input token
     - ``missing``: only for tokens absent from the index (df == 0)
     - ``popular``: only suggestions with df GREATER than the input token's
-    """
+
+    ``sort`` (TermSuggestionBuilder.SortBy): ``score`` orders by
+    (distance asc, df desc, term asc) — similarity first; ``frequency``
+    orders by (df desc, distance asc, term asc)."""
     if suggest_mode not in ("always", "missing", "popular"):
         raise ValueError(f"unknown suggest_mode: {suggest_mode}")
+    if sort not in ("score", "frequency"):
+        raise ValueError(f"unknown sort: {sort}")
     rows = []
     for tok in searcher.analyzer.tokens(text):
         # exact-df pinpoint read ([tok, tok+"\x00") prunes to one term)
@@ -374,7 +378,10 @@ def term_suggest(searcher: Searcher, text: str, max_edits: int = 2,
             if suggest_mode == "popular" and df <= tok_df:
                 continue
             cands.append((int(d), -int(df), term))
-        cands.sort()
+        if sort == "frequency":
+            cands.sort(key=lambda c: (c[1], c[0], c[2]))
+        else:
+            cands.sort()
         for rank, (d, negdf, term) in enumerate(cands[:size], 1):
             rows.append({"input": tok, "suggestion": term, "distance": d,
                          "df": -negdf, "rank": rank})

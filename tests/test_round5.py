@@ -532,3 +532,23 @@ def test_max_result_window_guard(s):
                                  "collapse": {"field": "conv_id"},
                                  "size": 5}, id_col="turn_id")
     assert len(r2["hits"]) <= 5
+
+
+def test_term_suggest_sort_by_frequency(s):
+    """TermSuggestionBuilder.SortBy: frequency ordering puts the most
+    frequent candidate first even at a worse edit distance."""
+    from opensearch_ray.search.features import term_suggest
+
+    # pick a real vocab term and misspell it
+    txt = s.fetch([3], columns=["text"]).column("text")[0].as_py()
+    tok = max(s.analyzer.tokens(txt), key=len)
+    typo = tok[:-1] + ("x" if tok[-1] != "x" else "q")
+    sc = term_suggest(s, typo, max_edits=2, size=8, sort="score")
+    fr = term_suggest(s, typo, max_edits=2, size=8, sort="frequency")
+    assert set(zip(sc.suggestion, sc.df)) >= set()  # both non-degenerate
+    assert (np.diff(fr.df.values) <= 0).all()       # df desc
+    d = sc.sort_values(["distance", "df"],
+                       ascending=[True, False], kind="mergesort")
+    assert sc.suggestion.tolist() == d.suggestion.tolist()
+    with pytest.raises(ValueError):
+        term_suggest(s, typo, sort="nope")
