@@ -854,6 +854,10 @@ def _apply_interval_filter(s: Searcher, spans: List[tuple], f: dict,
             return any(b <= te and tb <= e for tb, te in fspans)
         if kind == "not_overlapping":
             return not any(b <= te and tb <= e for tb, te in fspans)
+        if kind == "before":  # base span ends before any filter span
+            return any(e < tb for tb, te in fspans)
+        if kind == "after":   # base span starts after any filter span
+            return any(b > te for tb, te in fspans)
         raise ValueError(f"unsupported intervals filter: {kind}")
 
     return [S for S in spans if rel(S)]

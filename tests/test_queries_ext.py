@@ -603,3 +603,21 @@ def test_fuzzy_prefix_length(s, analyzed):
     # prefix_length larger than any match -> only exact-prefix terms
     assert set(s.expand_fuzzy("bace", max_edits=1, prefix_length=4)) \
         == {t for t in full if t.startswith("bace")}
+
+
+def test_intervals_filter_before_after(tmp_path_factory):
+    """IntervalFilter before/after: the base span must end before (or
+    start after) some filter span."""
+    eng = _mini_corpus_index(tmp_path_factory, [
+        "alpha omega",        # 0: alpha BEFORE omega
+        "omega alpha",        # 1: alpha AFTER omega
+        "alpha beta",         # 2: no omega at all
+    ], "ivbeforeafter")
+
+    def f(kind):
+        return intervals_docs(eng, {"match": {
+            "query": "alpha",
+            "filter": {kind: {"match": {"query": "omega"}}}}})
+
+    assert sorted(f("before").tolist()) == [0]
+    assert sorted(f("after").tolist()) == [1]
