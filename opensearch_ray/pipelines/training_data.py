@@ -55,6 +55,7 @@ def prepare_training_data(
     sample_stratum_col: Optional[str] = None,
     pack_budget: Optional[int] = None,
     c4_heuristics: bool = False,
+    lm_quality_min: Optional[float] = None,
 ) -> dict:
     """Returns a summary dict {input_rows, kept_rows, near_dups_removed,
     shards_written, resumed}. Output layout: out_dir/shard=NNN/*.parquet
@@ -94,6 +95,17 @@ def prepare_training_data(
         # C4/Gopher shape drops first — cheapest rejection, map-only
         from ..textstats.heuristics import c4_filter
         ds = c4_filter(ds, text_col, min_words=1)
+    if lm_quality_min is not None:
+        # CCNet-shape LM filter: self-trained char-trigram model
+        # (one object-store reduce + broadcast), then a map-only score
+        # + threshold; the lm_score column rides into the output
+        from ..textstats.lm_quality import lm_quality_scores
+        ds = lm_quality_scores(ds, text_col=text_col)
+        thr = float(lm_quality_min)
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("lm_score"), pa.scalar(thr))),
+            batch_format="pyarrow")
     ds = quality_scores(ds, text_col)
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("quality"),

@@ -509,3 +509,17 @@ def test_bulk_ndjson_source(tmp_path, ray_session):
         == set(s.get_by("_id", "b").column("_docid").to_pylist())
     assert s.count("delta") == 1 and s.count("charlie") == 1
     assert s.count("alpha") == 1  # only the re-created doc a
+
+
+def test_training_data_pipeline_lm_filter(tmp_path, sf_dir):
+    """lm_quality_min stage: docs below the LM threshold drop, the
+    lm_score column rides into the output."""
+    from opensearch_ray.pipelines import prepare_training_data
+    s = prepare_training_data(
+        f"{sf_dir}/documents.parquet", str(tmp_path / "o"),
+        min_quality=0.0, near_dup_threshold=0.8, n_shards=4,
+        lm_quality_min=-4.5)
+    out = rd.read_parquet(str(tmp_path / "o")).to_pandas()
+    assert len(out) == s["kept_rows"] > 0
+    assert "lm_score" in out.columns
+    assert (out["lm_score"] >= -4.5).all()
