@@ -206,6 +206,8 @@ for _lang in ("english", "german", "french", "spanish", "italian",
 def get_analyzer(name_or_analyzer) -> Analyzer:
     if isinstance(name_or_analyzer, Analyzer):
         return name_or_analyzer
+    if isinstance(name_or_analyzer, dict):  # inline custom chain
+        return build_custom_analyzer(name_or_analyzer)
     return ANALYZERS[name_or_analyzer]
 
 
@@ -271,3 +273,37 @@ def analyze_batch(
             pa.ListArray.from_arrays(off, pa.array(flat_pos, type=pa.int32())),
         )
     return out
+
+
+def build_custom_analyzer(spec: dict) -> Analyzer:
+    """Inline custom analysis chain — the `_analyze` API's request-body
+    definition (TransportAnalyzeAction.java:151-258): ``tokenizer`` +
+    ``char_filter`` + ``filter`` lists, each item a registered NAME or a
+    ``{"type": name, ...params}`` object. Zero-arg factory entries (e.g.
+    ``fingerprint``) are instantiated with defaults when referenced by
+    bare name; parameterized entries take their params from the object
+    form. The result is a plain picklable Analyzer, usable anywhere a
+    named one is (build_index(analyzer=...), Searcher(analyzer=...))."""
+    import inspect
+
+    from .char_filters import CHAR_FILTERS
+    from .tokenizers import TOKENIZERS
+
+    def resolve(registry, item, direct_params):
+        if isinstance(item, dict):
+            d = dict(item)
+            typ = d.pop("type")
+            return registry[typ](**d)
+        v = registry[item]
+        params = list(inspect.signature(v).parameters)
+        return (v if params[:len(direct_params)] == direct_params
+                else v())
+
+    tokenizer = resolve(TOKENIZERS, spec.get("tokenizer", "standard"),
+                        ["text"])
+    cfs = tuple(resolve(CHAR_FILTERS, c, ["text"])
+                for c in spec.get("char_filter", []))
+    tfs = tuple(resolve(TOKEN_FILTERS, f, ["tokens", "positions"])
+                for f in spec.get("filter", []))
+    return Analyzer(tokenizer=tokenizer, char_filters=cfs,
+                    token_filters=tfs, name="__inline__")

@@ -90,7 +90,8 @@ def cmd_count(args):
 
 def cmd_analyze(args):
     from .analysis import get_analyzer
-    toks, pos = get_analyzer(args.analyzer).analyze(args.text)
+    spec = json.loads(args.spec) if args.spec else args.analyzer
+    toks, pos = get_analyzer(spec).analyze(args.text)
     print(json.dumps({"tokens": toks, "positions": pos}, ensure_ascii=False))
 
 
@@ -197,6 +198,9 @@ def main(argv=None):
     a = sub.add_parser("analyze")
     a.add_argument("text")
     a.add_argument("--analyzer", default="standard")
+    a.add_argument("--spec", default=None,
+                   help='inline chain JSON: {"tokenizer": ..., '
+                        '"char_filter": [...], "filter": [...]}')
     a.set_defaults(fn=cmd_analyze)
 
     st = sub.add_parser("stats")

@@ -256,3 +256,32 @@ def test_cjk_bigram_isolated_and_positions():
     # position gap (e.g. after a stop filter) breaks the bigram chain
     toks2, _ = cjk_bigram_filter(["中", "文"], [0, 2])
     assert toks2 == ["中", "文"]
+
+
+def test_inline_custom_analyzer_spec():
+    """The `_analyze` API's inline chain definition
+    (TransportAnalyzeAction): names and {"type": ...} objects compose,
+    and the dict spec works anywhere a named analyzer does."""
+    from opensearch_ray.analysis.analyzer import (build_custom_analyzer,
+                                                  get_analyzer)
+
+    spec = {"tokenizer": "whitespace",
+            "char_filter": ["html_strip"],
+            "filter": ["lowercase",
+                       {"type": "edge_ngram", "min_gram": 2,
+                        "max_gram": 3}]}
+    an = build_custom_analyzer(spec)
+    assert an.tokens("<b>Hello</b> World") == ["he", "hel", "wo", "wor"]
+    # dict spec accepted transparently by get_analyzer
+    assert get_analyzer(spec).tokens("<i>Hi</i> You") \
+        == an.tokens("<i>Hi</i> You")
+    # parameterized tokenizer object + zero-arg factory filter by name
+    an2 = build_custom_analyzer({
+        "tokenizer": {"type": "ngram", "min_gram": 2, "max_gram": 2},
+        "filter": ["unique"]})
+    assert an2.tokens("abca") == ["ab", "bc", "ca"]
+    # ships to Ray workers: cloudpickle round-trip (factory filters are
+    # closures — stdlib pickle can't, Ray's serializer can)
+    from ray import cloudpickle
+    assert cloudpickle.loads(cloudpickle.dumps(an)) \
+        .tokens("<b>Go</b> Far") == an.tokens("<b>Go</b> Far")
