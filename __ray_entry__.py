@@ -922,6 +922,32 @@ def _q_bulk_ndjson_source(sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_analyze_custom_chain(sf_dir):
+    """Inline custom analyzer chain (the `_analyze` request-body
+    definition): whitespace tokenizer + lowercase + length filter over
+    documents, exploded to (doc_id, token)."""
+    from opensearch_ray.analysis.analyzer import analyze_batch
+    spec = {"tokenizer": "whitespace",
+            "filter": ["lowercase",
+                       {"type": "length", "min": 3, "max": 8}]}
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = analyze_batch(t, analyzer=spec)
+        toks = t.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_per = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(
+                t.column("doc_id").to_numpy(zero_copy_only=False),
+                n_per)),
+            "token": toks.flatten()})
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
 def _q_lm_quality(sf_dir):
     """Char-trigram LM quality score (CCNet-shape, self-trained): per-doc
     mean Laplace-smoothed trigram log-prob over a two-pass streaming
@@ -3625,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_quality_signals": _q_c4_quality_signals,
         "bulk_ndjson_source": _q_bulk_ndjson_source,
         "lm_quality": _q_lm_quality,
+        "analyze_custom_chain": _q_analyze_custom_chain,
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_brute,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -4262,6 +4289,13 @@ def oracle_sql() -> dict[str, str]:
                        / len(list_filter(string_split(text, ' '), x -> x <> ''))
                      AS stopword_ratio
             FROM documents
+        """,
+        "analyze_custom_chain": """
+            SELECT doc_id, lower(t.tok) AS token
+            FROM documents d,
+                 unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE len(t.tok) BETWEEN 3 AND 8
+            ORDER BY doc_id, token
         """,
         "lm_quality": """
             WITH tris AS (

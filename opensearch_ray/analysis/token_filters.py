@@ -132,7 +132,12 @@ def cjk_bigram_filter(tokens: List[str], positions: List[int]) -> TokenStream:
 
 # ------------------------------------------------------------- length / keep
 
-def make_length_filter(min_len: int = 0, max_len: int = 2 ** 31 - 1) -> TokenFilter:
+def make_length_filter(min_len: int = 0, max_len: int = 2 ** 31 - 1,
+                       **kw) -> TokenFilter:
+    # LengthTokenFilterFactory.java reads settings named `min` / `max`;
+    # accept both spellings so inline `_analyze` filter defs resolve.
+    min_len = kw.get("min", min_len)
+    max_len = kw.get("max", max_len)
     return per_token(lambda t: t if min_len <= len(t) <= max_len else None)
 
 
