@@ -979,6 +979,20 @@ def _q_c4_quality_signals(sf_dir):
                 "has_lorem"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dsir_logweight(sf_dir):
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023): hashed
+    unigram+bigram models for target (lang='en') vs raw, per-doc
+    sum of bucket log-likelihood ratios. Two bounded passes + map-only
+    scoring (see textstats/dsir.py)."""
+    from opensearch_ray.textstats.dsir import dsir_log_weights
+    raw = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    target = raw.filter(expr="lang == 'en'")
+    out = dsir_log_weights(raw, target, buckets=4096).to_pandas()
+    out["dsir_logw"] = _fmt(out["dsir_logw"].values, 4)
+    return out[["doc_id", "dsir_logw"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q_fingerprint(sf_dir):
     from opensearch_ray.textstats import fingerprints
     out = fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
@@ -3651,6 +3665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_quality_signals": _q_c4_quality_signals,
         "bulk_ndjson_source": _q_bulk_ndjson_source,
         "lm_quality": _q_lm_quality,
+        "dsir_logweight": _q_dsir_logweight,
         "analyze_custom_chain": _q_analyze_custom_chain,
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_brute,
@@ -4313,6 +4328,47 @@ def oracle_sql() -> dict[str, str]:
             FROM tris t JOIN c3 USING (tri) JOIN c2 USING (bi)
             CROSS JOIN v
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "dsir_logweight": """
+            WITH base AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents),
+            tok AS (
+              SELECT b.doc_id, b.lang, i.i AS pos, b.toks[i.i] AS t
+              FROM base b,
+                   unnest(generate_series(1, len(b.toks))) AS i(i)
+              WHERE b.toks[i.i] <> ''),
+            h AS (
+              SELECT doc_id, lang, pos,
+                     list_reduce(
+                       list_transform(generate_series(1, length(t)),
+                                      j -> unicode(substr(t, j, 1))),
+                       (a, x) -> (a * 31 + x) % 1000003) AS hv
+              FROM tok),
+            grams AS (
+              SELECT doc_id, lang, hv % 4096 AS bk FROM h
+              UNION ALL
+              SELECT doc_id, lang,
+                     ((hv::BIGINT * 8191
+                       + lead(hv) OVER (PARTITION BY doc_id
+                                        ORDER BY pos)) % 1000003)
+                     % 4096 AS bk
+              FROM h
+              QUALIFY lead(hv) OVER (PARTITION BY doc_id ORDER BY pos)
+                      IS NOT NULL),
+            tc AS (SELECT bk, count(*) AS c FROM grams
+                   WHERE lang = 'en' GROUP BY bk),
+            rc AS (SELECT bk, count(*) AS c FROM grams GROUP BY bk),
+            tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
+                           (SELECT sum(c) FROM rc) AS rt),
+            llr AS (
+              SELECT r.bk,
+                     ln((coalesce(t.c, 0) + 1.0) / (tot.tt + 4096.0))
+                   - ln((r.c + 1.0) / (tot.rt + 4096.0)) AS v
+              FROM rc r LEFT JOIN tc t ON r.bk = t.bk CROSS JOIN tot)
+            SELECT g.doc_id, printf('%.4f', sum(l.v)) AS dsir_logw
+            FROM grams g JOIN llr l ON g.bk = l.bk
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "bulk_ndjson_source": """
             SELECT doc_id,

@@ -248,3 +248,53 @@ def test_semantic_dedup_semdedup():
     m1 = dict(zip(out.vec_id, out.keep))
     m2 = dict(zip(out2.vec_id, out2.keep))
     assert m1 == m2
+
+
+# ----------------------------------------------------------------- DSIR
+
+def test_dsir_enriches_target():
+    """Target-looking docs must outscore off-target docs (Xie et al.'23:
+    log w = sum llr over hashed n-grams; target vocab buckets carry
+    positive llr)."""
+    from opensearch_ray.textstats.dsir import dsir_log_weights
+    rows = []
+    for i in range(20):  # target-like: formal prose vocabulary
+        rows.append({"doc_id": i, "lang": "en",
+                     "text": "the model trains on curated formal prose "
+                             "with careful grammar and structure"})
+    for i in range(20, 40):  # off-target: distinct vocabulary
+        rows.append({"doc_id": i, "lang": "xx",
+                     "text": "lol spam click buy now free casino jackpot "
+                             "winner prize xoxo"})
+    ds = rd.from_items(rows)
+    target = ds.filter(expr="lang == 'en'")
+    out = dsir_log_weights(ds, target, buckets=512).to_pandas()
+    en = out[out["lang"] == "en"]["dsir_logw"]
+    xx = out[out["lang"] == "xx"]["dsir_logw"]
+    assert en.min() > xx.max()
+
+
+def test_dsir_select_topk_deterministic():
+    from opensearch_ray.textstats.dsir import dsir_log_weights, dsir_select
+    prose = "curated formal prose with careful grammar and structure"
+    spam = "lol spam click buy now free casino jackpot winner prize"
+    rows = [{"doc_id": i,
+             "text": prose if i % 4 == 0 else spam}
+            for i in range(50)]
+    ds = rd.from_items(rows)
+    target = ds.filter(lambda r: r["doc_id"] % 4 == 0)
+    scored = dsir_log_weights(ds, target, buckets=256)
+    top = dsir_select(scored, k=10)
+    assert top.num_rows == 10
+    w = top.column("dsir_logw").to_pylist()
+    assert w == sorted(w, reverse=True)
+    # target-looking docs dominate the selection
+    ids = top.column("doc_id").to_pylist()
+    assert all(i % 4 == 0 for i in ids)
+    # repartitioning must not change the selection
+    top2 = dsir_select(scored.repartition(7), k=10)
+    assert top2.column("doc_id").to_pylist() == ids
+    # Gumbel mode: deterministic per seed, valid ids
+    g1 = dsir_select(scored, k=10, seed=7)
+    g2 = dsir_select(scored.repartition(5), k=10, seed=7)
+    assert g1.column("doc_id").to_pylist() == g2.column("doc_id").to_pylist()
