@@ -56,6 +56,8 @@ def prepare_training_data(
     pack_budget: Optional[int] = None,
     c4_heuristics: bool = False,
     lm_quality_min: Optional[float] = None,
+    dsir_target: Optional[str] = None,
+    dsir_logw_min: float = 0.0,
 ) -> dict:
     """Returns a summary dict {input_rows, kept_rows, near_dups_removed,
     shards_written, resumed}. Output layout: out_dir/shard=NNN/*.parquet
@@ -105,6 +107,19 @@ def prepare_training_data(
         ds = ds.map_batches(
             lambda t: t.filter(pc.greater_equal(
                 t.column("lm_score"), pa.scalar(thr))),
+            batch_format="pyarrow")
+    if dsir_target:
+        # DSIR (Xie et al. NeurIPS'23): importance weight vs a target
+        # corpus — two bounded count passes + map-only scoring; the
+        # threshold keeps the filter shuffle-free (the ranked top-k
+        # variant is textstats.dsir.dsir_select for bounded k)
+        from ..textstats.dsir import dsir_log_weights
+        tgt = ray.data.read_parquet(dsir_target, columns=[text_col])
+        ds = dsir_log_weights(ds, tgt, text_col=text_col)
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("dsir_logw"),
+                pa.scalar(float(dsir_logw_min)))),
             batch_format="pyarrow")
     ds = quality_scores(ds, text_col)
     ds = ds.map_batches(
@@ -169,7 +184,9 @@ def prepare_training_data(
        .write_parquet(staging, partition_cols=["_shard"], compression="zstd"))
 
     # atomic-ish commit: rename each finished partition dir into place;
-    # the manifest written LAST is the commit point
+    # the manifest written LAST is the commit point (an all-filtered run
+    # writes no staging dir at all — that's a valid 0-shard result)
+    os.makedirs(staging, exist_ok=True)
     kept = 0
     shards_written = 0
     for name in sorted(os.listdir(staging)):

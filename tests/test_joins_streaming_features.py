@@ -523,3 +523,33 @@ def test_training_data_pipeline_lm_filter(tmp_path, sf_dir):
     assert len(out) == s["kept_rows"] > 0
     assert "lm_score" in out.columns
     assert (out["lm_score"] >= -4.5).all()
+
+
+def test_training_data_pipeline_dsir_stage(tmp_path, sf_dir):
+    """Capstone with the DSIR stage on: target = the corpus' en docs;
+    a high threshold must drop rows, logw column rides into output."""
+    import glob as _glob
+    import pyarrow.compute as pc
+    import pyarrow.dataset as _pds
+    import pyarrow.parquet as _pq
+    from opensearch_ray.pipelines import prepare_training_data
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet")
+    tgt = tmp_path / "target.parquet"
+    _pq.write_table(t.filter(pc.equal(t.column("lang"), "en")), str(tgt))
+    out = str(tmp_path / "td_dsir")
+    # NB: absolute logw is negative at tiny scale (Laplace smoothing over a
+    # 193-doc target spreads mass thin), so threshold on a mid quantile —
+    # the SIGNAL is relative: en docs sit ~5 nats above the other langs.
+    s = prepare_training_data(
+        f"{sf_dir}/documents.parquet", out, min_quality=0.0,
+        dsir_target=str(tgt), dsir_logw_min=-8.0)
+    assert 0 < s["kept_rows"] < s["input_rows"]
+    kept = _pds.dataset(sorted(_glob.glob(f"{out}/shard=*/*.parquet"))) \
+        .to_table(columns=["doc_id", "lang", "dsir_logw"])
+    # docs that look like the en target are enriched vs the input mix
+    langs = kept.column("lang").to_pylist()
+    frac_en_kept = langs.count("en") / len(langs)
+    frac_en_in = t.column("lang").to_pylist().count("en") / t.num_rows
+    assert frac_en_kept > frac_en_in
+    assert min(kept.column("dsir_logw").to_pylist()) >= -8.0
