@@ -1028,6 +1028,53 @@ def _q_hybrid_rrf(sf_dir):
                  "knn_rank": np.int64}).reset_index(drop=True)
 
 
+def _q_hybrid_normalized(sf_dir):
+    """OpenSearch `hybrid` query fusion (neural-search normalization
+    processor): min_max-normalize the BM25 and cosine depth-100 legs,
+    combine with a weighted (0.7/0.3) arithmetic mean over present
+    legs, top-10 (score desc, doc id asc)."""
+    import pyarrow.parquet as pq
+    from opensearch_ray.similarity import hybrid_normalized_search
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      filters=[("vec_id", "=", 0)]) \
+        .column("embedding").to_pylist()[0]
+    out = hybrid_normalized_search(
+        _searcher(sf_dir), _read(sf_dir, "embeddings"), _BM25_Q,
+        np.asarray(q, np.float64), k=10, depth=100, technique="min_max",
+        combination="arithmetic_mean", weights=(0.7, 0.3))
+    for c in ("bm25_norm", "knn_norm", "score"):
+        out[c] = _fmt(out[c], 5)
+    return out[["doc_id", "bm25_norm", "knn_norm", "score", "rank"]] \
+        .astype({"doc_id": np.int64}).reset_index(drop=True)
+
+
+def _q_dedup_lines(sf_dir):
+    """Line-level keep-first dedup (CCNet/RefinedWeb paragraph dedup;
+    sep=' ' at test scale — the docs are single-line, so 'lines' are
+    the whitespace segments; same code path as the \\n default)."""
+    from opensearch_ray.dedup import line_dedup
+    out = line_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     sep=" ").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": np.int64, "lines_removed": np.int64})
+
+
+def _q_agg_ip_prefix(sf_dir):
+    """ip_prefix agg (/20) over deterministic derived IPv4 strings."""
+    from opensearch_ray.aggs import ip_prefix_agg
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ips = [f"10.{int(u) % 256}.{int(e) % 256}.1"
+               for u, e in zip(uid, eid)]
+        return pa.table({"ip": pa.array(ips, pa.string())})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        derive, batch_format="pyarrow")
+    return ip_prefix_agg(ds, "ip", 20)
+
+
 # ------------------------------------------------------- rows-only callables
 
 def _q_langid(sf_dir):
@@ -3670,6 +3717,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_brute,
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_normalized": _q_hybrid_normalized,
+        "dedup_lines": _q_dedup_lines,
+        "agg_ip_prefix": _q_agg_ip_prefix,
         # joins / windows / search features
         "asof_join": _q_asof_join,
         "hash_join": _q_hash_join,
@@ -5419,6 +5469,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
                         AS BIGINT) AS rank
             FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"""),
+        "hybrid_normalized": _bm25_sql("""
+            , bm AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS r
+              FROM scored QUALIFY r <= 100),
+            bmn AS (
+              SELECT doc_id,
+                     CASE WHEN max(score) OVER () = min(score) OVER ()
+                          THEN 1.0
+                          ELSE greatest(
+                            (score - min(score) OVER ())
+                            / (max(score) OVER () - min(score) OVER ()),
+                            0.001)
+                     END AS ns
+              FROM bm),
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id = 0),
+            kn AS (
+              SELECT vec_id AS doc_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT v FROM qv)) AS score,
+                     row_number() OVER (ORDER BY
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                              (SELECT v FROM qv)) DESC,
+                       vec_id) AS r
+              FROM embeddings QUALIFY r <= 100),
+            knn2 AS (
+              SELECT doc_id,
+                     CASE WHEN max(score) OVER () = min(score) OVER ()
+                          THEN 1.0
+                          ELSE greatest(
+                            (score - min(score) OVER ())
+                            / (max(score) OVER () - min(score) OVER ()),
+                            0.001)
+                     END AS ns
+              FROM kn),
+            fused AS (
+              SELECT coalesce(b.doc_id, k.doc_id) AS doc_id,
+                     coalesce(b.ns, 0) AS bm25_norm,
+                     coalesce(k.ns, 0) AS knn_norm,
+                     (coalesce(0.7 * b.ns, 0) + coalesce(0.3 * k.ns, 0))
+                     / (CASE WHEN b.doc_id IS NULL THEN 0 ELSE 0.7 END
+                        + CASE WHEN k.doc_id IS NULL THEN 0 ELSE 0.3 END)
+                       AS score
+              FROM bmn b FULL OUTER JOIN knn2 k ON b.doc_id = k.doc_id)
+            SELECT doc_id, printf('%.5f', bm25_norm) AS bm25_norm,
+                   printf('%.5f', knn_norm) AS knn_norm,
+                   printf('%.5f', score) AS score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM fused ORDER BY score DESC, doc_id LIMIT 10"""),
+        "dedup_lines": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS line,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, ord, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, ord) AS rn
+              FROM lines),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(line, ' ' ORDER BY ord)
+                       FILTER (WHERE rn = 1) AS text,
+                     count(*) FILTER (WHERE rn > 1) AS removed
+              FROM ranked GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.text, '') AS text,
+                   CAST(coalesce(a.removed, 0) AS BIGINT) AS lines_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "agg_ip_prefix": """
+            WITH ips AS (
+              SELECT ((10 * 16777216) + (user_id % 256) * 65536
+                      + (event_id % 256) * 256 + 1) // 4096 * 4096 AS net
+              FROM events)
+            SELECT printf('%d.%d.%d.%d', net // 16777216,
+                          (net // 65536) % 256, (net // 256) % 256,
+                          net % 256) AS key,
+                   CAST(count(*) AS BIGINT) AS doc_count
+            FROM ips GROUP BY net ORDER BY net
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0),

@@ -21,7 +21,7 @@ from .bucket import (
     date_histogram_agg, auto_date_histogram_agg, adjacency_matrix_agg,
     range_agg, filters_agg, missing_agg, composite_agg, significant_terms_agg,
     date_range_agg, sampler_agg, diversified_sampler_agg, significant_text_agg,
-    ip_range_agg, variable_width_histogram_agg,
+    ip_range_agg, ip_prefix_agg, variable_width_histogram_agg,
 )
 from .geo import geo_distance_agg, geo_centroid_agg
 from .pipeline import (

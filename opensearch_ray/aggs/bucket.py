@@ -377,6 +377,42 @@ def ip_range_agg(ds: Dataset, field: str,
     return merged[["key", "doc_count"]].reset_index(drop=True)
 
 
+def ip_prefix_agg(ds: Dataset, field: str, prefix_length: int,
+                  min_doc_count: int = 1,
+                  append_prefix_length: bool = False) -> pd.DataFrame:
+    """ip_prefix: bucket IPv4 addresses by their network prefix
+    (bucket/terms/IpPrefixAggregator, OpenSearch 2.10+): key = the
+    address masked to ``prefix_length`` bits, rendered dotted-quad
+    (``append_prefix_length`` adds the ``/len`` suffix), buckets sorted
+    by key ascending, ``min_doc_count`` filtering the tail.
+
+    Distributed shape: per-block masked ``np.unique`` partials (bounded
+    by distinct prefixes per block), one small groupby merge."""
+    if not (0 <= prefix_length <= 32):
+        raise ValueError("prefix_length must be in [0, 32]")
+    mask = np.int64(((1 << prefix_length) - 1) << (32 - prefix_length)
+                    if prefix_length else 0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _ipv4_to_u32(t.column(field)) & mask
+        keys, counts = np.unique(v, return_counts=True)
+        return pa.table({"net": pa.array(keys.astype(np.int64)),
+                         "doc_count": pa.array(counts.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = (parts.groupby("net")
+              .aggregate(Sum("doc_count", alias_name="doc_count")).to_pandas()
+              .sort_values("net"))
+    merged = merged[merged["doc_count"] >= min_doc_count]
+    nets = merged["net"].to_numpy(np.int64)
+    quads = [f"{(n >> 24) & 255}.{(n >> 16) & 255}.{(n >> 8) & 255}.{n & 255}"
+             for n in nets]
+    if append_prefix_length:
+        quads = [f"{q}/{prefix_length}" for q in quads]
+    merged["key"] = quads
+    return merged[["key", "doc_count"]].reset_index(drop=True)
+
+
 def sampler_agg(ds: Dataset, by: str, shard_size: int = 100,
                 tie_col: Optional[str] = None) -> Dataset:
     """sampler: restrict sub-aggregations to the best-scoring docs

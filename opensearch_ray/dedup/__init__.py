@@ -15,6 +15,7 @@ from .ngram import ngram_jaccard_pairs
 from .embed import embedding_dedup_pairs
 from .substring import duplicated_window_stats, decontaminate
 from .semantic import semantic_dedup
+from .lines import line_dedup
 
 __all__ = [
     "dedup_exact", "content_hashes",
@@ -22,4 +23,5 @@ __all__ = [
     "simhash_values", "simhash_dedup_pairs",
     "ngram_jaccard_pairs", "embedding_dedup_pairs",
     "duplicated_window_stats", "decontaminate", "semantic_dedup",
+    "line_dedup",
 ]

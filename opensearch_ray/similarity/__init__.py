@@ -1,8 +1,8 @@
 """Similarity search over embedding columns (ANN)."""
 
 from .ann import brute_force_topk, lsh_topk
-from .hybrid import hybrid_rrf_search
+from .hybrid import hybrid_rrf_search, hybrid_normalized_search
 from .ivf import IvfIndex
 
 __all__ = ["brute_force_topk", "lsh_topk", "IvfIndex",
-           "hybrid_rrf_search"]
+           "hybrid_rrf_search", "hybrid_normalized_search"]

@@ -298,3 +298,27 @@ def test_dsir_select_topk_deterministic():
     g1 = dsir_select(scored, k=10, seed=7)
     g2 = dsir_select(scored.repartition(5), k=10, seed=7)
     assert g1.column("doc_id").to_pylist() == g2.column("doc_id").to_pylist()
+
+
+def test_line_dedup_keep_first():
+    """Corpus-wide keep-first line dedup: later occurrences drop, order
+    within docs is preserved, empty survivors keep their row."""
+    from opensearch_ray.dedup import line_dedup
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a\nb\nc", "b\nd\na", "a\nb", "e"])}))
+    out = line_dedup(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out["text"].tolist() == ["a\nb\nc", "d", "", "e"]
+    assert out["lines_removed"].tolist() == [0, 2, 2, 0]
+    # repartitioning must not change the result (determinism invariant)
+    out2 = line_dedup(ds.repartition(3)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2["text"].tolist() == out["text"].tolist()
+    # duplicate lines WITHIN one doc dedup too (positional keep-first)
+    one = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["x\nx\ny\nx"])}))
+    o = line_dedup(one).to_pandas()
+    assert o["text"].tolist() == ["x\ny"]
+    assert o["lines_removed"].tolist() == [2]

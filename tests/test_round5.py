@@ -552,3 +552,75 @@ def test_term_suggest_sort_by_frequency(s):
     assert sc.suggestion.tolist() == d.suggestion.tolist()
     with pytest.raises(ValueError):
         term_suggest(s, typo, sort="nope")
+
+
+def test_hybrid_normalized_fusion(built_index, s):
+    """Normalized hybrid (neural-search min_max + weighted arithmetic
+    mean): fused scores equal the hand-computed combination; l2 and
+    geometric/harmonic variants stay ordered and bounded."""
+    from opensearch_ray.similarity import hybrid_normalized_search
+    from opensearch_ray.similarity.hybrid import _combine, _normalize_leg
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((50, 8)).astype(np.float64)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array(vecs.tolist())}))
+    q = "bace cedi"
+    out = hybrid_normalized_search(s, emb, q, vecs[3], k=10, depth=20,
+                                   weights=(0.6, 0.4))
+    # hand-compute the min_max + arithmetic_mean fusion
+    hits = s.search(q, k=20)
+    bm_sc = np.array([h.score for h in hits])
+    bm_n = dict(zip([h.docid for h in hits],
+                    _normalize_leg(bm_sc, "min_max")))
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ (vecs[3] / np.linalg.norm(vecs[3]))
+    order = np.lexsort((np.arange(50), -sims))[:20]
+    kn_n = dict(zip((int(d) for d in order),
+                    _normalize_leg(sims[order], "min_max")))
+    want = []
+    for d in sorted(set(bm_n) | set(kn_n)):
+        num = wsum = 0.0
+        if d in bm_n:
+            num += 0.6 * bm_n[d]
+            wsum += 0.6
+        if d in kn_n:
+            num += 0.4 * kn_n[d]
+            wsum += 0.4
+        want.append((d, num / wsum))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert out.doc_id.tolist() == [d for d, _ in want[:10]]
+    for got, (_, w) in zip(out.score, want[:10]):
+        assert abs(got - w) < 1e-12
+    # l2 normalization: leg norms sum to 1 in quadrature
+    l2 = _normalize_leg(bm_sc, "l2")
+    assert abs((l2 ** 2).sum() - 1.0) < 1e-12
+    # geometric/harmonic means sit within [min, max] of the leg scores
+    mat = np.array([[0.8, 0.2]])
+    pres = np.ones((1, 2))
+    w = np.array([0.5, 0.5])
+    am = _combine(mat, pres, w, "arithmetic_mean")[0]
+    gm = _combine(mat, pres, w, "geometric_mean")[0]
+    hm = _combine(mat, pres, w, "harmonic_mean")[0]
+    assert 0.2 < hm < gm < am < 0.8
+    # degenerate single-score leg -> 1.0
+    assert _normalize_leg(np.array([2.5]), "min_max")[0] == 1.0
+
+
+def test_ip_prefix_agg():
+    """ip_prefix: /24 and /16 masks, min_doc_count, /len suffix."""
+    from opensearch_ray.aggs import ip_prefix_agg
+    ds = rd.from_arrow(pa.table({"ip": pa.array(
+        ["10.0.0.1", "10.0.0.9", "10.0.1.5", "172.16.254.3"])}))
+    r = ip_prefix_agg(ds, "ip", 24)
+    assert r["key"].tolist() == ["10.0.0.0", "10.0.1.0", "172.16.254.0"]
+    assert r["doc_count"].tolist() == [2, 1, 1]
+    r = ip_prefix_agg(ds, "ip", 24, min_doc_count=2)
+    assert r["key"].tolist() == ["10.0.0.0"]
+    r = ip_prefix_agg(ds, "ip", 16, append_prefix_length=True)
+    assert r["key"].tolist() == ["10.0.0.0/16", "172.16.0.0/16"]
+    assert r["doc_count"].tolist() == [3, 1]
+    # /0 puts everything in one bucket
+    r = ip_prefix_agg(ds, "ip", 0)
+    assert r["key"].tolist() == ["0.0.0.0"]
+    assert r["doc_count"].tolist() == [4]
