@@ -29,12 +29,15 @@ from opensearch_ray.arrowutil import nometa
 
 def line_dedup(ds: Dataset, text_col: str = "text",
                id_col: str = "doc_id", sep: str = "\n",
-               P: int = 64) -> Dataset:
-    """-> Dataset(``id_col``, ``text_col``, lines_removed): corpus-wide
-    keep-first line dedup. Every input doc appears in the output (a doc
-    whose every line occurred earlier keeps an empty text); splitting
-    follows ``str.split(sep)`` (empty segments are lines too, so the
-    result is reproducible in SQL via string_split)."""
+               P: int = 64, keep_cols=()) -> Dataset:
+    """-> Dataset(``id_col``, ``text_col``, *keep_cols, lines_removed):
+    corpus-wide keep-first line dedup. Every input doc appears in the
+    output (a doc whose every line occurred earlier keeps an empty
+    text); splitting follows ``str.split(sep)`` (empty segments are
+    lines too, so the result is reproducible in SQL via string_split).
+    ``keep_cols`` ride the per-doc marker row through the shuffle — no
+    extra join to rehydrate passenger columns."""
+    keep_cols = list(keep_cols)
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -52,8 +55,9 @@ def line_dedup(ds: Dataset, text_col: str = "text",
         lh = pd.util.hash_array(np.asarray(lines, dtype=object)) \
             .astype(np.uint64)
         # marker row per doc (pos = -1) rides along so empty survivors
-        # keep their row; it carries the original line count
-        out = pa.table({
+        # keep their row; it carries the original line count and the
+        # passenger columns (null on line rows)
+        cols = {
             id_col: pa.array(np.concatenate((doc_of, ids))),
             "_pos": pa.array(np.concatenate(
                 (pos, np.full(len(ids), -1, np.int64)))),
@@ -65,8 +69,13 @@ def line_dedup(ds: Dataset, text_col: str = "text",
                 # markers skip dedup; spread them uniformly by doc hash
                 (pd.util.hash_array(ids.astype(np.uint64))
                  % np.uint64(P)).astype(np.int32)))),
-        })
-        return nometa(out)
+        }
+        for c in keep_cols:
+            v = t.column(c).combine_chunks() if isinstance(
+                t.column(c), pa.ChunkedArray) else t.column(c)
+            cols[c] = pa.concat_arrays(
+                [pa.nulls(len(lines), v.type), v])
+        return nometa(pa.table(cols))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         real = g[g["_pos"] >= 0]
@@ -83,7 +92,7 @@ def line_dedup(ds: Dataset, text_col: str = "text",
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "_pos"], kind="mergesort")
-        marks = g[g["_pos"] < 0][[id_col, "_nl"]]
+        marks = g[g["_pos"] < 0][[id_col, "_nl"] + keep_cols]
         real = g[g["_pos"] >= 0]
         joined = (real.groupby(id_col, sort=True)["_line"]
                   .agg(sep.join).rename(text_col).reset_index())
@@ -94,7 +103,7 @@ def line_dedup(ds: Dataset, text_col: str = "text",
         out[text_col] = out[text_col].fillna("")
         out["lines_removed"] = (out["_nl"]
                                 - out["_kept"].fillna(0).astype(np.int64))
-        return out[[id_col, text_col, "lines_removed"]]
+        return out[[id_col, text_col] + keep_cols + ["lines_removed"]]
 
     kept = (ds.map_batches(explode, batch_format="pyarrow")
             .repartition(16, shuffle=False)

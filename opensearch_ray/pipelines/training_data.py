@@ -58,6 +58,7 @@ def prepare_training_data(
     lm_quality_min: Optional[float] = None,
     dsir_target: Optional[str] = None,
     dsir_logw_min: float = 0.0,
+    dedup_lines_sep: Optional[str] = None,
 ) -> dict:
     """Returns a summary dict {input_rows, kept_rows, near_dups_removed,
     shards_written, resumed}. Output layout: out_dir/shard=NNN/*.parquet
@@ -93,6 +94,15 @@ def prepare_training_data(
     kill_ref = ray.put(pa.array(sorted(kill), type=pa.int64()))
 
     # --- main streaming pass
+    if dedup_lines_sep is not None:
+        # CCNet/RefinedWeb paragraph dedup FIRST: rewrite text before
+        # any scoring sees it (two low-cardinality partition shuffles;
+        # passenger columns ride the marker rows)
+        from ..dedup import line_dedup
+        passengers = [c for c in ds.schema().names
+                      if c not in (id_col, text_col)]
+        ds = line_dedup(ds, text_col=text_col, id_col=id_col,
+                        sep=dedup_lines_sep, keep_cols=passengers)
     if c4_heuristics:
         # C4/Gopher shape drops first — cheapest rejection, map-only
         from ..textstats.heuristics import c4_filter

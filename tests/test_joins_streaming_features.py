@@ -553,3 +553,23 @@ def test_training_data_pipeline_dsir_stage(tmp_path, sf_dir):
     frac_en_in = t.column("lang").to_pylist().count("en") / t.num_rows
     assert frac_en_kept > frac_en_in
     assert min(kept.column("dsir_logw").to_pylist()) >= -8.0
+
+
+def test_training_data_pipeline_line_dedup_stage(tmp_path, sf_dir):
+    """Capstone with the paragraph-dedup stage on (sep=' ' — the
+    synthetic docs are single-line): texts are rewritten, passenger
+    columns survive, lines_removed rides into the output."""
+    import glob as _glob
+    import pyarrow.dataset as _pds
+    from opensearch_ray.pipelines import prepare_training_data
+
+    out = str(tmp_path / "td_lines")
+    s = prepare_training_data(
+        f"{sf_dir}/documents.parquet", out, min_quality=0.0,
+        dedup_lines_sep=" ")
+    assert s["kept_rows"] > 0
+    kept = _pds.dataset(sorted(_glob.glob(f"{out}/shard=*/*.parquet"))) \
+        .to_table(columns=["doc_id", "text", "lang", "lines_removed"])
+    assert kept.column("lines_removed").to_numpy().sum() > 0
+    # at least one doc lost words to the corpus-wide keep-first
+    assert kept.column("lang").null_count == 0
