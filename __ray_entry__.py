@@ -1059,6 +1059,26 @@ def _q_dedup_lines(sf_dir):
         .astype({"doc_id": np.int64, "lines_removed": np.int64})
 
 
+def _q_dsl_hybrid_query(sf_dir):
+    """`hybrid` query through the DSL executor (neural-search
+    HybridQueryBuilder + normalization-processor): two BM25 legs
+    (different query texts), depth-100, min_max normalization,
+    weighted (0.6/0.4) arithmetic-mean combination, top-10."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    body = {"query": {"hybrid": {
+                "queries": [{"match": {"text": _BM25_Q}},
+                            {"match": {"text": "sort merge batch"}}],
+                "pagination_depth": 100,
+                "normalization": {"technique": "min_max"},
+                "combination": {"technique": "arithmetic_mean",
+                                "parameters": {"weights": [0.6, 0.4]}}}},
+            "size": 10}
+    r = dsl.execute_search(s, body)
+    r["score"] = _fmt(r["score"].values, 5)
+    return r.reset_index(drop=True)
+
+
 def _q_agg_ip_prefix(sf_dir):
     """ip_prefix agg (/20) over deterministic derived IPv4 strings."""
     from opensearch_ray.aggs import ip_prefix_agg
@@ -3718,6 +3738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_brute,
         "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_normalized": _q_hybrid_normalized,
+        "dsl_hybrid_query": _q_dsl_hybrid_query,
         "dedup_lines": _q_dedup_lines,
         "agg_ip_prefix": _q_agg_ip_prefix,
         # joins / windows / search features
@@ -5519,6 +5540,58 @@ def oracle_sql() -> dict[str, str]:
                    printf('%.5f', score) AS score,
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
                         AS BIGINT) AS rank
+            FROM fused ORDER BY score DESC, doc_id LIMIT 10"""),
+        "dsl_hybrid_query": _bm25_sql("""
+            , qterms2(term, boost) AS
+                (VALUES ('sort', 1.0), ('merge', 1.0), ('batch', 1.0)),
+            scored2 AS (
+              SELECT tf.doc_id,
+                     SUM(qt.boost
+                         * ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                         * (1.2 + 1.0) * tf.tf
+                         / (tf.tf + 1.2 * (1 - 0.75
+                                           + 0.75 * dlq.dl_q / c.avgdl)))
+                       AS score
+              FROM qterms2 qt
+              JOIN df  ON df.token = qt.term
+              JOIN tf  ON tf.token = qt.term
+              JOIN dlq ON dlq.doc_id = tf.doc_id
+              CROSS JOIN consts c
+              GROUP BY tf.doc_id),
+            l1 AS (SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS r
+                   FROM scored QUALIFY r <= 100),
+            l2 AS (SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS r
+                   FROM scored2 QUALIFY r <= 100),
+            n1 AS (SELECT doc_id,
+                          CASE WHEN max(score) OVER () = min(score) OVER ()
+                               THEN 1.0
+                               ELSE greatest(
+                                 (score - min(score) OVER ())
+                                 / (max(score) OVER ()
+                                    - min(score) OVER ()), 0.001)
+                          END AS ns
+                   FROM l1),
+            n2 AS (SELECT doc_id,
+                          CASE WHEN max(score) OVER () = min(score) OVER ()
+                               THEN 1.0
+                               ELSE greatest(
+                                 (score - min(score) OVER ())
+                                 / (max(score) OVER ()
+                                    - min(score) OVER ()), 0.001)
+                          END AS ns
+                   FROM l2),
+            fused AS (
+              SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     (coalesce(0.6 * a.ns, 0) + coalesce(0.4 * b.ns, 0))
+                     / (CASE WHEN a.doc_id IS NULL THEN 0 ELSE 0.6 END
+                        + CASE WHEN b.doc_id IS NULL THEN 0 ELSE 0.4 END)
+                       AS score
+              FROM n1 a FULL OUTER JOIN n2 b ON a.doc_id = b.doc_id)
+            SELECT doc_id, printf('%.5f', score) AS score
             FROM fused ORDER BY score DESC, doc_id LIMIT 10"""),
         "dedup_lines": """
             WITH lines AS (

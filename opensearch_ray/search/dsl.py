@@ -395,6 +395,80 @@ def _register_derived(s: Searcher, body: dict) -> None:
                                      spec.get("ignore_malformed", False))
 
 
+def _hybrid_search(s: Searcher, spec: dict, body: dict, text_field: str,
+                   id_col: str) -> pd.DataFrame:
+    """OpenSearch ``hybrid`` query (neural-search HybridQueryBuilder +
+    the search pipeline's normalization-processor): execute each
+    sub-query independently, keep each leg's top ``pagination_depth``
+    (default from+size), normalize per leg (min_max / l2), combine with
+    a weighted arithmetic/geometric/harmonic mean over the legs where
+    the doc appears, then page the fused ranking (score desc, id asc).
+
+    The ``normalization`` / ``combination`` specs ride inline under the
+    clause — the body-level analogue of the processor config::
+
+        {"hybrid": {"queries": [...], "pagination_depth": 100,
+                    "normalization": {"technique": "min_max"},
+                    "combination": {"technique": "arithmetic_mean",
+                                    "parameters": {"weights": [...]}}}}
+    """
+    from ..similarity.hybrid import _combine, _normalize_leg
+    subs = spec.get("queries") or []
+    if not subs:
+        raise ValueError("hybrid query requires a non-empty 'queries'")
+    frm = int(body.get("from", 0))
+    size = int(body.get("size", 10))
+    depth = int(spec.get("pagination_depth", 0)) or (frm + size)
+    technique = (spec.get("normalization") or {}).get(
+        "technique", "min_max")
+    comb = spec.get("combination") or {}
+    combination = comb.get("technique", "arithmetic_mean")
+    weights = (comb.get("parameters") or {}).get("weights")
+    w = np.asarray(weights if weights is not None
+                   else [1.0 / len(subs)] * len(subs), np.float64)
+    if w.size != len(subs):
+        raise ValueError("combination weights must match sub-query count")
+
+    legs = []
+    for subq in subs:
+        if isinstance(subq, dict) and len(subq) == 1 and "knn" in subq:
+            (field, kspec), = subq["knn"].items()
+            allow = (query_docs(s, kspec["filter"], text_field)
+                     if kspec.get("filter") else None)
+            ids, sc = knn_docs_scores(s, field, kspec["vector"],
+                                      int(kspec.get("k", depth)),
+                                      allow=allow)
+        else:
+            docs = query_docs(s, subq, text_field)
+            terms = _score_terms(s, subq)
+            if terms:
+                sc = s.score_docs(docs, terms)
+                m = sc > 0
+                ids, sc = docs[m], sc[m]
+            else:
+                ids, sc = Q.constant_score_docs(s, docs, 1.0)
+        top = np.lexsort((ids, -sc))[:depth]
+        legs.append((ids[top], np.asarray(sc, np.float64)[top]))
+
+    all_ids = np.unique(np.concatenate([i for i, _ in legs]))
+    mat = np.zeros((all_ids.size, len(legs)), np.float64)
+    present = np.zeros_like(mat)
+    for j, (ids, sc) in enumerate(legs):
+        idx = np.searchsorted(all_ids, ids)
+        mat[idx, j] = _normalize_leg(sc, technique)
+        present[idx, j] = 1.0
+    score = _combine(mat, present, w, combination)
+    order = np.lexsort((all_ids, -score))[frm:frm + size]
+    out = pd.DataFrame({id_col: all_ids[order], "score": score[order]})
+    src = body.get("_source")
+    if src:
+        for c, vals in _fetch_aligned(
+                s, out[id_col].to_numpy(), list(src)).items():
+            out[c] = vals
+    _project_field_options(s, out, out[id_col].to_numpy(), body)
+    return out
+
+
 def execute_search(s: Searcher, body: dict, text_field: str = "text",
                    id_col: str = "doc_id",
                    field_aliases: Optional[dict] = None) -> pd.DataFrame:
@@ -446,6 +520,8 @@ def execute_search(s: Searcher, body: dict, text_field: str = "text",
                 out[c] = vals
         _project_field_options(s, out, out[id_col].to_numpy(), body)
         return out
+    if isinstance(q, dict) and len(q) == 1 and "hybrid" in q:
+        return _hybrid_search(s, q["hybrid"], body, text_field, id_col)
     fast = _fast_path(s, q, text_field)
     if fast is not None:
         frm = int(body.get("from", 0))

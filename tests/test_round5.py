@@ -624,3 +624,47 @@ def test_ip_prefix_agg():
     r = ip_prefix_agg(ds, "ip", 0)
     assert r["key"].tolist() == ["0.0.0.0"]
     assert r["doc_count"].tolist() == [4]
+
+
+def test_dsl_hybrid_query(built_index, s):
+    """`hybrid` DSL clause: two text legs fuse per the normalization +
+    combination spec; defaults (equal weights, min_max, arithmetic)
+    apply when specs are omitted; bad specs raise."""
+    from opensearch_ray.search import dsl
+    from opensearch_ray.similarity.hybrid import _normalize_leg
+    legs = [{"match": {"text": "bace cedi"}}, {"match": {"text": "dafo"}}]
+    body = {"query": {"hybrid": {
+                "queries": legs, "pagination_depth": 20,
+                "combination": {"parameters": {"weights": [0.6, 0.4]}}}},
+            "size": 10}
+    out = dsl.execute_search(s, body)
+    assert len(out) <= 10 and (np.diff(out["score"].values) <= 1e-15).all()
+    # hand-compute the fusion from the two single-leg runs
+    h1 = s.search("bace cedi", k=20)
+    h2 = s.search("dafo", k=20)
+    n1 = dict(zip([h.docid for h in h1], _normalize_leg(
+        np.array([h.score for h in h1], np.float64), "min_max")))
+    n2 = dict(zip([h.docid for h in h2], _normalize_leg(
+        np.array([h.score for h in h2], np.float64), "min_max")))
+    want = []
+    for d in sorted(set(n1) | set(n2)):
+        num = (0.6 * n1[d] if d in n1 else 0) + (0.4 * n2[d] if d in n2 else 0)
+        den = (0.6 if d in n1 else 0) + (0.4 if d in n2 else 0)
+        want.append((d, num / den))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert out["doc_id"].tolist() == [d for d, _ in want[:10]]
+    # l2 + geometric_mean variant runs and stays within (0, 1]
+    body2 = {"query": {"hybrid": {
+                "queries": legs, "pagination_depth": 20,
+                "normalization": {"technique": "l2"},
+                "combination": {"technique": "geometric_mean"}}},
+             "size": 5}
+    out2 = dsl.execute_search(s, body2)
+    assert (out2["score"] > 0).all() and (out2["score"] <= 1.0 + 1e-12).all()
+    # weight-count mismatch raises
+    with pytest.raises(ValueError):
+        dsl.execute_search(s, {"query": {"hybrid": {
+            "queries": legs,
+            "combination": {"parameters": {"weights": [1.0]}}}}})
+    with pytest.raises(ValueError):
+        dsl.execute_search(s, {"query": {"hybrid": {"queries": []}}})
