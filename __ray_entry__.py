@@ -1059,6 +1059,20 @@ def _q_dedup_lines(sf_dir):
         .astype({"doc_id": np.int64, "lines_removed": np.int64})
 
 
+def _q_term_case_insensitive(sf_dir):
+    """term query `case_insensitive` option (TermQueryBuilder:58):
+    casefolded doc-values equality on `lang` ('EN' matches 'en')
+    intersected with the casefolded terms-dict expansion on the text
+    field ('WINDOW' -> 'window')."""
+    from opensearch_ray.search import dsl
+    s = _searcher(sf_dir)
+    a = dsl.query_docs(s, {"term": {"lang": {
+        "value": "EN", "case_insensitive": True}}})
+    b = dsl.query_docs(s, {"term": {"text": {
+        "value": "WINDOW", "case_insensitive": True}}})
+    return pd.DataFrame({"doc_id": np.intersect1d(a, b).astype(np.int64)})
+
+
 def _q_dsl_hybrid_query(sf_dir):
     """`hybrid` query through the DSL executor (neural-search
     HybridQueryBuilder + normalization-processor): two BM25 legs
@@ -3739,6 +3753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_normalized": _q_hybrid_normalized,
         "dsl_hybrid_query": _q_dsl_hybrid_query,
+        "term_case_insensitive": _q_term_case_insensitive,
         "dedup_lines": _q_dedup_lines,
         "agg_ip_prefix": _q_agg_ip_prefix,
         # joins / windows / search features
@@ -4087,6 +4102,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM documents d,
                    unnest(string_split(d.text, ' ')) AS t(tok)
             WHERE t.tok = 'window'
+        """,
+        "term_case_insensitive": """
+            SELECT DISTINCT doc_id FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE lower(d.lang) = lower('EN')
+              AND lower(t.tok) = lower('WINDOW')
+            ORDER BY doc_id
         """,
         "bool_query": """
             WITH has AS (

@@ -139,10 +139,17 @@ def query_docs(s: Searcher, q: dict, text_field: str = "text") -> np.ndarray:
     if kind == "match_bool_prefix":
         text = spec["query"] if isinstance(spec, dict) else spec
         return np.sort(Q.match_bool_prefix_docs(s, str(text)))
+    ci = isinstance(spec, dict) and bool(spec.get("case_insensitive"))
     if kind == "term":
         val = spec["value"] if isinstance(spec, dict) else spec
         if field == text_field:
+            if ci:  # casefolded terms-dict expansion (TermQueryBuilder:58)
+                terms = s.expand_case_insensitive(str(val))
+                return (np.sort(s.bool_docs(should=terms)) if terms
+                        else np.empty(0, np.int64))
             return np.sort(s.term_docs(str(val)))
+        if ci:
+            return Q.ci_value_docs(s, field, str(val))
         return s.range_docs(field, val)  # scalar spec == doc-values equality
     if kind == "terms":
         vals = list(spec)
@@ -154,9 +161,17 @@ def query_docs(s: Searcher, q: dict, text_field: str = "text") -> np.ndarray:
         return s.range_docs(field, spec)
     if kind == "prefix":
         val = spec["value"] if isinstance(spec, dict) else spec
+        if ci:
+            terms = s.expand_prefix_ci(str(val))
+            return (np.sort(s.bool_docs(should=terms)) if terms
+                    else np.empty(0, np.int64))
         return np.sort(s.prefix_docs(str(val)))
     if kind == "wildcard":
         val = spec["value"] if isinstance(spec, dict) else spec
+        if ci:
+            terms = s.expand_wildcard(str(val), case_insensitive=True)
+            return (np.sort(s.bool_docs(should=terms)) if terms
+                    else np.empty(0, np.int64))
         return np.sort(s.wildcard_docs(str(val)))
     if kind == "fuzzy":
         val = spec["value"] if isinstance(spec, dict) else spec
@@ -164,7 +179,7 @@ def query_docs(s: Searcher, q: dict, text_field: str = "text") -> np.ndarray:
         return np.sort(s.fuzzy_docs(str(val), max_edits=int(fz)))
     if kind == "regexp":
         val = spec["value"] if isinstance(spec, dict) else spec
-        return np.sort(Q.regexp_docs(s, str(val)))
+        return np.sort(Q.regexp_docs(s, str(val), case_insensitive=ci))
     raise ValueError(f"unsupported query type: {kind}")
 
 

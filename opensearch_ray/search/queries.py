@@ -85,12 +85,21 @@ def terms_set_docs(s: Searcher, terms: Sequence[str], msm_field: str
 
 # ------------------------------------------------------------ terms dict
 
-def expand_regexp(s: Searcher, pattern: str) -> List[str]:
+def expand_regexp(s: Searcher, pattern: str,
+                  case_insensitive: bool = False) -> List[str]:
     """Vocabulary terms fully matching ``pattern`` (RegexpQueryBuilder:
     the regex is ANCHORED — must match the whole term). One vectorized
     Arrow regex kernel over the sorted terms dict, with a literal-prefix
-    prune like expand_wildcard."""
+    prune like expand_wildcard. ``case_insensitive`` (the builder's
+    CASE_INSENSITIVE_FIELD) streams with (?i) and no prefix prune."""
     import re as _re
+    if case_insensitive:
+        rx = "(?i)^(?:" + pattern + ")$"
+        v = s._vocab_scan(
+            lambda t: t.filter(pc.match_substring_regex(t.column("term"),
+                                                        rx)),
+            cache_key=("rci", rx))
+        return v.column("term").to_pylist()
     # prune by any literal prefix before the first regex metacharacter
     lit = ""
     m = _re.match(r"[a-z0-9]+", pattern)
@@ -108,10 +117,27 @@ def expand_regexp(s: Searcher, pattern: str) -> List[str]:
     return v.filter(mask).column("term").to_pylist()  # term-sorted
 
 
-def regexp_docs(s: Searcher, pattern: str) -> np.ndarray:
+def regexp_docs(s: Searcher, pattern: str,
+                case_insensitive: bool = False) -> np.ndarray:
     """Constant-score rewrite: union of docs of every matching term."""
-    terms = expand_regexp(s, pattern)
+    terms = expand_regexp(s, pattern, case_insensitive)
     return s.bool_docs(should=terms) if terms else np.empty(0, np.int64)
+
+
+def ci_value_docs(s: Searcher, field: str, value: str) -> np.ndarray:
+    """Doc-values keyword equality under case folding (the term query's
+    case_insensitive option on a non-text field): per-segment
+    vectorized casefold compare."""
+    import pandas as pd
+    low = value.lower()
+    parts = []
+    for seg in sorted(s.manifest.segments, key=lambda x: x.seg_id):
+        vals = s.doc_values(seg.seg_id, field)
+        m = pd.Series(vals).astype(str).str.lower().to_numpy() == low
+        if m.any():
+            parts.append(np.flatnonzero(m).astype(np.int64)
+                         + s.doc_base(seg.seg_id))
+    return np.concatenate(parts) if parts else np.empty(0, np.int64)
 
 
 def match_bool_prefix_docs(s: Searcher, text: str) -> np.ndarray:

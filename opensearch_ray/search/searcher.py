@@ -783,14 +783,46 @@ class Searcher:
         m = pc.starts_with(v.column("term"), prefix)
         return sorted(v.filter(m).column("term").to_pylist())
 
-    def expand_wildcard(self, pattern: str) -> List[str]:
+    def expand_case_insensitive(self, term: str) -> List[str]:
+        """Vocabulary terms equal to ``term`` under case folding — the
+        `case_insensitive` option of the term query
+        (TermQueryBuilder.java:58, CASE_INSENSITIVE_FIELD). Streamed
+        terms-dict scan (casefold defeats range pruning), LRU-cached."""
+        low = term.lower()
+        v = self._vocab_scan(
+            lambda t: t.filter(pc.equal(pc.utf8_lower(t.column("term")),
+                                        low)),
+            cache_key=("ci", low))
+        return v.column("term").to_pylist()
+
+    def expand_prefix_ci(self, prefix: str) -> List[str]:
+        """Case-insensitive prefix expansion (PrefixQueryBuilder's
+        case_insensitive option): streamed casefolded starts_with."""
+        low = prefix.lower()
+        v = self._vocab_scan(
+            lambda t: t.filter(pc.starts_with(
+                pc.utf8_lower(t.column("term")), low)),
+            cache_key=("cip", low))
+        return v.column("term").to_pylist()
+
+    def expand_wildcard(self, pattern: str,
+                        case_insensitive: bool = False) -> List[str]:
         """``?`` = one char, ``*`` = any run (WildcardQuery). Matching runs as
         ONE vectorized Arrow regex kernel over the sorted terms dict (not a
         per-term Python loop); a literal prefix before the first wildcard
-        additionally prunes with a binary-searchable starts_with."""
+        additionally prunes with a binary-searchable starts_with.
+        ``case_insensitive`` switches the kernel to (?i) and skips the
+        prefix pruning (case variance defeats the range bound)."""
         import re as _re
         rx = ("^" + _re.escape(pattern)
               .replace(r"\*", ".*").replace(r"\?", ".") + "$")
+        if case_insensitive:
+            rx = "(?i)" + rx
+            v = self._vocab_scan(
+                lambda t: t.filter(pc.match_substring_regex(
+                    t.column("term"), rx)),
+                cache_key=("wci", rx))
+            return v.column("term").to_pylist()
         lit = _re.split(r"[*?]", pattern, maxsplit=1)[0]
         if lit:
             v = self._vocab_range(*self._prefix_bounds(lit))

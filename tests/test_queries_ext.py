@@ -621,3 +621,37 @@ def test_intervals_filter_before_after(tmp_path_factory):
 
     assert sorted(f("before").tolist()) == [0]
     assert sorted(f("after").tolist()) == [1]
+
+
+def test_case_insensitive_query_options(tmp_path_factory):
+    """case_insensitive on term/prefix/wildcard/regexp
+    (TermQueryBuilder CASE_INSENSITIVE_FIELD): a whitespace-analyzed
+    (case-preserving) index matches across case only when the option
+    is on."""
+    from opensearch_ray.index.build import build_index
+    from opensearch_ray.search import dsl
+    corpus = tmp_path_factory.mktemp("ci") / "corpus"
+    corpus.mkdir(parents=True)
+    texts = ["Apple Banana", "APPLE cherry", "apple Date", "Banana egg"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, str(corpus / "part-0.parquet"))
+    s = Searcher(build_index(str(corpus), str(corpus.parent / "idx"),
+                             analyzer="whitespace", num_buckets=2,
+                             hot_df_threshold=100).index_dir)
+    def ids(q):
+        return dsl.query_docs(s, q).tolist()
+    # sensitive: exact-case only
+    assert ids({"term": {"text": {"value": "apple"}}}) == [2]
+    # insensitive: all three case variants
+    assert ids({"term": {"text": {"value": "apple",
+                                  "case_insensitive": True}}}) == [0, 1, 2]
+    assert ids({"prefix": {"text": {"value": "app",
+                                    "case_insensitive": True}}}) == [0, 1, 2]
+    assert ids({"prefix": {"text": {"value": "APP"}}}) == [1]
+    assert ids({"wildcard": {"text": {"value": "a*e",
+                                      "case_insensitive": True}}}) == [0, 1, 2]
+    assert ids({"wildcard": {"text": {"value": "a*e"}}}) == [2]
+    assert ids({"regexp": {"text": {"value": "ba.*",
+                                    "case_insensitive": True}}}) == [0, 3]
+    assert ids({"regexp": {"text": {"value": "ba.*"}}}) == []
