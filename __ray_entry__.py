@@ -1059,6 +1059,29 @@ def _q_dedup_lines(sf_dir):
         .astype({"doc_id": np.int64, "lines_removed": np.int64})
 
 
+def _q_neural_sparse(sf_dir):
+    """neural_sparse query (raw query_tokens mode): sparse dot product
+    of {token: weight} query against a per-doc JSON feature map —
+    derived deterministically from events (clicks=value, u=user_id%7);
+    top-10 by 0.5*clicks + 2.0*u, (score desc, id asc)."""
+    from opensearch_ray.search.features import neural_sparse_topk
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        maps = [f'{{"clicks": {float(x)!r}, "u": {int(y) % 7}}}'
+                for x, y in zip(v, u)]
+        return pa.table({"event_id": t.column("event_id"),
+                         "feats": pa.array(maps, pa.string())})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"]) \
+        .map_batches(derive, batch_format="pyarrow")
+    out = neural_sparse_topk(ds, "feats", {"clicks": 0.5, "u": 2.0},
+                             "event_id", k=10)
+    out["score"] = _fmt(out["score"], 4)
+    return out.astype({"event_id": np.int64}).reset_index(drop=True)
+
+
 def _q_term_case_insensitive(sf_dir):
     """term query `case_insensitive` option (TermQueryBuilder:58):
     casefolded doc-values equality on `lang` ('EN' matches 'en')
@@ -3754,6 +3777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_normalized": _q_hybrid_normalized,
         "dsl_hybrid_query": _q_dsl_hybrid_query,
         "term_case_insensitive": _q_term_case_insensitive,
+        "neural_sparse": _q_neural_sparse,
         "dedup_lines": _q_dedup_lines,
         "agg_ip_prefix": _q_agg_ip_prefix,
         # joins / windows / search features
@@ -4109,6 +4133,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE lower(d.lang) = lower('EN')
               AND lower(t.tok) = lower('WINDOW')
             ORDER BY doc_id
+        """,
+        "neural_sparse": """
+            WITH scored AS (
+              SELECT event_id,
+                     0.5 * value + 2.0 * (user_id % 7) AS score
+              FROM events)
+            SELECT event_id, printf('%.4f', scored.score) AS score,
+                   CAST(row_number() OVER (ORDER BY scored.score DESC,
+                                           event_id) AS BIGINT) AS rank
+            FROM scored ORDER BY scored.score DESC, event_id LIMIT 10
         """,
         "bool_query": """
             WITH has AS (

@@ -993,6 +993,46 @@ def rank_features_topk(ds, json_col: str, feature: str, id_col: str,
                              pivot=pivot, scale=scale, exponent=exponent)
 
 
+def neural_sparse_topk(ds, map_col: str, query_tokens: Dict[str, float],
+                       id_col: str, k: int = 10) -> pd.DataFrame:
+    """``neural_sparse`` query shape (OpenSearch neural-search plugin,
+    public "Neural sparse search" docs; scoring per NeuralSparseQuery =
+    a sparse dot product): the doc side is a {token: weight} map — here
+    a JSON-string column like rank_features — the query side an
+    explicit {token: weight} dict (the raw-vector `query_tokens` mode).
+    score(d) = sum over shared tokens of q_w * d_w; docs sharing NO
+    token do not match. Distributed: one vectorized regex extraction
+    per query token per batch, per-batch top-k partials, k-bounded
+    driver merge."""
+    import re
+
+    pats = [(re.compile(r'"' + re.escape(t)
+                        + r'"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)'), float(w))
+            for t, w in query_tokens.items()]
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pd.Series(t.column(map_col).to_pylist(), dtype=object)
+        sc = np.zeros(len(txt), np.float64)
+        hit = np.zeros(len(txt), bool)
+        for pat, w in pats:
+            v = txt.str.extract(pat, expand=False).astype(np.float64)
+            m = v.notna().to_numpy()
+            sc[m] += w * v.to_numpy()[m]
+            hit |= m
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ids, sc = ids[hit], sc[hit]
+        kk = min(k, len(sc))
+        top = np.lexsort((ids, -sc))[:kk]
+        return pa.table({id_col: pa.array(ids[top]),
+                         "score": pa.array(sc[top])})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.reset_index(drop=True)
+
+
 # ------------------------------------------------------------------- murmur3
 
 def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple:

@@ -668,3 +668,19 @@ def test_dsl_hybrid_query(built_index, s):
             "combination": {"parameters": {"weights": [1.0]}}}}})
     with pytest.raises(ValueError):
         dsl.execute_search(s, {"query": {"hybrid": {"queries": []}}})
+
+
+def test_neural_sparse_topk():
+    """neural_sparse raw query_tokens: sparse dot product, docs sharing
+    no token don't match, (score desc, id asc) ties."""
+    from opensearch_ray.search.features import neural_sparse_topk
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "feats": pa.array(['{"a": 2.0, "b": 1.0}', '{"a": 1.5}',
+                           '{"c": 9.0}', '{"b": 4.0}'])}))
+    out = neural_sparse_topk(ds, "feats", {"a": 1.0, "b": 0.5},
+                             "doc_id", k=10)
+    # doc3 has no shared token -> absent
+    assert out["doc_id"].tolist() == [1, 4, 2]
+    assert np.allclose(out["score"].tolist(), [2.5, 2.0, 1.5])
+    assert out["rank"].tolist() == [1, 2, 3]
