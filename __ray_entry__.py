@@ -1059,6 +1059,25 @@ def _q_dedup_lines(sf_dir):
         .astype({"doc_id": np.int64, "lines_removed": np.int64})
 
 
+def _q_function_score_random(sf_dir):
+    """function_score with a seeded random_score function
+    (RandomScoreFunctionBuilder; Knuth multiplicative hash on doc id —
+    SQL-reproducible): top-10 of bm25 * rand(seed=42) over the BM25
+    top-100 window, boost_mode=multiply."""
+    from opensearch_ray.search.features import (function_score_search,
+                                                random_score_values)
+    s = _searcher(sf_dir)
+
+    def rand42(fetched):
+        ids = np.asarray(fetched.column("_docid").to_pylist(), np.int64)
+        return random_score_values(ids, seed=42)
+
+    out = function_score_search(s, _BM25_Q, [rand42], k=10, window=100,
+                                boost_mode="multiply")
+    out["score"] = _fmt(out["score"], 5)
+    return out.astype({"doc_id": np.int64}).reset_index(drop=True)
+
+
 def _q_neural_sparse(sf_dir):
     """neural_sparse query (raw query_tokens mode): sparse dot product
     of {token: weight} query against a per-doc JSON feature map —
@@ -3778,6 +3797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_hybrid_query": _q_dsl_hybrid_query,
         "term_case_insensitive": _q_term_case_insensitive,
         "neural_sparse": _q_neural_sparse,
+        "function_score_random": _q_function_score_random,
         "dedup_lines": _q_dedup_lines,
         "agg_ip_prefix": _q_agg_ip_prefix,
         # joins / windows / search features
@@ -4134,6 +4154,21 @@ def oracle_sql() -> dict[str, str]:
               AND lower(t.tok) = lower('WINDOW')
             ORDER BY doc_id
         """,
+        "function_score_random": _bm25_sql("""
+            , win AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS r
+              FROM scored QUALIFY r <= 100),
+            fs AS (
+              SELECT doc_id,
+                     score * (CAST(((CAST(doc_id AS UBIGINT) + 42)
+                                    * 2654435761) % 4294967296 AS DOUBLE)
+                              / 4294967296.0) AS fscore
+              FROM win)
+            SELECT doc_id, printf('%.5f', fs.fscore) AS score,
+                   CAST(row_number() OVER (ORDER BY fs.fscore DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM fs ORDER BY fs.fscore DESC, doc_id LIMIT 10"""),
         "neural_sparse": """
             WITH scored AS (
               SELECT event_id,

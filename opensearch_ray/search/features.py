@@ -33,12 +33,27 @@ import pyarrow as pa
 from .searcher import Searcher, SearchHit
 
 
+#: QueryRescoreMode combinators (search/rescore/QueryRescorerBuilder —
+#: the `score_mode` option): both inputs arrive already weighted
+_RESCORE_MODES: Dict[str, Callable[[float, float], float]] = {
+    "total": lambda p, s: p + s,
+    "multiply": lambda p, s: p * s,
+    "avg": lambda p, s: (p + s) / 2.0,
+    "max": max,
+    "min": min,
+}
+
+
 def rescore(searcher: Searcher, query_text: str, window_size: int, k: int,
             rescore_fn: Callable[[pa.Table], np.ndarray],
             query_weight: float = 1.0, rescore_query_weight: float = 1.0,
-            ) -> List[SearchHit]:
+            score_mode: str = "total") -> List[SearchHit]:
     """Re-rank the top-``window_size`` BM25 hits with a secondary score
-    computed from their fetched rows: final = qw*bm25 + rqw*secondary."""
+    computed from their fetched rows: final = combine(qw*bm25,
+    rqw*secondary) under ``score_mode`` (total/multiply/avg/max/min —
+    QueryRescoreMode; weighted scores enter the combinator, the
+    reference's order of operations)."""
+    comb = _RESCORE_MODES[score_mode]
     hits = searcher.search(query_text, k=window_size)
     if not hits:
         return []
@@ -47,7 +62,8 @@ def rescore(searcher: Searcher, query_text: str, window_size: int, k: int,
     sec = rescore_fn(fetched)
     sec_by_id = dict(zip(fetched.column("_docid").to_pylist(), sec))
     rescored = [
-        (h.docid, query_weight * h.score + rescore_query_weight * float(sec_by_id[h.docid]))
+        (h.docid, comb(query_weight * h.score,
+                       rescore_query_weight * float(sec_by_id[h.docid])))
         for h in hits
     ]
     rescored.sort(key=lambda t: (-t[1], t[0]))
@@ -511,6 +527,80 @@ def function_score_topk(ds, value_fn: Callable[[pa.Table], np.ndarray],
                               kind="mergesort").head(k)
     parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
     return parts.reset_index(drop=True)
+
+
+_KNUTH_A = np.uint64(2654435761)   # Knuth TAOCP vol.3 §6.4 (2^32/phi)
+_KNUTH_MOD = np.uint64(1) << np.uint64(32)
+
+
+def random_score_values(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """`random_score` function values (RandomScoreFunctionBuilder with a
+    seed + field=doc id — deterministic per (seed, doc), uniform [0,1)):
+    Knuth multiplicative hash, the repo's SQL-reproducible recipe
+    ((id + seed) * 2654435761 mod 2^32 / 2^32)."""
+    h = (ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH_A % _KNUTH_MOD
+    return h.astype(np.float64) / float(_KNUTH_MOD)
+
+
+#: FunctionScoreQuery combine modes — `boost_mode` joins the query score
+#: with the function score; `score_mode` folds multiple function values
+#: (functionscore/FunctionScoreQuery.ScoreMode + CombineFunction)
+_BOOST_MODES: Dict[str, Callable[[np.ndarray, np.ndarray], np.ndarray]] = {
+    "multiply": lambda q, f: q * f,
+    "replace": lambda q, f: f,
+    "sum": lambda q, f: q + f,
+    "avg": lambda q, f: (q + f) / 2.0,
+    "max": np.maximum,
+    "min": np.minimum,
+}
+
+
+def function_score_search(searcher: Searcher, query_text: str,
+                          functions: List[Callable[[pa.Table], np.ndarray]],
+                          k: int = 10, window: int = 1000,
+                          boost_mode: str = "multiply",
+                          score_mode: str = "multiply",
+                          weights: Optional[List[float]] = None
+                          ) -> pd.DataFrame:
+    """function_score over QUERY hits (FunctionScoreQueryBuilder): each
+    function maps the fetched candidate rows (columns incl. `_docid`) to
+    per-doc values; function values fold under ``score_mode``
+    (multiply/sum/avg/first/max/min, weighted), then join the BM25 score
+    under ``boost_mode`` (multiply/replace/sum/avg/max/min). Top-k,
+    (score desc, docid asc). Use :func:`random_score_values` inside a
+    function for the seeded random_score shape."""
+    hits = searcher.search(query_text, k=window)
+    if not hits:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    ids = np.array([h.docid for h in hits], np.int64)
+    qsc = np.array([h.score for h in hits], np.float64)
+    fetched = searcher.fetch(list(ids))
+    # align fetch output to hit order
+    pos = {d: i for i, d in enumerate(fetched.column("_docid").to_pylist())}
+    perm = np.array([pos[int(d)] for d in ids], np.int64)
+    w = np.asarray(weights if weights is not None
+                   else [1.0] * len(functions), np.float64)
+    vals = np.stack([np.asarray(fn(fetched), np.float64)[perm] * w[i]
+                     for i, fn in enumerate(functions)], axis=1)
+    if score_mode == "multiply":
+        f = vals.prod(axis=1)
+    elif score_mode == "sum":
+        f = vals.sum(axis=1)
+    elif score_mode == "avg":
+        f = (vals.sum(axis=1) / w.sum())
+    elif score_mode == "first":
+        f = vals[:, 0]
+    elif score_mode == "max":
+        f = vals.max(axis=1)
+    elif score_mode == "min":
+        f = vals.min(axis=1)
+    else:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    sc = _BOOST_MODES[boost_mode](qsc, f)
+    top = np.lexsort((ids, -sc))[:k]
+    out = pd.DataFrame({"doc_id": ids[top], "score": sc[top]})
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
 
 
 def more_like_this(searcher: Searcher, docid: int, k: int = 10,

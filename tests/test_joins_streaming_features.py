@@ -573,3 +573,74 @@ def test_training_data_pipeline_line_dedup_stage(tmp_path, sf_dir):
     assert kept.column("lines_removed").to_numpy().sum() > 0
     # at least one doc lost words to the corpus-wide keep-first
     assert kept.column("lang").null_count == 0
+
+
+def test_rescore_score_modes(searcher):
+    """QueryRescoreMode: weighted scores enter the combinator."""
+    from opensearch_ray.search.features import rescore
+
+    def by_turn(fetched):
+        return fetched.column("turn_idx").to_numpy(
+            zero_copy_only=False).astype(float)
+
+    base = {h.docid: h.score for h in searcher.search("bace cedi", k=50)}
+    f = searcher.fetch(list(base))
+    sec = dict(zip(f.column("_docid").to_pylist(),
+                   by_turn(f).astype(float)))
+    for mode, comb in [("total", lambda p, s: p + s),
+                       ("multiply", lambda p, s: p * s),
+                       ("avg", lambda p, s: (p + s) / 2),
+                       ("max", max), ("min", min)]:
+        out = rescore(searcher, "bace cedi", window_size=50, k=5,
+                      rescore_fn=by_turn, query_weight=0.8,
+                      rescore_query_weight=0.1, score_mode=mode)
+        want = sorted(((d, comb(0.8 * p, 0.1 * sec[d]))
+                       for d, p in base.items()),
+                      key=lambda t: (-t[1], t[0]))[:5]
+        assert [(h.docid, h.score) for h in out] == [
+            (d, pytest.approx(s)) for d, s in want], mode
+
+
+def test_function_score_search_modes(searcher):
+    """function_score boost_mode/score_mode + seeded random_score."""
+    import numpy as np
+    from opensearch_ray.search.features import (function_score_search,
+                                                random_score_values)
+
+    def rand7(fetched):
+        ids = np.asarray(fetched.column("_docid").to_pylist(), np.int64)
+        return random_score_values(ids, seed=7)
+
+    def turn(fetched):
+        return fetched.column("turn_idx").to_numpy(
+            zero_copy_only=False).astype(float)
+
+    out = function_score_search(searcher, "bace cedi", [rand7], k=5,
+                                window=30, boost_mode="multiply")
+    base = {h.docid: h.score for h in searcher.search("bace cedi", k=30)}
+    ids = np.array(sorted(base), np.int64)
+    rv = dict(zip(ids.tolist(), random_score_values(ids, seed=7)))
+    want = sorted(((d, p * rv[d]) for d, p in base.items()),
+                  key=lambda t: (-t[1], t[0]))[:5]
+    assert out["doc_id"].tolist() == [d for d, _ in want]
+    assert np.allclose(out["score"], [s for _, s in want])
+    # determinism: same seed -> same ranking; different seed -> differs
+    out2 = function_score_search(searcher, "bace cedi", [rand7], k=5,
+                                 window=30, boost_mode="multiply")
+    assert out2["doc_id"].tolist() == out["doc_id"].tolist()
+    # replace ignores the query score entirely
+    rep = function_score_search(searcher, "bace cedi", [turn], k=5,
+                                window=30, boost_mode="replace")
+    f = searcher.fetch(list(base))
+    tv = dict(zip(f.column("_docid").to_pylist(), turn(f)))
+    wantr = sorted(((d, float(tv[d])) for d in base),
+                   key=lambda t: (-t[1], t[0]))[:5]
+    assert rep["doc_id"].tolist() == [d for d, _ in wantr]
+    # two functions, sum score_mode with weights, boost sum
+    two = function_score_search(searcher, "bace cedi", [rand7, turn],
+                                k=5, window=30, boost_mode="sum",
+                                score_mode="sum", weights=[2.0, 0.5])
+    wants = sorted(((d, p + (2.0 * rv[d] + 0.5 * float(tv[d])))
+                    for d, p in base.items()),
+                   key=lambda t: (-t[1], t[0]))[:5]
+    assert two["doc_id"].tolist() == [d for d, _ in wants]
