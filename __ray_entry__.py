@@ -1184,6 +1184,26 @@ def _q_ann_lsh(sf_dir):
     return lsh_topk(_read(sf_dir, "embeddings"), np.asarray(q, np.float32), k=10)
 
 
+def _q_ann_hnsw(sf_dir):
+    """Per-segment HNSW ANN (plugins/knn per-Lucene-segment graph model;
+    Malkov & Yashunin arXiv:1603.09320). Rows-only: graph search is
+    approximate by construction; recall vs brute force gated in pytest."""
+    import pyarrow.parquet as pq
+    import shutil
+    from opensearch_ray.similarity import HnswIndex
+    d = f"/tmp/osray_hnsw_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not os.path.exists(os.path.join(d, "hnsw_meta.json")):
+        shutil.rmtree(d, ignore_errors=True)
+        HnswIndex.build(_read(sf_dir, "embeddings"), d, n_segments=4,
+                        M=8, ef_construction=48)
+    idx = HnswIndex(d)
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      filters=[("vec_id", "=", 0)]
+                      ).column("embedding").to_pylist()[0]
+    out = idx.search(np.asarray(q, np.float32), k=10, ef_search=64)
+    return out[["vec_id", "rank"]]
+
+
 def _q_ann_pq(sf_dir):
     """PQ+ADC ANN: 8-byte codes per 64-dim vector, asymmetric-distance
     top-10 (rows-only; ranking is quantized, recall tested in pytest)."""
@@ -3909,6 +3929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embed_dedup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_hnsw_topk": _q_ann_hnsw,
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "cardinality_hll": _q_cardinality_hll,

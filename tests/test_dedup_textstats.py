@@ -322,3 +322,32 @@ def test_line_dedup_keep_first():
     o = line_dedup(one).to_pandas()
     assert o["text"].tolist() == ["x\ny"]
     assert o["lines_removed"].tolist() == [2]
+
+
+def test_hnsw_index(sf_dir, tmp_path):
+    """Per-segment HNSW (plugins/knn per-Lucene-segment graph model,
+    Malkov & Yashunin arXiv:1603.09320): high recall at small scale, exact
+    self-hit, deterministic rebuild regardless of block arrival order."""
+    from opensearch_ray.similarity import HnswIndex, brute_force_topk
+    d = str(tmp_path / "hnsw")
+    idx = HnswIndex.build(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), d,
+                          n_segments=4, M=8, ef_construction=48)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    recs = []
+    for qi in (0, 3, 7):
+        q = np.asarray(t.column("embedding")[qi].as_py(), dtype=np.float32)
+        exact = brute_force_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
+        out = idx.search(q, k=10, ef_search=64)
+        assert qi in out["vec_id"].tolist()  # self-hit
+        recs.append(len(set(out["vec_id"]) & set(exact["vec_id"])) / 10)
+    assert np.mean(recs) >= 0.8, recs
+    # deterministic rebuild (hash-derived levels + id-sorted inserts)
+    d2 = str(tmp_path / "hnsw2")
+    idx2 = HnswIndex.build(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                           d2, n_segments=4, M=8, ef_construction=48)
+    q = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float32)
+    assert idx.search(q, k=10, ef_search=64).equals(
+        idx2.search(q, k=10, ef_search=64))
+    # every vector landed in exactly one segment
+    assert sum(idx.meta["seg_rows"].values()) == t.num_rows
