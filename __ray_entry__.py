@@ -3388,6 +3388,31 @@ def _q_scaled_float_agg(sf_dir):
     return out
 
 
+def _q_unsigned_long_range(sf_dir):
+    """unsigned_long field type (NumberFieldMapper.NumberType.UNSIGNED_LONG):
+    values above int64 max stored as SHIFTED sortable longs; range filter +
+    sort run in uint64 space. The column is derived as 2^64-1 - event_id so
+    every value exceeds int64 max — the part a plain long field gets wrong."""
+    from opensearch_ray.mapper import (unsigned_long_encode,
+                                       unsigned_long_range_filter)
+    U = (1 << 64) - 1
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        u = np.uint64(U) - eid.astype(np.uint64)
+        return t.append_column("u", pa.array(u, pa.uint64()))
+
+    ds = unsigned_long_range_filter(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        "u", gte=U - 500, lt=U - 100)
+    df = ds.to_pandas()  # bounded: range width caps this at 400 rows
+    order = np.argsort(unsigned_long_encode(df["u"].values), kind="stable")
+    df = df.iloc[order[:10]].reset_index(drop=True)
+    df["u"] = df["u"].apply(str)
+    return df[["event_id", "u"]]
+
+
 def _q_token_count_range(sf_dir):
     """token_count field type: analyzed-token count as an integer doc value,
     range-queried 40..60."""
@@ -3977,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_field_query": _q_range_field_query,
         "scaled_float_agg": _q_scaled_float_agg,
         "token_count_range": _q_token_count_range,
+        "unsigned_long_range": _q_unsigned_long_range,
         "match_only_text_query": _q_match_only_text,
         "constant_keyword_term": _q_constant_keyword,
         "flat_object_term": _q_flat_object_term,
@@ -6266,6 +6292,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'contains', event_id FROM r
             WHERE lo <= 5.0 AND hi >= 12.0
             ORDER BY relation, event_id
+        """,
+        "unsigned_long_range": """
+            WITH u AS (SELECT event_id,
+                              CAST(18446744073709551615 AS UBIGINT)
+                              - CAST(event_id AS UBIGINT) AS u
+                       FROM events)
+            SELECT event_id, CAST(u AS VARCHAR) AS u
+            FROM u
+            WHERE u >= CAST(18446744073709551615 AS UBIGINT) - 500
+              AND u <  CAST(18446744073709551615 AS UBIGINT) - 100
+            ORDER BY u LIMIT 10
         """,
         "scaled_float_agg": """
             WITH q AS (SELECT floor(l_tax * 10.0 + 0.5) / 10.0 AS v

@@ -141,6 +141,58 @@ def scaled_float_column(ds: Dataset, col: str, scaling_factor: float,
     return ds.map_batches(quantize, batch_format="pyarrow")
 
 
+# --------------------------------------------------------- unsigned_long
+
+_U64_FLIP = np.uint64(1 << 63)
+
+
+def unsigned_long_encode(values: np.ndarray) -> np.ndarray:
+    """uint64 -> sortable int64 doc value. The reference
+    (NumberFieldMapper.NumberType.UNSIGNED_LONG, sandbox->core in 2.x)
+    stores unsigned longs as a SHIFTED signed long so Lucene's int64 point
+    tree and doc-value sort order still work: flipping the top bit maps
+    [0, 2^64) monotonically onto [INT64_MIN, INT64_MAX]."""
+    u = np.asarray(values).astype(np.uint64)
+    return (u ^ _U64_FLIP).view(np.int64)
+
+
+def unsigned_long_decode(stored: np.ndarray) -> np.ndarray:
+    return np.asarray(stored, np.int64).view(np.uint64) ^ _U64_FLIP
+
+
+def unsigned_long_range_mask(u: np.ndarray, gte=None, gt=None,
+                             lte=None, lt=None) -> np.ndarray:
+    """Range compare in unsigned space (bounds may exceed int64 max)."""
+    u = np.asarray(u).astype(np.uint64)
+    m = np.ones(u.size, bool)
+    if gte is not None:
+        m &= u >= np.uint64(gte)
+    if gt is not None:
+        m &= u > np.uint64(gt)
+    if lte is not None:
+        m &= u <= np.uint64(lte)
+    if lt is not None:
+        m &= u < np.uint64(lt)
+    return m
+
+
+def unsigned_long_range_filter(ds: Dataset, col: str, gte=None, gt=None,
+                               lte=None, lt=None) -> Dataset:
+    """RangeQueryBuilder over an unsigned_long column: the stored form is
+    the shifted long, the compare happens in uint64 space — values above
+    int64 max order and filter correctly."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        # round-trip through storage so the filter sees exactly the doc
+        # values a segment would hold
+        u = unsigned_long_decode(unsigned_long_encode(v))
+        return t.filter(pa.array(unsigned_long_range_mask(
+            u, gte=gte, gt=gt, lte=lte, lt=lt)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------- wildcard field
 
 def wildcard_pattern_to_regex(pattern: str) -> str:

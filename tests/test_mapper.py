@@ -232,3 +232,20 @@ def test_termvectors_on_the_fly(built_index):
     # doc_freq is the global df
     for t, df in zip(tv["term"], tv["doc_freq"]):
         assert df >= 1
+
+
+def test_unsigned_long_shifted_encoding():
+    """unsigned_long (NumberType.UNSIGNED_LONG): top-bit flip maps uint64
+    monotonically onto int64 — sort order and range compare survive values
+    above int64 max."""
+    from opensearch_ray.mapper import (unsigned_long_decode,
+                                       unsigned_long_encode,
+                                       unsigned_long_range_mask)
+    import numpy as np
+    u = np.array([0, 1, 2**63 - 1, 2**63, 2**64 - 2, 2**64 - 1], np.uint64)
+    enc = unsigned_long_encode(u)
+    assert enc.dtype == np.int64
+    assert (np.diff(enc) > 0).all()          # monotone across the 2^63 seam
+    assert (unsigned_long_decode(enc) == u).all()
+    m = unsigned_long_range_mask(u, gte=2**63, lt=2**64 - 1)
+    assert m.tolist() == [False, False, False, True, True, False]
