@@ -2088,6 +2088,31 @@ def _pj_dataset(sf_dir):
     return orders.union(items)
 
 
+def _q_agg_children(sf_dir):
+    """`children` agg (ParentToChildrenAggregator): order-status buckets
+    of parents transition to child lineitems — doc_count = children,
+    metric = sum(l_quantity) over children."""
+    from opensearch_ray.parent_join import children_agg
+    out = children_agg(_pj_dataset(sf_dir), "rel", "order", "lineitem",
+                       "join_key", "o_orderstatus", value_col="l_quantity")
+    out = out.rename(columns={"key": "o_orderstatus"})
+    out["sum"] = _fmt(out["sum"].values, 2)
+    return out.reset_index(drop=True)
+
+
+def _q_agg_parent(sf_dir):
+    """`parent` agg (ChildrenToParentAggregator): child lineitems with
+    quantity >= 45 roll up to DISTINCT parents bucketed by order status."""
+    from opensearch_ray.parent_join import parent_agg
+    out = parent_agg(
+        _pj_dataset(sf_dir), "rel", "order", "lineitem", "join_key",
+        "o_orderstatus",
+        child_predicate=lambda c: pc.greater_equal(
+            c.column("l_quantity"), 45.0))
+    return out.rename(columns={"key": "o_orderstatus"}).reset_index(
+        drop=True)
+
+
 def _q_has_child(sf_dir):
     """has_child: orders with >= 2 lineitems of quantity >= 45
     (HasChildQueryBuilder min_children)."""
@@ -3901,6 +3926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_query": _q_nested_query,
         "nested_agg": _q_nested_agg,
         "has_child_query": _q_has_child,
+        "agg_children": _q_agg_children,
+        "agg_parent": _q_agg_parent,
         "has_child_score": _q_has_child_score,
         "has_parent_query": _q_has_parent,
         "parent_id_query": _q_parent_id,
@@ -4930,6 +4957,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON l_orderkey = o_orderkey
             WHERE l_quantity > 45.0 AND l_discount > 0.05
             ORDER BY o_orderkey
+        """,
+        "agg_children": """
+            SELECT o_orderstatus, count(*) AS doc_count,
+                   printf('%.2f', sum(l_quantity)) AS sum
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "agg_parent": """
+            SELECT o_orderstatus, count(DISTINCT o_orderkey) AS doc_count
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_quantity >= 45.0
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "has_child_query": """
             SELECT o_orderkey FROM orders

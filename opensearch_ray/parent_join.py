@@ -235,3 +235,111 @@ def parent_id_filter(ds: Dataset, rel_col: str, child_rel: str,
             pc.equal(t.column(key_col), pa.scalar(parent_value))))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def children_agg(ds: Dataset, rel_col: str, parent_rel: str,
+                 child_rel: str, key_col: str, group_col: str,
+                 value_col: Optional[str] = None,
+                 parent_predicate: Optional[
+                     Callable[[pa.Table], pa.Array]] = None,
+                 B: int = 64) -> pd.DataFrame:
+    """`children` aggregation (parent-join module,
+    ChildrenAggregationBuilder / ParentToChildrenAggregator): buckets of
+    PARENT docs (grouped by ``group_col``, optionally pre-filtered)
+    transition to their CHILD docs — ``doc_count`` counts children, the
+    optional metric sums ``value_col`` over children.
+
+    Same co-partitioned one-shuffle shape as has_child: per bucket,
+    children inherit their parent's group value via searchsorted, then a
+    bounded per-bucket groupby partial; the driver merges #groups×B rows.
+    """
+
+    def partial(g: pa.Table) -> pa.Table:
+        rel = g.column(rel_col).to_numpy(zero_copy_only=False)
+        parents = g.filter(pa.array(rel == parent_rel))
+        if parent_predicate is not None and parents.num_rows:
+            parents = parents.filter(
+                pa.array(_mask(parent_predicate, parents)))
+        children = g.filter(pa.array(rel == child_rel))
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "doc_count": pa.array([], pa.int64()),
+                          "_sum": pa.array([], pa.float64())})
+        if parents.num_rows == 0 or children.num_rows == 0:
+            return empty
+        pk = parents.column(key_col).to_numpy(zero_copy_only=False)
+        pg = parents.column(group_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk_s, pg_s = pk[order], pg[order]
+        ck = children.column(key_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_s, ck)
+        posc = np.clip(pos, 0, len(pk_s) - 1)
+        valid = pk_s[posc] == ck  # orphans / filtered-out parents drop
+        posc = posc[valid]
+        df = pd.DataFrame({"key": pg_s[posc].astype(str)})
+        if value_col is not None:
+            df["_v"] = children.column(value_col).to_numpy(
+                zero_copy_only=False)[valid]
+        else:
+            df["_v"] = 0.0
+        out = df.groupby("key", sort=False).agg(
+            doc_count=("_v", "size"), _sum=("_v", "sum")).reset_index()
+        return pa.table({"key": pa.array(out["key"], pa.string()),
+                         "doc_count": pa.array(out["doc_count"], pa.int64()),
+                         "_sum": pa.array(out["_sum"], pa.float64())})
+
+    parts = (_with_bucket(ds, key_col, B).groupby("_bucket")
+             .map_groups(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"key": [], "doc_count": [], "sum": []})
+    out = parts.groupby("key", sort=True).agg(
+        doc_count=("doc_count", "sum"), sum=("_sum", "sum")).reset_index()
+    if value_col is None:
+        out = out.drop(columns=["sum"])
+    return out
+
+
+def parent_agg(ds: Dataset, rel_col: str, parent_rel: str,
+               child_rel: str, key_col: str, group_col: str,
+               child_predicate: Optional[
+                   Callable[[pa.Table], pa.Array]] = None,
+               B: int = 64) -> pd.DataFrame:
+    """`parent` aggregation (ParentAggregationBuilder / 2.x
+    ChildrenToParentAggregator): from CHILD docs (optionally filtered) up
+    to their DISTINCT parents, bucketed by a parent field — ``doc_count``
+    counts each parent once no matter how many children matched.
+
+    Per co-partitioned bucket the parent set is exact (same-key routing
+    invariant), so partials are (group value, distinct-parent count) and
+    the driver merge is a plain sum over #groups×B rows."""
+
+    def partial(g: pa.Table) -> pa.Table:
+        rel = g.column(rel_col).to_numpy(zero_copy_only=False)
+        parents = g.filter(pa.array(rel == parent_rel))
+        children = g.filter(pa.array(rel == child_rel))
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "doc_count": pa.array([], pa.int64())})
+        if parents.num_rows == 0 or children.num_rows == 0:
+            return empty
+        if child_predicate is not None:
+            children = children.filter(
+                pa.array(_mask(child_predicate, children)))
+            if children.num_rows == 0:
+                return empty
+        ck = np.unique(
+            children.column(key_col).to_numpy(zero_copy_only=False))
+        pk = parents.column(key_col).to_numpy(zero_copy_only=False)
+        hit = np.isin(pk, ck)
+        if not hit.any():
+            return empty
+        pg = parents.column(group_col).to_numpy(
+            zero_copy_only=False)[hit].astype(str)
+        uniq, counts = np.unique(pg, return_counts=True)
+        return pa.table({"key": pa.array(uniq, pa.string()),
+                         "doc_count": pa.array(counts, pa.int64())})
+
+    parts = (_with_bucket(ds, key_col, B).groupby("_bucket")
+             .map_groups(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"key": [], "doc_count": []})
+    return parts.groupby("key", sort=True).agg(
+        doc_count=("doc_count", "sum")).reset_index()

@@ -154,3 +154,31 @@ def test_completion_contexts_and_fuzzy():
     assert "stream" in list(fz["suggestion"])
     # short inputs stay exact (min_fuzzy_length)
     assert ci.complete("xy", size=5, fuzzy_edits=1).empty
+
+
+def test_children_and_parent_aggs():
+    """children agg: child doc_count + metric per parent-field bucket;
+    parent agg: DISTINCT parents per bucket (each parent once no matter
+    how many children matched); orphan children drop."""
+    import pyarrow.compute as pc
+    from opensearch_ray.parent_join import children_agg, parent_agg
+    parents = pd.DataFrame({"join_key": [1, 2, 3, 4], "rel": "conv",
+                            "grp": ["a", "a", "b", "b"],
+                            "val": [None] * 4})
+    children = pd.DataFrame({
+        "join_key": [1, 1, 2, 3, 9],  # 9 = orphan
+        "rel": "turn", "grp": [None] * 5,
+        "val": [5.0, 7.0, 9.0, 8.0, 99.0]})
+    ds = ray.data.from_pandas(
+        pd.concat([parents, children], ignore_index=True))
+    out = children_agg(ds, "rel", "conv", "turn", "join_key", "grp",
+                       value_col="val").set_index("key")
+    assert out.loc["a", "doc_count"] == 3 and out.loc["b", "doc_count"] == 1
+    assert out.loc["a", "sum"] == 21.0 and out.loc["b", "sum"] == 8.0
+    par = parent_agg(
+        ds, "rel", "conv", "turn", "join_key", "grp",
+        child_predicate=lambda c: pc.greater_equal(c.column("val"), 5.0)
+    ).set_index("key")
+    # conv 1 matched twice but counts ONCE; conv 4 has no children
+    assert par.loc["a", "doc_count"] == 2
+    assert par.loc["b", "doc_count"] == 1
