@@ -3413,6 +3413,32 @@ def _q_scaled_float_agg(sf_dir):
     return out
 
 
+def _q_copy_to_match(sf_dir):
+    """copy_to mapping (FieldMapper.CopyTo): `lang`+`source`+`text` copied
+    into one indexed `combined` field — a term query there matches docs
+    where ANY source field carries the token."""
+    import shutil
+    from opensearch_ray.search.multifield import (MultiFieldSearcher,
+                                                  build_multi_field_index)
+    d = f"/tmp/osray_copyto_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not os.path.exists(os.path.join(d, "fields.json")):
+        shutil.rmtree(d, ignore_errors=True)
+        build_multi_field_index(
+            os.path.join(sf_dir, "documents.parquet"), d, fields=["text"],
+            analyzer="transcript", sort_cols=("doc_id",),
+            copy_to={"combined": ["lang", "source", "text"]})
+    ms = MultiFieldSearcher(d)
+    s = ms.searchers["combined"]
+    frames = []
+    for term in ("fr", "src3"):
+        ids = s.term_docs(term)
+        dids = s.fetch(ids.tolist(), columns=["doc_id"]).column(
+            "doc_id").to_numpy(zero_copy_only=False)
+        frames.append(pd.DataFrame(
+            {"term": term, "doc_id": np.sort(dids).astype(np.int64)}))
+    return pd.concat(frames, ignore_index=True)
+
+
 def _q_unsigned_long_range(sf_dir):
     """unsigned_long field type (NumberFieldMapper.NumberType.UNSIGNED_LONG):
     values above int64 max stored as SHIFTED sortable longs; range filter +
@@ -4030,6 +4056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_float_agg": _q_scaled_float_agg,
         "token_count_range": _q_token_count_range,
         "unsigned_long_range": _q_unsigned_long_range,
+        "copy_to_match": _q_copy_to_match,
         "match_only_text_query": _q_match_only_text,
         "constant_keyword_term": _q_constant_keyword,
         "flat_object_term": _q_flat_object_term,
@@ -6331,6 +6358,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'contains', event_id FROM r
             WHERE lo <= 5.0 AND hi >= 12.0
             ORDER BY relation, event_id
+        """,
+        "copy_to_match": """
+            SELECT term, doc_id FROM (
+              SELECT 'fr' AS term, doc_id FROM documents
+              WHERE lang = 'fr' OR source = 'fr'
+                 OR regexp_matches(lower(text), '\\bfr\\b')
+              UNION ALL
+              SELECT 'src3' AS term, doc_id FROM documents
+              WHERE lang = 'src3' OR source = 'src3'
+                 OR regexp_matches(lower(text), '\\bsrc3\\b'))
+            ORDER BY term, doc_id
         """,
         "unsigned_long_range": """
             WITH u AS (SELECT event_id,

@@ -201,6 +201,8 @@ def build_index(
     files = list_input_files(input_path)
     if not files:
         raise ValueError(f"no parquet files under {input_path!r}")
+    if isinstance(text_col, tuple):
+        text_col = list(text_col)  # match the manifest's JSON round-trip
     # index sorting contract (IndexSortConfig): the builder sorts each
     # segment by the sort_cols PRESENT in the corpus; record them so sorted
     # queries can early-terminate (QueryPhase.canEarlyTerminate)

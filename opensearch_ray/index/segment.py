@@ -117,7 +117,17 @@ def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer,
     token positions (stop-gap-preserving), concatenated in posting order.
     """
     an = get_analyzer(analyzer)
-    col = table.column(text_col)
+    if isinstance(text_col, (list, tuple)):
+        # copy_to target (FieldMapper.CopyTo / DocumentParser.parseCopyFields):
+        # the synthetic field indexes every source field's tokens for this
+        # doc — zero-copy space-join keeps doc order and length norms
+        # (dl = Σ source dls) exactly as the reference's combined field
+        srcs = [pc.cast(table.column(c), pa.string()) for c in text_col]
+        col = pc.binary_join_element_wise(
+            *srcs, pa.scalar(" "), null_handling="replace",
+            null_replacement="")
+    else:
+        col = table.column(text_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n_docs = table.num_rows

@@ -38,21 +38,35 @@ def build_multi_field_index(
     fields: Sequence[str],
     analyzer="default",
     sort_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    copy_to: Optional[Dict[str, Sequence[str]]] = None,
     **build_kwargs,
 ) -> dict:
     """Build one sub-index per analyzed field (same corpus, same doc order).
     ``analyzer`` may be a single name or {field: analyzer} (per-field
-    analyzers, the mapping-tree analogue)."""
+    analyzers, the mapping-tree analogue).
+
+    ``copy_to`` maps a TARGET field name to its source fields
+    (FieldMapper.CopyTo / DocumentParser.parseCopyFields): the target is a
+    real indexed field whose per-doc text is every source's values — its
+    own postings, df and length norms (dl = Σ source dls), searchable like
+    any field but never stored separately (fetch reads the sources)."""
     from ..index.build import build_index
 
     os.makedirs(index_dir, exist_ok=True)
-    an_of = (analyzer if isinstance(analyzer, dict)
-             else {f: analyzer for f in fields})
+    copy_to = dict(copy_to or {})
+    an_of = (dict(analyzer) if isinstance(analyzer, dict)
+             else {f: analyzer for f in [*fields, *copy_to]})
     for f in fields:
         build_index(input_path, os.path.join(index_dir, f"field-{f}"),
                     analyzer=an_of[f], text_col=f, sort_cols=sort_cols,
                     **build_kwargs)
-    meta = {"fields": list(fields)}
+    for target, srcs in copy_to.items():
+        build_index(input_path, os.path.join(index_dir, f"field-{target}"),
+                    analyzer=an_of.get(target, "default"),
+                    text_col=list(srcs), sort_cols=sort_cols,
+                    **build_kwargs)
+    meta = {"fields": [*fields, *copy_to],
+            "copy_to": {t: list(s) for t, s in copy_to.items()}}
     with open(os.path.join(index_dir, "fields.json"), "w") as fh:
         json.dump(meta, fh)
     return meta

@@ -1303,13 +1303,28 @@ class Searcher:
             if nxt > cur_max:
                 cur_max = nxt
 
+    def _fetch_text_rows(self, cand) -> list:
+        """Stored-text rows for fetch-verify, with a ``_text`` key. A LIST
+        text_col is a copy_to target (FieldMapper.CopyTo): the indexed text
+        was the space-join of the source fields, so re-verify joins the
+        same way."""
+        tc = self.manifest.text_col
+        if isinstance(tc, (list, tuple)):
+            rows = self.fetch(list(cand), columns=list(tc)).to_pylist()
+            for r in rows:
+                r["_text"] = " ".join(str(r.get(c) or "") for c in tc)
+            return rows
+        rows = self.fetch(list(cand), columns=[tc]).to_pylist()
+        for r in rows:
+            r["_text"] = r.get(tc) or ""
+        return rows
+
     def _match_phrase_textverify(self, q_toks, q_pos, cand: np.ndarray,
                                  slop: int = 0) -> np.ndarray:
-        fetched = self.fetch(cand.tolist(), columns=[self.manifest.text_col])
         out = []
         q_pos0 = [p - q_pos[0] for p in q_pos]
-        for r in fetched.to_pylist():
-            toks, poss = self.analyzer.analyze(r[self.manifest.text_col] or "")
+        for r in self._fetch_text_rows(cand.tolist()):
+            toks, poss = self.analyzer.analyze(r["_text"])
             pos_of: Dict[str, list] = {}
             for t, p in zip(toks, poss):
                 pos_of.setdefault(t, []).append(p)
@@ -1465,11 +1480,8 @@ class Searcher:
                     if check(lists):
                         out.append(int(ld) + base)
         else:
-            fetched = self.fetch(cand.tolist(),
-                                 columns=[self.manifest.text_col])
-            for r in fetched.to_pylist():
-                toks, poss = self.analyzer.analyze(
-                    r[self.manifest.text_col] or "")
+            for r in self._fetch_text_rows(cand.tolist()):
+                toks, poss = self.analyzer.analyze(r["_text"])
                 pos_of: Dict[str, list] = {}
                 for t, p in zip(toks, poss):
                     pos_of.setdefault(t, []).append(p)

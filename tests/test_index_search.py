@@ -776,3 +776,34 @@ def test_search_docs_allowlist_parity(built_index, oracle):
         assert got == want, q
         # empty allowlist -> no hits
         assert s.search(q, k=5, docs=np.empty(0, np.int64)) == []
+
+
+def test_copy_to_combined_field(transcript_corpus, tmp_path):
+    """copy_to (FieldMapper.CopyTo): the target field's postings union the
+    source fields' tokens per doc; a term present only in `role` matches on
+    `combined`, and phrase fetch-verify re-joins the sources."""
+    from opensearch_ray.search import MultiFieldSearcher, build_multi_field_index
+
+    corpus_dir, files = transcript_corpus
+    idx = str(tmp_path / "ct_idx")
+    build_multi_field_index(corpus_dir, idx, fields=["text"],
+                            analyzer="transcript", num_buckets=4,
+                            copy_to={"combined": ["role", "text"]})
+    s = MultiFieldSearcher(idx)
+    full = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+    roles = set(full.column("role").to_pylist())
+    role = sorted(roles)[0]
+    n_role = sum(1 for r in full.column("role").to_pylist() if r == role)
+    # role tokens never occur in text for this synthetic corpus: the
+    # combined-field term hit count equals the role row count, while the
+    # text-only field finds nothing
+    got = s.searchers["combined"].term_docs(role)
+    assert len(got) == n_role
+    assert len(s.searchers["text"].term_docs(role)) == 0
+    # combined dl = role tokens + text tokens -> combined avgdl > text avgdl
+    man_c = s.searchers["combined"].manifest
+    man_t = s.searchers["text"].manifest
+    assert man_c.total_docs == man_t.total_docs
+    # phrase across the copy_to target uses the joined stored sources
+    hits = s.searchers["combined"].search(f"{role}", k=5)
+    assert hits and all(h.score > 0 for h in hits)
