@@ -491,6 +491,7 @@ ARROW_PROCESSORS = {k: _arrow_factory(k) for k in
 
 def make_processor(kind: str, **kwargs) -> Processor:
     p = PROCESSORS[kind](**kwargs)
+    p.kind = kind  # simulate() reports the processor type per step
     af = ARROW_PROCESSORS.get(kind)
     if af is not None:
         a = af(**kwargs)
@@ -511,6 +512,45 @@ class IngestPipeline:
         for proc in self.processors:
             df = proc(df)
         return df
+
+    def simulate(self, docs: List[dict], verbose: bool = False
+                 ) -> List[dict]:
+        """``_ingest/pipeline/_simulate`` (SimulatePipelineRequest,
+        SimulateExecutionService.executeDocument): run the pipeline over a
+        SMALL doc sample driver-side — a debugging API, never a data path.
+        Non-verbose returns the final doc (or the error) per input;
+        ``verbose`` captures the doc state after EVERY processor with
+        per-step status, the SimulateProcessorResult list."""
+        out = []
+        for doc in docs:
+            df = pd.DataFrame([dict(doc)])
+            if not verbose:
+                try:
+                    res = self.transform(df)
+                    out.append({"status": "ok",
+                                "doc": (res.iloc[0].to_dict()
+                                        if len(res) else None)})
+                except Exception as e:
+                    out.append({"status": "error", "error": repr(e)})
+                continue
+            steps, cur = [], df
+            for i, proc in enumerate(self.processors):
+                tag = getattr(proc, "kind", f"processor_{i}")
+                try:
+                    cur = proc(cur)
+                    steps.append({"processor_type": tag, "status": "ok",
+                                  "doc": (cur.iloc[0].to_dict()
+                                          if len(cur) else None)})
+                    if not len(cur):  # a drop processor consumed the doc
+                        steps[-1]["status"] = "dropped"
+                        break
+                except Exception as e:
+                    steps.append({"processor_type": tag, "status": "error",
+                                  "error": repr(e)})
+                    break
+            out.append({"status": steps[-1]["status"] if steps else "ok",
+                        "processor_results": steps})
+        return out
 
     def apply(self, ds: Dataset, batch_size: Optional[int] = 4096) -> Dataset:
         pipe = self

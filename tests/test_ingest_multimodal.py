@@ -322,3 +322,36 @@ def test_phash_dedup_pairs():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         PerceptualHashStage(strict=True)(t)
+
+
+def test_simulate_pipeline_verbose():
+    """_simulate (SimulateExecutionService): per-processor doc states,
+    error surfaced (not raised) and drop termination recorded."""
+    pipe = IngestPipeline([
+        make_processor("trim", field="msg"),
+        make_processor("lowercase", field="msg"),
+        make_processor("convert", field="num", type_="long"),
+    ])
+    res = pipe.simulate([{"msg": "  HeLLo ", "num": "42"},
+                         {"msg": "x", "num": "not_a_number"}],
+                        verbose=True)
+    ok, bad = res
+    assert ok["status"] == "ok"
+    assert [s["processor_type"] for s in ok["processor_results"]] == \
+        ["trim", "lowercase", "convert"]
+    assert ok["processor_results"][0]["doc"]["msg"] == "HeLLo"
+    assert ok["processor_results"][1]["doc"]["msg"] == "hello"
+    assert ok["processor_results"][2]["doc"]["num"] == 42
+    assert bad["status"] == "error"
+    assert bad["processor_results"][-1]["processor_type"] == "convert"
+    # non-verbose: final doc only
+    flat = pipe.simulate([{"msg": " A ", "num": "1"}])
+    assert flat[0]["status"] == "ok" and flat[0]["doc"]["msg"] == "a"
+    # drop processor terminates the step list with status=dropped
+    dp = IngestPipeline([
+        make_processor("drop", condition=lambda df: df["num"] > 10),
+        make_processor("lowercase", field="msg"),
+    ])
+    dropped = dp.simulate([{"msg": "KeepMe", "num": 99}], verbose=True)
+    assert dropped[0]["status"] == "dropped"
+    assert len(dropped[0]["processor_results"]) == 1
