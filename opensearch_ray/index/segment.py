@@ -130,6 +130,8 @@ def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer,
         col = table.column(text_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        return _tokenize_multivalue(col, analyzer, want_positions)
     n_docs = table.num_rows
     nd = max(n_docs, 1)
     dl = np.zeros(n_docs, dtype=np.int64)
@@ -255,6 +257,68 @@ def _tokenize_to_ids(table: pa.Table, text_col: str, analyzer,
     tfs = np.diff(np.concatenate((starts_tok, [n_tok])))
     return (pa.array(terms_sorted, type=pa.string()), t_s[starts_tok],
             d_s[starts_tok], tfs.astype(np.int64), dl, p_s)
+
+
+def _tokenize_multivalue(col: pa.Array, analyzer,
+                         want_positions: bool = False,
+                         position_increment_gap: int = 100):
+    """Multi-valued text field (list<string> column). Lucene semantics
+    (TextFieldMapper POSITION_INCREMENT_GAP_USE_ANALYZER default 100,
+    DocumentParser indexes each value into the same field): every element
+    analyzed independently; element k's token positions are offset by
+    Σ_{j<k}(dl_j + gap) so phrase/span windows never straddle two values;
+    dl counts REAL tokens only (the gap is virtual, norms unchanged).
+
+    Implementation: flatten elements -> run the scalar tokenizer treating
+    each ELEMENT as a doc (reusing the fused Arrow fast path verbatim) ->
+    vectorized element→doc remap of pairs/positions."""
+    n_docs = len(col)
+    gap = int(position_increment_gap)
+    counts = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = col.flatten()  # values of non-null slots only, in doc order
+    doc_of_elem = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    n_elems = int(counts.sum())
+    dl = np.zeros(n_docs, dtype=np.int64)
+    if n_elems == 0:
+        return (pa.array([], type=pa.string()), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64), dl,
+                np.empty(0, np.int64) if want_positions else None)
+    terms, t_ids, e_ids, tfs, dl_e, pos_e = _tokenize_to_ids(
+        pa.table({"_t": flat}), "_t", analyzer,
+        want_positions=want_positions)
+    np.add.at(dl, doc_of_elem, dl_e)
+    if len(t_ids) == 0:
+        return (terms, t_ids, e_ids, tfs, dl,
+                pos_e if want_positions else None)
+    if not want_positions:
+        docs_pair = doc_of_elem[e_ids]
+        key = t_ids * np.int64(n_docs) + docs_pair
+        order = np.argsort(key, kind="stable")
+        ks, tf_s = key[order], tfs[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1])))
+        tfs_out = np.add.reduceat(tf_s, starts)
+        return (terms, ks[starts] // n_docs, ks[starts] % n_docs,
+                tfs_out.astype(np.int64), dl, None)
+    # element start offset inside its doc: exclusive prefix of (dl + gap)
+    step = dl_e + gap
+    gcs = np.concatenate(([0], np.cumsum(step)))[:-1]
+    doc_first_elem = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    base_e = gcs - gcs[doc_first_elem[doc_of_elem]]
+    # token-level expand (pos_e is already token-aligned to posting order)
+    t_tok = np.repeat(t_ids, tfs)
+    e_tok = np.repeat(e_ids, tfs)
+    p_tok = pos_e + base_e[e_tok]
+    d_tok = doc_of_elem[e_tok]
+    order_tok = np.lexsort((p_tok, d_tok, t_tok))
+    t_s, d_s, p_s = t_tok[order_tok], d_tok[order_tok], p_tok[order_tok]
+    is_start = np.concatenate(
+        ([True], (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])))
+    starts_tok = np.flatnonzero(is_start)
+    tfs_out = np.diff(np.concatenate((starts_tok, [t_s.size])))
+    return (terms, t_s[starts_tok], d_s[starts_tok],
+            tfs_out.astype(np.int64), dl, p_s)
 
 
 def build_segment_table(

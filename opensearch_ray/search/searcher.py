@@ -1316,15 +1316,36 @@ class Searcher:
             return rows
         rows = self.fetch(list(cand), columns=[tc]).to_pylist()
         for r in rows:
-            r["_text"] = r.get(tc) or ""
+            v = r.get(tc)
+            # a LIST value (multi-valued field) passes through; the
+            # analyze step applies the position_increment_gap formula
+            r["_text"] = v if isinstance(v, list) else (v or "")
         return rows
+
+    def _analyze_stored(self, v):
+        """(tokens, positions) of one stored text value. List values are
+        multi-valued fields: element k's positions offset by
+        Σ_{j<k}(kept_len_j + gap) — EXACTLY the arithmetic
+        ``segment._tokenize_multivalue`` indexed, so phrase re-verify
+        agrees bit-for-bit and never matches across values."""
+        if isinstance(v, list):
+            toks: list = []
+            poss: list = []
+            base = 0
+            for s in v:
+                t, p = self.analyzer.analyze(s or "")
+                toks.extend(t)
+                poss.extend(int(x) + base for x in p)
+                base += len(t) + 100
+            return toks, poss
+        return self.analyzer.analyze(v or "")
 
     def _match_phrase_textverify(self, q_toks, q_pos, cand: np.ndarray,
                                  slop: int = 0) -> np.ndarray:
         out = []
         q_pos0 = [p - q_pos[0] for p in q_pos]
         for r in self._fetch_text_rows(cand.tolist()):
-            toks, poss = self.analyzer.analyze(r["_text"])
+            toks, poss = self._analyze_stored(r["_text"])
             pos_of: Dict[str, list] = {}
             for t, p in zip(toks, poss):
                 pos_of.setdefault(t, []).append(p)
@@ -1481,7 +1502,7 @@ class Searcher:
                         out.append(int(ld) + base)
         else:
             for r in self._fetch_text_rows(cand.tolist()):
-                toks, poss = self.analyzer.analyze(r["_text"])
+                toks, poss = self._analyze_stored(r["_text"])
                 pos_of: Dict[str, list] = {}
                 for t, p in zip(toks, poss):
                     pos_of.setdefault(t, []).append(p)

@@ -807,3 +807,38 @@ def test_copy_to_combined_field(transcript_corpus, tmp_path):
     # phrase across the copy_to target uses the joined stored sources
     hits = s.searchers["combined"].search(f"{role}", k=5)
     assert hits and all(h.score > 0 for h in hits)
+
+
+def test_multivalued_text_position_increment_gap(tmp_path):
+    """list<string> text field (TextFieldMapper position_increment_gap=100,
+    DocumentParser multi-value indexing): phrases never match across
+    values; term/BM25 stats aggregate per doc; index-native positions and
+    fetch-verify re-analysis agree."""
+    import shutil
+    from opensearch_ray.index.build import build_index
+    from opensearch_ray.search import Searcher
+
+    t = pa.table({
+        "conv_id": ["c0", "c0", "c1"], "turn_idx": [0, 1, 0],
+        "text": [["alpha beta", "gamma delta"],
+                 ["alpha beta gamma"],
+                 ["solo value here"]]})
+    src = tmp_path / "mv_corpus"
+    src.mkdir()
+    pq.write_table(t, str(src / "part-0.parquet"))
+    results = {}
+    for positions in (True, False):
+        idx = str(tmp_path / f"mv_idx_{positions}")
+        build_index(str(src), idx, num_buckets=2,
+                    index_positions=positions)
+        s = Searcher(idx)
+        # beta|gamma are adjacent only inside doc1's single value; in doc0
+        # they straddle the value boundary (gap=100 keeps them apart)
+        assert s.match_phrase("beta gamma").tolist() == [1]
+        assert s.match_phrase("alpha beta").tolist() == [0, 1]
+        assert s.term_docs("gamma").tolist() == [0, 1]
+        results[positions] = [(h.docid, h.score) for h in
+                              s.search("alpha", k=5)]
+        # dl counts real tokens over ALL values (4+3+3), gaps are virtual
+        assert s.fetch([0]).num_rows == 1
+    assert results[True] == results[False]
