@@ -1760,6 +1760,16 @@ def _q_fuzzy_query(sf_dir):
     return pd.DataFrame({"doc_id": s.fuzzy_docs("hashe", max_edits=1).astype(np.int64)})
 
 
+def _q_fuzzy_transpositions(sf_dir):
+    """fuzzy with transpositions=true (FuzzyQueryBuilder's DEFAULT —
+    adjacent swap costs ONE edit, the OSA distance of Lucene's
+    LevenshteinAutomata withTranspositions). 'hsah' is 1 swap + 1 edit
+    from 'hash'-family terms that plain Levenshtein prices at 3+."""
+    s = _searcher(sf_dir)
+    docs = s.fuzzy_docs("ahsh", max_edits=1, transpositions=True)
+    return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+
 def _q_alias_filtered_search(sf_dir):
     """_aliases surface: a filtered alias (filter lang='en') over the
     documents index — the filter rides the collector-level docs= gate,
@@ -3917,6 +3927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_sig_percentage": _q_agg_sig_percentage,
         "wildcard_query": _q_wildcard_query,
         "fuzzy_query": _q_fuzzy_query,
+        "fuzzy_transpositions": _q_fuzzy_transpositions,
         "term_suggester": _q_term_suggester,
         "function_score_decay": _q_function_score_decay,
         "terms_lookup": _q_terms_lookup,
@@ -4241,6 +4252,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM documents d,
                    unnest(string_split(d.text, ' ')) AS t(tok)
             WHERE levenshtein(t.tok, 'hashe') <= 1
+              AND t.tok NOT IN {STOP} AND t.tok <> ''
+        """,
+        "fuzzy_transpositions": f"""
+            SELECT DISTINCT doc_id FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE damerau_levenshtein(t.tok, 'ahsh') <= 1
               AND t.tok NOT IN {STOP} AND t.tok <> ''
         """,
         "term_query": """

@@ -176,7 +176,14 @@ def query_docs(s: Searcher, q: dict, text_field: str = "text") -> np.ndarray:
     if kind == "fuzzy":
         val = spec["value"] if isinstance(spec, dict) else spec
         fz = spec.get("fuzziness", 2) if isinstance(spec, dict) else 2
-        return np.sort(s.fuzzy_docs(str(val), max_edits=int(fz)))
+        # FuzzyQueryBuilder.transpositions (adjacent swap = 1 edit, the
+        # reference's DEFAULT); kept opt-in default-off here to preserve
+        # the plain-Levenshtein oracle entries — the option is what the
+        # reference exposes, both distances are served
+        tp = bool(spec.get("transpositions", False)) \
+            if isinstance(spec, dict) else False
+        return np.sort(s.fuzzy_docs(str(val), max_edits=int(fz),
+                                    transpositions=tp))
     if kind == "regexp":
         val = spec["value"] if isinstance(spec, dict) else spec
         return np.sort(Q.regexp_docs(s, str(val), case_insensitive=ci))

@@ -343,20 +343,29 @@ def highlight_fvh(searcher: Searcher, query_text: str, k: int = 10,
                           key=lambda s: s.map(order)).reset_index(drop=True)
 
 
-def _levenshtein(a: str, b: str, maxd: int = 2) -> int:
-    """Bounded edit distance (classic DP with early exit)."""
+def _levenshtein(a: str, b: str, maxd: int = 2,
+                 transpositions: bool = False) -> int:
+    """Bounded edit distance (classic DP with early exit).
+    ``transpositions=True`` adds adjacent-swap as ONE edit — the optimal
+    string alignment distance Lucene's FuzzyQuery defaults to
+    (LevenshteinAutomata withTranspositions; FuzzyQuery.defaultTranspositions
+    = true): "ab"→"ba" costs 1, not 2."""
     if abs(len(a) - len(b)) > maxd:
         return maxd + 1
+    prev2 = None
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i] + [0] * len(b)
         best = cur[0]
         for j, cb in enumerate(b, 1):
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if (transpositions and i > 1 and j > 1
+                    and ca == b[j - 2] and a[i - 2] == cb):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
             best = min(best, cur[j])
         if best > maxd:
             return maxd + 1
-        prev = cur
+        prev2, prev = prev, cur
     return prev[-1]
 
 

@@ -738,7 +738,8 @@ class Searcher:
         return out
 
     def fuzzy_candidates(self, term: str, max_edits: int = 2,
-                         prefix_length: int = 0) -> "pa.Table":
+                         prefix_length: int = 0,
+                         transpositions: bool = False) -> "pa.Table":
         """(term, df, distance) for vocabulary terms within ``max_edits``
         — the FuzzyQuery / TermSuggester candidate enumeration as a
         streamed banded scan: per batch, a vectorized utf8_length band
@@ -759,7 +760,8 @@ class Searcher:
             t = t.filter(band)
             if t.num_rows == 0:
                 return t
-            keep = [_levenshtein(term, x, max_edits) <= max_edits
+            keep = [_levenshtein(term, x, max_edits,
+                                 transpositions) <= max_edits
                     for x in t.column("term").to_pylist()]
             return t.filter(pa.array(keep))
 
@@ -768,8 +770,9 @@ class Searcher:
             v = self._vocab_range(*self._prefix_bounds(pre))
             v = band_fn(v.filter(pc.starts_with(v.column("term"), pre)))
         else:
-            v = self._vocab_scan(band_fn, cache_key=("fz", term, max_edits))
-        dist = [_levenshtein(term, x, max_edits)
+            v = self._vocab_scan(band_fn, cache_key=("fz", term, max_edits,
+                                                     transpositions))
+        dist = [_levenshtein(term, x, max_edits, transpositions)
                 for x in v.column("term").to_pylist()]
         return v.append_column("distance", pa.array(dist, pa.int64()))
 
@@ -837,11 +840,14 @@ class Searcher:
         return v.column("term").to_pylist()
 
     def expand_fuzzy(self, term: str, max_edits: int = 2,
-                     prefix_length: int = 0) -> List[str]:
+                     prefix_length: int = 0,
+                     transpositions: bool = False) -> List[str]:
         """Vocabulary terms within ``max_edits`` via the STREAMED banded
         scan (fuzzy_candidates) — the terms dict is never materialized
-        (the terms-enum + automaton shape, FuzzyQuery)."""
-        return self.fuzzy_candidates(term, max_edits, prefix_length) \
+        (the terms-enum + automaton shape, FuzzyQuery).
+        ``transpositions=True`` = Lucene's default OSA distance."""
+        return self.fuzzy_candidates(term, max_edits, prefix_length,
+                                     transpositions) \
             .column("term").to_pylist()  # _vocab_scan output is term-sorted
 
     def complete(self, prefix: str, size: int = 5):
@@ -866,8 +872,10 @@ class Searcher:
         terms = self.expand_wildcard(pattern)
         return self.bool_docs(should=terms) if terms else np.empty(0, np.int64)
 
-    def fuzzy_docs(self, term: str, max_edits: int = 2) -> np.ndarray:
-        terms = self.expand_fuzzy(term, max_edits)
+    def fuzzy_docs(self, term: str, max_edits: int = 2,
+                   transpositions: bool = False) -> np.ndarray:
+        terms = self.expand_fuzzy(term, max_edits,
+                                  transpositions=transpositions)
         return self.bool_docs(should=terms) if terms else np.empty(0, np.int64)
 
     def terms_agg_on_hits(self, query_text: str, field: str, size: int = 10,

@@ -655,3 +655,17 @@ def test_case_insensitive_query_options(tmp_path_factory):
     assert ids({"regexp": {"text": {"value": "ba.*",
                                     "case_insensitive": True}}}) == [0, 3]
     assert ids({"regexp": {"text": {"value": "ba.*"}}}) == []
+
+
+def test_fuzzy_transpositions_osa():
+    """transpositions=True = OSA distance (FuzzyQuery default): adjacent
+    swap costs 1; plain Levenshtein prices the same pair at 2."""
+    from opensearch_ray.search.features import _levenshtein
+    assert _levenshtein("ab", "ba", 2) == 2
+    assert _levenshtein("ab", "ba", 2, transpositions=True) == 1
+    assert _levenshtein("hash", "hsah", 2, transpositions=True) == 1
+    assert _levenshtein("hash", "hsah", 2) == 2
+    # OSA never edits a substring twice: "ca" -> "abc" stays 3
+    assert _levenshtein("ca", "abc", 3, transpositions=True) == 3
+    # identical strings unaffected
+    assert _levenshtein("same", "same", 2, transpositions=True) == 0
