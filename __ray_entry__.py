@@ -1760,6 +1760,21 @@ def _q_fuzzy_query(sf_dir):
     return pd.DataFrame({"doc_id": s.fuzzy_docs("hashe", max_edits=1).astype(np.int64)})
 
 
+def _q_nb_classifier(sf_dir):
+    """Multinomial Naive Bayes over hashed token features — the
+    fastText-shape supervised quality/language filter (GPT-3 WebText
+    classifier, CCNet routing). Trains on (text -> lang), predicts the
+    argmax class per doc; exact DuckDB oracle via the DSIR rolling hash."""
+    from opensearch_ray.textstats import nb_predict, nb_train
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = nb_train(ds, "text", "lang", buckets=2048)
+    out = nb_predict(ds, model, "text",
+                     score_label="en").to_pandas()
+    out["nb_score"] = _fmt(out["nb_score"].values, 4)
+    return out[["doc_id", "nb_pred", "nb_score"]].sort_values(
+        "doc_id").reset_index(drop=True)
+
+
 def _q_fuzzy_transpositions(sf_dir):
     """fuzzy with transpositions=true (FuzzyQueryBuilder's DEFAULT —
     adjacent swap costs ONE edit, the OSA distance of Lucene's
@@ -3928,6 +3943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_query": _q_wildcard_query,
         "fuzzy_query": _q_fuzzy_query,
         "fuzzy_transpositions": _q_fuzzy_transpositions,
+        "nb_classifier": _q_nb_classifier,
         "term_suggester": _q_term_suggester,
         "function_score_decay": _q_function_score_decay,
         "terms_lookup": _q_terms_lookup,
@@ -4253,6 +4269,52 @@ def oracle_sql() -> dict[str, str]:
                    unnest(string_split(d.text, ' ')) AS t(tok)
             WHERE levenshtein(t.tok, 'hashe') <= 1
               AND t.tok NOT IN {STOP} AND t.tok <> ''
+        """,
+        "nb_classifier": """
+            WITH base AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents),
+            tok AS (
+              SELECT b.doc_id, b.toks[i.i] AS t
+              FROM base b,
+                   unnest(generate_series(1, len(b.toks))) AS i(i)
+              WHERE b.toks[i.i] <> ''),
+            h AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_transform(generate_series(1, length(t)),
+                                      j -> unicode(substr(t, j, 1))),
+                       (a, x) -> (a * 31 + x) % 1000003) % 2048 AS bk
+              FROM tok),
+            cls AS (SELECT lang AS c, count(*) AS ndocs
+                    FROM documents GROUP BY lang),
+            tot AS (SELECT count(*) AS n FROM documents),
+            cc AS (SELECT b.lang AS c, h.bk, count(*) AS cnt
+                   FROM h JOIN base b USING (doc_id) GROUP BY 1, 2),
+            ctot AS (SELECT c, sum(cnt) AS t FROM cc GROUP BY c),
+            docsc AS (
+              SELECT d.doc_id, cls.c,
+                     ln(cls.ndocs * 1.0 / tot.n)
+                     + coalesce(sum(
+                         CASE WHEN h.bk IS NULL THEN NULL
+                              ELSE ln((coalesce(cc.cnt, 0) + 1.0)
+                                      / (coalesce(ctot.t, 0) + 2048.0))
+                         END), 0) AS score
+              FROM documents d CROSS JOIN cls CROSS JOIN tot
+              LEFT JOIN h ON h.doc_id = d.doc_id
+              LEFT JOIN ctot ON ctot.c = cls.c
+              LEFT JOIN cc ON cc.c = cls.c AND cc.bk = h.bk
+              GROUP BY d.doc_id, cls.c, cls.ndocs, tot.n, ctot.t),
+            pred AS (
+              SELECT doc_id, c, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, c ASC) AS rn
+              FROM docsc)
+            SELECT p.doc_id, p.c AS nb_pred,
+                   printf('%.4f', e.score) AS nb_score
+            FROM pred p JOIN docsc e
+              ON e.doc_id = p.doc_id AND e.c = 'en'
+            WHERE p.rn = 1 ORDER BY p.doc_id
         """,
         "fuzzy_transpositions": f"""
             SELECT DISTINCT doc_id FROM documents d,

@@ -5,7 +5,8 @@ from .stats import (
     token_counts, quality_scores, langid_heuristic, fingerprints,
 )
 from .dsir import dsir_log_weights, dsir_select, hashed_ngram_counts
+from .nbayes import nb_predict, nb_train
 
 __all__ = ["token_counts", "quality_scores", "langid_heuristic",
            "fingerprints", "dsir_log_weights", "dsir_select",
-           "hashed_ngram_counts"]
+           "hashed_ngram_counts", "nb_train", "nb_predict"]

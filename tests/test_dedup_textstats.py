@@ -351,3 +351,29 @@ def test_hnsw_index(sf_dir, tmp_path):
         idx2.search(q, k=10, ef_search=64))
     # every vector landed in exactly one segment
     assert sum(idx.meta["seg_rows"].values()) == t.num_rows
+
+
+def test_nb_classifier_separable():
+    """Multinomial NB (fastText-shape quality filter): recovers the label
+    on a separable vocabulary; priors dominate for empty docs; argmax
+    tie-break is deterministic (first label in sorted order)."""
+    from opensearch_ray.textstats import nb_predict, nb_train
+    df = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["apple banana apple", "banana apple fruit",
+                 "apple fruit banana", "apple apple",
+                 "stone metal rock", "rock metal stone",
+                 "metal stone rock rock", ""],
+        "lang": ["fruit", "fruit", "fruit", "fruit",
+                 "rock", "rock", "rock", "rock"]})
+    ds = rd.from_pandas(df)
+    model = nb_train(ds, "text", "lang", buckets=512)
+    out = nb_predict(ds, model, "text").to_pandas().sort_values("doc_id")
+    # trained docs classify back to their own class
+    assert out["nb_pred"].tolist()[:7] == df["lang"].tolist()[:7]
+    # empty doc: prior-only score; priors equal -> first sorted label
+    assert out["nb_pred"].iloc[7] == "fruit"
+    # fresh model, same data -> identical predictions (determinism)
+    out2 = nb_predict(ds, nb_train(ds, "text", "lang", buckets=512),
+                      "text").to_pandas().sort_values("doc_id")
+    assert out["nb_pred"].tolist() == out2["nb_pred"].tolist()
