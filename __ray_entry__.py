@@ -1760,6 +1760,19 @@ def _q_fuzzy_query(sf_dir):
     return pd.DataFrame({"doc_id": s.fuzzy_docs("hashe", max_edits=1).astype(np.int64)})
 
 
+def _q_bpe_token_count(sf_dir):
+    """Corpus-trained BPE tokenizer (Sennrich ACL'16) + per-doc token
+    count — the real token-budget accountant of a training-data pipeline.
+    Rows-only (merge learning isn't SQL-expressible); merge semantics and
+    determinism are pytest-pinned."""
+    from opensearch_ray.textstats import bpe_token_counts, bpe_train
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, "text", n_merges=256)
+    out = bpe_token_counts(ds, merges, "text").to_pandas()
+    return out[["doc_id", "bpe_tokens"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q_nb_classifier(sf_dir):
     """Multinomial Naive Bayes over hashed token features — the
     fastText-shape supervised quality/language filter (GPT-3 WebText
@@ -3944,6 +3957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_query": _q_fuzzy_query,
         "fuzzy_transpositions": _q_fuzzy_transpositions,
         "nb_classifier": _q_nb_classifier,
+        "bpe_token_count": _q_bpe_token_count,
         "term_suggester": _q_term_suggester,
         "function_score_decay": _q_function_score_decay,
         "terms_lookup": _q_terms_lookup,

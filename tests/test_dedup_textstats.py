@@ -377,3 +377,31 @@ def test_nb_classifier_separable():
     out2 = nb_predict(ds, nb_train(ds, "text", "lang", buckets=512),
                       "text").to_pandas().sort_values("doc_id")
     assert out["nb_pred"].tolist() == out2["nb_pred"].tolist()
+
+
+def test_bpe_train_and_count():
+    """BPE (Sennrich ACL'16): classic merge order on the textbook corpus,
+    greedy overlap resolution, rank-based encode, count >= word count."""
+    from opensearch_ray.textstats import apply_bpe, bpe_token_counts, bpe_train
+    from opensearch_ray.textstats.bpe import _learn_merges
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = _learn_merges(wf, 10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # 'es' (9) is the first merge; trained words collapse to few pieces
+    assert merges[0] == ("e", "s")
+    assert apply_bpe("newest", ranks) == ["newest▁"]
+    assert len(apply_bpe("lowest", ranks)) <= 3
+    # overlap run parity: 'aaaa' with (a,a) merges greedily left-to-right
+    m2 = _learn_merges({"aaaa": 4}, 1)
+    assert m2 == [("a", "a")]
+    assert apply_bpe("aaaa", {("a", "a"): 0}) == ["aa", "aa", "▁"]
+    # distributed count: >= whitespace word count, deterministic
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["low lower newest", "widest low", ""]})
+    ds = rd.from_pandas(df)
+    ref = bpe_train(ds, "text", n_merges=16)
+    out = bpe_token_counts(ds, ref, "text").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    w = out["text"].str.split().str.len()
+    assert (out["bpe_tokens"] >= w).all()
+    assert out["bpe_tokens"].iloc[2] == 0
