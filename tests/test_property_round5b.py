@@ -101,3 +101,49 @@ def test_format_datetimes_epoch_and_pattern(epoch_s):
     got = _format_datetimes(ts, "yyyy-MM-dd'T'HH:mm:ss")[0]
     assert got == pd.Timestamp(epoch_s, unit="s").strftime(
         "%Y-%m-%dT%H:%M:%S")
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=50))
+@settings(max_examples=80, deadline=None)
+def test_unsigned_long_encode_order_isomorphism(vals):
+    """Shifted-long encoding is an order isomorphism uint64 -> int64 and
+    decode is its exact inverse."""
+    from opensearch_ray.mapper import (unsigned_long_decode,
+                                       unsigned_long_encode)
+    u = np.array(vals, dtype=np.uint64)
+    enc = unsigned_long_encode(u)
+    assert (unsigned_long_decode(enc) == u).all()
+    order_u = np.argsort(u, kind="stable")
+    order_e = np.argsort(enc, kind="stable")
+    assert (u[order_u] == u[order_e]).all()
+
+
+@given(st.text(alphabet="ab", min_size=0, max_size=8),
+       st.text(alphabet="ab", min_size=0, max_size=8))
+@settings(max_examples=120, deadline=None)
+def test_osa_distance_properties(a, b):
+    """OSA <= plain Levenshtein; both are symmetric; zero iff equal."""
+    from opensearch_ray.search.features import _levenshtein
+    BIG = 99
+    lv = _levenshtein(a, b, BIG)
+    osa = _levenshtein(a, b, BIG, transpositions=True)
+    assert osa <= lv
+    assert osa == _levenshtein(b, a, BIG, transpositions=True)
+    assert (osa == 0) == (a == b)
+
+
+@given(st.lists(st.sampled_from(["aa", "ab", "ba", "abc", "a", "b"]),
+                min_size=1, max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_bpe_piece_roundtrip(words):
+    """Concatenating a word's BPE pieces (end sentinel stripped) always
+    reconstructs the word, whatever merges were learned."""
+    from opensearch_ray.textstats.bpe import _EOW, _learn_merges, apply_bpe
+    wf = {}
+    for w in words:
+        wf[w] = wf.get(w, 0) + 1
+    merges = _learn_merges(wf, 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in wf:
+        joined = "".join(apply_bpe(w, ranks))
+        assert joined == w + _EOW
