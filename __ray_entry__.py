@@ -1638,6 +1638,22 @@ def _q_agg_significant_terms(sf_dir):
     return out[["event_type", "fg", "bg", "score"]]
 
 
+def _q_sig_scripted(sf_dir):
+    """scripted significance heuristic (ScriptHeuristic.java — the last
+    registered SignificanceHeuristic): a vectorized callable of the
+    script's (_subset_freq, _subset_size, _superset_freq, _superset_size)
+    variables; here normalized-lift  (fg/n_fg) / (bg/n_bg)."""
+    import pyarrow.compute as pc
+    from opensearch_ray.aggs import significant_terms_agg
+    out = significant_terms_agg(
+        _read(sf_dir, "events", ["event_type", "value"]), "event_type",
+        foreground=lambda t: pc.greater(t.column("value"), 150.0), size=10,
+        heuristic=lambda fg, n_fg, bg, n_bg:
+            (fg / n_fg) / np.maximum(bg / n_bg, 1e-12))
+    out["score"] = _fmt(out["score"], 6)
+    return out[["event_type", "fg", "bg", "score"]]
+
+
 def _q_agg_percentiles_hdr(sf_dir):
     """HDR percentiles over lineitem.l_quantity (integers 1..50: the
     digits=2 quantization is identity, so the bucket histogram is exact and
@@ -3949,6 +3965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_terms_agg": _q_query_terms_agg,
         "agg_adjacency_matrix": _q_agg_adjacency,
         "agg_significant_terms": _q_agg_significant_terms,
+        "sig_scripted": _q_sig_scripted,
         "agg_sig_chi_square": _q_agg_sig_chi_square,
         "agg_sig_mutual_info": _q_agg_sig_mutual_info,
         "agg_sig_gnd": _q_agg_sig_gnd,
@@ -4182,6 +4199,24 @@ def oracle_sql() -> dict[str, str]:
                                * ((p.fg / t.n_fg)
                                   / greatest(p.bg / t.n_bg, 1e-9))
                           ELSE 0.0 END AS score
+              FROM per_key p CROSS JOIN tot t)
+            SELECT event_type, fg, bg, printf('%.6f', score) AS score
+            FROM scored WHERE score > 0
+            ORDER BY scored.score DESC, event_type LIMIT 10
+        """,
+        "sig_scripted": """
+            WITH per_key AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fg,
+                     count(*) AS bg
+              FROM events GROUP BY event_type),
+            tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS n_fg,
+                           CAST(sum(bg) AS DOUBLE) AS n_bg FROM per_key),
+            scored AS (
+              SELECT p.event_type, p.fg, p.bg,
+                     (p.fg / t.n_fg)
+                     / greatest(p.bg / t.n_bg, 1e-12) AS score
               FROM per_key p CROSS JOIN tot t)
             SELECT event_type, fg, bg, printf('%.6f', score) AS score
             FROM scored WHERE score > 0

@@ -478,11 +478,16 @@ def _sig_scores(fg: np.ndarray, bg: np.ndarray, n_fg: float, n_bg: float,
     - gnd     — GND.java:95-115: exp(-(max(ln fx, ln fy)-ln fxy)
                 /(ln N - min(ln fx, ln fy)))
     - percentage — PercentageScore.java:90-97: fg/bg
+    - a CALLABLE — ScriptHeuristic.java (the `scripted` heuristic): a
+      vectorized Python fn of (_subset_freq, _subset_size,
+      _superset_freq, _superset_size), the script's variable names
     """
     fg = np.asarray(fg, dtype=np.float64)
     bg = np.asarray(bg, dtype=np.float64)
     n_fg = max(float(n_fg), 1.0)
     n_bg = max(float(n_bg), 1.0)
+    if callable(heuristic):
+        return np.asarray(heuristic(fg, n_fg, bg, n_bg), np.float64)
     if heuristic == "jlh":
         fg_rate, bg_rate = fg / n_fg, np.maximum(bg, 1.0) / n_bg
         return np.where(fg_rate > bg_rate,
