@@ -1139,6 +1139,40 @@ def _fixed_interval_ns(spec) -> float:
     return float(int(m.group(1)) * _FIXED_UNITS_NS[m.group(2)])
 
 
+def _extract_named(q, acc: list):
+    """Strip ``_name`` markers from a query tree, collecting each named
+    clause as a STANDALONE query (MatchedQueriesPhase /
+    AbstractQueryBuilder.queryName). Handles both placements the DSL
+    allows: clause-level ({"bool": {..., "_name": n}}) and field-level
+    ({"term": {"f": {"value": v, "_name": n}}})."""
+    if isinstance(q, list):
+        return [_extract_named(x, acc) for x in q]
+    if not isinstance(q, dict):
+        return q
+    out = {}
+    for kind, spec in q.items():
+        if isinstance(spec, dict):
+            if "_name" in spec:
+                cleaned = {k: _extract_named(v, acc)
+                           for k, v in spec.items() if k != "_name"}
+                acc.append((spec["_name"], {kind: cleaned}))
+                out[kind] = cleaned
+                continue
+            new_spec = {}
+            for f, opts in spec.items():
+                if isinstance(opts, dict) and "_name" in opts:
+                    cleaned = {k: v for k, v in opts.items()
+                               if k != "_name"}
+                    acc.append((opts["_name"], {kind: {f: cleaned}}))
+                    new_spec[f] = cleaned
+                else:
+                    new_spec[f] = _extract_named(opts, acc)
+            out[kind] = new_spec
+        else:
+            out[kind] = _extract_named(spec, acc)
+    return out
+
+
 def execute_request(s: Searcher, body: dict, text_field: str = "text",
                     id_col: str = "doc_id",
                     field_aliases: Optional[dict] = None) -> dict:
@@ -1155,7 +1189,11 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
     _register_derived(s, body)
     prof: dict = {}
     t0 = _time.perf_counter()
-    q = body.get("query", {"match_all": {}})
+    named: list = []
+    q = _extract_named(body.get("query", {"match_all": {}}), named)
+    if named:
+        body = dict(body)
+        body["query"] = q
     docs = query_docs(s, q, text_field)
     prof["query_ms"] = (_time.perf_counter() - t0) * 1e3
     t0 = _time.perf_counter()
@@ -1232,6 +1270,19 @@ def execute_request(s: Searcher, body: dict, text_field: str = "text",
         hits = hits.copy()
         hits["highlight"] = [snip.get(d) for d in hits[id_col]]
 
+    if named and len(hits):
+        # MatchedQueriesPhase: per returned hit, which _name'd clauses it
+        # satisfies — each named clause re-evaluated standalone over the
+        # page's docs (the reference keeps per-query Weights; page-bounded
+        # here)
+        ids = hits[id_col].to_numpy()
+        mq: list = [[] for _ in range(len(hits))]
+        for name, nq in named:
+            nd = query_docs(s, nq, text_field)
+            for i in np.flatnonzero(np.isin(ids, nd)):
+                mq[i].append(name)
+        hits = hits.copy()
+        hits["matched_queries"] = mq
     prof["fetch_ms"] = (_time.perf_counter() - t0) * 1e3
     out = {"hits": hits, "aggregations": aggs, "total": int(docs.size)}
     sugg = body.get("suggest")

@@ -603,3 +603,34 @@ def test_request_aggs_top_hits_sub(s, terms3):
         assert [h["_id"] for h in th["hits"]] == want.tolist()
         for h in th["hits"]:
             assert h["_source"]["role"] == b["key"]
+
+
+def test_matched_queries_named_clauses(s, terms3):
+    """MatchedQueriesPhase (_name markers): per-hit list of the named
+    clauses it satisfies, both clause-level and field-level placements;
+    the main result set is unchanged by stripping names."""
+    a, b = terms3[0], terms3[1]
+    body = {"query": {"bool": {
+        "should": [
+            {"term": {"text": {"value": a, "_name": "is_a"}}},
+            {"term": {"text": {"value": b, "_name": "is_b"}}},
+        ],
+        "filter": [{"range": {"turn_idx": {"gte": 0, "_name": "rng"}}}],
+    }}, "size": 30}
+    r = dsl.execute_request(s, body, id_col="docid")
+    hits = r["hits"]
+    assert "matched_queries" in hits.columns and len(hits)
+    da = set(s.term_docs(a).tolist())
+    db = set(s.term_docs(b).tolist())
+    for _, row in hits.iterrows():
+        names = set(row["matched_queries"])
+        assert ("is_a" in names) == (row["docid"] in da)
+        assert ("is_b" in names) == (row["docid"] in db)
+        assert "rng" in names  # the filter matches every hit
+    # unnamed request: identical hit set, no column
+    plain = {"query": {"bool": {
+        "should": [{"term": {"text": a}}, {"term": {"text": b}}],
+        "filter": [{"range": {"turn_idx": {"gte": 0}}}]}}, "size": 30}
+    r2 = dsl.execute_request(s, plain, id_col="docid")
+    assert r2["hits"]["docid"].tolist() == hits["docid"].tolist()
+    assert "matched_queries" not in r2["hits"].columns
