@@ -59,6 +59,8 @@ def prepare_training_data(
     dsir_target: Optional[str] = None,
     dsir_logw_min: float = 0.0,
     dedup_lines_sep: Optional[str] = None,
+    nb_keep: Optional[dict] = None,
+    bpe_merges: int = 0,
 ) -> dict:
     """Returns a summary dict {input_rows, kept_rows, near_dups_removed,
     shards_written, resumed}. Output layout: out_dir/shard=NNN/*.parquet
@@ -172,7 +174,29 @@ def prepare_training_data(
                                sample_rates, id_col=id_col,
                                default_rate=1.0)
 
+    if nb_keep:
+        # model-based filter (the fastText-shape quality classifier slot):
+        # train NB on a LABELED side table {path, text_col, label_col},
+        # broadcast, keep docs predicted in `keep` classes
+        from ..textstats import nb_predict, nb_train
+        labeled = ray.data.read_parquet(
+            nb_keep["path"], columns=[text_col, nb_keep["label_col"]])
+        model = nb_train(labeled, text_col, nb_keep["label_col"],
+                         buckets=int(nb_keep.get("buckets", 4096)))
+        keep_set = pa.array([str(x) for x in nb_keep["keep"]])
+        ds = nb_predict(ds, model, text_col)
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("nb_pred"),
+                                        value_set=keep_set)),
+            batch_format="pyarrow")
+
     ds = token_counts(ds, text_col)
+    if bpe_merges:
+        # real token-budget accounting: corpus-trained BPE counts ride
+        # next to the whitespace counts
+        from ..textstats import bpe_token_counts, bpe_train
+        merges = bpe_train(ds, text_col, n_merges=int(bpe_merges))
+        ds = bpe_token_counts(ds, merges, text_col)
 
     # --- resumable sharded write: shard = hash(id) % n_shards, atomic rename
     def add_shard(t: pa.Table) -> pa.Table:

@@ -644,3 +644,26 @@ def test_function_score_search_modes(searcher):
                     for d, p in base.items()),
                    key=lambda t: (-t[1], t[0]))[:5]
     assert two["doc_id"].tolist() == [d for d, _ in wants]
+
+
+def test_training_data_pipeline_nb_and_bpe(tmp_path, sf_dir):
+    """Capstone with the model-based NB filter (keep English-predicted
+    docs, trained on the corpus's own lang labels) and BPE token
+    accounting on."""
+    import glob as _glob
+    import pyarrow.dataset as _pds
+    from opensearch_ray.pipelines import prepare_training_data
+
+    out = str(tmp_path / "td_nb")
+    s = prepare_training_data(
+        f"{sf_dir}/documents.parquet", out, min_quality=0.0,
+        nb_keep={"path": f"{sf_dir}/documents.parquet",
+                 "label_col": "lang", "keep": ["en"], "buckets": 1024},
+        bpe_merges=64)
+    assert s["kept_rows"] > 0
+    kept = _pds.dataset(sorted(_glob.glob(f"{out}/shard=*/*.parquet"))) \
+        .to_table(columns=["nb_pred", "bpe_tokens", "n_tokens"])
+    assert set(kept.column("nb_pred").to_pylist()) == {"en"}
+    bt = kept.column("bpe_tokens").to_numpy(zero_copy_only=False)
+    nt = kept.column("n_tokens").to_numpy(zero_copy_only=False)
+    assert (bt >= nt).all()  # BPE pieces >= whitespace words
