@@ -296,6 +296,38 @@ def run_bench() -> dict:
                      np.asarray(qv, np.float32), k=10)
     timings["ann_topk_sec"] = round(time.perf_counter() - t0, 3)
 
+    # --- HNSW at 100k synthetic vectors: per-segment graph build in
+    # parallel Ray tasks (the k-NN plugin's per-Lucene-segment model) +
+    # warm graph-search latency. Deterministic synthetic input.
+    if n_turns <= 1_000_000 and not os.environ.get("OSRAY_BENCH_NO_HNSW"):
+        import shutil as _sh
+        from opensearch_ray.similarity import HnswIndex
+        rng = np.random.default_rng(7)
+        X = rng.standard_normal((100_000, 64)).astype(np.float32)
+        hnsw_src = "/tmp/osray_bench_hnsw_src"
+        if not os.path.exists(os.path.join(hnsw_src, "done")):
+            _sh.rmtree(hnsw_src, ignore_errors=True)
+            os.makedirs(hnsw_src, exist_ok=True)
+            import pyarrow as _pa
+            pq.write_table(_pa.table({
+                "vec_id": _pa.array(np.arange(100_000, dtype=np.int64)),
+                "embedding": _pa.array(list(X))}),
+                os.path.join(hnsw_src, "part-0.parquet"))
+            open(os.path.join(hnsw_src, "done"), "w").close()
+        hnsw_dir = "/tmp/osray_bench_hnsw_idx"
+        _sh.rmtree(hnsw_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        idx = HnswIndex.build(rd.read_parquet(hnsw_src), hnsw_dir,
+                              n_segments=16, M=12, ef_construction=48)
+        timings["hnsw_100k_build_sec"] = round(time.perf_counter() - t0, 3)
+        lat = []
+        for qi in range(20):
+            t0 = time.perf_counter()
+            idx.search(X[qi * 50], k=10, ef_search=64)
+            lat.append(time.perf_counter() - t0)
+        timings["hnsw_100k_query_p50_ms"] = round(
+            float(np.median(lat)) * 1e3, 2)
+
     # --- MinHash near-dup at 1M docs: the distributed-verify proof point.
     # Driver peak-RSS delta is reported — signatures never land on the
     # driver, so it stays flat. Skipped in the (5M-turn) scaling runs where
