@@ -239,6 +239,22 @@ class _Graph:
 
 
 @ray.remote
+def _search_segment(path: str, Q: np.ndarray, k: int, ef_search: int):
+    """All queries against ONE segment graph (KNNWeight.searchLeaf): the
+    graph loads once per task, queries amortize the load."""
+    g = _Graph.load(path)
+    ids_out, sims_out, q_out = [], [], []
+    for qi in range(len(Q)):
+        ids, sims = g.search(Q[qi], k, ef_search)
+        ids_out.append(ids)
+        sims_out.append(sims)
+        q_out.append(np.full(len(ids), qi, np.int64))
+    return (np.concatenate(ids_out) if ids_out else np.empty(0, np.int64),
+            np.concatenate(sims_out) if sims_out else np.empty(0, np.float32),
+            np.concatenate(q_out) if q_out else np.empty(0, np.int64))
+
+
+@ray.remote
 def _build_segment(seg_dir: str, out_path: str, vec_col: str, id_col: str,
                    M: int, ef_construction: int) -> dict:
     t = pq.read_table(seg_dir, columns=[id_col, vec_col])
@@ -309,6 +325,32 @@ class HnswIndex:
             self._graphs[s] = _Graph.load(
                 os.path.join(self.index_dir, f"seg={s:03d}.npz"))
         return self._graphs[s]
+
+    def search_batch(self, query_vecs: np.ndarray, k: int = 10,
+                     ef_search: int = 64) -> pd.DataFrame:
+        """Many queries at once: S remote tasks (one per segment, ALL
+        queries each — graphs load once, segments search in parallel),
+        k-bounded per-(query, segment) partials merged on the driver.
+        Returns (query_idx, id, score, rank) rows."""
+        Q = np.asarray(query_vecs, np.float32)
+        q_ref = ray.put(Q)
+        id_col = self.meta["id_col"]
+        refs = [_search_segment.remote(
+            os.path.join(self.index_dir, f"seg={s:03d}.npz"),
+            q_ref, k, ef_search) for s in self.meta["segments"]]
+        frames = []
+        for ids, sims, qs in ray.get(refs):
+            frames.append(pd.DataFrame(
+                {"query_idx": qs, id_col: ids,
+                 "score": sims.astype(np.float64)}))
+        allf = pd.concat(frames, ignore_index=True)
+        allf = allf.sort_values(["query_idx", "score", id_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        allf = allf.groupby("query_idx", sort=True).head(k) \
+            .reset_index(drop=True)
+        allf["rank"] = allf.groupby("query_idx").cumcount() + 1
+        return allf
 
     def search(self, query_vec: np.ndarray, k: int = 10,
                ef_search: int = 64) -> pd.DataFrame:

@@ -405,3 +405,20 @@ def test_bpe_train_and_count():
     w = out["text"].str.split().str.len()
     assert (out["bpe_tokens"] >= w).all()
     assert out["bpe_tokens"].iloc[2] == 0
+
+
+def test_hnsw_search_batch_parity(sf_dir, tmp_path):
+    """search_batch (per-segment remote tasks, graphs load once) returns
+    exactly the single-query results for every query."""
+    from opensearch_ray.similarity import HnswIndex
+    d = str(tmp_path / "hnsw_b")
+    idx = HnswIndex.build(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                          d, n_segments=3, M=8, ef_construction=48)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    Q = np.asarray(t.column("embedding").to_pylist()[:6], np.float32)
+    batch = idx.search_batch(Q, k=5, ef_search=48)
+    for qi in range(len(Q)):
+        one = idx.search(Q[qi], k=5, ef_search=48)
+        sub = batch[batch["query_idx"] == qi]
+        assert one["vec_id"].tolist() == sub["vec_id"].tolist()
+        assert one["rank"].tolist() == sub["rank"].tolist()
