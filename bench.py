@@ -305,19 +305,20 @@ def run_bench() -> dict:
         rng = np.random.default_rng(7)
         X = rng.standard_normal((100_000, 64)).astype(np.float32)
         hnsw_src = "/tmp/osray_bench_hnsw_src"
-        if not os.path.exists(os.path.join(hnsw_src, "done")):
+        hnsw_file = os.path.join(hnsw_src, "part-0.parquet")
+        if not os.path.exists(hnsw_file):
             _sh.rmtree(hnsw_src, ignore_errors=True)
             os.makedirs(hnsw_src, exist_ok=True)
             import pyarrow as _pa
+            tmpf = hnsw_file + ".tmp"
             pq.write_table(_pa.table({
                 "vec_id": _pa.array(np.arange(100_000, dtype=np.int64)),
-                "embedding": _pa.array(list(X))}),
-                os.path.join(hnsw_src, "part-0.parquet"))
-            open(os.path.join(hnsw_src, "done"), "w").close()
+                "embedding": _pa.array(list(X))}), tmpf)
+            os.replace(tmpf, hnsw_file)
         hnsw_dir = "/tmp/osray_bench_hnsw_idx"
         _sh.rmtree(hnsw_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        idx = HnswIndex.build(rd.read_parquet(hnsw_src), hnsw_dir,
+        idx = HnswIndex.build(rd.read_parquet(hnsw_file), hnsw_dir,
                               n_segments=16, M=12, ef_construction=48)
         timings["hnsw_100k_build_sec"] = round(time.perf_counter() - t0, 3)
         lat = []

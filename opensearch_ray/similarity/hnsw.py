@@ -105,7 +105,8 @@ class _Graph:
         of the ef best found, sim-descending."""
         import heapq
         eps = np.atleast_1d(np.asarray(eps, np.int64))
-        visited = set(int(e) for e in eps)
+        visited = np.zeros(len(self.Xn), bool)  # bitmap beats a py-set
+        visited[eps] = True
         s0 = self._sims(eps, q)
         # cand: max-heap by sim (store -sim); res: min-heap by sim
         cand = [(-float(s), int(e)) for s, e in zip(s0, eps)]
@@ -114,23 +115,28 @@ class _Graph:
         heapq.heapify(res)
         while len(res) > ef:
             heapq.heappop(res)
+        nbrs = self.nbrs[level]
         while cand:
             cs, c = heapq.heappop(cand)
             if -cs < res[0][0] and len(res) >= ef:
                 break
-            nb = [int(x) for x in self._neighbors(c, level)
-                  if int(x) not in visited]
-            if not nb:
+            row = nbrs[c]
+            nb = row[row >= 0]
+            nb = nb[~visited[nb]]
+            if nb.size == 0:
                 continue
-            visited.update(nb)
-            sims = self._sims(np.asarray(nb, np.int64), q)
-            for s, e in zip(sims, nb):
-                s = float(s)
-                if len(res) < ef or s > res[0][0]:
+            visited[nb] = True
+            sims = self.Xn[nb] @ q
+            floor = res[0][0]
+            short = len(res) < ef
+            for s, e in zip(sims.tolist(), nb.tolist()):
+                if short or s > floor:
                     heapq.heappush(cand, (-s, e))
                     heapq.heappush(res, (s, e))
                     if len(res) > ef:
                         heapq.heappop(res)
+                    floor = res[0][0]
+                    short = len(res) < ef
         out = sorted(res, key=lambda t: (-t[0], t[1]))
         return (np.asarray([e for _, e in out], np.int64),
                 np.asarray([s for s, _ in out], np.float32))
