@@ -368,6 +368,8 @@ class HnswIndex:
             ids, sims = self._graph(s).search(query_vec, k, ef_search)
             frames.append(pd.DataFrame(
                 {id_col: ids, "score": sims.astype(np.float64)}))
+        if not frames:  # empty corpus -> no segment files
+            return pd.DataFrame({id_col: [], "score": [], "rank": []})
         allf = pd.concat(frames, ignore_index=True)
         allf = allf.sort_values(["score", id_col], ascending=[False, True],
                                 kind="mergesort").head(k)
