@@ -460,6 +460,87 @@ FROM combined ORDER BY combined.score DESC, doc_id LIMIT 10
 """
 
 
+def _multi_match_cross_sql() -> str:
+    """DuckDB oracle for multi_match cross_fields over title^2/body:
+    per term the df blends to the MAX across fields, each field scores
+    with the blended idf and its OWN tf/dl/avgdl, the per-term score is
+    the max field contribution, terms sum per doc."""
+    STOP = _stop_sql()
+    from collections import Counter
+    mult = Counter(_BM25_Q.split())
+    qvals = ",".join(f"('{t}', {float(m)})" for t, m in mult.items())
+
+    def field_ctes(name, src_expr):
+        return f"""
+tok_{name} AS (
+  SELECT b.doc_id, t.tok AS token
+  FROM base b, unnest(string_split({src_expr}, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {STOP}
+),
+dl_{name} AS (SELECT doc_id, count(*) AS dl FROM tok_{name} GROUP BY doc_id),
+avg_{name} AS (
+  SELECT (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl_{name})
+         / (SELECT count(*) FROM base) AS avgdl),
+dlq_{name} AS (
+  SELECT dl.doc_id,
+         (SELECT max(v) FROM norm_vals WHERE v <= dl.dl) AS dl_q
+  FROM dl_{name} dl),
+df_{name} AS (SELECT token, count(DISTINCT doc_id) AS df
+              FROM tok_{name} GROUP BY token),
+tf_{name} AS (SELECT token, doc_id, count(*) AS tf
+              FROM tok_{name} GROUP BY token, doc_id)"""
+
+    def contrib(name, boost):
+        return f"""
+con_{name} AS (
+  SELECT tf.token, tf.doc_id,
+         {boost} * ln(1 + (c.n_docs - bl.df + 0.5) / (bl.df + 0.5))
+         * (1.2 + 1.0) * tf.tf
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dl_q / a.avgdl)) AS con
+  FROM tf_{name} tf
+  JOIN blend bl ON bl.term = tf.token
+  JOIN dlq_{name} dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN consts c CROSS JOIN avg_{name} a)"""
+
+    return f"""
+WITH norm_vals(v) AS (VALUES {_norm_values_sql()}),
+base AS (
+  SELECT doc_id, text AS body,
+         array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+           AS title
+  FROM documents),
+consts AS (SELECT (SELECT count(*) FROM base) AS n_docs),
+qterms(term, m) AS (VALUES {qvals}),
+{field_ctes("t", "b.title")},
+{field_ctes("b", "b.body")},
+blend AS (
+  SELECT qt.term,
+         greatest(coalesce(dft.df, 0), coalesce(dfb.df, 0)) AS df
+  FROM qterms qt
+  LEFT JOIN df_t dft ON dft.token = qt.term
+  LEFT JOIN df_b dfb ON dfb.token = qt.term
+  WHERE greatest(coalesce(dft.df, 0), coalesce(dfb.df, 0)) > 0),
+{contrib("t", 2.0)},
+{contrib("b", 1.0)},
+per_term AS (
+  SELECT coalesce(t.token, b.token) AS term,
+         coalesce(t.doc_id, b.doc_id) AS doc_id,
+         greatest(coalesce(t.con, 0.0), coalesce(b.con, 0.0)) AS sc
+  FROM con_t t
+  FULL OUTER JOIN con_b b
+    ON t.token = b.token AND t.doc_id = b.doc_id),
+scored AS (
+  SELECT p.doc_id, sum(qt.m * p.sc) AS score
+  FROM per_term p JOIN qterms qt ON qt.term = p.term
+  GROUP BY p.doc_id)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank,
+       printf('%.4f', score) AS score
+FROM scored ORDER BY scored.score DESC, doc_id LIMIT 10
+"""
+
+
 def _multi_index_sql(boost_even: float = 1.0, boost_odd: float = 1.0) -> str:
     """DuckDB oracle for the two-index union: per-subset (doc_id parity)
     BM25 with each subset's own N/avgdl/df, merged (score desc, idx asc,
@@ -1876,6 +1957,21 @@ def _q_multi_match(sf_dir):
     s = MultiFieldSearcher(_mf_index(sf_dir), dtype=np.float64)
     hits = s.multi_match(_BM25_Q, {"title": 2.0, "body": 1.0},
                          match_type="best_fields", k=10)
+    return pd.DataFrame({
+        "doc_id": [h.docid for h in hits],
+        "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+        "score": _fmt([h.score for h in hits], 4),
+    })
+
+
+def _q_multi_match_cross(sf_dir):
+    """multi_match type=cross_fields over title^2 + body: term-centric
+    blending — per term, df = max across the field group, per-term score
+    = max of the per-field contributions (BlendedTermQuery shape)."""
+    from opensearch_ray.search import MultiFieldSearcher
+    s = MultiFieldSearcher(_mf_index(sf_dir), dtype=np.float64)
+    hits = s.multi_match(_BM25_Q, {"title": 2.0, "body": 1.0},
+                         match_type="cross_fields", k=10)
     return pd.DataFrame({
         "doc_id": [h.docid for h in hits],
         "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
@@ -3993,6 +4089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_extended_stats_bucket": _q_agg_extended_stats_bucket,
         "agg_max_bucket": _q_agg_max_bucket,
         "multi_match": _q_multi_match,
+        "multi_match_cross_fields": _q_multi_match_cross,
         "dis_max_query": _q_dis_max,
         "boosting_query": _q_boosting,
         "query_string": _q_query_string,
@@ -5074,6 +5171,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m WHERE doc_count = (SELECT max(doc_count) FROM m)
         """,
         "multi_match": _multi_match_sql(),
+        "multi_match_cross_fields": _multi_match_cross_sql(),
         "multi_index_union": _multi_index_sql(),
         "indices_boost": _multi_index_sql(2.0, 0.5),
         "post_filter": _bm25_sql("""

@@ -92,6 +92,9 @@ class MultiFieldSearcher:
         indexed field. Exact (unpruned) per-field scoring feeds the combine,
         so ranks match the reference's DisjunctionMaxQuery collection."""
         boosts = field_boosts or {f: 1.0 for f in self.fields}
+        if match_type == "cross_fields":
+            return self._cross_fields(query_text, boosts, tie_breaker, k,
+                                      operator)
         # per-field doc SET + score_docs (bounded numpy arrays) — replaces
         # the exhaustive k=10^9 per-field hit lists
         per_field: Dict[str, tuple] = {}
@@ -128,3 +131,77 @@ class MultiFieldSearcher:
             pass
         order = np.lexsort((all_ids, -total))[:k]
         return [SearchHit(int(all_ids[i]), float(total[i])) for i in order]
+
+    def _cross_fields(self, query_text, boosts, tie_breaker, k, operator):
+        return _cross_fields_impl(self.searchers, query_text, boosts,
+                                  tie_breaker, k, operator)
+
+
+def _dlq(sr: Searcher, docs: np.ndarray) -> np.ndarray:
+    """Quantized doc length (SmallFloat norm table value) per global docid."""
+    from ..index.norms import NORM_LENGTH_TABLE
+    seg_idx = np.searchsorted(sr._bases, docs, side="right") - 1
+    out = np.empty(docs.size, np.float64)
+    for si in np.unique(seg_idx):
+        seg_id = int(sr._seg_ids[si])
+        m = seg_idx == si
+        local = docs[m] - int(sr._bases[si])
+        out[m] = NORM_LENGTH_TABLE[sr.norms(seg_id)[local]].astype(np.float64)
+    return out
+
+
+def _cross_fields_impl(searchers: Dict[str, Searcher], query_text: str,
+                       boosts: Dict[str, float], tie_breaker: float,
+                       k: int, operator: str) -> List[SearchHit]:
+    """multi_match type=cross_fields (MultiMatchQueryBuilder.Type.
+    CROSS_FIELDS / Lucene BlendedTermQuery): term-centric, not
+    field-centric. Every term's df is BLENDED to the MAX across the
+    field group, the term is scored in each field with the blended idf
+    and that field's own tf/norms/avgdl, and the per-TERM score is the
+    max over fields (+ tie_breaker * the rest). Terms sum per doc.
+    ``operator="and"`` requires every term in SOME field — the
+    "first name in one column, last name in another" semantics the type
+    exists for. float64 arithmetic (ln-idf), matching the SQL oracle."""
+    from collections import Counter
+    fields = list(boosts)
+    s0 = searchers[fields[0]]
+    counts = Counter(s0.analyzer.tokens(query_text))
+    toks = list(counts)   # deduped, first-seen order; multiplicity kept
+    if not toks:
+        return []
+    N = float(s0.N)
+    k1, b = 1.2, 0.75
+    posts = {(t, f): searchers[f].term_postings(t)
+             for t in toks for f in fields}
+    parts = [posts[(t, f)][0] for t in toks for f in fields
+             if posts[(t, f)][0].size]
+    if not parts:
+        return []
+    all_docs = np.unique(np.concatenate(parts))
+    dlq = {f: _dlq(searchers[f], all_docs) for f in fields}
+    total = np.zeros(all_docs.size, np.float64)
+    seen_all = np.ones(all_docs.size, bool)
+    for t in toks:
+        df = max(len(posts[(t, f)][0]) for f in fields)
+        if df == 0:
+            seen_all[:] = False
+            continue
+        idf = np.log(1.0 + (N - df + 0.5) / (df + 0.5))
+        mat = np.zeros((len(fields), all_docs.size), np.float64)
+        for i, f in enumerate(fields):
+            d, tf = posts[(t, f)]
+            if not d.size:
+                continue
+            pos = np.searchsorted(all_docs, d)
+            tfv = tf.astype(np.float64)
+            denom = tfv + k1 * (1.0 - b + b * dlq[f][pos]
+                                / float(searchers[f].avgdl))
+            mat[i, pos] = (float(boosts[f]) * idf * (k1 + 1.0)
+                           * tfv / denom)
+        mx = mat.max(axis=0)
+        total += counts[t] * (mx + tie_breaker * (mat.sum(axis=0) - mx))
+        seen_all &= mat.any(axis=0)
+    keep = seen_all if operator == "and" else total > 0
+    ids, sc = all_docs[keep], total[keep]
+    order = np.lexsort((ids, -sc))[:k]
+    return [SearchHit(int(ids[i]), float(sc[i])) for i in order]

@@ -842,3 +842,33 @@ def test_multivalued_text_position_increment_gap(tmp_path):
         # dl counts real tokens over ALL values (4+3+3), gaps are virtual
         assert s.fetch([0]).num_rows == 1
     assert results[True] == results[False]
+
+
+def test_multi_match_cross_fields(transcript_corpus, tmp_path):
+    """cross_fields: operator=and matches docs whose query terms are split
+    ACROSS fields (the type's reason to exist), which best_fields' per-field
+    AND cannot; scores blend df to the max across the group."""
+    from opensearch_ray.search import (MultiFieldSearcher,
+                                       build_multi_field_index)
+    t = pa.table({
+        "conv_id": ["c"] * 4, "turn_idx": [0, 1, 2, 3],
+        "first": ["ada", "grace", "alan", "ada"],
+        "last": ["lovelace", "hopper", "turing", "hopper"]})
+    src = tmp_path / "cf_src"
+    src.mkdir()
+    pq.write_table(t, str(src / "part-0.parquet"))
+    idx = str(tmp_path / "cf_idx")
+    build_multi_field_index(str(src), idx, fields=["first", "last"],
+                            analyzer="whitespace", num_buckets=2)
+    s = MultiFieldSearcher(idx, dtype=np.float64)
+    cross = s.multi_match("ada hopper", match_type="cross_fields",
+                          operator="and", k=10)
+    # only doc 3 has ada (first) AND hopper (last) — across two fields
+    assert [h.docid for h in cross] == [3]
+    # best_fields per-field AND finds nothing: no single field has both
+    best = s.multi_match("ada hopper", match_type="best_fields",
+                         operator="and", k=10)
+    assert best == []
+    # operator=or: every doc containing either term, ranked
+    either = s.multi_match("ada hopper", match_type="cross_fields", k=10)
+    assert {h.docid for h in either} == {0, 1, 3}
