@@ -1979,6 +1979,16 @@ def _q_multi_match_cross(sf_dir):
     })
 
 
+def _q_multi_match_phrase(sf_dir):
+    """multi_match type=phrase over title+body: the phrase must appear
+    intact in SOME field (doc set exact; compared set-wise)."""
+    from opensearch_ray.search import MultiFieldSearcher
+    s = MultiFieldSearcher(_mf_index(sf_dir), dtype=np.float64)
+    hits = s.multi_match("hash join", {"title": 1.0, "body": 1.0},
+                         match_type="phrase", k=10 ** 6)
+    return pd.DataFrame({"doc_id": sorted(h.docid for h in hits)})
+
+
 def _q_dis_max(sf_dir):
     """dis_max over two match subqueries, tie_breaker=0.3."""
     from opensearch_ray.search.features import dis_max
@@ -4090,6 +4100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_max_bucket": _q_agg_max_bucket,
         "multi_match": _q_multi_match,
         "multi_match_cross_fields": _q_multi_match_cross,
+        "multi_match_phrase": _q_multi_match_phrase,
         "dis_max_query": _q_dis_max,
         "boosting_query": _q_boosting,
         "query_string": _q_query_string,
@@ -5172,6 +5183,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multi_match": _multi_match_sql(),
         "multi_match_cross_fields": _multi_match_cross_sql(),
+        "multi_match_phrase": """
+            WITH base AS (
+              SELECT doc_id, text AS body,
+                     array_to_string(
+                       list_slice(string_split(text, ' '), 1, 4), ' ')
+                       AS title
+              FROM documents)
+            SELECT doc_id FROM base
+            WHERE (' ' || title || ' ') LIKE '% hash join %'
+               OR (' ' || body  || ' ') LIKE '% hash join %'
+            ORDER BY doc_id
+        """,
         "multi_index_union": _multi_index_sql(),
         "indices_boost": _multi_index_sql(2.0, 0.5),
         "post_filter": _bm25_sql("""

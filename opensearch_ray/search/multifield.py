@@ -106,8 +106,17 @@ class MultiFieldSearcher:
                 per_field[f] = (np.empty(0, np.int64),
                                 np.empty(0, np.float64))
                 continue
-            d = np.sort(sr.bool_docs(must=uniq) if operator == "and"
-                        else sr.bool_docs(should=uniq))
+            if match_type in ("phrase", "phrase_prefix"):
+                # MultiMatchQueryBuilder.Type.PHRASE(_PREFIX): the phrase
+                # query per field, dis_max combine; matching docs are
+                # term-BM25-scored (documented stand-in for Lucene's
+                # phrase-frequency scoring — the doc SET is exact)
+                d = np.sort(sr.match_phrase(query_text)
+                            if match_type == "phrase"
+                            else sr.match_phrase_prefix(query_text))
+            else:
+                d = np.sort(sr.bool_docs(must=uniq) if operator == "and"
+                            else sr.bool_docs(should=uniq))
             per_field[f] = (d, boost * sr.score_docs(d, toks))
         all_ids = np.unique(np.concatenate(
             [d for d, _ in per_field.values() if d.size] or
