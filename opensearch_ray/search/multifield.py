@@ -106,7 +106,11 @@ class MultiFieldSearcher:
                 per_field[f] = (np.empty(0, np.int64),
                                 np.empty(0, np.float64))
                 continue
-            if match_type in ("phrase", "phrase_prefix"):
+            if match_type == "bool_prefix":
+                # Type.BOOL_PREFIX: match_bool_prefix per field, dis_max
+                from . import queries as _Q
+                d = np.sort(_Q.match_bool_prefix_docs(sr, query_text))
+            elif match_type in ("phrase", "phrase_prefix"):
                 # MultiMatchQueryBuilder.Type.PHRASE(_PREFIX): the phrase
                 # query per field, dis_max combine; matching docs are
                 # term-BM25-scored (documented stand-in for Lucene's

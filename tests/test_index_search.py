@@ -872,3 +872,27 @@ def test_multi_match_cross_fields(transcript_corpus, tmp_path):
     # operator=or: every doc containing either term, ranked
     either = s.multi_match("ada hopper", match_type="cross_fields", k=10)
     assert {h.docid for h in either} == {0, 1, 3}
+
+
+def test_multi_match_phrase_and_bool_prefix_types(transcript_corpus,
+                                                  tmp_path):
+    """Type.PHRASE: intact phrase in SOME field; Type.BOOL_PREFIX: last
+    term is a prefix. Completes the 6-type MultiMatchQueryBuilder table."""
+    from opensearch_ray.search import (MultiFieldSearcher,
+                                       build_multi_field_index)
+    t = pa.table({
+        "conv_id": ["c"] * 3, "turn_idx": [0, 1, 2],
+        "a": ["red green blue", "green red", "yellow"],
+        "b": ["nothing here", "red green again", "red gre"]})
+    src = tmp_path / "mmp_src"
+    src.mkdir()
+    pq.write_table(t, str(src / "part-0.parquet"))
+    idx = str(tmp_path / "mmp_idx")
+    build_multi_field_index(str(src), idx, fields=["a", "b"],
+                            analyzer="whitespace", num_buckets=2)
+    s = MultiFieldSearcher(idx, dtype=np.float64)
+    ph = s.multi_match("red green", match_type="phrase", k=10)
+    assert {h.docid for h in ph} == {0, 1}  # doc1 via field b
+    bp = s.multi_match("red gre", match_type="bool_prefix", k=10)
+    # 'red' term + 'gre' prefix (green/gre): docs 0,1 (field a) and 1,2 (b)
+    assert {h.docid for h in bp} == {0, 1, 2}
