@@ -4427,6 +4427,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(t.tok, 'hashe') <= 1
               AND t.tok NOT IN {STOP} AND t.tok <> ''
         """,
+        "langid": """
+            WITH prof(lg, w) AS (VALUES
+              ('en','and'),('en','for'),('en','in'),('en','is'),('en','it'),
+              ('en','of'),('en','that'),('en','the'),('en','to'),('en','with'),
+              ('de','auf'),('de','das'),('de','der'),('de','die'),('de','ein'),
+              ('de','für'),('de','ist'),('de','mit'),('de','nicht'),('de','und'),
+              ('fr','dans'),('fr','est'),('fr','et'),('fr','la'),('fr','le'),
+              ('fr','les'),('fr','pas'),('fr','pour'),('fr','que'),('fr','une'),
+              ('es','con'),('es','el'),('es','es'),('es','la'),('es','los'),
+              ('es','no'),('es','por'),('es','que'),('es','una'),('es','y')),
+            toks AS (
+              SELECT DISTINCT b.doc_id, lower(t.tok) AS tok
+              FROM documents b,
+                   unnest(string_split(b.text, ' ')) AS t(tok)
+              WHERE t.tok <> ''),
+            score AS (
+              SELECT p.lg, t.doc_id, count(*) AS c
+              FROM toks t JOIN prof p ON p.w = t.tok
+              GROUP BY p.lg, t.doc_id),
+            best AS (
+              SELECT doc_id, lg, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, lg DESC) AS rn
+              FROM score),
+            pred AS (
+              SELECT d.doc_id, d.lang,
+                     CASE WHEN regexp_matches(d.text,
+                              '[\u3400-\u4DBF\u4E00-\u9FFF\uF900-\uFAFF]')
+                          THEN 'zh'
+                          ELSE coalesce(b.lg, 'und') END AS predicted_lang
+              FROM documents d
+              LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1)
+            SELECT doc_id, lang, predicted_lang FROM pred ORDER BY doc_id
+        """,
         "nb_classifier": """
             WITH base AS (
               SELECT doc_id, lang, string_split(text, ' ') AS toks
