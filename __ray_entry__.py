@@ -1885,6 +1885,18 @@ def _q_nb_classifier(sf_dir):
         "doc_id").reset_index(drop=True)
 
 
+def _q_dedup_remove_spans(sf_dir):
+    """Exact-substring dedup with span REMOVAL (Lee et al. ACL'22
+    ExactSubstr cut step): k=3 raw-token windows occurring in >= 2 docs
+    keep one occurrence, every other occurrence is cut; full text
+    rewrite round-trips vs the SQL oracle."""
+    from opensearch_ray.dedup.substring import remove_duplicated_spans
+    out = remove_duplicated_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+    return out.to_pandas()[["doc_id", "text", "removed_tokens"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_fuzzy_transpositions(sf_dir):
     """fuzzy with transpositions=true (FuzzyQueryBuilder's DEFAULT —
     adjacent swap costs ONE edit, the OSA distance of Lucene's
@@ -4079,6 +4091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_query": _q_wildcard_query,
         "fuzzy_query": _q_fuzzy_query,
         "fuzzy_transpositions": _q_fuzzy_transpositions,
+        "dedup_remove_spans": _q_dedup_remove_spans,
         "nb_classifier": _q_nb_classifier,
         "bpe_token_count": _q_bpe_token_count,
         "term_suggester": _q_term_suggester,
@@ -4506,6 +4519,46 @@ def oracle_sql() -> dict[str, str]:
             FROM pred p JOIN docsc e
               ON e.doc_id = p.doc_id AND e.c = 'en'
             WHERE p.rn = 1 ORDER BY p.doc_id
+        """,
+        "dedup_remove_spans": """
+            WITH tok AS (
+              SELECT t.doc_id, i.i - 1 AS pos, t.toks[i.i] AS tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents) t,
+                   unnest(generate_series(1, len(t.toks))) AS i(i)),
+            win AS (
+              SELECT doc_id, pos,
+                     tok || ' ' || lead(tok, 1) OVER w
+                         || ' ' || lead(tok, 2) OVER w AS wtext,
+                     lead(tok, 2) OVER w IS NOT NULL AS full_w
+              FROM tok
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            wins AS (SELECT doc_id, pos, wtext FROM win WHERE full_w),
+            dup AS (SELECT wtext FROM wins
+                    GROUP BY wtext HAVING count(DISTINCT doc_id) >= 2),
+            rem AS (
+              SELECT doc_id, pos FROM wins
+              WHERE wtext IN (SELECT wtext FROM dup)
+              QUALIFY row_number() OVER (PARTITION BY wtext
+                                         ORDER BY doc_id, pos) > 1),
+            covered AS (
+              SELECT DISTINCT t.doc_id, t.pos
+              FROM rem r JOIN tok t ON t.doc_id = r.doc_id
+               AND t.pos BETWEEN r.pos AND r.pos + 2),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM tok t LEFT JOIN covered c
+                ON c.doc_id = t.doc_id AND c.pos = t.pos
+              WHERE c.pos IS NULL),
+            cov_n AS (SELECT doc_id, count(*) AS n FROM covered
+                      GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                             FROM kept k WHERE k.doc_id = d.doc_id), '')
+                     AS text,
+                   CAST(coalesce(cn.n, 0) AS BIGINT) AS removed_tokens
+            FROM documents d LEFT JOIN cov_n cn ON cn.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "fuzzy_transpositions": f"""
             SELECT DISTINCT doc_id FROM documents d,

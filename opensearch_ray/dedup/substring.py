@@ -231,3 +231,131 @@ def decontaminate(ds: Dataset, benchmark: Dataset,
                              np.fromiter(bad, np.int64, len(bad)))))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def remove_duplicated_spans(ds: Dataset, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8,
+                            P: int = 256) -> Dataset:
+    """Exact-substring dedup with span REMOVAL (Lee et al. ACL'22
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr's cut step, not just the statistics): every k-token
+    window occurring in >= 2 distinct docs keeps exactly ONE occurrence
+    (the first by (doc id, position)); every other occurrence's tokens
+    are cut from their docs. Overlapping duplicated windows union their
+    covered positions before the cut.
+
+    Tokens are RAW whitespace splits (``str.split(' ')``, empties kept)
+    so the rewrite is loss-free outside removed spans and the whole
+    operator round-trips through a SQL oracle.
+
+    -> Dataset(id_col, text_col<rewritten>, removed_tokens). Distributed
+    shape mirrors line_dedup: window rows co-locate via ONE
+    hash(window) % P low-cardinality shuffle (winner decided in the
+    owning partition), removal markers re-shuffle by hash(doc) % P to
+    meet the per-doc text marker rows for the rewrite. Doc text crosses
+    each exchange once — the rebuild floor. No driver materialization.
+    """
+    import pyarrow.compute as pc
+    from opensearch_ray.arrowutil import nometa
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = t.column(text_col)
+        toks = pc.split_pattern(texts, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = toks.flatten()
+        th = (pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
+              .astype(np.uint64) if len(flat) else np.empty(0, np.uint64))
+        wh, drow, pos = _window_hashes(th, offsets, k)
+        docs = ids[drow] if drow.size else np.empty(0, np.int64)
+        dh = (pd.util.hash_array(ids.astype(np.uint64))
+              % np.uint64(P)).astype(np.int32)
+        return nometa(pa.table({
+            id_col: pa.array(np.concatenate((docs, ids))),
+            "_pos": pa.array(np.concatenate(
+                (pos, np.full(len(ids), -1, np.int64)))),
+            "_wh": pa.array(np.concatenate(
+                (wh.astype(np.int64), np.zeros(len(ids), np.int64)))),
+            "_text": pa.concat_arrays([
+                pa.nulls(int(wh.size), pa.string()),
+                texts.combine_chunks() if isinstance(
+                    texts, pa.ChunkedArray) else texts]),
+            "_part": pa.array(np.concatenate((
+                (wh % np.uint64(P)).astype(np.int32), dh))),
+        }))
+
+    def decide(g: pa.Table) -> pa.Table:
+        """One window-hash partition: keep markers; of each duplicated
+        window's occurrences emit all but the (doc, pos)-first as
+        removal rows, re-keyed by hash(doc) % P."""
+        posv = g.column("_pos").to_numpy(zero_copy_only=False)
+        real = g.filter(pa.array(posv >= 0))
+        marks = g.filter(pa.array(posv < 0))
+        outs = [pa.table({
+            id_col: marks.column(id_col),
+            "_pos": marks.column("_pos"),
+            "_text": marks.column("_text"),
+            "_part": marks.column("_part")})]
+        if real.num_rows:
+            wh = real.column("_wh").to_numpy(zero_copy_only=False)
+            doc = real.column(id_col).to_numpy(zero_copy_only=False)
+            pos = real.column("_pos").to_numpy(zero_copy_only=False)
+            order = np.lexsort((pos, doc, wh))
+            wh_s, doc_s, pos_s = wh[order], doc[order], pos[order]
+            grp_start = np.concatenate(([True], wh_s[1:] != wh_s[:-1]))
+            starts = np.flatnonzero(grp_start)
+            sizes = np.diff(np.append(starts, wh_s.size))
+            doc_start = grp_start | np.concatenate(
+                ([False], doc_s[1:] != doc_s[:-1]))
+            distinct = np.add.reduceat(doc_start.astype(np.int64), starts)
+            dup_row = np.repeat(distinct >= 2, sizes)
+            first_row = np.zeros(wh_s.size, bool)
+            first_row[starts] = True
+            emit = dup_row & ~first_row
+            docs_out = doc_s[emit]
+            dh = (pd.util.hash_array(docs_out.astype(np.uint64))
+                  % np.uint64(P)).astype(np.int32)
+            outs.append(pa.table({
+                id_col: pa.array(docs_out),
+                "_pos": pa.array(pos_s[emit]),
+                "_text": pa.nulls(int(emit.sum()), pa.string()),
+                "_part": pa.array(dh)}))
+        return nometa(pa.concat_tables(outs))
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        marks = g[g["_pos"] < 0]
+        rem = g[g["_pos"] >= 0]
+        rem_by_doc = {d: sub["_pos"].to_numpy()
+                      for d, sub in rem.groupby(id_col)}
+        out_id, out_text, out_n = [], [], []
+        for _, row in marks.iterrows():
+            d = row[id_col]
+            text = row["_text"]
+            positions = rem_by_doc.get(d)
+            if positions is None or not len(positions):
+                out_id.append(d)
+                out_text.append(text)
+                out_n.append(0)
+                continue
+            toks = text.split(" ")
+            n = len(toks)
+            delta = np.zeros(n + 1, np.int64)
+            np.add.at(delta, np.minimum(positions, n), 1)
+            np.add.at(delta, np.minimum(positions + k, n), -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            kept = [tk for tk, c in zip(toks, covered) if not c]
+            out_id.append(d)
+            out_text.append(" ".join(kept))
+            out_n.append(int(covered.sum()))
+        return pd.DataFrame({id_col: out_id, text_col: out_text,
+                             "removed_tokens": out_n})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .repartition(16, shuffle=False)
+            .groupby("_part").map_groups(decide, batch_format="pyarrow")
+            .repartition(16, shuffle=False)
+            .groupby("_part").map_groups(rewrite, batch_format="pandas"))

@@ -422,3 +422,21 @@ def test_hnsw_search_batch_parity(sf_dir, tmp_path):
         sub = batch[batch["query_idx"] == qi]
         assert one["vec_id"].tolist() == sub["vec_id"].tolist()
         assert one["rank"].tolist() == sub["rank"].tolist()
+
+
+def test_remove_duplicated_spans():
+    """ExactSubstr cut step (Lee et al. ACL'22): first occurrence kept,
+    later occurrences cut, overlapping windows union, whole-doc dups
+    empty out, unique docs untouched."""
+    from opensearch_ray.dedup.substring import remove_duplicated_spans
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d e f",
+                 "x b c d y z",
+                 "unique words only here now",
+                 "a b c d e f"]})
+    out = remove_duplicated_spans(rd.from_pandas(df), k=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == [
+        "a b c d e f", "x y z", "unique words only here now", ""]
+    assert out["removed_tokens"].tolist() == [0, 3, 0, 6]
