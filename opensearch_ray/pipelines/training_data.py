@@ -61,6 +61,7 @@ def prepare_training_data(
     dedup_lines_sep: Optional[str] = None,
     nb_keep: Optional[dict] = None,
     bpe_merges: int = 0,
+    remove_spans_k: int = 0,
 ) -> dict:
     """Returns a summary dict {input_rows, kept_rows, near_dups_removed,
     shards_written, resumed}. Output layout: out_dir/shard=NNN/*.parquet
@@ -105,6 +106,23 @@ def prepare_training_data(
                       if c not in (id_col, text_col)]
         ds = line_dedup(ds, text_col=text_col, id_col=id_col,
                         sep=dedup_lines_sep, keep_cols=passengers)
+    if remove_spans_k:
+        # ExactSubstr cut step (Lee et al. ACL'22): duplicated k-token
+        # spans removed corpus-wide before any scoring sees the text
+        from ..dedup.substring import remove_duplicated_spans
+        passengers = [c for c in ds.schema().names
+                      if c not in (id_col, text_col)]
+        if passengers:
+            cut = remove_duplicated_spans(
+                ray.data.read_parquet(input_path,
+                                      columns=[id_col, text_col]),
+                text_col=text_col, id_col=id_col, k=remove_spans_k)
+            rest = ds.drop_columns([text_col])
+            from ..joins import hash_join
+            ds = hash_join(cut, rest, key_col=id_col)
+        else:
+            ds = remove_duplicated_spans(ds, text_col=text_col,
+                                         id_col=id_col, k=remove_spans_k)
     if c4_heuristics:
         # C4/Gopher shape drops first — cheapest rejection, map-only
         from ..textstats.heuristics import c4_filter

