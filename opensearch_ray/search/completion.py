@@ -60,8 +60,18 @@ class CompletionIndex:
                .groupby(["term", "context"])
                .aggregate(Sum("df", alias_name="df")).to_arrow_refs())
         import ray as _ray
-        tbl = pa.concat_tables([_ray.get(r) for r in out])
-        tbl = tbl.rename_columns(["term", "context", "df"])
+        # Ray's aggregate can emit schemaless EMPTY blocks; concat only
+        # the real ones (ArrowInvalid "Schema at index N was different"
+        # otherwise — block layout dependent, so intermittent)
+        tbls = [t for t in (_ray.get(r) for r in out)
+                if t.num_rows and t.num_columns]
+        if not tbls:
+            tbl = pa.table({"term": pa.array([], pa.string()),
+                            "context": pa.array([], pa.string()),
+                            "df": pa.array([], pa.int64())})
+        else:
+            tbl = pa.concat_tables(tbls)
+            tbl = tbl.rename_columns(["term", "context", "df"])
         return cls(tbl)
 
     # ------------------------------------------------------------- lookup
