@@ -63,13 +63,23 @@ def _word_sample_counts(ds: Dataset, text_col: str, stride: int,
     @ray.remote
     def reduce(*tbls):
         acc: Dict[str, int] = {}
+
+        def prune():
+            keep = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+            return dict(keep[:max_word_types])
+
         for t in tbls:
             for w, c in zip(t.column("word").to_pylist(),
                             t.column("cnt").to_pylist()):
                 acc[w] = acc.get(w, 0) + int(c)
+            # crawl-scale guard: never hold more than 4x the target word
+            # types (space-saving-style eviction; tail types whose global
+            # count could still beat the cut are rare under Zipf and
+            # irrelevant to merge learning)
+            if len(acc) > 4 * max_word_types:
+                acc = prune()
         if len(acc) > max_word_types:
-            keep = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-            acc = dict(keep[:max_word_types])
+            acc = prune()
         return acc
 
     return ray.get(reduce.remote(*parts.to_arrow_refs()))
