@@ -3528,6 +3528,33 @@ def _q_wildcard_field(sf_dir):
     return pd.DataFrame({"doc_id": np.sort(docs)})
 
 
+def _q_ip_range_field(sf_dir):
+    """ip_range FIELD type (RangeType.IP): per-row [lo, hi] IPv4 ranges
+    vs a query CIDR, all three relations, uint32-space compare."""
+    from opensearch_ray.mapper import ip_range_field_filter
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        lo = [f"10.40.{int(e) % 128}.0" for e in eid]
+        hi = [f"10.40.{int(e) % 128 + int(u) % 64}.255"
+              for u, e in zip(uid, eid)]
+        return pa.table({"event_id": t.column("event_id"),
+                         "ip_lo": pa.array(lo, pa.string()),
+                         "ip_hi": pa.array(hi, pa.string())})
+
+    frames = []
+    for rel in ("contains", "intersects", "within"):
+        ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+            derive, batch_format="pyarrow")
+        out = ip_range_field_filter(ds, "ip_lo", "ip_hi", "10.40.64.0/18",
+                                    relation=rel).to_pandas()
+        frames.append(pd.DataFrame(
+            {"relation": rel,
+             "event_id": np.sort(out["event_id"].values).astype(np.int64)}))
+    return pd.concat(frames, ignore_index=True)
+
+
 def _q_ip_cidr_term(sf_dir):
     """ip-field term query with a CIDR mask (10.96.0.0/12)."""
     from opensearch_ray.mapper import ip_term_filter
@@ -4231,6 +4258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered_query": _q_knn_filtered_query,
         "wildcard_field_query": _q_wildcard_field,
         "ip_cidr_term": _q_ip_cidr_term,
+        "ip_range_field": _q_ip_range_field,
         "range_field_query": _q_range_field_query,
         "scaled_float_agg": _q_scaled_float_agg,
         "token_count_range": _q_token_count_range,
@@ -6673,6 +6701,19 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_field_query": """
             SELECT doc_id FROM documents
             WHERE source LIKE 'src1_' ORDER BY doc_id
+        """,
+        "ip_range_field": """
+            WITH r AS (SELECT event_id, event_id % 128 AS b,
+                              user_id % 64 AS w FROM events)
+            SELECT * FROM (
+              SELECT 'contains' AS relation, event_id FROM r
+              WHERE b <= 64 AND b + w >= 127
+              UNION ALL
+              SELECT 'intersects', event_id FROM r WHERE b + w >= 64
+              UNION ALL
+              SELECT 'within', event_id FROM r
+              WHERE b >= 64 AND b + w <= 127)
+            ORDER BY relation, event_id
         """,
         "ip_cidr_term": """
             WITH ips(event_id, b) AS (

@@ -66,6 +66,23 @@ def range_field_filter(ds: Dataset, lo_col: str, hi_col: str,
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def ip_range_field_filter(ds: Dataset, lo_col: str, hi_col: str,
+                          q_cidr: str,
+                          relation: str = "intersects") -> Dataset:
+    """ip_range FIELD type (RangeType.IP): rows whose [lo_col, hi_col]
+    IPv4 range relates to the query CIDR block — the ip twin of the
+    numeric range-field relations, compared in uint32 space."""
+    qlo, qhi = cidr_bounds(q_cidr)
+
+    def filt(t: pa.Table) -> pa.Table:
+        lo = ipv4_to_uint32(t.column(lo_col)).astype(np.float64)
+        hi = ipv4_to_uint32(t.column(hi_col)).astype(np.float64)
+        return t.filter(pa.array(range_relation_mask(
+            lo, hi, float(qlo), float(qhi), relation)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- ip fields
 
 def ipv4_to_uint32(col: pa.ChunkedArray) -> np.ndarray:
