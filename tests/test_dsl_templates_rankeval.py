@@ -634,3 +634,26 @@ def test_matched_queries_named_clauses(s, terms3):
     r2 = dsl.execute_request(s, plain, id_col="docid")
     assert r2["hits"]["docid"].tolist() == hits["docid"].tolist()
     assert "matched_queries" not in r2["hits"].columns
+
+
+def test_stored_script_store(tmp_path):
+    """_scripts/{id} surface: put/get/delete for mustache (persisted) and
+    python (in-memory) langs; execute = the painless-execute analogue;
+    stored search template renders by id and survives a reload."""
+    from opensearch_ray.scripts import ScriptStore
+    p = str(tmp_path / "scripts.json")
+    st = ScriptStore(p)
+    st.put_script("tmpl", '{"query": {"term": {"text": "{{t}}"}}}')
+    st.put_script("double", lambda params: params["x"] * 2, lang="python")
+    assert st.get_script("tmpl")["lang"] == "mustache"
+    assert st.execute("double", {"x": 21}) == 42
+    body = st.render_search_template("tmpl", {"t": "hello"})
+    assert body == {"query": {"term": {"text": "hello"}}}
+    # mustache scripts persist; python callables are process-local
+    st2 = ScriptStore(p)
+    assert st2.render_search_template("tmpl", {"t": "x"})["query"][
+        "term"]["text"] == "x"
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        st2.get_script("double")
+    assert st.delete_script("tmpl") and not st.delete_script("tmpl")
