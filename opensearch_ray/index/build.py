@@ -104,6 +104,10 @@ class IndexManifest:
     #: in the corpus). Enables sorted-query early termination
     #: (QueryPhase.canEarlyTerminate). Empty = no early-termination contract.
     index_sort: List[str] = field(default_factory=list)
+    #: indexing-throughput metrics (north-rule lineage: wall seconds,
+    #: turns/sec, built vs resumed segment counts) — informational, not
+    #: part of the resume fingerprint
+    metrics: dict = field(default_factory=dict)
 
     @property
     def avgdl(self) -> float:
@@ -132,6 +136,7 @@ class IndexManifest:
                     "has_positions": self.has_positions,
                     "build_params": self.build_params,
                     "index_sort": self.index_sort,
+                    "metrics": self.metrics,
                 },
                 f,
             )
@@ -154,6 +159,7 @@ def load_manifest(index_dir: str) -> IndexManifest:
         hot_buckets=d.get("hot_buckets", {}),
         has_positions=d.get("has_positions", False),
         build_params=d.get("build_params", {}),
+        metrics=d.get("metrics", {}),
         index_sort=d.get("index_sort", []),
     )
 
@@ -394,6 +400,8 @@ def build_index_from_dataset(
 def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
                        sort_cols, columns, num_buckets, hot_df_threshold,
                        index_positions, index_sort=()):
+    import time as _time
+    _t_start = _time.perf_counter()
     """ONE streaming pipeline: fragment -> segment build (emits its postings
     rows downstream instead of being re-read) -> bucket assignment with
     LOCALLY-decided salting -> groupby(bucket) -> bucket write + per-bucket
@@ -538,9 +546,11 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
     # segment metas (written by the builders; tiny local reads)
     segments = []
     base = 0
+    n_resumed = 0
     for i, pth in enumerate(files):
         meta = json.load(open(os.path.join(index_dir, "segments",
                                            f"seg-{i:05d}", "meta.json")))
+        n_resumed += int(bool(meta.get("resumed")))
         segments.append(SegmentInfo(
             seg_id=i, path=pth, doc_count=int(meta["doc_count"]),
             sum_dl=int(meta["sum_dl"]), doc_base=base,
@@ -555,6 +565,13 @@ def _build_single_pass(manifest_args, files, index_dir, analyzer, text_col,
         hot_buckets=hot_buckets, has_positions=index_positions,
         build_params=fingerprint, index_sort=list(index_sort),
         **manifest_args)
+    wall = _time.perf_counter() - _t_start
+    manifest.metrics = {
+        "build_wall_s": round(wall, 3),
+        "turns_per_sec": round(base / wall, 1) if wall > 0 else 0.0,
+        "segments_built": len(files) - n_resumed,
+        "segments_resumed": n_resumed,
+    }
     manifest.save()
     return manifest
 
