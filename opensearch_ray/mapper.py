@@ -158,6 +158,27 @@ def scaled_float_column(ds: Dataset, col: str, scaling_factor: float,
     return ds.map_batches(quantize, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------- half_float
+
+def half_float_column(ds: Dataset, col: str,
+                      out_col: Optional[str] = None) -> Dataset:
+    """half_float (NumberType.HALF_FLOAT): doubles round-trip through
+    IEEE-754 binary16 storage — queries and aggs see the quantized
+    values the reference's HalfFloatPoint would (±65504 clamps to ±inf,
+    subnormals flush per the format)."""
+    out_col = out_col or col
+
+    def quantize(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        q = np.asarray(v, np.float64).astype(np.float16).astype(np.float64)
+        arr = pa.array(q, pa.float64())
+        if out_col in t.column_names:
+            return t.set_column(t.column_names.index(out_col), out_col, arr)
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- unsigned_long
 
 _U64_FLIP = np.uint64(1 << 63)

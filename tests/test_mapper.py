@@ -249,3 +249,19 @@ def test_unsigned_long_shifted_encoding():
     assert (unsigned_long_decode(enc) == u).all()
     m = unsigned_long_range_mask(u, gte=2**63, lt=2**64 - 1)
     assert m.tolist() == [False, False, False, True, True, False]
+
+
+def test_half_float_quantization():
+    """half_float: binary16 round-trip — 1/3 loses precision to the 11-bit
+    mantissa, 65504 is the max finite, 1e5 overflows to inf."""
+    import ray.data as rd
+    from opensearch_ray.mapper import half_float_column
+    import numpy as np
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame(
+        {"v": [1.0 / 3.0, 65504.0, 1e5, 0.0, -2.5]}))
+    out = half_float_column(ds, "v").to_pandas()["v"].tolist()
+    assert out[0] == float(np.float16(1 / 3)) and out[0] != 1 / 3
+    assert out[1] == 65504.0
+    assert np.isinf(out[2])
+    assert out[3] == 0.0 and out[4] == -2.5
