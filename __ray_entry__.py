@@ -3612,6 +3612,44 @@ def _q_scaled_float_agg(sf_dir):
     return out
 
 
+def _q_annotated_text(sf_dir):
+    """annotated_text field (plugins/mapper-annotated-text,
+    AnnotatedTextFieldMapper): [covered](anno) wraps index the annotation
+    as a keyword token at the covered span's first position. Each doc's
+    first word is annotated ent{doc_id%5}&topic; term queries on the
+    annotations resolve exactly."""
+    import shutil
+    import pyarrow.parquet as _pq
+    from opensearch_ray.index.build import build_index
+    from opensearch_ray.search import Searcher
+    d = f"/tmp/osray_anno_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not os.path.exists(os.path.join(d, "idx", "manifest.json")):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(os.path.join(d, "corpus"), exist_ok=True)
+        t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]).sort_by("doc_id")
+        dids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        ann = [f"[{s.split(' ', 1)[0]}](ent{i % 5}&topic) "
+               f"{s.split(' ', 1)[1] if ' ' in s else ''}"
+               for i, s in zip(dids, texts)]
+        _pq.write_table(pa.table({"doc_id": t.column("doc_id"),
+                                  "text": pa.array(ann, pa.string())}),
+                        os.path.join(d, "corpus", "part-0.parquet"))
+        build_index(os.path.join(d, "corpus"), os.path.join(d, "idx"),
+                    analyzer="annotated_text", sort_cols=("doc_id",),
+                    num_buckets=4)
+    s = Searcher(os.path.join(d, "idx"))
+    frames = []
+    for term in ("ent3", "topic"):
+        ids = s.term_docs(term)
+        dids = s.fetch(ids.tolist(), columns=["doc_id"]).column(
+            "doc_id").to_numpy(zero_copy_only=False)
+        frames.append(pd.DataFrame(
+            {"term": term, "doc_id": np.sort(dids).astype(np.int64)}))
+    return pd.concat(frames, ignore_index=True)
+
+
 def _q_copy_to_match(sf_dir):
     """copy_to mapping (FieldMapper.CopyTo): `lang`+`source`+`text` copied
     into one indexed `combined` field — a term query there matches docs
@@ -4264,6 +4302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_range": _q_token_count_range,
         "unsigned_long_range": _q_unsigned_long_range,
         "copy_to_match": _q_copy_to_match,
+        "annotated_text_term": _q_annotated_text,
         "match_only_text_query": _q_match_only_text,
         "constant_keyword_term": _q_constant_keyword,
         "flat_object_term": _q_flat_object_term,
@@ -6735,6 +6774,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'contains', event_id FROM r
             WHERE lo <= 5.0 AND hi >= 12.0
             ORDER BY relation, event_id
+        """,
+        "annotated_text_term": """
+            SELECT term, doc_id FROM (
+              SELECT 'ent3' AS term, doc_id FROM documents
+              WHERE doc_id % 5 = 3
+              UNION ALL
+              SELECT 'topic' AS term, doc_id FROM documents)
+            ORDER BY term, doc_id
         """,
         "copy_to_match": """
             SELECT term, doc_id FROM (

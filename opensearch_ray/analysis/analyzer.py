@@ -208,6 +208,10 @@ def get_analyzer(name_or_analyzer) -> Analyzer:
         return name_or_analyzer
     if isinstance(name_or_analyzer, dict):  # inline custom chain
         return build_custom_analyzer(name_or_analyzer)
+    if (name_or_analyzer == "annotated_text"
+            and "annotated_text" not in ANALYZERS):
+        from .annotated import annotated_text_analyzer  # lazy: avoids cycle
+        ANALYZERS["annotated_text"] = annotated_text_analyzer
     return ANALYZERS[name_or_analyzer]
 
 

@@ -285,3 +285,21 @@ def test_inline_custom_analyzer_spec():
     from ray import cloudpickle
     assert cloudpickle.loads(cloudpickle.dumps(an)) \
         .tokens("<b>Go</b> Far") == an.tokens("<b>Go</b> Far")
+
+
+def test_annotated_text_analyzer():
+    """annotated_text (plugins/mapper-annotated-text): annotations are
+    single un-analyzed tokens at the covered span's FIRST position
+    (positionIncrement 0); covered text analyzes normally; URL-decoded,
+    &-separated multi-annotations."""
+    from opensearch_ray.analysis.analyzer import get_analyzer
+    an = get_analyzer("annotated_text")
+    t, p = an.analyze("visit [New York](city&Big%20Apple) soon")
+    assert list(zip(t, p)) == [("visit", 0), ("new", 1), ("york", 2),
+                               ("city", 1), ("Big Apple", 1), ("soon", 3)]
+    # stopword gaps preserved across annotated spans
+    t2, p2 = an.analyze("[Paris](city) is big")
+    assert list(zip(t2, p2)) == [("paris", 0), ("city", 0), ("big", 2)]
+    # plain text passes through the base chain untouched
+    t3, p3 = an.analyze("no annotations here")
+    assert t3 == ["no", "annotations"] or "here" in t3
