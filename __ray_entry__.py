@@ -3612,6 +3612,21 @@ def _q_scaled_float_agg(sf_dir):
     return out
 
 
+def _q_size_field(sf_dir):
+    """_size metadata field (mapper-size plugin, SizeFieldMapper): UTF-8
+    source byte length as a queryable long — range-filtered 400..600."""
+    from opensearch_ray.mapper import size_column
+    ds = size_column(_read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+                     ["text", "lang"])
+    out = ds.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("_size"), pa.scalar(400)),
+            pc.less_equal(t.column("_size"), pa.scalar(600)))),
+        batch_format="pyarrow").to_pandas()
+    return out[["doc_id", "_size"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q_annotated_text(sf_dir):
     """annotated_text field (plugins/mapper-annotated-text,
     AnnotatedTextFieldMapper): [covered](anno) wraps index the annotation
@@ -4303,6 +4318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unsigned_long_range": _q_unsigned_long_range,
         "copy_to_match": _q_copy_to_match,
         "annotated_text_term": _q_annotated_text,
+        "size_field": _q_size_field,
         "match_only_text_query": _q_match_only_text,
         "constant_keyword_term": _q_constant_keyword,
         "flat_object_term": _q_flat_object_term,
@@ -6774,6 +6790,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'contains', event_id FROM r
             WHERE lo <= 5.0 AND hi >= 12.0
             ORDER BY relation, event_id
+        """,
+        "size_field": """
+            WITH s AS (SELECT doc_id,
+                              octet_length(encode(text))
+                              + octet_length(encode(lang)) AS _size
+                       FROM documents)
+            SELECT doc_id, _size FROM s
+            WHERE _size BETWEEN 400 AND 600 ORDER BY doc_id
         """,
         "annotated_text_term": """
             SELECT term, doc_id FROM (

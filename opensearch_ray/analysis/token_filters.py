@@ -1471,6 +1471,80 @@ def make_concatenate_graph_filter(token_separator: str = " ",
     return filt
 
 
+# --------------------------------------------------------------- phonetic
+
+_SOUNDEX_CODE = {**{c: d for cs, d in (
+    ("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+    ("l", "4"), ("mn", "5"), ("r", "6")) for c in cs}}
+
+
+def _soundex(word: str) -> str:
+    """Classic American Soundex (the `soundex` encoder of the
+    analysis-phonetic plugin / commons-codec Soundex): first letter +
+    3 digits, consonants coded, adjacent duplicates collapsed, h/w
+    transparent between same-coded consonants, vowels reset."""
+    w = [c for c in word.lower() if c.isalpha()]
+    if not w:
+        return ""
+    out = [w[0].upper()]
+    prev = _SOUNDEX_CODE.get(w[0], "")
+    for c in w[1:]:
+        code = _SOUNDEX_CODE.get(c, "")
+        if code and code != prev:
+            out.append(code)
+            if len(out) == 4:
+                break
+        if c not in "hw":
+            prev = code
+    return ("".join(out) + "000")[:4]
+
+
+def _metaphone_lite(word: str) -> str:
+    """A compact Metaphone approximation (the plugin's `metaphone`
+    encoder, documented approximation): common digraph reductions +
+    vowel dropping after the first letter. Deterministic; golden-pinned.
+    """
+    w = "".join(c for c in word.lower() if c.isalpha())
+    if not w:
+        return ""
+    for a, b in (("ph", "f"), ("gh", "g"), ("kn", "n"), ("gn", "n"),
+                 ("wr", "r"), ("ck", "k"), ("sch", "sk"), ("sh", "x"),
+                 ("ch", "x"), ("th", "0"), ("wh", "w"), ("qu", "kw")):
+        w = w.replace(a, b)
+    head, rest = w[0], w[1:]
+    rest = "".join(c for c in rest if c not in "aeiou")
+    out = head + rest
+    dedup = [out[0]]
+    for c in out[1:]:
+        if c != dedup[-1]:
+            dedup.append(c)
+    return "".join(dedup).upper()[:6]
+
+
+def make_phonetic_filter(encoder: str = "soundex",
+                         replace: bool = True) -> TokenFilter:
+    """analysis-phonetic plugin (PhoneticTokenFilterFactory): emit each
+    token's phonetic encoding — ``replace=False`` keeps the original
+    token too, at the SAME position (the plugin's default for search
+    chains)."""
+    enc = {"soundex": _soundex, "metaphone": _metaphone_lite}[encoder]
+
+    def f(tokens: List[str], positions: List[int]) -> TokenStream:
+        out_t: List[str] = []
+        out_p: List[int] = []
+        for t, p in zip(tokens, positions):
+            e = enc(t)
+            if not replace:
+                out_t.append(t)
+                out_p.append(p)
+            if e:
+                out_t.append(e)
+                out_p.append(p)
+        return out_t, out_p
+
+    return f
+
+
 TOKEN_FILTERS = {
     "lowercase": lowercase_filter,
     "uppercase": uppercase_filter,
@@ -1487,6 +1561,7 @@ TOKEN_FILTERS = {
     "word_delimiter_graph": word_delimiter_graph_filter,
     # parameterized factories
     "stemmer": make_stemmer_filter,
+    "phonetic": make_phonetic_filter,
     "synonym_graph": make_synonym_graph_filter,
     "multiplexer": make_multiplexer_filter,
     "stop_with": make_stop_filter,

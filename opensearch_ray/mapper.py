@@ -19,7 +19,7 @@ they answer), re-expressed as vectorized Arrow/numpy transforms:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -156,6 +156,27 @@ def scaled_float_column(ds: Dataset, col: str, scaling_factor: float,
         return t.set_column(idx, out_col, arr)
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- _size
+
+def size_column(ds: Dataset, source_cols: Sequence[str],
+                out_col: str = "_size") -> Dataset:
+    """mapper-size plugin (`_size` metadata field, SizeFieldMapper): the
+    UTF-8 byte length of the doc's source, indexed as a queryable long.
+    Source here = the JSON-ish concatenation of the listed columns'
+    string renderings (the reference measures the raw _source bytes)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        total = np.zeros(t.num_rows, np.int64)
+        for c in source_cols:
+            col = pc.cast(t.column(c), pa.string())
+            total += pc.fill_null(pc.binary_length(
+                pc.cast(col, pa.binary())), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return t.append_column(out_col, pa.array(total))
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- half_float

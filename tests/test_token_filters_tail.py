@@ -288,3 +288,20 @@ def test_hyphenation_decompounder():
     # min_word_size gates short tokens entirely
     h = TOKEN_FILTERS["hyphenation_decompounder"](["e1t"], min_word_size=20)
     assert run(h, ["kaffeetasse"]) == (["kaffeetasse"], [0])
+
+
+def test_phonetic_filter_soundex_and_metaphone():
+    """analysis-phonetic plugin: classic Soundex test vectors (Robert and
+    Rupert share R163; Smith/Schmidt share S530); replace=False keeps the
+    surface token at the same position; h/w transparency (Ashcraft=A261)."""
+    from opensearch_ray.analysis.token_filters import make_phonetic_filter
+    f = make_phonetic_filter("soundex")
+    toks, pos = f(["robert", "rupert", "smith", "schmidt", "ashcraft",
+                   "tymczak", "pfister"], list(range(7)))
+    assert toks == ["R163", "R163", "S530", "S530", "A261", "T522", "P236"]
+    g = make_phonetic_filter("soundex", replace=False)
+    toks2, pos2 = g(["smith"], [5])
+    assert toks2 == ["smith", "S530"] and pos2 == [5, 5]
+    m = make_phonetic_filter("metaphone")
+    mt, _ = m(["knight", "phone"], [0, 1])
+    assert mt[0] == "NGT" and mt[1].startswith("FN")
