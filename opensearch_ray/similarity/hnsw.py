@@ -1,9 +1,10 @@
 """HNSW ANN — per-segment hierarchical navigable small-world graphs.
 
-The reference's k-NN plugin delegates vector search to per-Lucene-segment
-HNSW graphs (faiss / nmslib / Lucene's own HnswVectorsFormat; see
-`plugins/knn` KNNWeight: each segment searches its graph, the collector
-merges per-segment top-k). Same model here, Ray-Data-first: vectors are
+OpenSearch's k-NN plugin (opensearch-project/k-NN — distributed with
+OpenSearch, not part of this reference checkout) delegates vector search
+to per-Lucene-segment HNSW graphs (faiss / nmslib / Lucene's own
+HnswVectorsFormat; KNNWeight: each segment searches its graph, the
+collector merges per-segment top-k). Same model here, Ray-Data-first: vectors are
 hash-partitioned into S segments with ONE partitioned write (no driver
 materialization), each segment's graph is built inside its own Ray task
 (the insert loop is inherently sequential *within* a graph, so parallelism
