@@ -1545,6 +1545,22 @@ def make_phonetic_filter(encoder: str = "soundex",
     return f
 
 
+def make_icu_normalizer_filter(form: str = "NFKC") -> TokenFilter:
+    """`icu_normalizer` approximation (plugins/analysis-icu,
+    IcuNormalizerTokenFilterFactory) via Python's unicodedata: NFKC by
+    default (the plugin's nfkc_cf minus ICU-specific case folding — we
+    compose with the lowercase filter for the _cf part). Documented
+    approximation: ICU tailorings beyond Unicode normalization forms are
+    out of scope."""
+    import unicodedata
+
+    def f(tokens: List[str], positions: List[int]) -> TokenStream:
+        return ([unicodedata.normalize(form, t) for t in tokens],
+                positions)
+
+    return f
+
+
 TOKEN_FILTERS = {
     "lowercase": lowercase_filter,
     "uppercase": uppercase_filter,
@@ -1562,6 +1578,7 @@ TOKEN_FILTERS = {
     # parameterized factories
     "stemmer": make_stemmer_filter,
     "phonetic": make_phonetic_filter,
+    "icu_normalizer": make_icu_normalizer_filter,
     "synonym_graph": make_synonym_graph_filter,
     "multiplexer": make_multiplexer_filter,
     "stop_with": make_stop_filter,

@@ -305,3 +305,18 @@ def test_phonetic_filter_soundex_and_metaphone():
     m = make_phonetic_filter("metaphone")
     mt, _ = m(["knight", "phone"], [0, 1])
     assert mt[0] == "NGT" and mt[1].startswith("FN")
+
+
+def test_icu_normalizer_nfkc():
+    """icu_normalizer approximation: NFKC folds compatibility forms —
+    fullwidth ASCII, ligatures, circled digits — to their canonical
+    text; composed/decomposed accents unify."""
+    from opensearch_ray.analysis.token_filters import (
+        make_icu_normalizer_filter)
+    f = make_icu_normalizer_filter()
+    toks, pos = f(["ｆｕｌｌｗｉｄｔｈ", "ﬁle", "café", "café", "①"],
+                  list(range(5)))
+    assert toks[0] == "fullwidth"
+    assert toks[1] == "file"
+    assert toks[2] == toks[3] == "café"
+    assert toks[4] == "1"
