@@ -687,3 +687,38 @@ def test_training_data_pipeline_remove_spans(tmp_path, sf_dir):
     # the passenger column survived and some spans were actually cut
     assert kept.column("lang").null_count == 0
     assert sum(kept.column("removed_tokens").to_pylist()) >= 0
+
+
+def test_data_stream_rollover_and_retention(tmp_path):
+    """Data streams (MetadataCreateDataStreamService + rollover + ILM
+    delete): appends group into the write generation until max_docs
+    trips; search unions live backing indices; retention drops whole
+    generations; state survives a reload."""
+    import pyarrow.parquet as _pq
+    from opensearch_ray.datastream import DataStream
+    from opensearch_ray.sources import write_transcript_corpus
+
+    corpora = []
+    for i in range(3):
+        d = tmp_path / f"c{i}"
+        write_transcript_corpus(str(d), n_turns=400, n_files=1,
+                                seed=100 + i)
+        corpora.append(str(d))
+    ds = DataStream(str(tmp_path / "stream"), "logs")
+    r1 = ds.append(corpora[0], rollover_max_docs=700, num_buckets=2)
+    assert r1["generation"] == 1 and not r1["rolled_over"]
+    r2 = ds.append(corpora[1], rollover_max_docs=700, num_buckets=2)
+    assert r2["generation"] == 1 and r2["rolled_over"]  # 800 >= 700
+    r3 = ds.append(corpora[2], rollover_max_docs=700, num_buckets=2)
+    assert r3["generation"] == 2
+    assert ds.stats()["total_docs"] == 1200
+    hits = ds.search("bace", k=10)
+    assert len(hits) > 0 and set(hits.columns) == {"index", "doc_id",
+                                                   "score"}
+    # reload from disk, then drop generation 1 (both its parts)
+    ds2 = DataStream(str(tmp_path / "stream"), "logs")
+    dropped = ds2.retain(last_generations=1)
+    assert dropped == [1]
+    assert ds2.stats()["backing_indices"] == 1
+    assert ds2.stats()["total_docs"] == 400
+    assert len(ds2.search("bace", k=10)) >= 0  # still searchable
