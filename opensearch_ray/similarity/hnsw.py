@@ -327,6 +327,54 @@ class HnswIndex:
             json.dump(meta, f)
         return HnswIndex(index_dir)
 
+    def append(self, ds: Dataset, n_segments: int = None) -> "HnswIndex":
+        """Incremental growth, the Lucene way: new vectors become NEW
+        segment graphs (existing graphs untouched — no re-insert);
+        searches automatically fan over old + new. Segment ids continue
+        from the current max."""
+        meta = self.meta
+        base = (max(meta["segments"]) + 1) if meta["segments"] else 0
+        n = ds.count()
+        if n == 0:
+            return self
+        if n_segments is None:
+            n_segments = int(min(64, max(1, round(n / 65536))))
+        S = int(n_segments)
+        vec_col, id_col = meta["vec_col"], meta["id_col"]
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            seg = (pd.util.hash_array(ids.astype(object))
+                   % np.uint64(S)).astype(np.int32) + np.int32(base)
+            return nometa(t.select([id_col, vec_col])
+                          .append_column("_seg", pa.array(seg)))
+
+        staging = os.path.join(self.index_dir, "_staging_append")
+        shutil.rmtree(staging, ignore_errors=True)
+        (ds.map_batches(tag, batch_format="pyarrow")
+           .write_parquet(staging, partition_cols=["_seg"],
+                          compression="zstd"))
+        refs, segs = [], []
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith("_seg="):
+                continue
+            s = int(name.split("=", 1)[1])
+            out = os.path.join(self.index_dir, f"seg={s:03d}.npz")
+            refs.append(_build_segment.remote(
+                os.path.join(staging, name), out, vec_col, id_col,
+                meta["M"], meta["ef_construction"]))
+            segs.append(s)
+        infos = ray.get(refs)
+        shutil.rmtree(staging, ignore_errors=True)
+        meta["segments"] = sorted(meta["segments"] + segs)
+        meta["total"] = int(meta["total"]) + int(n)
+        meta["seg_rows"].update(
+            {str(s): i["n"] for s, i in zip(segs, infos)})
+        with open(os.path.join(self.index_dir, "hnsw_meta.json"),
+                  "w") as f:
+            json.dump(meta, f)
+        return self
+
     def _graph(self, s: int) -> _Graph:
         if s not in self._graphs:
             self._graphs[s] = _Graph.load(

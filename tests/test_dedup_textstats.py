@@ -440,3 +440,25 @@ def test_remove_duplicated_spans():
     assert out["text"].tolist() == [
         "a b c d e f", "x y z", "unique words only here now", ""]
     assert out["removed_tokens"].tolist() == [0, 3, 0, 6]
+
+
+def test_hnsw_append_new_segments(sf_dir, tmp_path):
+    """HnswIndex.append: new vectors become NEW segment graphs (existing
+    graphs untouched); search fans over old + new; a new vector is its
+    own nearest neighbor afterwards."""
+    from opensearch_ray.similarity import HnswIndex
+    d = str(tmp_path / "hnsw_app")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    base = rd.from_arrow(t.slice(0, 300))
+    extra = rd.from_arrow(t.slice(300))
+    idx = HnswIndex.build(base, d, n_segments=2, M=8, ef_construction=48)
+    segs_before = list(idx.meta["segments"])
+    q_new = np.asarray(t.column("embedding")[400].as_py(), np.float32)
+    assert 400 not in idx.search(q_new, k=5, ef_search=64)["vec_id"].values
+    idx.append(extra, n_segments=2)
+    assert idx.meta["total"] == t.num_rows
+    assert set(segs_before) < set(idx.meta["segments"])
+    # reload from disk and find the appended vector
+    idx2 = HnswIndex(d)
+    out = idx2.search(q_new, k=5, ef_search=64)
+    assert out["vec_id"].iloc[0] == 400
