@@ -375,6 +375,46 @@ class HnswIndex:
             json.dump(meta, f)
         return self
 
+    def force_merge(self, max_segments: int = 1) -> "HnswIndex":
+        """The `_forcemerge` analogue for graph segments: while more than
+        ``max_segments`` remain, rebuild the two smallest into one graph
+        (TieredMergePolicy's smallest-first discipline). Graph rebuild is
+        the real cost — exactly Lucene's HNSW merge story — and runs in a
+        Ray task off the driver."""
+        while len(self.meta["segments"]) > max_segments:
+            segs = sorted(self.meta["segments"],
+                          key=lambda s: int(self.meta["seg_rows"][str(s)]))
+            a, b = segs[0], segs[1]
+            ga, gb = self._graph(a), self._graph(b)
+            Xn = np.concatenate((ga.Xn, gb.Xn))
+            ids = np.concatenate((ga.ids, gb.ids))
+            new_path = os.path.join(self.index_dir, f"seg={a:03d}.npz")
+
+            @ray.remote
+            def rebuild(Xn, ids, M, efc, path):
+                g = _Graph(Xn, ids, M=M, ef_construction=efc)
+                g.save(path)
+                return len(ids)
+
+            # deterministic: _Graph sorts nothing itself, so order rows
+            # by id first (same invariant as _build_segment)
+            order = np.argsort(ids, kind="stable")
+            n = ray.get(rebuild.remote(Xn[order], ids[order],
+                                       self.meta["M"],
+                                       self.meta["ef_construction"],
+                                       new_path))
+            os.remove(os.path.join(self.index_dir, f"seg={b:03d}.npz"))
+            self.meta["segments"] = sorted(
+                s for s in self.meta["segments"] if s != b)
+            self.meta["seg_rows"][str(a)] = int(n)
+            del self.meta["seg_rows"][str(b)]
+            self._graphs.pop(a, None)
+            self._graphs.pop(b, None)
+        with open(os.path.join(self.index_dir, "hnsw_meta.json"),
+                  "w") as f:
+            json.dump(self.meta, f)
+        return self
+
     def _graph(self, s: int) -> _Graph:
         if s not in self._graphs:
             self._graphs[s] = _Graph.load(

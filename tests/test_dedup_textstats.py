@@ -462,3 +462,22 @@ def test_hnsw_append_new_segments(sf_dir, tmp_path):
     idx2 = HnswIndex(d)
     out = idx2.search(q_new, k=5, ef_search=64)
     assert out["vec_id"].iloc[0] == 400
+
+
+def test_hnsw_force_merge(sf_dir, tmp_path):
+    """force_merge: smallest-first pairwise graph rebuilds down to one
+    segment; results stay correct (self-hit + high agreement with the
+    pre-merge top-k)."""
+    from opensearch_ray.similarity import HnswIndex
+    d = str(tmp_path / "hnsw_fm")
+    idx = HnswIndex.build(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                          d, n_segments=4, M=8, ef_construction=48)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(t.column("embedding")[7].as_py(), np.float32)
+    before = idx.search(q, k=10, ef_search=64)["vec_id"].tolist()
+    idx.force_merge(max_segments=1)
+    assert len(idx.meta["segments"]) == 1
+    assert sum(idx.meta["seg_rows"].values()) == t.num_rows
+    after = HnswIndex(d).search(q, k=10, ef_search=64)["vec_id"].tolist()
+    assert after[0] == 7  # self-hit survives the merge
+    assert len(set(before) & set(after)) >= 8  # approx graphs, ~same set
