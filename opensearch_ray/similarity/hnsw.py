@@ -262,6 +262,15 @@ def _search_segment(path: str, Q: np.ndarray, k: int, ef_search: int):
 
 
 @ray.remote
+def _rebuild_segment(Xn: np.ndarray, ids: np.ndarray, M: int, efc: int,
+                     path: str) -> int:
+    """Merge worker: rebuild one graph from already-normalized rows."""
+    g = _Graph(Xn, ids, M=M, ef_construction=efc)
+    g.save(path)
+    return len(ids)
+
+
+@ray.remote
 def _build_segment(seg_dir: str, out_path: str, vec_col: str, id_col: str,
                    M: int, ef_construction: int) -> dict:
     t = pq.read_table(seg_dir, columns=[id_col, vec_col])
@@ -389,20 +398,12 @@ class HnswIndex:
             Xn = np.concatenate((ga.Xn, gb.Xn))
             ids = np.concatenate((ga.ids, gb.ids))
             new_path = os.path.join(self.index_dir, f"seg={a:03d}.npz")
-
-            @ray.remote
-            def rebuild(Xn, ids, M, efc, path):
-                g = _Graph(Xn, ids, M=M, ef_construction=efc)
-                g.save(path)
-                return len(ids)
-
             # deterministic: _Graph sorts nothing itself, so order rows
             # by id first (same invariant as _build_segment)
             order = np.argsort(ids, kind="stable")
-            n = ray.get(rebuild.remote(Xn[order], ids[order],
-                                       self.meta["M"],
-                                       self.meta["ef_construction"],
-                                       new_path))
+            n = ray.get(_rebuild_segment.remote(
+                Xn[order], ids[order], self.meta["M"],
+                self.meta["ef_construction"], new_path))
             os.remove(os.path.join(self.index_dir, f"seg={b:03d}.npz"))
             self.meta["segments"] = sorted(
                 s for s in self.meta["segments"] if s != b)
