@@ -449,16 +449,49 @@ class HnswIndex:
         return allf
 
     def search(self, query_vec: np.ndarray, k: int = 10,
-               ef_search: int = 64) -> pd.DataFrame:
+               ef_search: int = 64,
+               allow_ids=None) -> pd.DataFrame:
         """Per-segment graph search, k-bounded coordinator merge —
-        KNNWeight.searchLeaf + TopDocs.merge in the reference."""
+        KNNWeight.searchLeaf + TopDocs.merge in the reference.
+
+        ``allow_ids`` = filtered k-NN (the plugin's filtered-query path):
+        a sorted vector-id allowlist. Per segment, the beam widens
+        (ef × allowed-fraction⁻¹, capped) so enough allowed hits survive;
+        when the filter is MORE selective than that cap covers, the
+        segment falls back to EXACT scoring over its allowed rows — the
+        plugin's own exact-search threshold behavior."""
         id_col = self.meta["id_col"]
+        allow = (np.asarray(sorted(allow_ids))
+                 if allow_ids is not None else None)
         frames = []
         for s in self.meta["segments"]:
-            ids, sims = self._graph(s).search(query_vec, k, ef_search)
+            g = self._graph(s)
+            if allow is None:
+                ids, sims = g.search(query_vec, k, ef_search)
+            else:
+                in_allow = np.isin(g.ids, allow)
+                n_allowed = int(in_allow.sum())
+                if n_allowed == 0:
+                    continue
+                frac = n_allowed / max(len(g.ids), 1)
+                ef_eff = int(min(max(ef_search / max(frac, 1e-9),
+                                     ef_search), 4 * ef_search))
+                if n_allowed <= max(k, ef_search) or frac < 0.05:
+                    # exact fallback over the allowed rows
+                    qn = np.asarray(query_vec, np.float32)
+                    qn = qn / max(np.linalg.norm(qn), 1e-12)
+                    rows = np.flatnonzero(in_allow)
+                    sims_all = g.Xn[rows] @ qn
+                    top = np.argsort(-sims_all, kind="stable")[:k]
+                    ids, sims = g.ids[rows[top]], sims_all[top]
+                else:
+                    ids, sims = g.search(query_vec, max(k, ef_eff),
+                                         ef_eff)
+                    m = np.isin(ids, allow)
+                    ids, sims = ids[m][:k], sims[m][:k]
             frames.append(pd.DataFrame(
                 {id_col: ids, "score": sims.astype(np.float64)}))
-        if not frames:  # empty corpus -> no segment files
+        if not frames:  # empty corpus / empty filter
             return pd.DataFrame({id_col: [], "score": [], "rank": []})
         allf = pd.concat(frames, ignore_index=True)
         allf = allf.sort_values(["score", id_col], ascending=[False, True],

@@ -481,3 +481,26 @@ def test_hnsw_force_merge(sf_dir, tmp_path):
     after = HnswIndex(d).search(q, k=10, ef_search=64)["vec_id"].tolist()
     assert after[0] == 7  # self-hit survives the merge
     assert len(set(before) & set(after)) >= 8  # approx graphs, ~same set
+
+
+def test_hnsw_filtered_search(sf_dir, tmp_path):
+    """Filtered k-NN on HNSW: a selective allowlist returns ONLY allowed
+    ids (exact fallback per segment when the filter is tight); a wide
+    filter stays on the graph path and never leaks disallowed ids."""
+    from opensearch_ray.similarity import HnswIndex
+    d = str(tmp_path / "hnsw_filt")
+    idx = HnswIndex.build(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                          d, n_segments=3, M=8, ef_construction=48)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    n = t.num_rows
+    q = np.asarray(t.column("embedding")[0].as_py(), np.float32)
+    tight = list(range(0, n, 17))          # ~6% of ids
+    out = idx.search(q, k=10, ef_search=48, allow_ids=tight)
+    assert len(out) == 10
+    assert set(out["vec_id"]) <= set(tight)
+    assert out["vec_id"].iloc[0] == 0      # allowed self-hit wins
+    wide = list(range(0, n, 2))            # 50%
+    out2 = idx.search(q, k=10, ef_search=48, allow_ids=wide)
+    assert set(out2["vec_id"]) <= set(wide) and len(out2) == 10
+    # empty filter -> empty result
+    assert idx.search(q, k=5, allow_ids=[]).empty
