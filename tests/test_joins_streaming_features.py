@@ -722,3 +722,39 @@ def test_data_stream_rollover_and_retention(tmp_path):
     assert ds2.stats()["backing_indices"] == 1
     assert ds2.stats()["total_docs"] == 400
     assert len(ds2.search("bace", k=10)) >= 0  # still searchable
+
+
+def test_training_data_pipeline_all_stages(tmp_path, sf_dir):
+    """EVERY optional capstone stage at once — span removal, line dedup,
+    c4, lm, dsir, nb filter, langid keep, decontamination, stratified
+    sampling, bpe counting, packing — composes into one run with all
+    signal columns present."""
+    import glob as _glob
+    import pyarrow.parquet as _pq
+    import pyarrow.dataset as _pds
+    from opensearch_ray.pipelines import prepare_training_data
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    bench = tmp_path / "bench.parquet"
+    _pq.write_table(t.slice(0, 3), str(bench))
+    out = str(tmp_path / "td_all")
+    s = prepare_training_data(
+        f"{sf_dir}/documents.parquet", out, min_quality=0.0,
+        keep_langs=["en", "fr", "de", "es", "zh"],
+        decontaminate_against=str(bench),
+        sample_rates={"src5": 0.0}, sample_stratum_col="source",
+        pack_budget=256, c4_heuristics=True, lm_quality_min=-5.0,
+        dsir_target=f"{sf_dir}/documents.parquet", dsir_logw_min=-1e9,
+        dedup_lines_sep=" ",
+        nb_keep={"path": f"{sf_dir}/documents.parquet",
+                 "label_col": "lang",
+                 "keep": ["en", "fr", "de", "es", "zh"], "buckets": 512},
+        bpe_merges=16, remove_spans_k=3)
+    assert s["kept_rows"] > 0 and s["packed_sequences"] > 0
+    kept = _pds.dataset(
+        sorted(_glob.glob(f"{out}/shard=*/*.parquet"))).to_table()
+    for col in ("quality", "lm_score", "dsir_logw", "nb_pred",
+                "bpe_tokens", "removed_tokens", "lines_removed",
+                "predicted_lang", "n_tokens"):
+        assert col in kept.column_names, col
